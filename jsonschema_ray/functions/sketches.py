@@ -1,0 +1,181 @@
+"""Mergeable sketches for dataset-scope checks: HyperLogLog + t-digest.
+
+The reference's aggregations are per-run scalars (SURVEY.md §2.5); the
+north rule adds column-profile checks at 10^12-doc scale: distinct
+counts via HLL and distribution drift via t-digest quantiles. Both
+sketches are mergeable, so the pipeline computes one partial per block
+inside ``map_batches`` and tree-reduces the partials — no shuffle of
+the data itself ever happens (SURVEY.md §7.3).
+
+Pure numpy, vectorized: per-batch cost is O(batch) with no Python loop
+over rows. Serialization is plain ``bytes`` so partials travel as an
+Arrow binary column.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 → 0)."""
+    v = v.astype(np.uint64).copy()
+    out = np.zeros(len(v), dtype=np.int64)
+    hi = v >> _U64(32)
+    m = hi > 0
+    out[m] += 32
+    v[m] = hi[m]
+    nz = v > 0
+    # below 2**32 float64 log2 is exact enough for floor(log2)+1
+    out[nz] += np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
+
+
+def hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of an array (strings or numerics).
+
+    Uses pandas' vectorized hashing (stable across processes — unlike
+    Python's ``hash`` under PYTHONHASHSEED randomization).
+    """
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object) if values.dtype == object else values
+    key = f"jsr{seed & 0xFFFFFFFF:013d}"  # exactly 16 bytes, seed-dependent
+    return pd.util.hash_array(arr, hash_key=key).astype(np.uint64)
+
+
+class HyperLogLog:
+    """Dense HLL, p=12 (4096 registers, ~1.6% relative error)."""
+
+    P = 12
+    M = 1 << P
+
+    def __init__(self, registers: np.ndarray | None = None):
+        self.registers = (
+            registers if registers is not None else np.zeros(self.M, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64)
+        idx = (h >> _U64(64 - self.P)).astype(np.int64)
+        w = h & ((_U64(1) << _U64(64 - self.P)) - _U64(1))
+        rho = (64 - self.P) - _bit_length(w) + 1  # leading-zero count + 1
+        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting for small cardinalities
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @staticmethod
+    def deserialize(b: bytes) -> "HyperLogLog":
+        return HyperLogLog(np.frombuffer(b, dtype=np.uint8).copy())
+
+
+class TDigest:
+    """Merging t-digest (Dunning's arcsine scale), vectorized compression.
+
+    Centroid assignment uses the k1 scale function
+    ``k(q) = δ·(asin(2q−1)/π + ½)`` applied to cumulative-weight
+    midpoints; all per-batch work is sort + ``reduceat`` — no Python
+    loop over values.
+    """
+
+    def __init__(self, delta: int = 100,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, dtype=np.float64)
+        self.weights = weights if weights is not None else np.empty(0, dtype=np.float64)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        if len(means) == 0:
+            self.means, self.weights = means, weights
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        cum = np.cumsum(weights) - weights / 2.0
+        q = cum / total
+        k = self.delta * (np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0) / np.pi + 0.5)
+        cluster = np.floor(k).astype(np.int64)
+        # group-by cluster id via reduceat
+        boundaries = np.flatnonzero(np.diff(cluster)) + 1
+        starts = np.concatenate(([0], boundaries))
+        w = np.add.reduceat(weights, starts)
+        wm = np.add.reduceat(weights * means, starts)
+        self.means, self.weights = wm / w, w
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[np.isfinite(values)]
+        if len(values) == 0:
+            return
+        self._compress(
+            np.concatenate([self.means, values]),
+            np.concatenate([self.weights, np.ones(len(values))]),
+        )
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        out._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return out
+
+    @property
+    def count(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float | np.ndarray) -> np.ndarray:
+        if len(self.means) == 0:
+            return np.full(np.shape(q) or (1,), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        probe = np.atleast_1d(np.asarray(q, dtype=np.float64)) * self.weights.sum()
+        return np.interp(probe, cum, self.means)
+
+    def serialize(self) -> bytes:
+        head = struct.pack("<ii", self.delta, len(self.means))
+        return head + self.means.tobytes() + self.weights.tobytes()
+
+    @staticmethod
+    def deserialize(b: bytes) -> "TDigest":
+        delta, n = struct.unpack_from("<ii", b)
+        off = 8
+        means = np.frombuffer(b, dtype=np.float64, count=n, offset=off).copy()
+        weights = np.frombuffer(b, dtype=np.float64, count=n, offset=off + 8 * n).copy()
+        return TDigest(delta, means, weights)
+
+
+def quantile_drift(base: TDigest, cur: TDigest,
+                   probs: np.ndarray | None = None) -> float:
+    """Normalized max quantile displacement between two digests.
+
+    ``max_p |Q_base(p) − Q_cur(p)| / range(base)`` over a fixed probe
+    grid — a KS-flavoured distance on the quantile function, compared
+    against the drift rule's tolerance.
+    """
+    if probs is None:
+        probs = np.linspace(0.01, 0.99, 25)
+    qb, qc = base.quantile(probs), cur.quantile(probs)
+    scale = float(qb.max() - qb.min()) or 1.0
+    return float(np.max(np.abs(qb - qc)) / scale)

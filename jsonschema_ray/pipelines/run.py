@@ -1,0 +1,70 @@
+"""Checkpointed validation runner — the ``ray job submit`` entrypoint.
+
+Shards the input, validates shard-by-shard (each shard is a full
+distributed sub-pipeline), writes violations + manifest per shard, and
+skips shards already committed under the same plan hash on resume
+(state/manifest.py). The per-shard loop is driver-side control flow
+only; all data work stays in Ray Data operators.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+from jsonschema_ray.pipelines.validate import validate
+from jsonschema_ray.sources.readers import ParquetSource
+from jsonschema_ray.spec.plan import CheckPlan, default_plan
+from jsonschema_ray.state import manifest as mf
+
+
+def run_checkpointed(
+    input_paths: Sequence[str],
+    out_dir: str,
+    plan: CheckPlan | None = None,
+    *,
+    catalog_keys: Any = None,
+    shard_size: int = 8,
+    num_partitions: int = 64,
+    concurrency: Any = None,
+) -> dict[str, Any]:
+    """Validate ``input_paths`` (parquet files) resumably into ``out_dir``.
+
+    Returns run summary {shards, skipped, docs, violations, passed}.
+    """
+    plan = plan or default_plan()
+    phash = plan.plan_hash()
+    shards = mf.plan_shards(list(input_paths), shard_size)
+
+    done = skipped = total_docs = total_violations = 0
+    for i, files in enumerate(shards):
+        if mf.is_complete(out_dir, i, phash):
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        src = ParquetSource(files)
+        res = validate(src, plan, catalog_keys=catalog_keys,
+                       num_partitions=num_partitions, concurrency=concurrency)
+        res.materialize()
+        n_viol = res.violation_count()
+        docs = src.dataset(columns=None).count()
+        d = mf.shard_dir(out_dir, i)
+        if n_viol:
+            res.violations.write_parquet(d)
+        mf.commit_shard(out_dir, mf.ShardManifest(
+            shard=i, inputs=files, plan_hash=phash,
+            docs=docs, violations=n_viol,
+            wall_sec=round(time.perf_counter() - t0, 3)))
+        done += 1
+        total_docs += docs
+        total_violations += n_viol
+
+    # totals including previously-committed shards
+    all_manifests = mf.load_manifests(out_dir)
+    docs_all = sum(m["docs"] for m in all_manifests)
+    viol_all = sum(m["violations"] for m in all_manifests)
+    return {
+        "shards": len(shards), "ran": done, "skipped": skipped,
+        "docs": docs_all, "violations": viol_all,
+        "passed": viol_all == 0, "plan_hash": phash,
+    }

@@ -1,0 +1,255 @@
+"""The flagship pipeline: distributed validation of interleaved docs.
+
+Ray-Data shape (SURVEY.md §3.1 "Ray shape" / §7.1):
+
+  driver:   CheckPlan (compile is driver-cheap; plan is broadcast data)
+  stage 1:  source → map_batches(ValidateBatch actor pool)   [row-local rules]
+  stage 2:  source(doc_id only) → per-block partial counts →
+            groupby(key) over (key, partial_count)           [uniqueness]
+  stage 3:  union of violation datasets → (materialize | write_parquet)
+  verdict:  any error-severity violation ⇒ fail (exit-code-2 analog,
+            /root/reference/src/exit_code.h:6-11)
+
+Stage 2 shuffles only a thin (key,count) table — never full docs; a hot
+duplicated key is pre-collapsed to one row per block (salting by
+construction). Referential checks run in stage 1 against a broadcast
+catalog key set (``ray.put`` once, read per actor); a hash anti-join
+path for catalogs too big to broadcast is planned (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jsonschema_ray.sources.readers import DocSource, as_source
+from jsonschema_ray.spec.compile import VIOLATION_SCHEMA
+from jsonschema_ray.spec.plan import CheckPlan, default_plan
+from jsonschema_ray.stages.validator import (
+    VIOLATION_PART_SCHEMA,
+    FastVerdictBatch,
+    ValidateBatch,
+    partition_of,
+)
+
+DEFAULT_BATCH_SIZE = 8192  # docs per batch; span-heavy rows ⇒ keep modest
+
+
+def _maybe_put(obj: Any) -> Any:
+    """Broadcast a sizeable object via the object store (ray.put once,
+    every actor reads the same copy) — falls through when Ray isn't up
+    (pure-driver unit tests)."""
+    import ray
+
+    if obj is None or not ray.is_initialized():
+        return obj
+    return ray.put(obj)
+
+
+def _dup_violation_fn(rule_id: str, message: str, num_partitions: int):
+    def to_violations(t: pa.Table) -> pa.Table:
+        keys = t.column(t.column_names[0])
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n = len(keys)
+        part = partition_of(keys, num_partitions)
+        return pa.Table.from_arrays(
+            [
+                keys,
+                pa.array(np.full(n, rule_id, dtype=object), type=pa.string()),
+                pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
+                pa.array(np.full(n, message, dtype=object), type=pa.string()),
+                pa.array(part, type=pa.int32()),
+            ],
+            schema=VIOLATION_PART_SCHEMA,
+        )
+
+    return to_violations
+
+
+def _key_count_fn(key: str):
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        return pa.table({key: vc.field("values"),
+                         "partial_count": vc.field("counts").cast(pa.int64())})
+
+    return partial_counts
+
+
+def uniqueness_violations(source: DocSource, key: str, rule_id: str,
+                          message: str, num_partitions: int):
+    """Dataset-scope uniqueness: pruned read of the key column → per-block
+    partial counts → small groupby shuffle → keys with total > 1."""
+    from ray.data.aggregate import Sum
+
+    partials = source.dataset(columns=[key]).map_batches(
+        _key_count_fn(key), batch_format="pyarrow")
+    totals = partials.groupby(key).aggregate(Sum("partial_count", alias_name="total"))
+    dups = totals.map_batches(
+        lambda t: t.filter(pc.greater(t.column("total"), 1)).select([key]),
+        batch_format="pyarrow")
+    return dups.map_batches(_dup_violation_fn(rule_id, message, num_partitions),
+                            batch_format="pyarrow")
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handle over the violations dataset + verdict accessors."""
+
+    violations: Any  # ray.data.Dataset, schema VIOLATION_PART_SCHEMA
+    plan: CheckPlan
+    num_partitions: int
+    _materialized: Any = field(default=None, repr=False)
+
+    def materialize(self) -> "ValidationResult":
+        if self._materialized is None:
+            self._materialized = self.violations.materialize()
+            self.violations = self._materialized
+        return self
+
+    def table(self) -> pa.Table:
+        """All violation rows as one Arrow table (small-result path)."""
+        self.materialize()
+        batches = []
+        for b in self.violations.iter_batches(batch_format="pyarrow", batch_size=None):
+            if isinstance(b, pa.RecordBatch):
+                b = pa.Table.from_batches([b])
+            if b.num_rows:
+                batches.append(b.select(VIOLATION_PART_SCHEMA.names))
+        if not batches:
+            return VIOLATION_PART_SCHEMA.empty_table()
+        return pa.concat_tables(batches).combine_chunks()
+
+    def sorted_table(self) -> pa.Table:
+        """Deterministic output ordering (the reference sorts violations
+        by position, ``/root/reference/src/command_lint.cc:670-675``)."""
+        t = self.table()
+        order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                              ("rule_id", "ascending"),
+                                              ("span_index", "ascending")])
+        return t.take(order)
+
+    def violation_count(self) -> int:
+        self.materialize()
+        return self.violations.count()
+
+    def overall_pass(self) -> bool:
+        return self.violation_count() == 0
+
+    def exit_code(self) -> int:
+        """2 on any violation — the reference's contract (exit_code.h:7)."""
+        return 0 if self.overall_pass() else 2
+
+    def partition_verdicts(self) -> pa.Table:
+        """(part, n_violations, pass) for every partition 0..P-1; a
+        partition passes iff it holds no violation (SURVEY.md §2.5)."""
+        self.materialize()
+        counts = np.zeros(self.num_partitions, dtype=np.int64)
+        for b in self.violations.iter_batches(batch_format="pyarrow"):
+            # Ray's groupby→aggregate can emit zero-column empty blocks
+            # (observed on empty groups); skip anything without rows.
+            if b.num_rows == 0 or "part" not in b.schema.names:
+                continue
+            part = b.column("part").to_numpy(zero_copy_only=False)
+            counts += np.bincount(part, minlength=self.num_partitions)
+        return pa.table({
+            "part": pa.array(np.arange(self.num_partitions, dtype=np.int32)),
+            "n_violations": pa.array(counts),
+            "passed": pa.array(counts == 0),
+        })
+
+
+def validate(
+    source: Any,
+    plan: CheckPlan | None = None,
+    *,
+    catalog_keys: Any = None,
+    num_partitions: int = 64,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    only: Sequence[str] | None = None,
+    exclude: Sequence[str] | None = None,
+) -> ValidationResult:
+    """Run a CheckPlan over a document source. Returns a lazy result.
+
+    ``catalog_keys``: the media-catalog key column (numpy/Arrow array)
+    for ``ref`` rules — broadcast once via the object store.
+    ``only`` / ``exclude`` mirror the reference's lint rule filters
+    (``/root/reference/src/command_lint.cc:305-342``).
+    """
+    src = as_source(source)
+    plan = (plan or default_plan()).filtered(
+        only=list(only) if only else None,
+        exclude=list(exclude) if exclude else None)
+    plan_json = plan.to_json()
+    catalog_ref = _maybe_put(catalog_keys)
+
+    row_local = src.dataset().map_batches(
+        ValidateBatch,
+        fn_constructor_kwargs={
+            "plan_json": plan_json,
+            "catalog": catalog_ref,
+            "num_partitions": num_partitions,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+    pieces = [row_local]
+    for rule in plan.rules_of_kind("unique"):
+        pieces.append(uniqueness_violations(
+            src, rule.params["key"], rule.rule_id, rule.message, num_partitions))
+
+    violations = pieces[0]
+    if len(pieces) > 1:
+        violations = violations.union(*pieces[1:])
+    return ValidationResult(violations=violations, plan=plan,
+                            num_partitions=num_partitions)
+
+
+def fast_validate(
+    source: Any,
+    plan: CheckPlan | None = None,
+    *,
+    catalog_keys: Any = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    include_dataset_rules: bool = True,
+) -> dict[str, Any]:
+    """Verdict-only mode (the ``--fast`` analog, compiler.h:84): no
+    violation strings are ever materialized; per-batch (docs, failed)
+    partials are summed. Returns {docs, failed_docs, passed}."""
+    from ray.data.aggregate import Sum
+
+    src = as_source(source)
+    plan = plan or default_plan()
+    plan_json = plan.to_json()
+    catalog_ref = _maybe_put(catalog_keys)
+
+    partials = src.dataset().map_batches(
+        FastVerdictBatch,
+        fn_constructor_kwargs={"plan_json": plan_json, "catalog": catalog_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+    agg = partials.aggregate(Sum("docs", alias_name="docs"),
+                             Sum("failed_docs", alias_name="failed_docs"))
+    docs, failed = int(agg["docs"] or 0), int(agg["failed_docs"] or 0)
+
+    dup_keys = 0
+    if include_dataset_rules:
+        for rule in plan.rules_of_kind("unique"):
+            dups = uniqueness_violations(src, rule.params["key"], rule.rule_id,
+                                         rule.message, num_partitions=1)
+            dup_keys += dups.count()
+    return {"docs": docs, "failed_docs": failed, "dup_keys": dup_keys,
+            "passed": failed == 0 and dup_keys == 0}

@@ -1,0 +1,102 @@
+"""Document sources — column-prunable dataset factories.
+
+Dataset-scope checks read different column subsets (uniqueness needs
+only ``doc_id``; stats need only the profiled columns), so the pipeline
+wants a *factory* it can ask for a pruned ``Dataset``, not one fixed
+Dataset. At 100 TB the difference between re-scanning the full
+interleaved table and re-scanning one thin string column is the whole
+game — Parquet/Lance both serve single columns without touching span
+payloads.
+
+The reference's input layer (``/root/reference/src/input.h:426-510``)
+expands files/dirs/JSONL into a sorted in-memory vector; here a source
+is lazy and sharded by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+
+class DocSource:
+    """Factory for (optionally column-pruned) ``ray.data.Dataset``s."""
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        raise NotImplementedError
+
+
+@dataclass
+class ParquetSource(DocSource):
+    """Parquet-backed table (the sandbox stand-in for Lance — identical
+    Arrow blocks; see FIXTURES.md preamble)."""
+
+    paths: str | list[str]
+    override_num_blocks: int | None = None
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        import ray.data as rd
+
+        return rd.read_parquet(
+            self.paths,
+            columns=list(columns) if columns else None,
+            override_num_blocks=self.override_num_blocks,
+        )
+
+
+@dataclass
+class LanceSource(DocSource):
+    """Lance-backed table (north-rule storage; requires ``pylance``,
+    which is not installed in this sandbox — kept behind this flag so
+    the engine is format-agnostic, FIXTURES.md preamble)."""
+
+    uri: str
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        import ray.data as rd
+
+        if not hasattr(rd, "read_lance"):
+            raise NotImplementedError("ray.data.read_lance unavailable in this build")
+        return rd.read_lance(self.uri, columns=list(columns) if columns else None)
+
+
+@dataclass
+class DatasetSource(DocSource):
+    """Wrap an existing Dataset (tests / already-built pipelines).
+
+    Column pruning degrades to ``select_columns`` — rows are already
+    materialized upstream, so prefer Parquet/Lance sources at scale.
+    """
+
+    ds: object
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        if columns:
+            keep = [c for c in columns if c in self.ds.schema().names]
+            return self.ds.select_columns(keep)
+        return self.ds
+
+
+@dataclass
+class SynthSource(DocSource):
+    """Deterministic generated docs (bench / large-scale tests): each
+    consumption regenerates identical rows in parallel — no disk."""
+
+    cfg: object  # GenConfig
+    override_num_blocks: int | None = None
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        from jsonschema_ray.sources.synth import docs_dataset
+
+        ds = docs_dataset(self.cfg, override_num_blocks=self.override_num_blocks)
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
+
+
+def as_source(obj) -> DocSource:
+    if isinstance(obj, DocSource):
+        return obj
+    if isinstance(obj, (str, list)):
+        return ParquetSource(obj)
+    return DatasetSource(obj)

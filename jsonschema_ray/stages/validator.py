@@ -1,0 +1,113 @@
+"""map_batches stages for the validation pipeline.
+
+``ValidateBatch`` is the workhorse actor-pool stage: the CheckPlan (and
+optionally the broadcast catalog key set) is compiled ONCE per actor in
+``__init__`` — the analog of the reference reusing a single compiled
+``Evaluator`` across all inputs (``/root/reference/src/command_validate.cc:338``)
+— and each ``__call__`` is pure vectorized kernel work over a zero-copy
+Arrow batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jsonschema_ray.spec.compile import CompiledRowChecker, VIOLATION_SCHEMA
+
+PART_FIELD = pa.field("part", pa.int32())
+VIOLATION_PART_SCHEMA = VIOLATION_SCHEMA.append(PART_FIELD)
+
+_HASH_KEY = "jsonschema-ray-0"  # exactly 16 bytes (pandas siphash key); cross-process stable
+
+
+def partition_of(doc_ids: np.ndarray | pa.Array | pa.ChunkedArray,
+                 num_partitions: int) -> np.ndarray:
+    """Deterministic partition id for doc_ids (stable across processes,
+    unlike builtin ``hash`` under PYTHONHASHSEED randomization)."""
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    if isinstance(doc_ids, pa.Array):
+        doc_ids = doc_ids.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(doc_ids, dtype=object), hash_key=_HASH_KEY)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _resolve_ref(obj: Any) -> Any:
+    """ray.get an ObjectRef broadcast via fn_constructor_kwargs."""
+    try:
+        import ray
+
+        if isinstance(obj, ray.ObjectRef):
+            return ray.get(obj)
+    except ImportError:
+        pass
+    return obj
+
+
+class ValidateBatch:
+    """Exhaustive mode: batch of docs → violation rows (+ partition id)."""
+
+    def __init__(self, plan_json: dict, catalog: Any = None,
+                 num_partitions: int = 64,
+                 doc_id_col: str = "doc_id", spans_col: str = "spans"):
+        self.checker = CompiledRowChecker(
+            plan_json, catalog_keys=_resolve_ref(catalog),
+            doc_id_col=doc_id_col, spans_col=spans_col)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = self.checker.violations(batch)
+        part = partition_of(v.column("doc_id"), self.num_partitions) if v.num_rows \
+            else np.empty(0, dtype=np.int32)
+        return v.append_column(PART_FIELD, pa.array(part, type=pa.int32()))
+
+
+class FastVerdictBatch:
+    """Fast mode (the ``--fast`` analog): per-batch (docs, failed) partials.
+
+    Emits one tiny row per batch; the driver sums partials for the
+    overall verdict without materializing any violation strings.
+    """
+
+    def __init__(self, plan_json: dict, catalog: Any = None,
+                 doc_id_col: str = "doc_id", spans_col: str = "spans"):
+        self.checker = CompiledRowChecker(
+            plan_json, catalog_keys=_resolve_ref(catalog),
+            doc_id_col=doc_id_col, spans_col=spans_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fail = self.checker.fail_mask(batch)
+        return pa.table({
+            "docs": pa.array([batch.num_rows], type=pa.int64()),
+            "failed_docs": pa.array([int(fail.sum())], type=pa.int64()),
+        })
+
+
+class KeyCountPartial:
+    """Per-batch partial counts for the uniqueness check.
+
+    Shuffling (key, partial_count) pairs instead of full rows is what
+    keeps the doc_id-uniqueness groupby tractable at 10^12 docs: only
+    the thin key column ever moves (SURVEY.md §2.5). Skewed duplicate
+    keys are naturally collapsed to one row per (batch, key) before the
+    shuffle — a hot key duplicated 10^6× contributes one partial row per
+    block, not 10^6 shuffle rows.
+    """
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        return pa.table({
+            self.key: vc.field("values"),
+            "partial_count": vc.field("counts").cast(pa.int64()),
+        })

@@ -1,0 +1,90 @@
+"""Independent pure-Python validation oracle.
+
+Re-evaluates a CheckPlan row-by-row the way the reference's sequential
+evaluator does (one doc at a time, ``/root/reference/src/command_validate.cc:374-415``)
+— deliberately NOT sharing the Arrow kernel code under test. Predicate
+rules go through ``evaluate_predicate_python`` (the slow reference
+implementation in spec/predicates.py); monotonic / unique / ref
+semantics are re-implemented here in plain Python.
+
+Returns the violation key set ``{(doc_id, rule_id, span_index)}`` —
+the exactness contract of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Iterable
+
+from jsonschema_ray.spec.plan import CheckPlan
+from jsonschema_ray.spec.predicates import evaluate_predicate_python
+
+Key = tuple[str, str, int]
+
+
+def oracle_violations(
+    docs: Iterable[dict[str, Any]],
+    plan: CheckPlan,
+    catalog: set[str] | None = None,
+) -> set[Key]:
+    docs = list(docs)
+    out: set[Key] = set()
+
+    pred_span = [(r.rule_id, r.when, r.check) for r in plan.rules
+                 if r.kind == "predicate" and r.scope == "span" and r.enabled]
+    pred_doc = [(r.rule_id, r.when, r.check) for r in plan.rules
+                if r.kind == "predicate" and r.scope == "doc" and r.enabled]
+    mono = [(r.rule_id, r.params.get("field", "offset"), r.params.get("strict", True))
+            for r in plan.rules if r.kind == "monotonic" and r.enabled]
+    uniq = [(r.rule_id, r.params["key"]) for r in plan.rules
+            if r.kind == "unique" and r.enabled]
+    refs = [(r.rule_id, r.params["field"], r.when) for r in plan.rules
+            if r.kind == "ref" and r.enabled] if catalog is not None else []
+
+    for doc in docs:
+        doc_id = doc["doc_id"]
+        spans = doc.get("spans") or []
+        doc_row = dict(doc)
+        doc_row["n_spans"] = len(spans)
+        for rule_id, when, check in pred_doc:
+            if when is not None and not evaluate_predicate_python(when, doc_row):
+                continue
+            if not evaluate_predicate_python(check, doc_row):
+                out.add((doc_id, rule_id, -1))
+        for i, span in enumerate(spans):
+            for rule_id, when, check in pred_span:
+                if when is not None and not evaluate_predicate_python(when, span):
+                    continue
+                if not evaluate_predicate_python(check, span):
+                    out.add((doc_id, rule_id, i))
+            for rule_id, field, when in refs:
+                v = span.get(field)
+                if when is not None and not evaluate_predicate_python(when, span):
+                    continue
+                if when is None and v is None:
+                    continue
+                if v not in catalog:
+                    out.add((doc_id, rule_id, i))
+        for rule_id, field, strict in mono:
+            for i in range(1, len(spans)):
+                cur, prev = spans[i].get(field), spans[i - 1].get(field)
+                bad = cur is None or prev is None or (
+                    cur <= prev if strict else cur < prev)
+                if bad:
+                    out.add((doc_id, rule_id, i))
+
+    for rule_id, key in uniq:
+        counts = Counter(d[key] for d in docs if d.get(key) is not None)
+        for k, n in counts.items():
+            if n > 1:
+                out.add((k, rule_id, -1))
+    return out
+
+
+def failing_docs_row_local(docs, plan, catalog=None) -> set[str]:
+    """Doc ids with ≥1 row-local (non-unique) violation — the fast-mode
+    ``failed_docs`` expectation."""
+    plan_no_unique = CheckPlan(
+        rules=[r for r in plan.rules if r.kind != "unique"], mode=plan.mode)
+    keys = oracle_violations(docs, plan_no_unique, catalog)
+    return {doc_id for doc_id, _, _ in keys}

@@ -1,0 +1,117 @@
+"""Sketches + column-profile pipeline + drift checks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray.functions.sketches import HyperLogLog, TDigest, hash64, quantile_drift
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 60, size=200_000).astype(np.uint64)
+    true = len(np.unique(vals))
+    h = HyperLogLog()
+    h.add_hashes(hash64(vals))
+    est = h.estimate()
+    assert abs(est - true) / true < 0.05
+
+    # mergeability: two halves == whole
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add_hashes(hash64(vals[:100_000]))
+    h2.add_hashes(hash64(vals[100_000:]))
+    merged = h1.merge(h2)
+    assert merged.estimate() == pytest.approx(est)
+    # serialization round-trip
+    assert HyperLogLog.deserialize(merged.serialize()).estimate() == merged.estimate()
+
+
+def test_hll_small_cardinality_linear_counting():
+    h = HyperLogLog()
+    vals = np.arange(100, dtype=np.uint64)
+    h.add_hashes(hash64(vals))
+    assert abs(h.estimate() - 100) < 5
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1, size=100_000)
+    td = TDigest()
+    for chunk in np.array_split(vals, 10):  # batched adds, like per-block partials
+        td.add(chunk)
+    for p, want in [(0.5, 0.0), (0.1, -1.2816), (0.9, 1.2816)]:
+        assert td.quantile(p)[0] == pytest.approx(want, abs=0.05)
+    assert td.count == pytest.approx(100_000)
+    # merge two digests == one
+    a, b = TDigest(), TDigest()
+    a.add(vals[:50_000]); b.add(vals[50_000:])
+    m = a.merge(b)
+    assert m.quantile(0.5)[0] == pytest.approx(td.quantile(0.5)[0], abs=0.05)
+    rt = TDigest.deserialize(m.serialize())
+    assert rt.quantile(0.9)[0] == m.quantile(0.9)[0]
+
+
+def test_quantile_drift_detects_shift():
+    rng = np.random.default_rng(5)
+    base, same, shifted = TDigest(), TDigest(), TDigest()
+    base.add(rng.normal(0, 1, 50_000))
+    same.add(rng.normal(0, 1, 50_000))
+    shifted.add(rng.normal(0.8, 1, 50_000))
+    assert quantile_drift(base, same) < 0.05
+    assert quantile_drift(base, shifted) > 0.1
+
+
+def test_profile_pipeline(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import ProfileSpec, check_drift, check_stats, profile
+    from jsonschema_ray.sources.readers import DatasetSource
+    from jsonschema_ray.sources.synth import GenConfig, docs_table
+
+    cfg = GenConfig(n_docs=2000, clean=True)
+    table = docs_table(cfg)
+    src = DatasetSource(rd.from_arrow(table))
+    out = profile(src, [
+        ProfileSpec(column="doc_id", hll=True),
+        ProfileSpec(column="spans.offset", hll=False, tdigest=True),
+        ProfileSpec(column="spans.kind", hll=True),
+    ])
+    # exact stats vs direct computation
+    assert out["doc_id"]["count"] == 2000
+    assert out["doc_id"]["nulls"] == 0
+    assert abs(out["doc_id"]["distinct_est"] - 2000) / 2000 < 0.05
+    assert out["spans.kind"]["distinct_est"] == pytest.approx(4, abs=1)
+
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(table.column("spans").combine_chunks())
+    offsets = flat.field("offset")
+    assert out["spans.offset"]["min"] == pc.min(offsets).as_py()
+    assert out["spans.offset"]["max"] == pc.max(offsets).as_py()
+    assert out["spans.offset"]["count"] == len(offsets)
+
+    # stats bounds rule
+    v = check_stats(out, [{"column": "doc_id", "max_null_rate": 0.0},
+                          {"column": "spans.offset", "min_value": 0}])
+    assert v == []
+    v = check_stats(out, [{"column": "spans.kind", "distinct_max": 2}])
+    assert len(v) == 1 and v[0]["rule_id"] == "stats_bounds"
+
+    # drift: same distribution passes, shifted fails
+    out2 = profile(DatasetSource(rd.from_arrow(docs_table(
+        GenConfig(n_docs=2000, clean=True, seed=99)))),
+        [ProfileSpec(column="spans.offset", hll=False, tdigest=True)])
+    assert check_drift(out2, {"spans.offset": out["spans.offset"]}, tolerance=0.1) == []
+
+
+def test_profile_partial_roundtrip_via_parquet(tmp_path, ray_session):
+    """Profile over a parquet source with pruned read."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
+    from jsonschema_ray.sources.readers import ParquetSource
+    from jsonschema_ray.sources.synth import GenConfig, docs_table
+
+    p = tmp_path / "docs.parquet"
+    pq.write_table(docs_table(GenConfig(n_docs=500, clean=True)), p)
+    out = profile(ParquetSource(str(p)), [ProfileSpec(column="doc_id")])
+    assert out["doc_id"]["count"] == 500

@@ -1,0 +1,171 @@
+"""End-to-end validation pipeline vs the pure-Python oracle.
+
+The BASELINE.json contract: exact violation-row set equality on
+``(doc_id, rule_id, span_index)``, per-partition pass/fail, span-
+sequence equality for passing docs, and determinism across block
+layouts.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from jsonschema_ray.pipelines.validate import fast_validate, validate
+from jsonschema_ray.sources.readers import DatasetSource, SynthSource
+from jsonschema_ray.sources.synth import GenConfig, catalog_table, docs_table
+from jsonschema_ray.spec.plan import default_plan
+from tests.oracle import failing_docs_row_local, oracle_violations
+
+
+def _catalog_keys(cfg):
+    return catalog_table(cfg).column("media_ref").combine_chunks()
+
+
+def _key_set(result) -> set:
+    t = result.table()
+    return set(zip(t.column("doc_id").to_pylist(),
+                   t.column("rule_id").to_pylist(),
+                   t.column("span_index").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def small(ray_session):
+    cfg = GenConfig(n_docs=1000)
+    table = docs_table(cfg)
+    cat = _catalog_keys(cfg)
+    expected = oracle_violations(table.to_pylist(), default_plan(),
+                                 set(cat.to_pylist()))
+    return cfg, table, cat, expected
+
+
+def test_exact_violation_rows(ray_session, small):
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat)
+    got = _key_set(res)
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}")
+    assert res.exit_code() == 2
+    assert len(expected) > 20  # the fixture really injects violations
+
+
+def test_all_rule_ids_fire(ray_session, small):
+    _, _, _, expected = small
+    fired = {r for _, r, _ in expected}
+    assert fired == {"kind_enum", "text_requires_text", "media_requires_ref",
+                     "media_ref_format", "offset_monotonic", "offset_nonnegative",
+                     "doc_id_unique", "media_ref_exists"}
+
+
+def test_clean_table_passes(ray_session):
+    import ray.data as rd
+
+    cfg = GenConfig(n_docs=500, clean=True)
+    res = validate(DatasetSource(rd.from_arrow(docs_table(cfg))),
+                   catalog_keys=_catalog_keys(cfg))
+    assert res.overall_pass()
+    assert res.exit_code() == 0
+    verdicts = res.partition_verdicts()
+    assert pc.all(verdicts.column("passed")).as_py()
+
+
+def test_determinism_across_block_layouts(ray_session, small):
+    cfg, _, cat, _ = small
+    a = validate(SynthSource(cfg, override_num_blocks=2), catalog_keys=cat)
+    b = validate(SynthSource(cfg, override_num_blocks=7), catalog_keys=cat)
+    assert a.sorted_table().equals(b.sorted_table())
+
+
+def test_partition_verdicts(ray_session, small):
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat,
+                   num_partitions=8)
+    v = res.partition_verdicts()
+    assert v.num_rows == 8
+    assert int(pc.sum(v.column("n_violations")).as_py()) == len(expected)
+    # a partition passes iff no violation landed in it
+    assert v.column("passed").to_pylist() == \
+        [n == 0 for n in v.column("n_violations").to_pylist()]
+
+
+def test_only_exclude_filters(ray_session, small):
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat,
+                   only=["kind_enum"])
+    assert _key_set(res) == {k for k in expected if k[1] == "kind_enum"}
+
+    res2 = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat,
+                    exclude=["kind_enum", "doc_id_unique"])
+    assert _key_set(res2) == {k for k in expected
+                              if k[1] not in ("kind_enum", "doc_id_unique")}
+
+
+def test_fast_mode_verdict(ray_session, small):
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    out = fast_validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat)
+    assert out["docs"] == table.num_rows
+    want_failed = failing_docs_row_local(table.to_pylist(), default_plan(),
+                                         set(cat.to_pylist()))
+    assert out["failed_docs"] == len(want_failed)
+    assert not out["passed"]
+    dup_keys = {k for k, r, _ in expected if r == "doc_id_unique"}
+    assert out["dup_keys"] == len(dup_keys)
+
+
+def test_span_sequence_passthrough(ray_session, small):
+    """Per-row span-sequence equality (kind, text, media_ref, order) —
+    the engine never mutates doc rows; validated docs read back from the
+    source equal the input (BASELINE.json input_hint invariant)."""
+    import ray.data as rd
+
+    cfg, table, _, _ = small
+    ds = rd.from_arrow(table)
+    round_trip = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ).combine_chunks()
+    assert round_trip.sort_by("doc_id").equals(table.sort_by("doc_id"))
+
+
+def test_edge_empty_table(ray_session):
+    import ray.data as rd
+
+    empty = docs_table(GenConfig(n_docs=0))
+    res = validate(DatasetSource(rd.from_arrow(empty)))
+    assert res.violation_count() == 0
+    assert res.overall_pass()
+
+
+def test_edge_zero_and_null_spans(ray_session):
+    """Docs with spans == [] or spans == null yield no span violations."""
+    import ray.data as rd
+
+    table = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "spans": pa.array([[], None],
+                          type=pa.list_(pa.struct([
+                              ("kind", pa.string()), ("text", pa.string()),
+                              ("media_ref", pa.string()), ("offset", pa.int32())]))),
+    })
+    res = validate(DatasetSource(rd.from_arrow(table)))
+    assert res.violation_count() == 0
+
+
+def test_skewed_duplicate_key(ray_session):
+    """The salting path: one hot doc_id duplicated many times must come
+    back as exactly ONE violation row, not hot-key × blocks rows."""
+    cfg = GenConfig(n_docs=2000, clean=True, skew_hot_docs=500)
+    res = validate(SynthSource(cfg, override_num_blocks=8),
+                   catalog_keys=_catalog_keys(cfg))
+    t = res.table()
+    dup_rows = t.filter(pc.equal(t.column("rule_id"), "doc_id_unique"))
+    assert dup_rows.num_rows == 1
+    assert dup_rows.column("doc_id").to_pylist() == ["doc-hot"]
