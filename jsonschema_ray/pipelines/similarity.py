@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- Brute-force cosine top-k: the baseline — numpy matmul per batch
+  against a broadcast query matrix, per-batch local top-k partials,
+  tree-merged on the driver (never a global sort of all scores).
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus;
+  queries search only their bucket (± multiprobe neighbors) — the
+  scale path: the shuffle is one int key, and probe cost is
+  corpus/2^bits per query.
+- Embedding near-duplicate pairs: all-pairs cosine ≥ threshold inside
+  LSH buckets only.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from jsonschema_ray.sources.readers import as_source
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flatten)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.astype(np.float64).reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    source: Any,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: set | None = None,
+    round_to: int | None = None,
+):
+    """Exact cosine top-k: per-batch partial top-k → driver merge.
+
+    Returns a pyarrow Table (id_col, cos_sim) sorted by
+    (cos_sim desc, id asc). ``round_to`` rounds scores *before* the
+    final ordering so cross-engine comparisons are stable."""
+    src = as_source(source)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cos = m @ q
+        if exclude_ids:
+            mask = ~np.isin(ids, np.fromiter(exclude_ids, ids.dtype))
+            ids, cos = ids[mask], cos[mask]
+        if len(cos) > k:
+            top = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[top], cos[top]
+        return pa.table({id_col: pa.array(ids), "cos_sim": pa.array(cos)})
+
+    partials = src.dataset(columns=[id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow")
+    rows = partials.take_all()  # ≤ k rows per block — tiny
+    ids = np.array([r[id_col] for r in rows])
+    cos = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
+    if round_to is not None:
+        cos = np.round(cos, round_to)
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table({id_col: pa.array(ids[order]),
+                     "cos_sim": pa.array(cos[order])})
+
+
+def hyperplane_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n,d) × (bits,d) → int32 bucket ids (sign pattern)."""
+    bits = (m @ planes.T) > 0
+    return (bits @ (1 << np.arange(planes.shape[0]))).astype(np.int32)
+
+
+def lsh_bucketed(source: Any, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding", bits: int = 8, seed: int = 11,
+                 dim: int | None = None):
+    """Add an LSH ``bucket`` column. Planes derive from the seed, so any
+    stage (or a later query) regenerates them without coordination."""
+    src = as_source(source)
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t.column(emb_col)))
+        d = m.shape[1]
+        if d not in planes_cache:
+            planes_cache[d] = np.random.default_rng(seed).normal(size=(bits, d))
+        return t.append_column(
+            "bucket", pa.array(hyperplane_signatures(m, planes_cache[d])))
+
+    return src.dataset(columns=[id_col, emb_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+
+
+def ann_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             bits: int = 8, seed: int = 11, multiprobe: int = 1,
+             round_to: int | None = None):
+    """Approximate top-k: search only the query's LSH bucket (plus
+    buckets within Hamming distance ``multiprobe``)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    dim = len(q)
+    planes = np.random.default_rng(seed).normal(size=(bits, dim))
+    q_bucket = int(hyperplane_signatures(qn[None, :], planes)[0])
+    probe = {q_bucket}
+    if multiprobe >= 1:
+        probe |= {q_bucket ^ (1 << b) for b in range(bits)}
+    bucketed = lsh_bucketed(source, id_col=id_col, emb_col=emb_col,
+                            bits=bits, seed=seed)
+    cand = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"),
+                                    value_set=pa.array(sorted(probe),
+                                                       type=pa.int32()))),
+        batch_format="pyarrow")
+    return brute_force_topk(cand, query_vec, k, id_col=id_col,
+                            emb_col=emb_col, round_to=round_to)
+
+
+def near_dup_pairs(source: Any, threshold: float = 0.95, *,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   bits: int = 8, seed: int = 11):
+    """Embedding near-duplicate pairs (cos ≥ threshold) within LSH
+    buckets: all-pairs matmul per bucket group — never across the
+    whole corpus."""
+    import pandas as pd
+
+    bucketed = lsh_bucketed(source, id_col=id_col, emb_col=emb_col,
+                            bits=bits, seed=seed)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[0][keep]],
+            "id_b": ids[iu[1][keep]],
+            "cos_sim": np.round(sims[iu][keep], 4),
+        })
+
+    return bucketed.groupby("bucket").map_groups(
+        pairs_of_bucket, batch_format="pandas")

@@ -1,0 +1,100 @@
+"""Text-analysis operators over document tables.
+
+Training-data-pipeline staples (large-scale curation): token counting,
+quality scoring, language-ID and document fingerprinting — each a
+vectorized ``map_batches`` stage over Arrow string columns (regex
+kernels are RE2 via pyarrow.compute; counts, never Python loops over
+rows).
+
+These run over any table with a text column (the sandbox testdata
+``documents`` table, or flattened ``spans.text``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jsonschema_ray.functions.sketches import hash64
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.!?,;:]"
+UPPER_RE = r"[A-Z]"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "la", "de", "los", "que", "un", "es"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht"],
+}
+
+
+def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.count_substring_regex(col, pattern)
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "n_tokens") -> pa.Table:
+    n = _count_re(batch.column(text_col), TOKEN_RE)
+    return batch.append_column(out_col, n.cast(pa.int64()))
+
+
+def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: token count, punctuation / stopword /
+    uppercase ratios. Ratios are per-char or per-token, rounded to 4
+    decimals for cross-engine comparability."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_chars = pc.utf8_length(col).cast(pa.float64())
+    n_tokens = _count_re(col, TOKEN_RE).cast(pa.int64())
+    n_punct = _count_re(col, PUNCT_RE).cast(pa.float64())
+    stop_pat = r"\b(" + "|".join(LANG_PROFILES["en"]) + r")\b"
+    n_stop = _count_re(col, stop_pat).cast(pa.float64())
+    n_upper = _count_re(col, UPPER_RE).cast(pa.float64())
+
+    def ratio(num, den):
+        r = pc.if_else(pc.greater(den, 0.0), pc.divide(num, den), 0.0)
+        return pc.round(r, ndigits=4)
+
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("punct_ratio", ratio(n_punct, n_chars))
+    batch = batch.append_column(
+        "stop_ratio", ratio(n_stop, n_tokens.cast(pa.float64())))
+    batch = batch.append_column("upper_ratio", ratio(n_upper, n_chars))
+    return batch
+
+
+def add_langid(batch: pa.Table, text_col: str = "text",
+               out_col: str = "lang_pred") -> pa.Table:
+    """Stopword-profile language ID: count hits per language profile,
+    argmax (ties → profile order; no hits → 'und')."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    langs = list(LANG_PROFILES)
+    scores = np.zeros((len(col), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        pat = r"\b(" + "|".join(LANG_PROFILES[lang]) + r")\b"
+        scores[:, j] = pc.count_substring_regex(col, pat) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=1)
+    pred = np.asarray(langs, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = "und"
+    return batch.append_column(out_col, pa.array(pred, type=pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    """64-bit document fingerprint: hash of the full text (content
+    identity key for exact dedup — cheap, order-sensitive)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False)
+    h = hash64(vals.astype(object))
+    return batch.append_column(out_col, pa.array(h.astype(np.uint64)))

@@ -1,0 +1,168 @@
+"""Text analysis, dedup (exact/minhash/simhash) and similarity search."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(rows):
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "text": pa.array([r[1] for r in rows], type=pa.string())})
+
+
+def test_token_and_quality_counts():
+    from jsonschema_ray.pipelines.textops import add_quality, add_token_count
+
+    t = _docs_table([(1, "the quick brown fox."), (2, "a  b   c"), (3, "")])
+    out = add_token_count(t)
+    assert out.column("n_tokens").to_pylist() == [4, 3, 0]
+    q = add_quality(t)
+    assert q.column("n_tokens").to_pylist() == [4, 3, 0]
+    assert q.column("punct_ratio").to_pylist()[0] == pytest.approx(1 / 20, abs=1e-4)
+    assert q.column("stop_ratio").to_pylist()[1] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_langid():
+    from jsonschema_ray.pipelines.textops import add_langid
+
+    t = _docs_table([
+        (1, "the cat and the dog of to in"),
+        (2, "le chat et la maison les des"),
+        (3, "el perro de la casa los que"),
+        (4, "xyzzy qwerty"),
+    ])
+    out = add_langid(t)
+    preds = out.column("lang_pred").to_pylist()
+    assert preds[0] == "en"
+    assert preds[1] == "fr"
+    assert preds[3] == "und"
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import exact_dedup_summary, exact_dup_groups
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rows = [(i, f"unique text number {i}") for i in range(50)]
+    rows += [(100, "duplicated payload"), (101, "duplicated payload"),
+             (102, "duplicated payload"), (103, "another dup"), (104, "another dup")]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    groups = exact_dup_groups(src, "doc_id").to_pandas()
+    assert len(groups) == 2
+    assert sorted(groups["n_copies"].tolist()) == [2, 3]
+    assert sorted(groups["keep_id"].tolist()) == [100, 103]
+    s = exact_dedup_summary(src, "doc_id")
+    assert s == {"n_rows": 55, "n_unique": 52, "n_dup_groups": 2}
+
+
+def test_minhash_near_dup(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import (
+        minhash_candidate_pairs, minhash_signatures, verify_jaccard)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the tall green hills of the valley")
+    near = base.replace("lazy", "sleepy")  # one-token change → high Jaccard
+    rng = np.random.default_rng(0)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+             "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi"]
+    rows = [(i, " ".join(rng.choice(vocab, size=25))) for i in range(40)]
+    rows += [(100, base), (101, near)]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    pairs = minhash_candidate_pairs(src, "doc_id").to_pandas()
+    found = set(map(tuple, pairs[["key_a", "key_b"]].to_numpy()))
+    assert (100, 101) in found
+
+    # signature similarity ≈ Jaccard for the near pair
+    sigs = minhash_signatures(np.array([base, near], dtype=object))
+    est = (sigs[0] == sigs[1]).mean()
+    assert est > 0.5
+
+    texts = {r[0]: r[1] for r in rows}
+    verified = verify_jaccard(texts, [(100, 101)], threshold=0.5)
+    assert len(verified) == 1 and verified[0]["jaccard"] > 0.5
+
+
+def test_simhash(ray_session):
+    from jsonschema_ray.pipelines.dedup import simhash_batch
+
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a.replace("dog", "cat")
+    c = "completely different words entirely unrelated content here"
+    s = simhash_batch(np.array([a, a, b, c], dtype=object))
+    assert s[0] == s[1]  # identical text → identical fingerprint
+    ham_ab = bin(int(s[0]) ^ int(s[2])).count("1")
+    ham_ac = bin(int(s[0]) ^ int(s[3])).count("1")
+    assert ham_ab < ham_ac  # near-dup closer than unrelated
+
+
+def _emb_table(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float32())),
+    }), m
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import brute_force_topk
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table()
+    q = m[0].astype(np.float64)
+    got = brute_force_topk(DatasetSource(rd.from_arrow(t)), q, k=5,
+                           exclude_ids={0})
+    # numpy reference
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = mn @ qn
+    cos[0] = -np.inf
+    want_ids = np.argsort(-cos)[:5]
+    assert got.column("vec_id").to_pylist() == want_ids.tolist()
+    assert got.column("cos_sim").to_pylist() == pytest.approx(
+        cos[want_ids].tolist(), abs=1e-9)
+
+
+def test_ann_finds_planted_duplicate(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import ann_topk
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table()
+    # plant a near-duplicate of vector 7 as id 999
+    near = (m[7] + np.random.default_rng(1).normal(scale=0.01, size=m.shape[1])
+            ).astype(np.float32)
+    t2 = pa.concat_tables([t, pa.table({
+        "vec_id": pa.array([999], type=pa.int64()),
+        "embedding": pa.array([near.tolist()], type=pa.list_(pa.float32())),
+    })])
+    got = ann_topk(DatasetSource(rd.from_arrow(t2)), m[7].astype(np.float64),
+                   k=3, bits=6, multiprobe=1)
+    ids = got.column("vec_id").to_pylist()
+    assert 999 in ids and 7 in ids
+
+
+def test_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import near_dup_pairs
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table(n=50)
+    dup = (m[3] * 1.001).astype(np.float32)  # same direction → cos ≈ 1
+    t2 = pa.concat_tables([t, pa.table({
+        "vec_id": pa.array([500], type=pa.int64()),
+        "embedding": pa.array([dup.tolist()], type=pa.list_(pa.float32())),
+    })])
+    pairs = near_dup_pairs(DatasetSource(rd.from_arrow(t2)),
+                           threshold=0.99).to_pandas()
+    assert (3, 500) in set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
