@@ -1,0 +1,432 @@
+"""CLI verbs — the reference's command surface re-expressed for the
+Ray engine (``/root/reference/src/main.cc:160-287`` dispatches 14
+commands; the data-scale ones distribute, the schema-scale ones stay
+driver-side, SURVEY.md §2.11).
+
+    python -m jsonschema_ray compile RULES.json [-o PLAN.json] [--fast]
+    python -m jsonschema_ray validate --plan PLAN.json INPUT.parquet...
+        [--catalog CAT.parquet] [--out DIR] [--fast]
+        [--only a,b] [--exclude a,b] [--num-cpus N]
+    python -m jsonschema_ray metaschema PLAN.json
+    python -m jsonschema_ray fmt PLAN.json [--check]
+    python -m jsonschema_ray lint PLAN.json [--fix]
+    python -m jsonschema_ray test SUITE.json --plan PLAN.json
+    python -m jsonschema_ray inspect PLAN.json
+
+Exit codes mirror ``/root/reference/src/exit_code.h:6-11``: 0 success,
+1 usage/other error, 2 validation (or fmt --check / lint) failure,
+6 empty test suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_VALIDATION = 2
+EXIT_EMPTY_SUITE = 6
+
+
+def _load_plan(path: str):
+    from jsonschema_ray.spec.plan import CheckPlan, default_plan
+
+    if path in (None, "default"):
+        return default_plan()
+    with open(path) as f:
+        return CheckPlan.from_json(json.load(f))
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+# ---------------------------------------------------------------------------
+# verbs
+# ---------------------------------------------------------------------------
+
+def cmd_compile(args) -> int:
+    """Rule specs → canonical serialized CheckPlan (the analog of
+    ``jsonschema compile`` producing a reusable Template)."""
+    plan = _load_plan(args.rules)
+    plan.mode = "fast" if args.fast else plan.mode
+    out = json.dumps(plan.to_json(), indent=2, sort_keys=True)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    print(f"plan_hash: {plan.plan_hash()}", file=sys.stderr)
+    return EXIT_OK
+
+
+def cmd_validate(args) -> int:
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.validate import fast_validate, validate
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    _ensure_ray(args.num_cpus)
+    plan = _load_plan(args.plan)
+    only = args.only.split(",") if args.only else None
+    exclude = args.exclude.split(",") if args.exclude else None
+    cat = None
+    if args.catalog:
+        cat = pq.read_table(args.catalog).column(
+            args.catalog_key).combine_chunks()
+    src = ParquetSource(args.inputs)
+    if args.fast:
+        out = fast_validate(src, plan, catalog_keys=cat)
+        print(json.dumps(out))
+        return EXIT_OK if out["passed"] else EXIT_VALIDATION
+    res = validate(src, plan, catalog_keys=cat, only=only, exclude=exclude)
+    res.materialize()
+    n = res.violation_count()
+    if args.out:
+        res.violations.write_parquet(args.out)
+    else:
+        for row in res.sorted_table().slice(0, args.limit).to_pylist():
+            print(f"{row['doc_id']}\t{row['rule_id']}\t"
+                  f"{row['span_index']}\t{row['message']}", file=sys.stderr)
+    verdicts = res.partition_verdicts()
+    failed_parts = verdicts.num_rows - sum(verdicts.column("passed").to_pylist())
+    print(json.dumps({"violations": n, "failed_partitions": failed_parts,
+                      "partitions": verdicts.num_rows,
+                      "plan_hash": plan.plan_hash()}))
+    return res.exit_code()
+
+
+def cmd_metaschema(args) -> int:
+    """Plan self-check (the ``jsonschema metaschema`` analog: validate
+    the schema artifact itself): structural validation + compile every
+    kernel + cross-check compiled kernels against the independent
+    Python evaluator on a synthetic probe table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonschema_ray.spec.plan import CheckPlan
+    from jsonschema_ray.spec.predicates import (
+        compile_predicate, evaluate_predicate_python)
+
+    try:
+        plan = _load_plan(args.plan)
+    except (KeyError, ValueError, json.JSONDecodeError) as e:
+        print(f"metaschema: structural error: {e}", file=sys.stderr)
+        return EXIT_VALIDATION
+
+    errors = []
+    fields: set[str] = set()
+
+    def walk(spec):
+        if not isinstance(spec, dict) or "op" not in spec:
+            errors.append(f"predicate is not an op dict: {spec!r}")
+            return
+        if "field" in spec:
+            fields.add(spec["field"])
+        for key in ("arg", "cond", "then", "else"):
+            if key in spec:
+                walk(spec[key])
+        for s in spec.get("args", []):
+            walk(s)
+
+    preds = []
+    for r in plan.rules:
+        if r.kind == "predicate":
+            if r.check is None:
+                errors.append(f"{r.rule_id}: predicate rule without check")
+                continue
+            walk(r.check)
+            if r.when:
+                walk(r.when)
+            preds.append((r.rule_id, r.check))
+        elif r.kind in ("unique", "ref"):
+            needed = "key" if r.kind == "unique" else "field"
+            if needed not in r.params:
+                errors.append(f"{r.rule_id}: {r.kind} rule missing param {needed!r}")
+
+    # probe table: strings with nulls + ints + floats for every field
+    rng = np.random.default_rng(7)
+    n = 64
+    cols: dict[str, Any] = {}
+    for f in fields or {"x"}:
+        strs = [None, "", "abc", "media://0123456789abcdef", "text"] * (n // 5 + 1)
+        cols[f] = pa.array(strs[:n], type=pa.string())
+    probe_s = pa.table(cols)
+    cols_n = {f: pa.array(rng.integers(-5, 50, n), type=pa.int64())
+              for f in fields or {"x"}}
+    probe_n = pa.table(cols_n)
+
+    for rule_id, spec in preds:
+        for probe in (probe_s, probe_n):
+            try:
+                kernel = compile_predicate(spec)
+                got = kernel(probe)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                continue  # type-incompatible probe — fine
+            except ValueError as e:
+                errors.append(f"{rule_id}: does not compile: {e}")
+                break
+            rows = probe.to_pylist()
+            want = [evaluate_predicate_python(spec, row) for row in rows]
+            if got.tolist() != want:
+                errors.append(f"{rule_id}: kernel/evaluator divergence on probe")
+    if errors:
+        for e in errors:
+            print(f"metaschema: {e}", file=sys.stderr)
+        return EXIT_VALIDATION
+    print(f"ok: {len(plan.rules)} rules, plan_hash {plan.plan_hash()}")
+    return EXIT_OK
+
+
+def cmd_fmt(args) -> int:
+    """Canonical plan formatting (``jsonschema fmt`` analog: stable key
+    order + 2-space indent; ``--check`` diff mode)."""
+    with open(args.plan) as f:
+        raw = f.read()
+    plan = _load_plan(args.plan)
+    canonical = json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n"
+    if args.check:
+        if raw != canonical:
+            print(f"{args.plan}: not canonically formatted", file=sys.stderr)
+            return EXIT_VALIDATION
+        return EXIT_OK
+    with open(args.plan, "w") as f:
+        f.write(canonical)
+    return EXIT_OK
+
+
+_LINT_KNOWN_OPS = {
+    "const", "and", "or", "not", "one_of", "if", "is_null", "not_null",
+    "eq", "ne", "gt", "ge", "lt", "le", "between", "is_in", "regex",
+    "starts_with", "ends_with", "contains", "utf8_len", "format",
+    "divisible", "type",
+}
+
+
+def cmd_lint(args) -> int:
+    """Plan lint (the alterschema rule-registry analog,
+    ``/root/reference/vendor/blaze/src/alterschema/alterschema.cc:267-425``):
+    duplicate ids, unknown ops/formats, uncompilable regexes, unreachable
+    rules, empty messages. ``--fix`` applies the mutating fixes and
+    reports a health score (``transformer.cc:28-39``)."""
+    import re
+
+    from jsonschema_ray.functions.formats import format_names
+
+    plan = _load_plan(args.plan)
+    findings: list[tuple[str, str, str]] = []  # (severity, rule_id, message)
+    seen = set()
+
+    def walk(rule_id, spec):
+        if not isinstance(spec, dict):
+            return
+        op = spec.get("op")
+        if op not in _LINT_KNOWN_OPS:
+            findings.append(("error", rule_id, f"unknown op {op!r}"))
+        if op == "regex":
+            try:
+                re.compile(spec.get("pattern", ""))
+            except re.error as e:
+                findings.append(("error", rule_id, f"bad regex: {e}"))
+        if op == "format" and spec.get("format") not in format_names():
+            findings.append(("error", rule_id,
+                             f"unknown format {spec.get('format')!r}"))
+        if op == "const" and spec.get("value") is False:
+            findings.append(("warning", rule_id, "constant-false predicate"))
+        for key in ("arg", "cond", "then", "else"):
+            if key in spec:
+                walk(rule_id, spec[key])
+        for s in spec.get("args", []):
+            walk(rule_id, s)
+
+    for r in plan.rules:
+        if r.rule_id in seen:
+            findings.append(("error", r.rule_id, "duplicate rule_id"))
+        seen.add(r.rule_id)
+        if not r.message:
+            findings.append(("warning", r.rule_id, "empty message"))
+        if r.when and r.when.get("op") == "const" and not r.when.get("value"):
+            findings.append(("warning", r.rule_id,
+                             "when=const false: rule is unreachable"))
+        if r.kind == "predicate":
+            walk(r.rule_id, r.check or {})
+            if r.when:
+                walk(r.rule_id, r.when)
+
+    for sev, rid, msg in findings:
+        print(f"{sev}: {rid}: {msg}", file=sys.stderr)
+    bad_rules = {rid for sev, rid, _ in findings if sev == "error"}
+    health = 100.0 * (1 - len(bad_rules) / max(1, len(plan.rules)))
+    print(json.dumps({"rules": len(plan.rules), "findings": len(findings),
+                      "health": round(health, 1)}))
+
+    if args.fix and findings:
+        # mutating fixes: drop unreachable rules, fill empty messages
+        new_rules = []
+        for r in plan.rules:
+            if r.when and r.when.get("op") == "const" and not r.when.get("value"):
+                continue
+            if not r.message:
+                r.message = f"rule {r.rule_id} failed"
+            new_rules.append(r)
+        plan.rules = new_rules
+        with open(args.plan, "w") as f:
+            f.write(json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n")
+        return EXIT_OK
+    return EXIT_VALIDATION if bad_rules else EXIT_OK
+
+
+def cmd_test(args) -> int:
+    """Schema unit-test runner (the ``jsonschema test`` verb, SURVEY.md
+    §3.2): each case supplies docs inline plus the expected verdict
+    and (optionally) exact expected violation keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate import validate
+    from jsonschema_ray.sources.readers import DatasetSource
+    from jsonschema_ray.sources.synth import DOCS_SCHEMA
+
+    with open(args.suite) as f:
+        suite = json.load(f)
+    cases = suite.get("tests", [])
+    if not cases:
+        print("test: empty suite", file=sys.stderr)
+        return EXIT_EMPTY_SUITE
+    _ensure_ray(args.num_cpus)
+    plan = _load_plan(args.plan)
+
+    passed = 0
+    for case in cases:
+        table = pa.Table.from_pylist(case["docs"], schema=DOCS_SCHEMA)
+        cat = case.get("catalog")
+        res = validate(DatasetSource(rd.from_arrow(table)), plan,
+                       catalog_keys=pa.array(cat) if cat else None,
+                       num_partitions=4)
+        t = res.table()
+        got = sorted(zip(t.column("doc_id").to_pylist(),
+                         t.column("rule_id").to_pylist(),
+                         t.column("span_index").to_pylist()))
+        ok = (len(got) == 0) == bool(case.get("valid", True))
+        if "expected_violations" in case:
+            want = sorted(tuple(v) for v in case["expected_violations"])
+            ok = got == [tuple(w) for w in want]
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {case.get('name', '?')}: "
+              f"{len(got)} violations", file=sys.stderr)
+        passed += ok
+    print(json.dumps({"passed": passed, "total": len(cases)}))
+    return EXIT_OK if passed == len(cases) else EXIT_VALIDATION
+
+
+def cmd_inspect(args) -> int:
+    """Plan frame report (``jsonschema inspect`` analog): rules, kinds,
+    referenced fields, execution strategy per rule."""
+    plan = _load_plan(args.plan)
+    rows = []
+    for r in plan.rules:
+        fields: set[str] = set()
+
+        def walk(spec):
+            if isinstance(spec, dict):
+                if "field" in spec:
+                    fields.add(spec["field"])
+                for key in ("arg", "cond", "then", "else"):
+                    if key in spec:
+                        walk(spec[key])
+                for s in spec.get("args", []):
+                    walk(s)
+
+        walk(r.check or {})
+        walk(r.when or {})
+        for v in r.params.values():
+            if isinstance(v, str):
+                fields.add(v)
+        strategy = {
+            "predicate": "map_batches (vectorized kernel)",
+            "monotonic": "map_batches (windowed diff)",
+            "unique": "partial counts + groupby shuffle",
+            "ref": "broadcast is_in | hash anti-join",
+            "stats": "mergeable partials (tree reduce)",
+            "drift": "t-digest partials vs baseline",
+        }.get(r.kind, "?")
+        rows.append({"rule_id": r.rule_id, "kind": r.kind, "scope": r.scope,
+                     "fields": sorted(fields), "strategy": strategy,
+                     "enabled": r.enabled, "severity": r.severity})
+    print(json.dumps({"version": plan.version, "mode": plan.mode,
+                      "plan_hash": plan.plan_hash(), "rules": rows}, indent=2))
+    return EXIT_OK
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="jsonschema_ray")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    c = sub.add_parser("compile")
+    c.add_argument("rules")
+    c.add_argument("-o", "--output")
+    c.add_argument("--fast", action="store_true")
+    c.set_defaults(fn=cmd_compile)
+
+    v = sub.add_parser("validate")
+    v.add_argument("inputs", nargs="+")
+    v.add_argument("--plan", default="default")
+    v.add_argument("--catalog")
+    v.add_argument("--catalog-key", default="media_ref")
+    v.add_argument("--out")
+    v.add_argument("--fast", action="store_true")
+    v.add_argument("--only")
+    v.add_argument("--exclude")
+    v.add_argument("--limit", type=int, default=20)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    m = sub.add_parser("metaschema")
+    m.add_argument("plan")
+    m.set_defaults(fn=cmd_metaschema)
+
+    f = sub.add_parser("fmt")
+    f.add_argument("plan")
+    f.add_argument("--check", action="store_true")
+    f.set_defaults(fn=cmd_fmt)
+
+    li = sub.add_parser("lint")
+    li.add_argument("plan")
+    li.add_argument("--fix", action="store_true")
+    li.set_defaults(fn=cmd_lint)
+
+    t = sub.add_parser("test")
+    t.add_argument("suite")
+    t.add_argument("--plan", default="default")
+    t.add_argument("--num-cpus", type=int, default=None)
+    t.set_defaults(fn=cmd_test)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("plan")
+    i.set_defaults(fn=cmd_inspect)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return EXIT_ERROR
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,8 +157,8 @@ def profile(
     )
 
     def add_salt(t: pa.Table) -> pa.Table:
-        salt = np.random.randint(0, 64, size=t.num_rows)  # merge placement only
-        return t.append_column("salt", pa.array(salt, type=pa.int32()))
+        salt = np.arange(t.num_rows) % 64  # merge placement only
+        return t.append_column("salt", pa.array(salt.astype(np.int32)))
 
     salted = partials.map_batches(add_salt, batch_format="pyarrow")
     level1 = salted.groupby(["column", "salt"]).map_groups(

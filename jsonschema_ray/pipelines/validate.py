@@ -40,12 +40,19 @@ DEFAULT_BATCH_SIZE = 8192  # docs per batch; span-heavy rows ⇒ keep modest
 
 
 def _maybe_put(obj: Any) -> Any:
-    """Broadcast a sizeable object via the object store (ray.put once,
-    every actor reads the same copy) — falls through when Ray isn't up
-    (pure-driver unit tests)."""
+    """Broadcast the catalog membership index via the object store
+    (built ONCE on the driver, ``ray.put`` once, every actor reads the
+    same plasma copy) — falls through when Ray isn't up (pure-driver
+    unit tests)."""
     import ray
 
-    if obj is None or not ray.is_initialized():
+    from jsonschema_ray.functions.catalog import CatalogIndex
+
+    if obj is None:
+        return None
+    if not isinstance(obj, CatalogIndex):
+        obj = CatalogIndex(obj)
+    if not ray.is_initialized():
         return obj
     return ray.put(obj)
 
@@ -97,6 +104,79 @@ def uniqueness_violations(source: DocSource, key: str, rule_id: str,
         batch_format="pyarrow")
     return dups.map_batches(_dup_violation_fn(rule_id, message, num_partitions),
                             batch_format="pyarrow")
+
+
+def referential_violations_join(
+    source: DocSource,
+    rule: Any,
+    catalog_source: DocSource,
+    num_partitions: int,
+    *,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+    join_partitions: int | None = None,
+):
+    """Referential check via distributed hash anti-join — the path for
+    catalogs too large to broadcast (SURVEY.md §2.4: ``Dataset.join``
+    with ``left_anti``, hash-partitioned on the ref key). Only the thin
+    (doc_id, span_index, ref) projection of the docs ever shuffles; the
+    span payloads stay at the read."""
+    from jsonschema_ray.functions.listops import flatten_spans
+    from jsonschema_ray.spec.predicates import compile_predicate
+
+    field = rule.params["field"]
+    cat_key = rule.params.get("catalog_key", field)
+    when = compile_predicate(rule.when) if rule.when else None
+    if join_partitions is None:
+        # Join reserves one aggregator per partition up front; more
+        # partitions than cores deadlocks a small local session.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        join_partitions = max(2, min(64, cpus // 2))
+
+    def extract(t: pa.Table) -> pa.Table:
+        flat, parent, span_idx = flatten_spans(t, spans_col)
+        col = flat.column(field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if when is not None:
+            mask &= when(flat)
+        idx = np.flatnonzero(mask)
+        doc_ids = t.column(doc_id_col)
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table({
+            "doc_id": pc.take(doc_ids, pa.array(parent[idx])),
+            "span_index": pa.array(span_idx[idx], type=pa.int32()),
+            "__ref": pc.take(col, pa.array(idx)),
+        })
+
+    refs = source.dataset().map_batches(extract, batch_format="pyarrow")
+    catalog = catalog_source.dataset(columns=[cat_key])
+    missing = refs.join(catalog, join_type="left_anti",
+                        num_partitions=join_partitions,
+                        on=("__ref",), right_on=(cat_key,))
+
+    def to_violations(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t.column("doc_id")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        part = partition_of(keys, num_partitions) if n else np.empty(0, np.int32)
+        return pa.Table.from_arrays(
+            [keys,
+             pa.array(np.full(n, rule.rule_id, dtype=object), type=pa.string()),
+             t.column("span_index").cast(pa.int32())
+             if not isinstance(t.column("span_index"), pa.ChunkedArray)
+             else t.column("span_index").combine_chunks().cast(pa.int32()),
+             pa.array(np.full(n, rule.message, dtype=object), type=pa.string()),
+             pa.array(part, type=pa.int32())],
+            schema=VIOLATION_PART_SCHEMA)
+
+    return missing.map_batches(to_violations, batch_format="pyarrow")
 
 
 @dataclass
@@ -171,6 +251,7 @@ def validate(
     plan: CheckPlan | None = None,
     *,
     catalog_keys: Any = None,
+    catalog_source: Any = None,
     num_partitions: int = 64,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
@@ -180,9 +261,11 @@ def validate(
     """Run a CheckPlan over a document source. Returns a lazy result.
 
     ``catalog_keys``: the media-catalog key column (numpy/Arrow array)
-    for ``ref`` rules — broadcast once via the object store.
-    ``only`` / ``exclude`` mirror the reference's lint rule filters
-    (``/root/reference/src/command_lint.cc:305-342``).
+    for ``ref`` rules — broadcast once via the object store (small-side
+    path). ``catalog_source``: a DocSource/path for the catalog table —
+    used instead when the catalog is too large to broadcast (hash
+    anti-join path). ``only`` / ``exclude`` mirror the reference's lint
+    rule filters (``/root/reference/src/command_lint.cc:305-342``).
     """
     src = as_source(source)
     plan = (plan or default_plan()).filtered(
@@ -207,6 +290,10 @@ def validate(
     for rule in plan.rules_of_kind("unique"):
         pieces.append(uniqueness_violations(
             src, rule.params["key"], rule.rule_id, rule.message, num_partitions))
+    if catalog_keys is None and catalog_source is not None:
+        for rule in plan.rules_of_kind("ref"):
+            pieces.append(referential_violations_join(
+                src, rule, as_source(catalog_source), num_partitions))
 
     violations = pieces[0]
     if len(pieces) > 1:

@@ -61,6 +61,25 @@ class LanceSource(DocSource):
 
 
 @dataclass
+class JsonlSource(DocSource):
+    """JSONL / JSONL.GZ documents — the reference's flagship input
+    (``/root/reference/src/input.h:279-338``: one JSON doc per line,
+    transparent gzip). ``ray.data.read_json`` parses nested
+    list<struct> span payloads natively; gzip is auto-detected from
+    the ``.gz`` extension by the Arrow reader."""
+
+    paths: str | list[str]
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        import ray.data as rd
+
+        ds = rd.read_json(self.paths)
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
+
+
+@dataclass
 class DatasetSource(DocSource):
     """Wrap an existing Dataset (tests / already-built pipelines).
 

@@ -66,14 +66,19 @@ class CompiledRowChecker:
         self.doc_id_col = doc_id_col
         self.spans_col = spans_col
 
+        from jsonschema_ray.functions.catalog import CatalogIndex
+
         self._span_rules: list[tuple[str, Any, Any, str]] = []
         self._doc_rules: list[tuple[str, Any, Any, str]] = []
         self._mono_rules: list[tuple[str, str, bool, str]] = []
         self._ref_rules: list[tuple[str, str, Any, str]] = []
         catalog = None
         if catalog_keys is not None:
-            catalog = catalog_keys if isinstance(catalog_keys, pa.Array) \
-                else pa.array(np.asarray(catalog_keys))
+            # one-time index build — per-batch membership is then
+            # O(b log m); pc.is_in would rebuild its set every call.
+            # A pre-built (broadcast) index is used as-is.
+            catalog = catalog_keys if isinstance(catalog_keys, CatalogIndex) \
+                else CatalogIndex(catalog_keys)
 
         for r in plan.rules:
             if not r.enabled:
@@ -110,8 +115,7 @@ class CompiledRowChecker:
             col = flat.column(field)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            present = pc.is_in(col, value_set=self._catalog)
-            mask = ~present.fill_null(False).to_numpy(zero_copy_only=False)
+            mask = ~self._catalog.contains(col)
             if when is not None:
                 mask &= when(flat)
             else:

@@ -1,0 +1,104 @@
+"""CLI verbs: exit-code contract + behavior (driver-side verbs run in
+subprocesses; the Ray-backed ``test`` verb runs in-process via main())."""
+
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def run_cli(*args, timeout=60):
+    return subprocess.run([sys.executable, "-m", "jsonschema_ray", *args],
+                          capture_output=True, text=True, cwd=REPO,
+                          timeout=timeout)
+
+
+def test_compile_and_fmt_roundtrip(tmp_path):
+    out = tmp_path / "plan.json"
+    r = run_cli("compile", "default", "-o", str(out))
+    assert r.returncode == 0
+    assert "plan_hash" in r.stderr
+    # compiled output is already canonical
+    r2 = run_cli("fmt", str(out), "--check")
+    assert r2.returncode == 0
+    # perturb formatting → --check fails, fmt rewrites, check passes
+    raw = json.loads(out.read_text())
+    out.write_text(json.dumps(raw))  # non-canonical (no indent)
+    assert run_cli("fmt", str(out), "--check").returncode == 2
+    assert run_cli("fmt", str(out)).returncode == 0
+    assert run_cli("fmt", str(out), "--check").returncode == 0
+
+
+def test_lint_and_metaschema_on_good_plan():
+    r = run_cli("lint", "rules/default_plan.json")
+    assert r.returncode == 0
+    assert json.loads(r.stdout)["health"] == 100.0
+    r = run_cli("metaschema", "rules/default_plan.json")
+    assert r.returncode == 0
+
+
+def test_lint_catches_bad_plan(tmp_path):
+    bad = {"version": 1, "rules": [
+        {"rule_id": "a", "kind": "predicate", "scope": "span",
+         "check": {"op": "nope", "field": "x"}, "message": "m"},
+        {"rule_id": "a", "kind": "predicate", "scope": "span",
+         "check": {"op": "regex", "field": "x", "pattern": "a["},
+         "message": "m"},
+    ]}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    r = run_cli("lint", str(p))
+    assert r.returncode == 2
+    assert "unknown op" in r.stderr
+    assert "duplicate rule_id" in r.stderr
+    assert "bad regex" in r.stderr
+    r = run_cli("metaschema", str(p))
+    assert r.returncode == 2
+
+
+def test_lint_fix_removes_unreachable(tmp_path):
+    plan = {"version": 1, "rules": [
+        {"rule_id": "ok", "kind": "predicate", "scope": "span",
+         "check": {"op": "not_null", "field": "x"}, "message": ""},
+        {"rule_id": "dead", "kind": "predicate", "scope": "span",
+         "when": {"op": "const", "value": False},
+         "check": {"op": "not_null", "field": "x"}, "message": "m"},
+    ]}
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps(plan))
+    assert run_cli("lint", str(p), "--fix").returncode == 0
+    fixed = json.loads(p.read_text())
+    ids = [r["rule_id"] for r in fixed["rules"]]
+    assert ids == ["ok"]
+    assert fixed["rules"][0]["message"]  # empty message filled
+
+
+def test_inspect_reports_strategies():
+    r = run_cli("inspect", "rules/default_plan.json")
+    assert r.returncode == 0
+    d = json.loads(r.stdout)
+    by_id = {x["rule_id"]: x for x in d["rules"]}
+    assert "groupby" in by_id["doc_id_unique"]["strategy"]
+    assert "anti-join" in by_id["media_ref_exists"]["strategy"]
+    assert by_id["kind_enum"]["fields"] == ["kind"]
+
+
+def test_missing_file_is_usage_error():
+    assert run_cli("lint", "/nonexistent/x.json").returncode == 1
+
+
+def test_suite_runner(ray_session):
+    """The `test` verb through main() against the bundled example suite
+    (reuses the session Ray, mirroring the reference's test verb §3.2)."""
+    from jsonschema_ray.cli import main
+
+    assert main(["test", "rules/suite_example.json"]) == 0
+
+
+def test_empty_suite_exit_code(tmp_path, ray_session):
+    from jsonschema_ray.cli import main
+
+    p = tmp_path / "empty.json"
+    p.write_text(json.dumps({"tests": []}))
+    assert main(["test", str(p)]) == 6

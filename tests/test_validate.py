@@ -159,6 +159,19 @@ def test_edge_zero_and_null_spans(ray_session):
     assert res.violation_count() == 0
 
 
+def test_ref_join_path_matches_broadcast(ray_session, small):
+    """Large-catalog referential path (hash anti-join) must emit exactly
+    the same violation set as the broadcast is_in path."""
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    from jsonschema_ray.sources.synth import catalog_table
+
+    cat_ds = DatasetSource(rd.from_arrow(catalog_table(cfg)))
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_source=cat_ds)
+    assert _key_set(res) == expected
+
+
 def test_skewed_duplicate_key(ray_session):
     """The salting path: one hot doc_id duplicated many times must come
     back as exactly ONE violation row, not hot-key × blocks rows."""
