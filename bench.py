@@ -43,8 +43,6 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
     cfg = GenConfig(n_docs=n_docs)
     cat = catalog_table(cfg).column("media_ref").combine_chunks()
     src = SynthSource(cfg)
-    pool = (4, num_cpus)  # validator actor pool; streaming backpressure
-                          # keeps the read/reduce stages fed
 
     queries: dict[str, float] = {}
 
@@ -58,17 +56,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
     src.dataset().count()
 
     res = timed("validate_exhaustive", lambda: (
-        validate(src, catalog_keys=cat, concurrency=pool).materialize()))
+        validate(src, catalog_keys=cat).materialize()))
     n_viol = res.violation_count()
 
     timed("validate_fast", lambda: fast_validate(
-        src, catalog_keys=cat, concurrency=pool,
-        include_dataset_rules=False))
+        src, catalog_keys=cat, include_dataset_rules=False))
 
     timed("profile_stats", lambda: profile(
         src, [ProfileSpec(column="doc_id", hll=True),
-              ProfileSpec(column="spans.offset", hll=False, tdigest=True)],
-        concurrency=pool))
+              ProfileSpec(column="spans.offset", hll=False, tdigest=True)]))
 
     timed("q1_pricing_summary", lambda: q_q1_pricing_summary(sf_dir).to_pandas())
     timed("similarity_topk", lambda: q_similarity_topk(sf_dir))

@@ -328,6 +328,102 @@ def q_events_hourly(sf_dir: str):
         Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
 
 
+def q_q3_top_orders(sf_dir: str):
+    """TPC-H-Q3-style: dimension filter broadcast (customer segment),
+    distributed hash join lineitem⋈orders (``Dataset.join``), grouped
+    revenue, global top-10. Revenue in exact scaled cents."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    seg_keys = pq.read_table(_pq(sf_dir, "customer"),
+                             columns=["c_custkey", "c_mktsegment"])
+    ck = seg_keys.filter(
+        pc.equal(seg_keys.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey").combine_chunks()
+
+    cutoff = datetime.datetime(1998, 1, 1)
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = pc.and_(pc.is_in(col, value_set=ck),
+                       pc.less(t.column("o_orderdate"), pa.scalar(cutoff)))
+        return t.filter(keep).select(["o_orderkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_filter, batch_format="pyarrow")
+
+    def li_project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "revenue_c": _scale100(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")))),
+        })
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_project, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=max(2, min(32, cpus // 2)),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("l_orderkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Count(alias_name="n_items"))
+    top = agg.sort(["revenue_c", "l_orderkey"],
+                   descending=[True, False]).limit(10)
+    return top
+
+
+def q_sort_topk_orders(sf_dir: str):
+    """Global sort + limit (deterministic two-key ordering)."""
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "totalprice_c": _scale100(t.column("o_totalprice"))})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(scale, batch_format="pyarrow")
+    return ds.sort(["totalprice_c", "o_orderkey"],
+                   descending=[True, False]).limit(20)
+
+
+def q_distinct_mktsegment(sf_dir: str):
+    """Distinct values of one column (``Dataset.unique`` shuffle)."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"mktsegment": pa.array(vals, type=pa.string())})
+
+
+def q_events_sessionize(sf_dir: str):
+    """Sessionization (streaming-shaped op, SURVEY.md §2.9): 30-minute
+    inactivity gap splits sessions; per-user counts via
+    ``groupby(user).map_groups`` over ts-sorted groups. Partitioning
+    assumption: one user's events fit one group (holds for web-scale
+    user activity; a hot key would need salted sub-sessions)."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gap = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(gap.sum()) + 1],
+            "n_events": [len(g)],
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -503,7 +599,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "val_spans_documents": q_val_spans_documents,
     "stats_profile_documents": q_stats_profile_documents,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_orders": q_q3_top_orders,
+    "sort_topk_orders": q_sort_topk_orders,
+    "distinct_mktsegment": q_distinct_mktsegment,
     "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
     "token_count": q_token_count,
     "quality_counts": q_quality_counts,
     "langid": q_langid,
@@ -556,6 +656,29 @@ ORACLE: dict[str, str] = {
         "count(*) AS n, "
         "SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_c "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)",
+    "q3_top_orders":
+        "SELECT l_orderkey, "
+        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) "
+        "AS revenue_c, count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey "
+        "ORDER BY revenue_c DESC, l_orderkey LIMIT 10",
+    "sort_topk_orders":
+        "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) "
+        "AS totalprice_c FROM orders "
+        "ORDER BY totalprice_c DESC, o_orderkey LIMIT 20",
+    "distinct_mktsegment":
+        "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+    "events_sessionize":
+        "WITH e AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events) "
+        "SELECT user_id, SUM(ns) AS n_sessions, count(*) AS n_events "
+        "FROM e GROUP BY user_id",
     "token_count":
         r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
         "FROM documents",

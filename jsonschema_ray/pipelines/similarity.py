@@ -134,6 +134,64 @@ def ann_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
                             emb_col=emb_col, round_to=round_to)
 
 
+def train_ivf_centroids(source: Any, n_centroids: int = 16, *,
+                        emb_col: str = "embedding", sample: int = 4096,
+                        iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a driver-side sample (the
+    classic recipe — training is sample-sized, assignment is
+    distributed). Returns (n_centroids, d) normalized centroids."""
+    src = as_source(source)
+    rows = src.dataset(columns=[emb_col]).limit(sample).take_all()
+    m = _normalize(np.array([r[emb_col] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_centroids, len(m)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             centroids: np.ndarray | None = None, n_centroids: int = 16,
+             nprobe: int = 4, round_to: int | None = None):
+    """IVF-style approximate top-k: assign every vector to its nearest
+    coarse centroid (distributed, vectorized), search only the
+    ``nprobe`` centroids nearest to the query. The scale path when
+    hyperplane-LSH bucket occupancy is too skewed."""
+    if centroids is None:
+        centroids = train_ivf_centroids(source, n_centroids,
+                                        emb_col=emb_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+
+    src = as_source(source)
+
+    def in_probed(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t.column(emb_col)))
+        assign = np.argmax(m @ centroids.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, list(probe))))
+
+    cand = src.dataset(columns=[id_col, emb_col]).map_batches(
+        in_probed, batch_format="pyarrow")
+    return brute_force_topk(cand, query_vec, k, id_col=id_col,
+                            emb_col=emb_col, round_to=round_to)
+
+
+def recall_at_k(approx: pa.Table, exact: pa.Table,
+                id_col: str = "vec_id") -> float:
+    """Fraction of exact top-k ids recovered by the approximate search."""
+    a = set(approx.column(id_col).to_pylist())
+    e = set(exact.column(id_col).to_pylist())
+    return len(a & e) / max(1, len(e))
+
+
 def near_dup_pairs(source: Any, threshold: float = 0.95, *,
                    id_col: str = "vec_id", emb_col: str = "embedding",
                    bits: int = 8, seed: int = 11):

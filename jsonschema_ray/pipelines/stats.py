@@ -149,12 +149,19 @@ def profile(
     specs = [s if isinstance(s, ProfileSpec) else ProfileSpec(**s) for s in specs]
     src = as_source(source)
     ds = src.dataset(columns=_resolve_columns(specs))
-    partials = ds.map_batches(
-        ProfilePartial,
-        fn_constructor_kwargs={"specs": [vars(s) for s in specs]},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-    )
+    if concurrency is None:
+        # stateless tasks: sketch stages hold no heavy state, and tasks
+        # scale elastically with the cluster (an actor pool caps width)
+        stage = ProfilePartial([vars(s) for s in specs])
+        partials = ds.map_batches(stage.__call__, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    else:
+        partials = ds.map_batches(
+            ProfilePartial,
+            fn_constructor_kwargs={"specs": [vars(s) for s in specs]},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     def add_salt(t: pa.Table) -> pa.Table:
         salt = np.arange(t.num_rows) % 64  # merge placement only

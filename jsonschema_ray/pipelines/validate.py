@@ -33,6 +33,8 @@ from jsonschema_ray.stages.validator import (
     VIOLATION_PART_SCHEMA,
     FastVerdictBatch,
     ValidateBatch,
+    make_fast_verdict_fn,
+    make_validate_fn,
     partition_of,
 )
 
@@ -93,12 +95,17 @@ def _key_count_fn(key: str):
 def uniqueness_violations(source: DocSource, key: str, rule_id: str,
                           message: str, num_partitions: int):
     """Dataset-scope uniqueness: pruned read of the key column → per-block
-    partial counts → small groupby shuffle → keys with total > 1."""
+    partial counts → groupby over thin (key, count) pairs → keys with
+    total > 1. Lazy, so it overlaps the row-local scan in the streaming
+    executor. (A 64-bit-hash-keyed variant was measured SLOWER — the
+    per-batch np.unique sort costs more than Arrow's hash value_counts,
+    and Ray's sort shuffle isn't key-width-bound; see BASELINE.md.)"""
     from ray.data.aggregate import Sum
 
     partials = source.dataset(columns=[key]).map_batches(
         _key_count_fn(key), batch_format="pyarrow")
-    totals = partials.groupby(key).aggregate(Sum("partial_count", alias_name="total"))
+    totals = partials.groupby(key).aggregate(
+        Sum("partial_count", alias_name="total"))
     dups = totals.map_batches(
         lambda t: t.filter(pc.greater(t.column("total"), 1)).select([key]),
         batch_format="pyarrow")
@@ -274,17 +281,25 @@ def validate(
     plan_json = plan.to_json()
     catalog_ref = _maybe_put(catalog_keys)
 
-    row_local = src.dataset().map_batches(
-        ValidateBatch,
-        fn_constructor_kwargs={
-            "plan_json": plan_json,
-            "catalog": catalog_ref,
-            "num_partitions": num_partitions,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-    )
+    if concurrency is None:
+        # stateless tasks + per-worker checker cache: elastic, no pool
+        # spin-up; compiled state is cheap (catalog index is prebuilt)
+        row_local = src.dataset().map_batches(
+            make_validate_fn(plan_json, plan.plan_hash(), catalog_ref,
+                             num_partitions),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        row_local = src.dataset().map_batches(
+            ValidateBatch,
+            fn_constructor_kwargs={
+                "plan_json": plan_json,
+                "catalog": catalog_ref,
+                "num_partitions": num_partitions,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     pieces = [row_local]
     for rule in plan.rules_of_kind("unique"):
@@ -321,13 +336,19 @@ def fast_validate(
     plan_json = plan.to_json()
     catalog_ref = _maybe_put(catalog_keys)
 
-    partials = src.dataset().map_batches(
-        FastVerdictBatch,
-        fn_constructor_kwargs={"plan_json": plan_json, "catalog": catalog_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-    )
+    if concurrency is None:
+        partials = src.dataset().map_batches(
+            make_fast_verdict_fn(plan_json, plan.plan_hash(), catalog_ref),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        partials = src.dataset().map_batches(
+            FastVerdictBatch,
+            fn_constructor_kwargs={"plan_json": plan_json,
+                                   "catalog": catalog_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     agg = partials.aggregate(Sum("docs", alias_name="docs"),
                              Sum("failed_docs", alias_name="failed_docs"))
     docs, failed = int(agg["docs"] or 0), int(agg["failed_docs"] or 0)

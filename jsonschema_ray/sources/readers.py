@@ -107,10 +107,9 @@ class SynthSource(DocSource):
     def dataset(self, columns: Sequence[str] | None = None):
         from jsonschema_ray.sources.synth import docs_dataset
 
-        ds = docs_dataset(self.cfg, override_num_blocks=self.override_num_blocks)
-        if columns:
-            ds = ds.select_columns(list(columns))
-        return ds
+        return docs_dataset(self.cfg,
+                            override_num_blocks=self.override_num_blocks,
+                            columns=list(columns) if columns else None)
 
 
 def as_source(obj) -> DocSource:

@@ -49,6 +49,64 @@ def _resolve_ref(obj: Any) -> Any:
     return obj
 
 
+# Per-worker-process checker cache: stateless map_batches TASKS reuse
+# the compiled plan + catalog index across batches and across tasks
+# scheduled on the same worker — elastic scheduling without actor-pool
+# spin-up cost (the catalog index itself is broadcast-prebuilt, so
+# a cache miss only recompiles ~10 predicate kernels, ~5 ms).
+_CHECKER_CACHE: dict[str, CompiledRowChecker] = {}
+
+
+def _cached_checker(cache_key: str, plan_json: dict, catalog: Any,
+                    doc_id_col: str, spans_col: str) -> CompiledRowChecker:
+    checker = _CHECKER_CACHE.get(cache_key)
+    if checker is None:
+        checker = CompiledRowChecker(
+            plan_json, catalog_keys=_resolve_ref(catalog),
+            doc_id_col=doc_id_col, spans_col=spans_col)
+        _CHECKER_CACHE.clear()  # bound memory: one live plan per worker
+        _CHECKER_CACHE[cache_key] = checker
+    return checker
+
+
+def make_validate_fn(plan_json: dict, plan_hash: str, catalog: Any = None,
+                     num_partitions: int = 64, doc_id_col: str = "doc_id",
+                     spans_col: str = "spans"):
+    """Stateless-task variant of ValidateBatch (preferred)."""
+    import uuid
+
+    # unique per pipeline build: the same plan hash with a DIFFERENT
+    # catalog must never hit a stale cached checker in a reused worker
+    key = f"v:{plan_hash}:{num_partitions}:{uuid.uuid4().hex}"
+
+    def validate_fn(batch: pa.Table) -> pa.Table:
+        checker = _cached_checker(key, plan_json, catalog, doc_id_col, spans_col)
+        v = checker.violations(batch)
+        part = partition_of(v.column("doc_id"), num_partitions) if v.num_rows \
+            else np.empty(0, dtype=np.int32)
+        return v.append_column(PART_FIELD, pa.array(part, type=pa.int32()))
+
+    return validate_fn
+
+
+def make_fast_verdict_fn(plan_json: dict, plan_hash: str, catalog: Any = None,
+                         doc_id_col: str = "doc_id", spans_col: str = "spans"):
+    """Stateless-task variant of FastVerdictBatch (preferred)."""
+    import uuid
+
+    key = f"f:{plan_hash}:{uuid.uuid4().hex}"
+
+    def fast_fn(batch: pa.Table) -> pa.Table:
+        checker = _cached_checker(key, plan_json, catalog, doc_id_col, spans_col)
+        fail = checker.fail_mask(batch)
+        return pa.table({
+            "docs": pa.array([batch.num_rows], type=pa.int64()),
+            "failed_docs": pa.array([int(fail.sum())], type=pa.int64()),
+        })
+
+    return fast_fn
+
+
 class ValidateBatch:
     """Exhaustive mode: batch of docs → violation rows (+ partition id)."""
 

@@ -151,6 +151,38 @@ def test_ann_finds_planted_duplicate(ray_session):
     assert 999 in ids and 7 in ids
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF ANN on clustered data: recall@10 vs brute force must be high
+    when the query sits inside a cluster."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import (
+        brute_force_topk, ivf_topk, recall_at_k, train_ivf_centroids)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.concatenate([
+        centers[i] + rng.normal(scale=0.3, size=(100, 16))
+        for i in range(8)]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    src = DatasetSource(rd.from_arrow(t))
+    q = vecs[5].astype(np.float64)  # inside cluster 0
+    exact = brute_force_topk(src, q, k=10, exclude_ids={5})
+    cents = train_ivf_centroids(src, n_centroids=8)
+    approx = ivf_topk(src, q, k=10, centroids=cents, nprobe=2)
+    # exclude the query itself from the approx result for comparison
+    approx = approx.filter(
+        __import__("pyarrow.compute", fromlist=["x"]).not_equal(
+            approx.column("vec_id"), 5)).slice(0, 10)
+    r = recall_at_k(approx, exact)
+    assert r >= 0.8, r
+
+
 def test_near_dup_pairs(ray_session):
     import ray.data as rd
 
