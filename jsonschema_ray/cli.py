@@ -106,6 +106,33 @@ def cmd_validate(args) -> int:
     return res.exit_code()
 
 
+def cmd_run(args) -> int:
+    """Checkpointed, resumable validation (the ``ray job submit``
+    entrypoint): shards the input, writes per-shard violations +
+    lineage manifests, and skips shards already committed under the
+    same plan hash (state/manifest.py)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.run import run_checkpointed
+
+    _ensure_ray(args.num_cpus)
+    plan = _load_plan(args.plan)
+    cat = None
+    if args.catalog:
+        cat = pq.read_table(args.catalog).column(
+            args.catalog_key).combine_chunks()
+    files: list[str] = []
+    for pattern in args.inputs:
+        matched = sorted(_glob.glob(pattern))
+        files.extend(matched if matched else [pattern])
+    out = run_checkpointed(files, args.out, plan, catalog_keys=cat,
+                           shard_size=args.shard_size)
+    print(json.dumps(out))
+    return EXIT_OK if out["passed"] else EXIT_VALIDATION
+
+
 def cmd_metaschema(args) -> int:
     """Plan self-check (the ``jsonschema metaschema`` analog: validate
     the schema artifact itself): structural validation + compile every
@@ -355,6 +382,8 @@ def cmd_inspect(args) -> int:
         strategy = {
             "predicate": "map_batches (vectorized kernel)",
             "monotonic": "map_batches (windowed diff)",
+            "contains": "map_batches (per-doc match count)",
+            "unique_items": "map_batches (within-doc dedup)",
             "unique": "partial counts + groupby shuffle",
             "ref": "broadcast is_in | hash anti-join",
             "stats": "mergeable partials (tree reduce)",
@@ -392,6 +421,16 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--limit", type=int, default=20)
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("run")
+    r.add_argument("inputs", nargs="+")
+    r.add_argument("--out", required=True)
+    r.add_argument("--plan", default="default")
+    r.add_argument("--catalog")
+    r.add_argument("--catalog-key", default="media_ref")
+    r.add_argument("--shard-size", type=int, default=8)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
 
     m = sub.add_parser("metaschema")
     m.add_argument("plan")

@@ -72,6 +72,8 @@ class CompiledRowChecker:
         self._doc_rules: list[tuple[str, Any, Any, str]] = []
         self._mono_rules: list[tuple[str, str, bool, str]] = []
         self._ref_rules: list[tuple[str, str, Any, str]] = []
+        self._contains_rules: list[tuple[str, Any, int, Any, str]] = []
+        self._uniq_item_rules: list[tuple[str, str, str]] = []
         catalog = None
         if catalog_keys is not None:
             # one-time index build — per-batch membership is then
@@ -92,6 +94,20 @@ class CompiledRowChecker:
                 self._mono_rules.append(
                     (r.rule_id, r.params.get("field", "offset"),
                      bool(r.params.get("strict", True)), r.message))
+            elif r.kind == "contains":
+                # LoopContains analog (evaluator_instruction.h:115):
+                # count of spans matching the predicate must fall in
+                # [min, max]; doc-scope violation.
+                self._contains_rules.append(
+                    (r.rule_id, compile_predicate(r.params["predicate"]),
+                     int(r.params.get("min", 1)), r.params.get("max"),
+                     r.message))
+            elif r.kind == "unique_items":
+                # AssertionUnique analog (dispatch :814-818) at span
+                # granularity: values of spans[field] distinct within a
+                # doc (nulls exempt); later duplicates are flagged.
+                self._uniq_item_rules.append(
+                    (r.rule_id, r.params["field"], r.message))
             elif r.kind == "ref":
                 if catalog is None:
                     continue  # pipeline runs the anti-join path instead
@@ -111,6 +127,17 @@ class CompiledRowChecker:
         for rule_id, field, strict, message in self._mono_rules:
             yield rule_id, message, monotonic_violations(
                 flat.column(field), parent, strict=strict)
+        for rule_id, field, message in self._uniq_item_rules:
+            import pandas as pd
+
+            col = flat.column(field)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            vals = col.to_numpy(zero_copy_only=False)
+            dup = pd.DataFrame({"p": parent, "v": vals}) \
+                .duplicated(subset=["p", "v"]).to_numpy()
+            yield rule_id, message, dup & valid
         for rule_id, field, when, message in self._ref_rules:
             col = flat.column(field)
             if isinstance(col, pa.ChunkedArray):
@@ -121,6 +148,18 @@ class CompiledRowChecker:
             else:
                 mask &= pc.is_valid(col).to_numpy(zero_copy_only=False)
             yield rule_id, message, mask
+
+    def _contains_fail_masks(self, flat: pa.Table, parent: np.ndarray,
+                             n_docs: int):
+        """Yield (rule_id, message, per-DOC violation mask) for
+        ``contains`` rules: matching-span count outside [min, max]."""
+        for rule_id, pred, lo, hi, message in self._contains_rules:
+            mask = pred(flat)
+            counts = np.bincount(parent[mask], minlength=n_docs)
+            bad = counts < lo
+            if hi is not None:
+                bad |= counts > hi
+            yield rule_id, message, bad
 
     def _doc_table(self, batch: pa.Table) -> pa.Table:
         """Doc-scope view: doc columns + virtual ``n_spans``."""
@@ -164,6 +203,16 @@ class CompiledRowChecker:
             parts_rule.append(np.full(len(idx), rule_id, dtype=object))
             parts_msg.append(np.full(len(idx), message, dtype=object))
 
+        for rule_id, message, mask in self._contains_fail_masks(
+                flat, parent, batch.num_rows):
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            parts_parent.append(idx.astype(np.int64))
+            parts_span.append(np.full(len(idx), DOC_SCOPE_SPAN_INDEX, dtype=np.int32))
+            parts_rule.append(np.full(len(idx), rule_id, dtype=object))
+            parts_msg.append(np.full(len(idx), message, dtype=object))
+
         if not parts_parent:
             return empty_violations()
         all_parent = np.concatenate(parts_parent)
@@ -190,5 +239,7 @@ class CompiledRowChecker:
             mask = ~check(doc_table)
             if when is not None:
                 mask &= when(doc_table)
+            fail |= mask
+        for _, _, mask in self._contains_fail_masks(flat, parent, n):
             fail |= mask
         return fail

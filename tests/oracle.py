@@ -40,6 +40,11 @@ def oracle_violations(
             if r.kind == "unique" and r.enabled]
     refs = [(r.rule_id, r.params["field"], r.when) for r in plan.rules
             if r.kind == "ref" and r.enabled] if catalog is not None else []
+    contains = [(r.rule_id, r.params["predicate"], r.params.get("min", 1),
+                 r.params.get("max")) for r in plan.rules
+                if r.kind == "contains" and r.enabled]
+    uniq_items = [(r.rule_id, r.params["field"]) for r in plan.rules
+                  if r.kind == "unique_items" and r.enabled]
 
     for doc in docs:
         doc_id = doc["doc_id"]
@@ -65,6 +70,19 @@ def oracle_violations(
                     continue
                 if v not in catalog:
                     out.add((doc_id, rule_id, i))
+        for rule_id, pred, lo, hi in contains:
+            n_match = sum(1 for s in spans if evaluate_predicate_python(pred, s))
+            if n_match < lo or (hi is not None and n_match > hi):
+                out.add((doc_id, rule_id, -1))
+        for rule_id, field in uniq_items:
+            seen_vals: set = set()
+            for i, span in enumerate(spans):
+                v = span.get(field)
+                if v is None:
+                    continue
+                if v in seen_vals:
+                    out.add((doc_id, rule_id, i))
+                seen_vals.add(v)
         for rule_id, field, strict in mono:
             for i in range(1, len(spans)):
                 cur, prev = spans[i].get(field), spans[i - 1].get(field)
