@@ -215,6 +215,40 @@ def cmd_metaschema(args) -> int:
     return EXIT_OK
 
 
+def cmd_upgrade(args) -> int:
+    """Migrate a legacy plan document to the current version (the
+    dialect-upgrade analog, ``/root/reference/src/command_upgrade.cc:29-47``:
+    chained rule-set rewrites). Version-0 rules used ``assert`` for the
+    predicate and allowed a bare ``{name: predicate}`` map form."""
+    from jsonschema_ray.spec.plan import PLAN_VERSION, CheckPlan, Rule
+
+    with open(args.plan) as f:
+        doc = json.load(f)
+
+    version = doc.get("version", 0)
+    if version > PLAN_VERSION:
+        print(f"upgrade: plan version {version} is newer than engine "
+              f"({PLAN_VERSION})", file=sys.stderr)
+        return EXIT_ERROR
+    rules_raw = doc.get("rules", [])
+    if isinstance(rules_raw, dict):  # v0 bare map form: {rule_id: predicate}
+        rules_raw = [{"rule_id": k, "check": v} for k, v in rules_raw.items()]
+    rules = []
+    for r in rules_raw:
+        r = dict(r)
+        if "assert" in r and "check" not in r:  # v0 keyword
+            r["check"] = r.pop("assert")
+        rules.append(Rule.from_json(r))
+    plan = CheckPlan(rules=rules, mode=doc.get("mode", "exhaustive"))
+    out = json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n"
+    target = args.output or args.plan
+    with open(target, "w") as f:
+        f.write(out)
+    print(f"upgraded v{version} → v{PLAN_VERSION}: {len(rules)} rules, "
+          f"plan_hash {plan.plan_hash()}", file=sys.stderr)
+    return EXIT_OK
+
+
 def cmd_fmt(args) -> int:
     """Canonical plan formatting (``jsonschema fmt`` analog: stable key
     order + 2-space indent; ``--check`` diff mode)."""
@@ -435,6 +469,11 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metaschema")
     m.add_argument("plan")
     m.set_defaults(fn=cmd_metaschema)
+
+    u = sub.add_parser("upgrade")
+    u.add_argument("plan")
+    u.add_argument("-o", "--output")
+    u.set_defaults(fn=cmd_upgrade)
 
     f = sub.add_parser("fmt")
     f.add_argument("plan")

@@ -224,6 +224,46 @@ def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
     return out
 
 
+def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
+                           threshold: float = 0.7, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           seed: int = 1) -> pa.Table:
+    """End-to-end near-dup detection: MinHash-LSH candidates → exact
+    n-gram-Jaccard verification. Candidate texts are fetched with a
+    broadcast id-set filter (distributed, reads only the candidates);
+    only the verified-candidate subset ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    pairs_df = minhash_candidate_pairs(
+        source, key_col, text_col, num_perm, bands, seed).to_pandas()
+    if len(pairs_df) == 0:
+        return pa.table({"key_a": pa.array([], type=pa.int64()),
+                         "key_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    cand_ids = set(pairs_df["key_a"]) | set(pairs_df["key_b"])
+    id_set = pa.array(sorted(cand_ids))
+
+    src = as_source(source)
+
+    def pick(t: pa.Table) -> pa.Table:
+        col = t.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.filter(pc.is_in(col, value_set=id_set))
+
+    cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    texts = dict(zip(cand_rows[key_col], cand_rows[text_col]))
+    verified = verify_jaccard(
+        texts, list(zip(pairs_df["key_a"], pairs_df["key_b"])),
+        shingle_k=shingle_k, threshold=threshold)
+    if not verified:
+        return pa.table({"key_a": pa.array([], type=pa.int64()),
+                         "key_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    return pa.Table.from_pylist(verified)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -512,6 +512,17 @@ def q_minhash_pairs(sf_dir: str):
                                    "doc_id")
 
 
+def q_minhash_verified(sf_dir: str):
+    """* rows-only: LSH candidates verified by exact n-gram Jaccard
+    (threshold 0.5 — documents are random word soup, so verified pairs
+    are rare; the machinery is exercised end-to-end)."""
+    from jsonschema_ray.pipelines.dedup import minhash_verified_pairs
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return minhash_verified_pairs(ParquetSource(_pq(sf_dir, "documents")),
+                                  "doc_id", threshold=0.5)
+
+
 def q_simhash(sf_dir: str):
     """* rows-only: 64-bit simhash fingerprints (hex) + LSH chunks."""
     from jsonschema_ray.pipelines.dedup import simhash_dataset
@@ -610,6 +621,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact_summary": q_dedup_exact_summary,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_verified": q_minhash_verified,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,

@@ -113,6 +113,54 @@ def uniqueness_violations(source: DocSource, key: str, rule_id: str,
                             batch_format="pyarrow")
 
 
+def _stats_drift_violations(src: DocSource, rules: list):
+    """Evaluate ``stats`` / ``drift`` rules: one shared column profile
+    (mergeable sketch partials — no data shuffle), bounds / baseline
+    comparison on the driver, violations as a tiny from_arrow dataset.
+
+    stats params: {column, max_null_rate?, min_value?, max_value?,
+    distinct_min?, distinct_max?}. drift params: {column, baseline:
+    per-column profile dict (state/profile.py), tolerance}.
+    """
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import (
+        ProfileSpec, StatsBounds, check_drift, check_stats, profile)
+
+    specs: dict[str, ProfileSpec] = {}
+    for r in rules:
+        col = r.params["column"]
+        spec = specs.setdefault(col, ProfileSpec(column=col, hll=False))
+        if r.kind == "stats" and (r.params.get("distinct_min") is not None
+                                  or r.params.get("distinct_max") is not None):
+            spec.hll = True
+        if r.kind == "drift":
+            spec.tdigest = True
+    prof = profile(src, list(specs.values()))
+
+    out_rows: list[dict] = []
+    for r in rules:
+        if r.kind == "stats":
+            found = check_stats(prof, [StatsBounds(
+                column=r.params["column"],
+                max_null_rate=r.params.get("max_null_rate"),
+                min_value=r.params.get("min_value"),
+                max_value=r.params.get("max_value"),
+                distinct_min=r.params.get("distinct_min"),
+                distinct_max=r.params.get("distinct_max"))])
+        else:
+            found = check_drift(prof,
+                                {r.params["column"]: r.params["baseline"]},
+                                tolerance=r.params.get("tolerance", 0.1))
+        for v in found:
+            out_rows.append({"doc_id": v["doc_id"], "rule_id": r.rule_id,
+                             "span_index": -1,
+                             "message": r.message or v["message"], "part": 0})
+    tbl = pa.Table.from_pylist(out_rows, schema=VIOLATION_PART_SCHEMA) \
+        if out_rows else VIOLATION_PART_SCHEMA.empty_table()
+    return rd.from_arrow(tbl)
+
+
 def referential_violations_join(
     source: DocSource,
     rule: Any,
@@ -309,6 +357,10 @@ def validate(
         for rule in plan.rules_of_kind("ref"):
             pieces.append(referential_violations_join(
                 src, rule, as_source(catalog_source), num_partitions))
+
+    stats_rules = plan.rules_of_kind("stats", "drift")
+    if stats_rules:
+        pieces.append(_stats_drift_violations(src, stats_rules))
 
     violations = pieces[0]
     if len(pieces) > 1:

@@ -86,6 +86,33 @@ def test_minhash_near_dup(ray_session):
     assert len(verified) == 1 and verified[0]["jaccard"] > 0.5
 
 
+def test_minhash_verified_pipeline(ray_session):
+    """End-to-end LSH → exact Jaccard: planted near-dups are returned
+    with their scores; random docs are not."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import minhash_verified_pairs
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the tall green hills of the valley")
+    near = base.replace("lazy", "sleepy")
+    rng = np.random.default_rng(4)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [(i, " ".join(rng.choice(vocab, size=25))) for i in range(30)]
+    rows += [(100, base), (101, near)]
+    out = minhash_verified_pairs(
+        DatasetSource(rd.from_arrow(_docs_table(rows))), "doc_id",
+        threshold=0.5)
+    pairs = set(zip(out.column("key_a").to_pylist(),
+                    out.column("key_b").to_pylist()))
+    assert (100, 101) in pairs
+    jac = dict(zip(zip(out.column("key_a").to_pylist(),
+                       out.column("key_b").to_pylist()),
+                   out.column("jaccard").to_pylist()))
+    assert jac[(100, 101)] > 0.5
+
+
 def test_simhash(ray_session):
     from jsonschema_ray.pipelines.dedup import simhash_batch
 
