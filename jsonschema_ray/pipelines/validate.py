@@ -93,22 +93,52 @@ def _key_count_fn(key: str):
 
 
 def uniqueness_violations(source: DocSource, key: str, rule_id: str,
-                          message: str, num_partitions: int):
+                          message: str, num_partitions: int,
+                          agg_partitions: int = 64):
     """Dataset-scope uniqueness: pruned read of the key column → per-block
-    partial counts → groupby over thin (key, count) pairs → keys with
-    total > 1. Lazy, so it overlaps the row-local scan in the streaming
-    executor. (A 64-bit-hash-keyed variant was measured SLOWER — the
-    per-batch np.unique sort costs more than Arrow's hash value_counts,
-    and Ray's sort shuffle isn't key-width-bound; see BASELINE.md.)"""
-    from ray.data.aggregate import Sum
+    partial counts hash-bucketed by key → ``groupby(part).map_groups``
+    merges each bucket with a pandas hash-aggregate. Lazy, so it
+    overlaps the row-local scan in the streaming executor.
 
-    partials = source.dataset(columns=[key]).map_batches(
-        _key_count_fn(key), batch_format="pyarrow")
-    totals = partials.groupby(key).aggregate(
-        Sum("partial_count", alias_name="total"))
-    dups = totals.map_batches(
-        lambda t: t.filter(pc.greater(t.column("total"), 1)).select([key]),
-        batch_format="pyarrow")
+    The explicit hash-bucket scheme shuffles the same thin (key, count)
+    pairs but sorts only the int32 bucket column — measured 2.75×
+    faster than ``groupby(key).aggregate(Sum)`` whose sort-based
+    shuffle orders all key strings (8.0s vs 22.0s on 2M keys, 32 cpus;
+    a uint64-hash-keyed groupby and Ray's HASH_SHUFFLE strategy were
+    both slower still — see BASELINE.md). Skewed duplicate keys are
+    collapsed to one row per block BEFORE the shuffle, so a hot key
+    costs one row per block, not its multiplicity.
+    """
+    import pandas as pd
+
+    def partials_bucketed(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        keys = vc.field("values")
+        return pa.table({
+            key: keys,
+            "partial_count": vc.field("counts").cast(pa.int64()),
+            "part": pa.array(partition_of(keys, agg_partitions)),
+        })
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False)["partial_count"].sum()
+        return g[g["partial_count"] > 1][[key]]
+
+    # coalesce the many small partial blocks before the groupby sort:
+    # hundreds of 16k-row blocks thrash the sort scheduler (measured
+    # 21.9s → 8.9s at 8M keys with 32 coalesced blocks)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    coalesce = max(8, min(agg_partitions, cpus))
+    dups = source.dataset(columns=[key]).map_batches(
+        partials_bucketed, batch_format="pyarrow") \
+        .repartition(coalesce) \
+        .groupby("part").map_groups(merge_bucket, batch_format="pandas")
     return dups.map_batches(_dup_violation_fn(rule_id, message, num_partitions),
                             batch_format="pyarrow")
 
