@@ -390,6 +390,180 @@ def cmd_test(args) -> int:
     return EXIT_OK if passed == len(cases) else EXIT_VALIDATION
 
 
+_CODEGEN_TEMPLATE = '''"""Standalone validator generated by `jsonschema_ray codegen`.
+
+Plan hash: {plan_hash} (version {version}). No dependency on the
+engine: pure-Python row-at-a-time evaluation of the plan's row-local
+rules — the portable artifact analog of the reference's codegen verb
+(/root/reference/src/command_codegen.cc). Dataset-scope rules
+(unique/ref/stats/drift) need the distributed engine and are listed in
+SKIPPED_RULES.
+"""
+
+import re
+
+PLAN = {plan_json}
+
+SKIPPED_RULES = {skipped}
+
+
+def _eval(spec, row):
+    op = spec["op"]
+    if op == "const":
+        return bool(spec["value"])
+    if op == "and":
+        return all(_eval(s, row) for s in spec["args"])
+    if op == "or":
+        return any(_eval(s, row) for s in spec["args"])
+    if op == "not":
+        return not _eval(spec["arg"], row)
+    if op == "one_of":
+        return sum(_eval(s, row) for s in spec["args"]) == 1
+    if op == "if":
+        if _eval(spec["cond"], row):
+            return _eval(spec["then"], row) if "then" in spec else True
+        return _eval(spec["else"], row) if "else" in spec else True
+    v = row.get(spec["field"])
+    if op == "is_null":
+        return v is None
+    if op == "not_null":
+        return v is not None
+    if v is None:
+        return False
+    if op == "eq":
+        return v == spec["value"]
+    if op == "ne":
+        return v != spec["value"]
+    if op == "gt":
+        return v > spec["value"]
+    if op == "ge":
+        return v >= spec["value"]
+    if op == "lt":
+        return v < spec["value"]
+    if op == "le":
+        return v <= spec["value"]
+    if op == "between":
+        lo, hi = spec.get("min"), spec.get("max")
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+    if op == "is_in":
+        return v in spec["values"]
+    if op == "regex":
+        return re.fullmatch(spec["pattern"], v) is not None
+    if op == "starts_with":
+        return v.startswith(spec["value"])
+    if op == "ends_with":
+        return v.endswith(spec["value"])
+    if op == "contains":
+        return spec["value"] in v
+    if op == "utf8_len":
+        lo, hi = spec.get("min"), spec.get("max")
+        return (lo is None or len(v) >= lo) and (hi is None or len(v) <= hi)
+    if op == "format":
+        return re.fullmatch(FORMATS[spec["format"]], v) is not None
+    if op == "divisible":
+        q = v / spec["by"]
+        return abs(q - round(q)) <= 1e-9
+    if op == "type":
+        want = spec["type"]
+        if want == "string":
+            return isinstance(v, str)
+        if want == "integer":
+            return isinstance(v, int) and not isinstance(v, bool) or (
+                not spec.get("strict") and isinstance(v, float)
+                and float(v).is_integer())
+        if want == "number":
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        if want == "boolean":
+            return isinstance(v, bool)
+        if want == "array":
+            return isinstance(v, list)
+        if want == "object":
+            return isinstance(v, dict)
+    raise ValueError("unknown op: " + op)
+
+
+FORMATS = {formats}
+
+
+def validate_rows(rows):
+    """rows: [{{"doc_id": str, "spans": [span_dict, ...]}}] →
+    sorted violation keys [(doc_id, rule_id, span_index), ...]."""
+    out = []
+    for row in rows:
+        doc_id, spans = row["doc_id"], row.get("spans") or []
+        for rule in PLAN["rules"]:
+            if not rule.get("enabled", True):
+                continue
+            kind = rule.get("kind", "predicate")
+            if kind == "predicate" and rule.get("scope", "span") == "span":
+                for i, s in enumerate(spans):
+                    if rule.get("when") and not _eval(rule["when"], s):
+                        continue
+                    if not _eval(rule["check"], s):
+                        out.append((doc_id, rule["rule_id"], i))
+            elif kind == "predicate":
+                d = dict(row, n_spans=len(spans))
+                if rule.get("when") and not _eval(rule["when"], d):
+                    continue
+                if not _eval(rule["check"], d):
+                    out.append((doc_id, rule["rule_id"], -1))
+            elif kind == "monotonic":
+                f = rule["params"].get("field", "offset")
+                strict = rule["params"].get("strict", True)
+                for i in range(1, len(spans)):
+                    a, b = spans[i - 1].get(f), spans[i].get(f)
+                    if a is None or b is None or (b <= a if strict else b < a):
+                        out.append((doc_id, rule["rule_id"], i))
+            elif kind == "contains":
+                n = sum(1 for s in spans if _eval(rule["params"]["predicate"], s))
+                lo = rule["params"].get("min", 1)
+                hi = rule["params"].get("max")
+                if n < lo or (hi is not None and n > hi):
+                    out.append((doc_id, rule["rule_id"], -1))
+            elif kind == "unique_items":
+                f = rule["params"]["field"]
+                seen = set()
+                for i, s in enumerate(spans):
+                    v = s.get(f)
+                    if v is None:
+                        continue
+                    if v in seen:
+                        out.append((doc_id, rule["rule_id"], i))
+                    seen.add(v)
+    return sorted(out)
+
+
+if __name__ == "__main__":
+    import json, sys
+
+    rows = json.load(sys.stdin)
+    for key in validate_rows(rows):
+        print("\\t".join(map(str, key)))
+'''
+
+
+def cmd_codegen(args) -> int:
+    """Emit a standalone pure-Python validator module from a plan (the
+    ``jsonschema codegen`` analog, ``src/command_codegen.cc``: compile
+    the schema artifact to a self-contained program)."""
+    from jsonschema_ray.functions.formats import REGEX_FORMATS
+
+    plan = _load_plan(args.plan)
+    row_local = {"predicate", "monotonic", "contains", "unique_items"}
+    skipped = sorted(r.rule_id for r in plan.rules if r.kind not in row_local)
+    fmts = {name: REGEX_FORMATS[name] for name in sorted(REGEX_FORMATS)}
+    code = _CODEGEN_TEMPLATE.format(
+        plan_hash=plan.plan_hash(), version=plan.version,
+        plan_json=repr(plan.to_json()), skipped=repr(skipped),
+        formats=repr(fmts))
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(code)
+    else:
+        print(code)
+    return EXIT_OK
+
+
 def cmd_inspect(args) -> int:
     """Plan frame report (``jsonschema inspect`` analog): rules, kinds,
     referenced fields, execution strategy per rule."""
@@ -494,6 +668,11 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("inspect")
     i.add_argument("plan")
     i.set_defaults(fn=cmd_inspect)
+
+    g = sub.add_parser("codegen")
+    g.add_argument("plan")
+    g.add_argument("-o", "--output")
+    g.set_defaults(fn=cmd_codegen)
     return p
 
 
