@@ -392,6 +392,15 @@ def validate(
     if stats_rules:
         pieces.append(_stats_drift_violations(src, stats_rules))
 
+    if catalog_keys is None and catalog_source is None \
+            and plan.rules_of_kind("ref"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "plan has ref rules (%s) but no catalog_keys/catalog_source "
+            "was provided — referential checks are SKIPPED",
+            [r.rule_id for r in plan.rules_of_kind("ref")])
+
     violations = pieces[0]
     if len(pieces) > 1:
         violations = violations.union(*pieces[1:])

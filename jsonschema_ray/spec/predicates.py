@@ -178,7 +178,7 @@ def compile_predicate(spec: dict[str, Any]) -> Kernel:
             with np.errstate(invalid="ignore"):
                 q = vals / by
                 ok = np.isclose(q, np.round(q), rtol=0.0, atol=1e-9)
-            ok[np.isnan(vals)] = False
+            ok[~np.isfinite(vals)] = False  # nan AND ±inf never divisible
             return ok
         return k_div
 
