@@ -264,6 +264,63 @@ def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
     return pa.Table.from_pylist(verified)
 
 
+def dup_clusters(pairs, keys=None) -> dict:
+    """Connected components over verified duplicate pairs → {key: root}
+    with root = min key of the component (the canonical survivor).
+
+    Driver-side union-find: the pair set is the output of LSH + exact
+    verification, which is small by construction (near-dup pairs, not
+    the corpus). For a pathological corpus where pairs themselves are
+    huge, switch to iterated min-label propagation with groupby (one
+    round per component diameter) — documented trade-off, not needed
+    while pairs ≪ corpus.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+        parent[hi] = lo
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    out = {k: find(k) for k in parent}
+    if keys is not None:
+        for k in keys:
+            out.setdefault(k, k)
+    return out
+
+
+def dedup_survivors(source: Any, clusters: dict, key_col: str):
+    """Filter a dataset down to cluster survivors (key == its root) —
+    the 'per-group first' step of near-dup dedup, applied distributed
+    with the (small) cluster map broadcast."""
+    import pyarrow.compute as pc
+
+    losers = pa.array(sorted(k for k, r in clusters.items() if k != r))
+    src = as_source(source)
+
+    def keep(t: pa.Table) -> pa.Table:
+        col = t.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(losers) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(col, value_set=losers)))
+
+    return src.dataset().map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

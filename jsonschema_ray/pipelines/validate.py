@@ -312,6 +312,13 @@ class ValidationResult:
         """2 on any violation — the reference's contract (exit_code.h:7)."""
         return 0 if self.overall_pass() else 2
 
+    def write(self, out_dir: str) -> None:
+        """Write violations as hash-partitioned parquet
+        (``out_dir/part=<i>/``) — the resumable layout: each partition
+        directory is independently rewritable, and readers can prune by
+        partition (never one giant file)."""
+        self.violations.write_parquet(out_dir, partition_cols=["part"])
+
     def partition_verdicts(self) -> pa.Table:
         """(part, n_violations, pass) for every partition 0..P-1; a
         partition passes iff it holds no violation (SURVEY.md §2.5)."""

@@ -86,6 +86,25 @@ def test_minhash_near_dup(ray_session):
     assert len(verified) == 1 and verified[0]["jaccard"] > 0.5
 
 
+def test_dup_clusters_and_survivors(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import dedup_survivors, dup_clusters
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    # components: {1,2,3} (chained), {7,9}, singletons elsewhere
+    clusters = dup_clusters([(2, 1), (3, 2), (9, 7)], keys=range(12))
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[7] == clusters[9] == 7
+    assert clusters[5] == 5
+
+    rows = [(i, f"text {i}") for i in range(12)]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    kept = sorted(dedup_survivors(src, clusters, "doc_id")
+                  .to_pandas()["doc_id"].tolist())
+    assert kept == [0, 1, 4, 5, 6, 7, 8, 10, 11]
+
+
 def test_minhash_verified_pipeline(ray_session):
     """End-to-end LSH → exact Jaccard: planted near-dups are returned
     with their scores; random docs are not."""
