@@ -176,10 +176,16 @@ def cmd_metaschema(args) -> int:
             if r.when:
                 walk(r.when)
             preds.append((r.rule_id, r.check))
-        elif r.kind in ("unique", "ref"):
-            needed = "key" if r.kind == "unique" else "field"
+        elif r.kind in ("unique", "ref", "unique_items", "contains",
+                        "stats", "drift"):
+            needed = {"unique": "key", "ref": "field",
+                      "unique_items": "field", "contains": "predicate",
+                      "stats": "column", "drift": "column"}[r.kind]
             if needed not in r.params:
                 errors.append(f"{r.rule_id}: {r.kind} rule missing param {needed!r}")
+            if r.kind == "contains" and "predicate" in r.params:
+                walk(r.params["predicate"])
+                preds.append((r.rule_id, r.params["predicate"]))
 
     # probe table: strings with nulls + ints + floats for every field
     rng = np.random.default_rng(7)

@@ -403,6 +403,23 @@ def q_distinct_mktsegment(sf_dir: str):
     return pa.table({"mktsegment": pa.array(vals, type=pa.string())})
 
 
+def q_events_top_per_user(sf_dir: str):
+    """Window-function analog (ROW_NUMBER() = 1 per partition): each
+    user's highest-value event, tie-broken by event_id — implemented as
+    ``groupby(user).map_groups`` over sorted groups."""
+    import pandas as pd
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(1)
+        return g[["user_id", "event_id"]].assign(
+            value_c=np.floor(g["value"].to_numpy() * 100.0 + 0.5)
+            .astype(np.int64))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+
+
 def q_events_sessionize(sf_dir: str):
     """Sessionization (streaming-shaped op, SURVEY.md §2.9): 30-minute
     inactivity gap splits sessions; per-user counts via
@@ -615,6 +632,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_mktsegment": q_distinct_mktsegment,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_top_per_user": q_events_top_per_user,
     "token_count": q_token_count,
     "quality_counts": q_quality_counts,
     "langid": q_langid,
@@ -684,6 +702,11 @@ ORACLE: dict[str, str] = {
         "ORDER BY totalprice_c DESC, o_orderkey LIMIT 20",
     "distinct_mktsegment":
         "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+    "events_top_per_user":
+        "SELECT user_id, event_id, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn = 1",
     "events_sessionize":
         "WITH e AS (SELECT user_id, ts, "
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
