@@ -306,10 +306,20 @@ class ValidationResult:
         return self.violations.count()
 
     def overall_pass(self) -> bool:
-        return self.violation_count() == 0
+        """Fails only on error-severity rules — warning-severity rules
+        report but don't flip the verdict (the reference's lint
+        warning/error split applied to validation)."""
+        warn_rules = {r.rule_id for r in self.plan.rules
+                      if r.severity != "error"}
+        if not warn_rules:
+            return self.violation_count() == 0
+        t = self.table()
+        sev_error = pc.invert(pc.is_in(
+            t.column("rule_id"), value_set=pa.array(sorted(warn_rules))))
+        return t.filter(sev_error).num_rows == 0
 
     def exit_code(self) -> int:
-        """2 on any violation — the reference's contract (exit_code.h:7)."""
+        """2 on any error-severity violation (exit_code.h:7)."""
         return 0 if self.overall_pass() else 2
 
     def write(self, out_dir: str) -> None:

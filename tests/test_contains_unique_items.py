@@ -82,6 +82,29 @@ def test_matches_oracle(ray_session):
     assert got == oracle_violations(table.to_pylist(), CONTAINS_PLAN)
 
 
+def test_warning_severity_does_not_fail_verdict(ray_session):
+    import ray.data as rd
+
+    plan = CheckPlan(rules=[
+        Rule("soft_text_len", scope="span", severity="warning",
+             when={"op": "eq", "field": "kind", "value": "text"},
+             check={"op": "utf8_len", "field": "text", "max": 3},
+             message="text longer than advised"),
+    ])
+    table = _docs([("a", [_span(text="this is long", off=0)])])
+    res = validate(DatasetSource(rd.from_arrow(table)), plan)
+    assert res.violation_count() == 1      # warning is still reported
+    assert res.overall_pass()              # …but doesn't fail the run
+    assert res.exit_code() == 0
+
+    plan2 = CheckPlan(rules=plan.rules + [
+        Rule("hard_kind", scope="span",
+             check={"op": "is_in", "field": "kind", "values": ["image"]},
+             message="must be image")])
+    res2 = validate(DatasetSource(rd.from_arrow(table)), plan2)
+    assert res2.exit_code() == 2           # error rule still fails
+
+
 def test_fast_mask_counts_contains(ray_session):
     from jsonschema_ray.spec.compile import CompiledRowChecker
 
