@@ -81,6 +81,57 @@ def brute_force_topk(
                      "cos_sim": pa.array(cos[order])})
 
 
+def brute_force_topk_multi(
+    source: Any,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = None,
+) -> pa.Table:
+    """Batched exact top-k: ONE matmul per corpus batch against the
+    broadcast (q, d) query matrix — the right shape when serving many
+    queries (amortizes the corpus scan across all of them). Returns
+    (query_idx, id, cos_sim) with k rows per query, sorted per query
+    by (cos desc, id asc)."""
+    src = as_source(source)
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nq = q.shape[0]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cos = m @ q.T  # (batch, nq)
+        kk = min(k, len(ids))
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, nq)
+        out_q = np.repeat(np.arange(nq), kk)
+        flat = top.T.reshape(-1)
+        return pa.table({
+            "query_idx": pa.array(out_q.astype(np.int32)),
+            id_col: pa.array(ids[flat]),
+            "cos_sim": pa.array(cos[flat, out_q]),
+        })
+
+    rows = src.dataset(columns=[id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow").take_all()
+    qi = np.array([r["query_idx"] for r in rows])
+    ids = np.array([r[id_col] for r in rows])
+    cos = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
+    if round_to is not None:
+        cos = np.round(cos, round_to)
+    parts = []
+    for i in range(nq):
+        m = qi == i
+        order = np.lexsort((ids[m], -cos[m]))[:k]
+        parts.append(pa.table({
+            "query_idx": pa.array(np.full(len(order), i, dtype=np.int32)),
+            id_col: pa.array(ids[m][order]),
+            "cos_sim": pa.array(cos[m][order]),
+        }))
+    return pa.concat_tables(parts)
+
+
 def hyperplane_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """(n,d) × (bits,d) → int32 bucket ids (sign pattern)."""
     bits = (m @ planes.T) > 0

@@ -177,6 +177,27 @@ def test_brute_force_topk(ray_session):
         cos[want_ids].tolist(), abs=1e-9)
 
 
+def test_brute_force_topk_multi(ray_session):
+    """Multi-query batched top-k must agree with per-query top-k."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import (
+        brute_force_topk, brute_force_topk_multi)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table(n=300)
+    src = DatasetSource(rd.from_arrow(t))
+    queries = m[:4].astype(np.float64)
+    multi = brute_force_topk_multi(src, queries, k=5)
+    for i in range(4):
+        single = brute_force_topk(src, queries[i], k=5)
+        part = multi.filter(
+            __import__("pyarrow.compute", fromlist=["x"]).equal(
+                multi.column("query_idx"), i))
+        assert part.column("vec_id").to_pylist() == \
+            single.column("vec_id").to_pylist()
+
+
 def test_ann_finds_planted_duplicate(ray_session):
     import ray.data as rd
 
