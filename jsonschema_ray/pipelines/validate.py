@@ -80,18 +80,6 @@ def _dup_violation_fn(rule_id: str, message: str, num_partitions: int):
     return to_violations
 
 
-def _key_count_fn(key: str):
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        col = batch.column(key)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.drop_null().value_counts()
-        return pa.table({key: vc.field("values"),
-                         "partial_count": vc.field("counts").cast(pa.int64())})
-
-    return partial_counts
-
-
 def uniqueness_violations(source: DocSource, key: str, rule_id: str,
                           message: str, num_partitions: int,
                           agg_partitions: int = 64):

@@ -144,28 +144,3 @@ class FastVerdictBatch:
             "docs": pa.array([batch.num_rows], type=pa.int64()),
             "failed_docs": pa.array([int(fail.sum())], type=pa.int64()),
         })
-
-
-class KeyCountPartial:
-    """Per-batch partial counts for the uniqueness check.
-
-    Shuffling (key, partial_count) pairs instead of full rows is what
-    keeps the doc_id-uniqueness groupby tractable at 10^12 docs: only
-    the thin key column ever moves (SURVEY.md §2.5). Skewed duplicate
-    keys are naturally collapsed to one row per (batch, key) before the
-    shuffle — a hot key duplicated 10^6× contributes one partial row per
-    block, not 10^6 shuffle rows.
-    """
-
-    def __init__(self, key: str):
-        self.key = key
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.key)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.drop_null().value_counts()
-        return pa.table({
-            self.key: vc.field("values"),
-            "partial_count": vc.field("counts").cast(pa.int64()),
-        })
