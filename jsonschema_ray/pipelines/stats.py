@@ -167,10 +167,15 @@ def profile(
         salt = np.arange(t.num_rows) % 64  # merge placement only
         return t.append_column("salt", pa.array(salt.astype(np.int32)))
 
-    salted = partials.map_batches(add_salt, batch_format="pyarrow")
+    # coalesce the hundreds of tiny partial blocks before the groupby:
+    # Ray's sort shuffle schedules a map+reduce task per block, which
+    # dominates wall time when blocks hold a handful of sketch rows
+    salted = partials.map_batches(add_salt, batch_format="pyarrow") \
+        .repartition(8)
     level1 = salted.groupby(["column", "salt"]).map_groups(
         lambda t: _merge_rows(t.drop_columns(["salt"])), batch_format="pyarrow")
-    level2 = level1.groupby("column").map_groups(_merge_rows, batch_format="pyarrow")
+    level2 = level1.repartition(4).groupby("column").map_groups(
+        _merge_rows, batch_format="pyarrow")
 
     out: dict[str, dict[str, Any]] = {}
     for row in level2.take_all():  # ≤ one row per profiled column
