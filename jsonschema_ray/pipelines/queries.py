@@ -598,6 +598,37 @@ def q_near_dup_embeddings(sf_dir: str):
 # flagship (north-rule interleaved validate, synthetic)
 # ---------------------------------------------------------------------------
 
+def q_profile_interleaved(sf_dir: str):
+    """* rows-only: mergeable-sketch column profile (count / nulls /
+    HLL distinct / t-digest quantiles) over the synthetic interleaved
+    table — deterministic for fixed input, but approximate, so no SQL
+    oracle; exactness of the exact fields is covered in pytest."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
+    from jsonschema_ray.functions.sketches import TDigest
+    from jsonschema_ray.sources.readers import SynthSource
+    from jsonschema_ray.sources.synth import GenConfig
+
+    n_docs = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows * 20
+    out = profile(SynthSource(GenConfig(n_docs=n_docs)), [
+        ProfileSpec(column="doc_id", hll=True),
+        ProfileSpec(column="spans.kind", hll=True),
+        ProfileSpec(column="spans.offset", hll=False, tdigest=True),
+    ])
+    rows = []
+    for col, p in sorted(out.items()):
+        row = {"column": col, "count": p["count"], "nulls": p["nulls"],
+               "distinct_est": round(p["distinct_est"]) if p["distinct_est"]
+               else None, "p50": None}
+        if p.get("tdigest"):
+            td = TDigest.deserialize(bytes.fromhex(p["tdigest"]))
+            row["p50"] = round(float(td.quantile(0.5)[0]), 1)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def q_flagship_validate(sf_dir: str):
     """* rows-only: full CheckPlan over a deterministic synthetic
     interleaved table (size scaled to the sf documents table); exact-row
@@ -644,6 +675,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
     "near_dup_embeddings": q_near_dup_embeddings,
+    "profile_interleaved": q_profile_interleaved,
     "flagship_validate": q_flagship_validate,
 }
 
