@@ -310,6 +310,20 @@ def cmd_lint(args) -> int:
                              f"unknown format {spec.get('format')!r}"))
         if op == "const" and spec.get("value") is False:
             findings.append(("warning", rule_id, "constant-false predicate"))
+        if op == "is_in":
+            vals = spec.get("values", [])
+            if not vals:
+                findings.append(("warning", rule_id,
+                                 "empty is_in value set (always false)"))
+            elif len(vals) != len(set(map(repr, vals))):
+                # duplicate_enum_values analog (alterschema/common)
+                findings.append(("warning", rule_id,
+                                 "duplicate values in is_in set"))
+        if op in ("between", "utf8_len"):
+            lo, hi = spec.get("min"), spec.get("max")
+            if lo is not None and hi is not None and lo > hi:
+                findings.append(("error", rule_id,
+                                 f"unsatisfiable bounds: min {lo} > max {hi}"))
         for key in ("arg", "cond", "then", "else"):
             if key in spec:
                 walk(rule_id, spec[key])

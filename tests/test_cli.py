@@ -57,6 +57,27 @@ def test_lint_catches_bad_plan(tmp_path):
     assert r.returncode == 2
 
 
+def test_lint_catches_unsatisfiable_and_enum_issues(tmp_path):
+    plan = {"version": 1, "rules": [
+        {"rule_id": "impossible", "kind": "predicate", "scope": "span",
+         "check": {"op": "between", "field": "x", "min": 10, "max": 2},
+         "message": "m"},
+        {"rule_id": "dup_enum", "kind": "predicate", "scope": "span",
+         "check": {"op": "is_in", "field": "k", "values": ["a", "b", "a"]},
+         "message": "m"},
+        {"rule_id": "empty_enum", "kind": "predicate", "scope": "span",
+         "check": {"op": "is_in", "field": "k", "values": []},
+         "message": "m"},
+    ]}
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps(plan))
+    r = run_cli("lint", str(p))
+    assert r.returncode == 2  # unsatisfiable bounds are errors
+    assert "unsatisfiable bounds" in r.stderr
+    assert "duplicate values in is_in" in r.stderr
+    assert "empty is_in" in r.stderr
+
+
 def test_lint_fix_removes_unreachable(tmp_path):
     plan = {"version": 1, "rules": [
         {"rule_id": "ok", "kind": "predicate", "scope": "span",
