@@ -92,6 +92,22 @@ def cmd_validate(args) -> int:
     res = validate(src, plan, catalog_keys=cat, only=only, exclude=exclude)
     res.materialize()
     n = res.violation_count()
+    if args.json:
+        # Standard/Basic-style structured output
+        # (/root/reference/vendor/blaze/src/output/output_standard.cc:47-135)
+        rows = res.sorted_table().to_pylist()
+        print(json.dumps({
+            "valid": res.overall_pass(),
+            "violations": [
+                {"doc_id": r["doc_id"], "rule_id": r["rule_id"],
+                 "span_index": r["span_index"], "message": r["message"]}
+                for r in rows[:args.limit if not args.out else len(rows)]],
+            "total_violations": n,
+            "plan_hash": plan.plan_hash(),
+        }, indent=1))
+        if args.out:
+            res.violations.write_parquet(args.out)
+        return res.exit_code()
     if args.out:
         res.violations.write_parquet(args.out)
     else:
@@ -644,6 +660,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--catalog-key", default="media_ref")
     v.add_argument("--out")
     v.add_argument("--fast", action="store_true")
+    v.add_argument("--json", action="store_true")
     v.add_argument("--only")
     v.add_argument("--exclude")
     v.add_argument("--limit", type=int, default=20)
