@@ -403,6 +403,30 @@ def q_distinct_mktsegment(sf_dir: str):
     return pa.table({"mktsegment": pa.array(vals, type=pa.string())})
 
 
+def q_val_props_payload(sf_dir: str):
+    """Dynamic JSON-payload validation (the self-describing-object
+    story: AssertionDefines + numeric bound over an untyped payload
+    column): events whose ``props`` JSON lacks key ``k`` or has
+    ``k ≥ 80``. Extraction is a vectorized RE2 fast path (payloads are
+    flat JSON objects); a general engine would fall back to a JSON
+    parser kernel for nested payloads."""
+    def check(t: pa.Table) -> pa.Table:
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ext = pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)')
+        kstr = ext.field("k") if ext.null_count < len(ext) else \
+            pa.array([None] * len(ext), type=pa.string())
+        k = kstr.cast(pa.int64())
+        bad = pc.or_kleene(pc.is_null(k), pc.greater_equal(k, 80))
+        out = pa.table({"event_id": t.column("event_id"), "k": k})
+        return out.filter(bad.combine_chunks() if isinstance(bad, pa.ChunkedArray)
+                          else bad)
+
+    return _read(sf_dir, "events", columns=["event_id", "props"]).map_batches(
+        check, batch_format="pyarrow")
+
+
 def q_events_top_per_user(sf_dir: str):
     """Window-function analog (ROW_NUMBER() = 1 per partition): each
     user's highest-value event, tie-broken by event_id — implemented as
@@ -656,6 +680,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "val_unique_user": q_val_unique_user,
     "val_ref_orders": q_val_ref_orders,
     "val_spans_documents": q_val_spans_documents,
+    "val_props_payload": q_val_props_payload,
     "stats_profile_documents": q_stats_profile_documents,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
@@ -694,6 +719,10 @@ ORACLE: dict[str, str] = {
         "WHERE o_custkey NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
     "val_spans_documents": _SPANS_SQL,
+    "val_props_payload":
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NULL "
+        "OR CAST(json_extract(props, '$.k') AS BIGINT) >= 80",
     "stats_profile_documents":
         "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_lang, "
         "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text, "
