@@ -404,6 +404,7 @@ def cmd_test(args) -> int:
     plan = _load_plan(args.plan)
 
     passed = 0
+    results = []
     for case in cases:
         table = pa.Table.from_pylist(case["docs"], schema=DOCS_SCHEMA)
         cat = case.get("catalog")
@@ -418,10 +419,22 @@ def cmd_test(args) -> int:
         if "expected_violations" in case:
             want = sorted(tuple(v) for v in case["expected_violations"])
             ok = got == [tuple(w) for w in want]
-        status = "PASS" if ok else "FAIL"
-        print(f"{status} {case.get('name', '?')}: "
+        status = "passed" if ok else "failed"
+        print(f"{'PASS' if ok else 'FAIL'} {case.get('name', '?')}: "
               f"{len(got)} violations", file=sys.stderr)
+        results.append({"name": case.get("name", "?"), "status": status,
+                        "violations": len(got)})
         passed += ok
+    if args.report:
+        # CTRF-flavoured report (the reference's --ctrf,
+        # /root/reference/src/command_test.cc:328-493)
+        with open(args.report, "w") as f:
+            json.dump({"results": {
+                "tool": {"name": "jsonschema_ray"},
+                "summary": {"tests": len(cases), "passed": passed,
+                            "failed": len(cases) - passed},
+                "tests": results,
+            }}, f, indent=1)
     print(json.dumps({"passed": passed, "total": len(cases)}))
     return EXIT_OK if passed == len(cases) else EXIT_VALIDATION
 
@@ -699,6 +712,7 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("test")
     t.add_argument("suite")
     t.add_argument("--plan", default="default")
+    t.add_argument("--report")
     t.add_argument("--num-cpus", type=int, default=None)
     t.set_defaults(fn=cmd_test)
 

@@ -80,8 +80,8 @@ def _dup_violation_fn(rule_id: str, message: str, num_partitions: int):
     return to_violations
 
 
-def uniqueness_violations(source: DocSource, key: str, rule_id: str,
-                          message: str, num_partitions: int,
+def uniqueness_violations(source: DocSource, key: str | list[str],
+                          rule_id: str, message: str, num_partitions: int,
                           agg_partitions: int = 64):
     """Dataset-scope uniqueness: pruned read of the key column → per-block
     partial counts hash-bucketed by key → ``groupby(part).map_groups``
@@ -99,21 +99,35 @@ def uniqueness_violations(source: DocSource, key: str, rule_id: str,
     """
     import pandas as pd
 
+    key_cols = [key] if isinstance(key, str) else list(key)
+    kname = key_cols[0] if len(key_cols) == 1 else "__ckey"
+
+    def _key_array(batch: pa.Table) -> pa.Array:
+        if len(key_cols) == 1:
+            col = batch.column(key_cols[0])
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+        # composite key: components joined with an unlikely separator
+        parts = []
+        for c in key_cols:
+            col = batch.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(col.cast(pa.string()))
+        return pc.binary_join_element_wise(*parts, "\x1f")
+
     def partials_bucketed(batch: pa.Table) -> pa.Table:
-        col = batch.column(key)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.drop_null().value_counts()
+        vc = _key_array(batch).drop_null().value_counts()
         keys = vc.field("values")
         return pa.table({
-            key: keys,
+            kname: keys,
             "partial_count": vc.field("counts").cast(pa.int64()),
             "part": pa.array(partition_of(keys, agg_partitions)),
         })
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key, as_index=False)["partial_count"].sum()
-        return g[g["partial_count"] > 1][[key]]
+        g = df.groupby(kname, as_index=False)["partial_count"].sum()
+        return g[g["partial_count"] > 1][[kname]]
 
     # coalesce the many small partial blocks before the groupby sort:
     # hundreds of 16k-row blocks thrash the sort scheduler (measured
@@ -123,7 +137,7 @@ def uniqueness_violations(source: DocSource, key: str, rule_id: str,
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     coalesce = max(8, min(agg_partitions, cpus))
-    dups = source.dataset(columns=[key]).map_batches(
+    dups = source.dataset(columns=key_cols).map_batches(
         partials_bucketed, batch_format="pyarrow") \
         .repartition(coalesce) \
         .groupby("part").map_groups(merge_bucket, batch_format="pandas")

@@ -172,6 +172,24 @@ def test_ref_join_path_matches_broadcast(ray_session, small):
     assert _key_set(res) == expected
 
 
+def test_composite_key_uniqueness(ray_session):
+    """unique rule with a multi-column key: duplicates of the (a, b)
+    pair are flagged; same a with different b is fine."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate import uniqueness_violations
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "x", "y", "y"]),
+        "b": pa.array([1, 1, 2, 1, 2], type=pa.int64()),
+    })
+    v = uniqueness_violations(DatasetSource(rd.from_arrow(t)), ["a", "b"],
+                              "pair_unique", "m", 8).to_pandas()
+    assert v["doc_id"].tolist() == ["x\x1f1"]
+    assert v["rule_id"].tolist() == ["pair_unique"]
+
+
 def test_skewed_duplicate_key(ray_session):
     """The salting path: one hot doc_id duplicated many times must come
     back as exactly ONE violation row, not hot-key × blocks rows."""
