@@ -546,6 +546,7 @@ def validate_rows(rows):
             kind = rule.get("kind", "predicate")
             if kind == "predicate" and rule.get("scope", "span") == "span":
                 for i, s in enumerate(spans):
+                    s = dict(s, _span_index=i)
                     if rule.get("when") and not _eval(rule["when"], s):
                         continue
                     if not _eval(rule["check"], s):

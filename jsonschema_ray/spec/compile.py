@@ -169,9 +169,18 @@ class CompiledRowChecker:
         return batch
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _with_span_index(flat: pa.Table, span_idx: np.ndarray) -> pa.Table:
+        """Expose the span's position as virtual field ``_span_index`` —
+        enables prefixItems-style positional rules (AssertionArrayPrefix
+        analog): e.g. when {op: eq, field: _span_index, value: 0}."""
+        return flat.append_column("_span_index",
+                                  pa.array(span_idx, type=pa.int32()))
+
     def violations(self, batch: pa.Table) -> pa.Table:
         """Exhaustive mode: exact violation rows for one batch."""
         flat, parent, span_idx = flatten_spans(batch, self.spans_col)
+        flat = self._with_span_index(flat, span_idx)
         doc_ids = batch.column(self.doc_id_col)
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
@@ -228,7 +237,8 @@ class CompiledRowChecker:
 
     def fail_mask(self, batch: pa.Table) -> np.ndarray:
         """Fast mode: per-doc boolean "has any row-local violation"."""
-        flat, parent, _ = flatten_spans(batch, self.spans_col)
+        flat, parent, span_idx = flatten_spans(batch, self.spans_col)
+        flat = self._with_span_index(flat, span_idx)
         n = batch.num_rows
         fail = np.zeros(n, dtype=bool)
         for _, _, mask in self._span_fail_masks(flat, parent):

@@ -57,6 +57,7 @@ def oracle_violations(
             if not evaluate_predicate_python(check, doc_row):
                 out.add((doc_id, rule_id, -1))
         for i, span in enumerate(spans):
+            span = dict(span, _span_index=i)
             for rule_id, when, check in pred_span:
                 if when is not None and not evaluate_predicate_python(when, span):
                     continue
@@ -71,7 +72,9 @@ def oracle_violations(
                 if v not in catalog:
                     out.add((doc_id, rule_id, i))
         for rule_id, pred, lo, hi in contains:
-            n_match = sum(1 for s in spans if evaluate_predicate_python(pred, s))
+            n_match = sum(1 for i, s in enumerate(spans)
+                          if evaluate_predicate_python(
+                              pred, dict(s, _span_index=i)))
             if n_match < lo or (hi is not None and n_match > hi):
                 out.add((doc_id, rule_id, -1))
         for rule_id, field in uniq_items:

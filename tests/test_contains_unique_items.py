@@ -111,3 +111,29 @@ def test_fast_mask_counts_contains(ray_session):
     checker = CompiledRowChecker(CONTAINS_PLAN.to_json())
     fail = checker.fail_mask(_table())
     assert fail.tolist() == [False, True, True, True, True]
+
+
+def test_positional_span_rule(ray_session):
+    """prefixItems analog: the first span of every doc must be text."""
+    import ray.data as rd
+
+    plan = CheckPlan(rules=[
+        Rule("first_span_text", scope="span",
+             when={"op": "eq", "field": "_span_index", "value": 0},
+             check={"op": "eq", "field": "kind", "value": "text"},
+             message="first span must be a text span")])
+    table = _docs([
+        ("good", [_span(off=0),
+                  _span(kind="image", text=None,
+                        ref="media://0123456789abcdef", off=5)]),
+        ("bad", [_span(kind="image", text=None,
+                       ref="media://0123456789abcdef", off=0),
+                 _span(off=5)]),
+    ])
+    res = validate(DatasetSource(rd.from_arrow(table)), plan)
+    t = res.table()
+    got = set(zip(t.column("doc_id").to_pylist(),
+                  t.column("rule_id").to_pylist(),
+                  t.column("span_index").to_pylist()))
+    assert got == {("bad", "first_span_text", 0)}
+    assert got == oracle_violations(table.to_pylist(), plan)
