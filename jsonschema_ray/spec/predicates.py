@@ -138,6 +138,10 @@ def compile_predicate(spec: dict[str, Any]) -> Kernel:
         return k_between
 
     if op == "is_in":
+        if not spec["values"]:
+            # empty enum: nothing matches (a null-typed pa.array([])
+            # would crash pc.is_in against a typed column)
+            return lambda t: np.zeros(len(t), dtype=bool)
         values = pa.array(spec["values"])
         return lambda t: _to_bool(pc.is_in(_col(t, field), value_set=values))
 
