@@ -297,7 +297,18 @@ def q_q1_pricing_summary(sf_dir: str):
                         Sum("discount_c", alias_name="sum_discount_c"),
                         Count(alias_name="count_order")))
 
+    q1_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string())]
+        + [(c, pa.int64()) for c in
+           ("sum_qty_c", "sum_base_price_c", "sum_disc_price_c",
+            "sum_charge_c", "sum_discount_c", "count_order", "avg_qty_c")])
+
     def finish(t: pa.Table) -> pa.Table:
+        # Ray groupby emits zero-column blocks for empty partitions;
+        # return a correctly-schemed empty table so downstream schema
+        # unification doesn't warn ("RefBundle with a different schema").
+        if t.num_rows == 0 or "sum_qty_c" not in t.schema.names:
+            return q1_schema.empty_table()
         sq = t.column("sum_qty_c").to_numpy(zero_copy_only=False).astype(np.float64)
         n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
         avg_qty_c = np.floor(sq / n + 0.5).astype(np.int64)
@@ -324,8 +335,22 @@ def q_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["event_type", "hour"]).aggregate(
+    out = partials.groupby(["event_type", "hour"]).aggregate(
         Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
+
+    hourly_schema = pa.schema([
+        ("event_type", pa.string()), ("hour", pa.timestamp("us")),
+        ("n", pa.int64()), ("sum_value_c", pa.int64())])
+
+    def cast_hour_us(t: pa.Table) -> pa.Table:
+        # Ray's pandas block path promotes timestamps to ns; the oracle
+        # (DuckDB TIMESTAMP) is us — emit us so dtype-strict compares match.
+        if t.num_rows == 0 or "hour" not in t.schema.names:
+            return hourly_schema.empty_table()
+        i = t.schema.get_field_index("hour")
+        return t.set_column(i, "hour", t.column("hour").cast(pa.timestamp("us")))
+
+    return out.map_batches(cast_hour_us, batch_format="pyarrow")
 
 
 def q_q3_top_orders(sf_dir: str):
@@ -725,18 +750,20 @@ ORACLE: dict[str, str] = {
         "OR CAST(json_extract(props, '$.k') AS BIGINT) >= 80",
     "stats_profile_documents":
         "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_lang, "
-        "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text, "
-        "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents",
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_text, "
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents",
     # money/qty aggregated as exact scaled integers (floor(x*100+0.5)):
     # identical per-row doubles on both engines ⇒ identical ints ⇒
     # order-independent sums (distributed double-sums are not).
     "q1_pricing_summary":
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c, "
-        "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_price_c, "
-        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_price_c, "
-        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS sum_charge_c, "
-        "SUM(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS sum_discount_c, "
+        "CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c, "
+        "CAST(SUM(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_discount_c, "
         "count(*) AS count_order, "
         "CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) "
         "/ count(*) + 0.5) AS BIGINT) AS avg_qty_c "
@@ -745,12 +772,13 @@ ORACLE: dict[str, str] = {
     "events_hourly":
         "SELECT event_type, date_trunc('hour', ts) AS hour, "
         "count(*) AS n, "
-        "SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_c "
+        "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_c "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)",
     "q3_top_orders":
         "SELECT l_orderkey, "
-        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) "
-        "AS revenue_c, count(*) AS n_items "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS revenue_c, count(*) AS n_items "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -773,7 +801,8 @@ ORACLE: dict[str, str] = {
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
         "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
         "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events) "
-        "SELECT user_id, SUM(ns) AS n_sessions, count(*) AS n_events "
+        "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events "
         "FROM e GROUP BY user_id",
     "token_count":
         r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "

@@ -32,15 +32,19 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> int:
+    """Dtype-STRICT order-insensitive hash.
+
+    The driver's compare is dtype-sensitive (DuckDB HUGEINT vs engine
+    int64 hash differently even when values are equal), so this gate
+    must be too: the dtype string of every column participates in the
+    hash, and values are NOT normalized.  Round-1 lesson: Python
+    ``hash(2.3e11) == hash(230000000000)`` masked exactly that class of
+    driver failure.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: ints → int64, floats → float64
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+    dtypes = tuple(str(df[c].dtype) for c in df.columns)
     rows = [tuple(r) for r in df.itertuples(index=False)]
-    return hash(frozenset((rows.count(r), r) for r in set(rows)))
+    return hash((dtypes, frozenset((rows.count(r), r) for r in set(rows))))
 
 
 def main() -> int:
@@ -87,6 +91,14 @@ def main() -> int:
             problems.append(f"rows {len(got)} != {len(want)}")
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
+        if not problems:
+            gd = {c: str(got[c].dtype) for c in got.columns}
+            wd = {c: str(want[c].dtype) for c in want.columns}
+            if gd != wd:
+                problems.append(
+                    "dtype mismatch: "
+                    + "; ".join(f"{c}: got {gd[c]} want {wd[c]}"
+                                for c in sorted(gd) if gd[c] != wd[c]))
         if not problems and value_hash(got.copy()) != value_hash(want.copy()):
             problems.append("value-hash mismatch")
             merged = got.reindex(sorted(got.columns), axis=1)
