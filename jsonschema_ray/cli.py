@@ -86,7 +86,9 @@ def cmd_validate(args) -> int:
             args.catalog_key).combine_chunks()
     src = ParquetSource(args.inputs)
     if args.fast:
-        out = fast_validate(src, plan, catalog_keys=cat)
+        # --only/--exclude must bind in fast mode too, not silently drop
+        fplan = plan.filtered(only=only, exclude=exclude)
+        out = fast_validate(src, fplan, catalog_keys=cat)
         print(json.dumps(out))
         return EXIT_OK if out["passed"] else EXIT_VALIDATION
     res = validate(src, plan, catalog_keys=cat, only=only, exclude=exclude)
@@ -379,7 +381,13 @@ def cmd_lint(args) -> int:
         plan.rules = new_rules
         with open(args.plan, "w") as f:
             f.write(json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n")
-        return EXIT_OK
+        # error-severity findings (unknown op, bad regex, unsatisfiable
+        # bounds) are NOT fixable by the mutations above — the plan is
+        # still broken, so the exit code must say so.
+        fixed_ids = {r.rule_id for r in plan.rules}
+        remaining = {rid for sev, rid, _ in findings
+                     if sev == "error" and rid in fixed_ids}
+        return EXIT_VALIDATION if remaining else EXIT_OK
     return EXIT_VALIDATION if bad_rules else EXIT_OK
 
 
@@ -477,6 +485,8 @@ def _eval(spec, row):
         return v is None
     if op == "not_null":
         return v is not None
+    if op == "type" and spec["type"] == "null":
+        return v is None
     if v is None:
         return False
     if op == "eq":

@@ -9,6 +9,7 @@ only; all data work stays in Ray Data operators.
 
 from __future__ import annotations
 
+import shutil
 import time
 from typing import Any, Sequence
 
@@ -49,6 +50,10 @@ def run_checkpointed(
         n_viol = res.violation_count()
         docs = src.dataset(columns=None).count()
         d = mf.shard_dir(out_dir, i)
+        # An uncommitted shard dir may hold stale partials from a crash
+        # between write_parquet and commit_shard; write_parquet appends,
+        # so clear it first or readers would see duplicated rows.
+        shutil.rmtree(d, ignore_errors=True)
         if n_viol:
             res.violations.write_parquet(d)
         mf.commit_shard(out_dir, mf.ShardManifest(

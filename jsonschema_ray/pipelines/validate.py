@@ -228,9 +228,15 @@ def referential_violations_join(
         col = flat.column(field)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        # Null-ref semantics must match the broadcast CatalogIndex path
+        # (spec/compile.py _span_fail_masks): with a `when` guard, null
+        # refs in guarded rows ARE violations (they match nothing in the
+        # catalog — Ray's left_anti keeps null keys); without a guard,
+        # null refs are skipped.
         if when is not None:
-            mask &= when(flat)
+            mask = when(flat)
+        else:
+            mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(mask)
         doc_ids = t.column(doc_id_col)
         if isinstance(doc_ids, pa.ChunkedArray):

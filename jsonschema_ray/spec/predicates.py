@@ -269,6 +269,10 @@ def evaluate_predicate_python(spec: dict[str, Any], row: dict[str, Any]) -> bool
         return v is None
     if op == "not_null":
         return v is not None
+    if op == "type" and spec["type"] == "null":
+        # must precede the None guard: type:'null' VALIDATES null values
+        # (matches the compiled kernel's `~valid` semantics)
+        return v is None
     if v is None:
         return False
     if op == "eq":

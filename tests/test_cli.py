@@ -123,3 +123,54 @@ def test_empty_suite_exit_code(tmp_path, ray_session):
     p = tmp_path / "empty.json"
     p.write_text(json.dumps({"tests": []}))
     assert main(["test", str(p)]) == 6
+
+
+def test_lint_fix_keeps_failure_exit_on_unfixable_errors(tmp_path):
+    """ADVICE r1: --fix must not report success while error-severity
+    findings (unknown op) remain unfixed."""
+    bad = {"version": 1, "rules": [
+        {"rule_id": "broken", "kind": "predicate", "scope": "span",
+         "check": {"op": "nope", "field": "x"}, "message": "m"},
+        {"rule_id": "unreachable", "kind": "predicate", "scope": "span",
+         "when": {"op": "const", "value": False},
+         "check": {"op": "not_null", "field": "x"}, "message": "m"},
+    ]}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    r = run_cli("lint", str(p), "--fix")
+    assert r.returncode == 2  # 'broken' is still in the plan, unfixed
+    fixed = json.loads(p.read_text())
+    ids = [x["rule_id"] for x in fixed["rules"]]
+    assert "unreachable" not in ids and "broken" in ids
+    # a plan whose only findings ARE fixable exits 0 after --fix
+    ok = {"version": 1, "rules": [
+        {"rule_id": "no_msg", "kind": "predicate", "scope": "span",
+         "check": {"op": "not_null", "field": "x"}, "message": ""}]}
+    p2 = tmp_path / "ok.json"
+    p2.write_text(json.dumps(ok))
+    assert run_cli("lint", str(p2), "--fix").returncode == 0
+
+
+def test_validate_fast_respects_rule_filters(tmp_path, ray_session):
+    """ADVICE r1: --fast must honor --only/--exclude like the
+    exhaustive path does (in-process: the fast path uses the session
+    Ray)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.cli import main
+    from jsonschema_ray.sources.synth import GenConfig, gen_docs_batch
+
+    p = tmp_path / "docs.parquet"
+    pq.write_table(gen_docs_batch(
+        np.arange(800, dtype=np.uint64), GenConfig(n_docs=800, seed=5)),
+        str(p))
+    # default plan: synth data injects violations → fail
+    assert main(["validate", str(p), "--fast"]) == 2
+    # excluding every firing rule → pass
+    firing = ("kind_enum,text_requires_text,media_requires_ref,"
+              "media_ref_format,offset_monotonic,offset_nonnegative,"
+              "doc_id_unique,media_ref_exists")
+    assert main(["validate", str(p), "--fast", "--exclude", firing]) == 0
+    # --only a single firing rule → still fail
+    assert main(["validate", str(p), "--fast", "--only", "kind_enum"]) == 2

@@ -110,3 +110,19 @@ def test_plan_roundtrip_and_hash():
     assert p2.plan_hash() == p.plan_hash()
     assert p.filtered(exclude=["kind_enum"]).plan_hash() != p.plan_hash()
     assert len(p.filtered(only=["kind_enum"]).rules) == 1
+
+
+def test_type_null_parity_kernel_vs_python():
+    """ADVICE r1: type:'null' must agree across the compiled kernel,
+    the pure-Python evaluator, and codegen: null values VALIDATE."""
+    import pyarrow as pa
+
+    from jsonschema_ray.spec.predicates import (compile_predicate,
+                                                evaluate_predicate_python)
+
+    spec = {"op": "type", "field": "x", "type": "null"}
+    t = pa.table({"x": pa.array([None, "a"], type=pa.string())})
+    kern = compile_predicate(spec)(t)
+    assert kern.tolist() == [True, False]
+    assert evaluate_predicate_python(spec, {"x": None}) is True
+    assert evaluate_predicate_python(spec, {"x": "a"}) is False

@@ -200,3 +200,81 @@ def test_skewed_duplicate_key(ray_session):
     dup_rows = t.filter(pc.equal(t.column("rule_id"), "doc_id_unique"))
     assert dup_rows.num_rows == 1
     assert dup_rows.column("doc_id").to_pylist() == ["doc-hot"]
+
+
+def test_ref_null_semantics_guarded_paths_agree(ray_session):
+    """ADVICE r1: with a satisfied `when` guard, a NULL ref is a
+    violation (it matches nothing in the catalog) — and the broadcast
+    CatalogIndex path, the hash anti-join path, and the Python oracle
+    must all agree on that."""
+    import ray.data as rd
+
+    from jsonschema_ray.spec.plan import CheckPlan, Rule
+
+    span_t = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    table = pa.table({
+        "doc_id": pa.array(["d0", "d1", "d2"]),
+        "spans": pa.array([
+            # media span with NULL ref → violation (guard satisfied)
+            [{"kind": "media", "text": None, "media_ref": None, "offset": 0}],
+            # media span with a good ref → ok
+            [{"kind": "media", "text": None, "media_ref": "media://ok",
+              "offset": 0}],
+            # text span with NULL ref → guard unsatisfied, no violation
+            [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}],
+        ], type=span_t),
+    })
+    plan = CheckPlan(rules=[Rule(
+        "ref_guarded", kind="ref", scope="span",
+        when={"op": "eq", "field": "kind", "value": "media"},
+        params={"field": "media_ref", "catalog_key": "media_ref"},
+        message="guarded ref")])
+    cat = pa.array(["media://ok"])
+    cat_tbl = pa.table({"media_ref": cat})
+
+    res_b = validate(DatasetSource(rd.from_arrow(table)), plan,
+                     catalog_keys=cat)
+    res_j = validate(DatasetSource(rd.from_arrow(table)), plan,
+                     catalog_source=DatasetSource(rd.from_arrow(cat_tbl)))
+    expected = oracle_violations(table.to_pylist(), plan,
+                                 set(cat.to_pylist()))
+    assert _key_set(res_b) == expected
+    assert _key_set(res_j) == expected
+    assert ("d0", "ref_guarded", 0) in expected
+
+
+def test_resume_clears_stale_shard_output(ray_session, tmp_path):
+    """ADVICE r1: a crash between write_parquet and commit_shard must
+    not leave stale files that duplicate rows on resume."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.run import run_checkpointed
+    from jsonschema_ray.state import manifest as mf
+
+    cfg = GenConfig(n_docs=500, seed=3)
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs_table(cfg), p)
+    out = str(tmp_path / "out")
+
+    # simulate the crash: stale partial output in shard 0, NO manifest
+    d = mf.shard_dir(out, 0)
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["stale"]), "rule_id": pa.array(["stale"]),
+        "span_index": pa.array([0], type=pa.int32()),
+        "message": pa.array(["stale"]),
+        "part": pa.array([0], type=pa.int32())}), d + "/stale.parquet")
+
+    summary = run_checkpointed([p], out, shard_size=1,
+                               catalog_keys=_catalog_keys(cfg))
+    assert summary["ran"] == 1
+    import glob
+
+    got = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(d + "/*.parquet")])
+    assert "stale" not in set(got.column("rule_id").to_pylist())
+    assert got.num_rows == summary["violations"]
