@@ -40,6 +40,18 @@ def _load_plan(path: str):
         return CheckPlan.from_json(json.load(f))
 
 
+def _plan_from_args(args):
+    """``--schema schema.json`` is the reference's front door (validate a
+    real JSON Schema document, ``src/command_validate.cc``): compile it
+    to a CheckPlan via the columnar front-end; otherwise ``--plan``."""
+    if getattr(args, "schema", None):
+        from jsonschema_ray.spec.jschema import schema_to_plan
+
+        with open(args.schema) as f:
+            return schema_to_plan(json.load(f))
+    return _load_plan(args.plan)
+
+
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
 
@@ -58,7 +70,17 @@ def _ensure_ray(num_cpus: int | None) -> None:
 def cmd_compile(args) -> int:
     """Rule specs → canonical serialized CheckPlan (the analog of
     ``jsonschema compile`` producing a reusable Template)."""
-    plan = _load_plan(args.rules)
+    if getattr(args, "schema", None):
+        from jsonschema_ray.spec.jschema import schema_to_plan
+
+        with open(args.schema) as f:
+            plan = schema_to_plan(json.load(f))
+    elif not args.rules:
+        print("compile: need RULES.json or --schema SCHEMA.json",
+              file=sys.stderr)
+        return EXIT_ERROR
+    else:
+        plan = _load_plan(args.rules)
     plan.mode = "fast" if args.fast else plan.mode
     out = json.dumps(plan.to_json(), indent=2, sort_keys=True)
     if args.output:
@@ -77,7 +99,7 @@ def cmd_validate(args) -> int:
     from jsonschema_ray.sources.readers import ParquetSource
 
     _ensure_ray(args.num_cpus)
-    plan = _load_plan(args.plan)
+    plan = _plan_from_args(args)
     only = args.only.split(",") if args.only else None
     exclude = args.exclude.split(",") if args.exclude else None
     cat = None
@@ -195,10 +217,11 @@ def cmd_metaschema(args) -> int:
                 walk(r.when)
             preds.append((r.rule_id, r.check))
         elif r.kind in ("unique", "ref", "unique_items", "contains",
-                        "stats", "drift"):
+                        "stats", "drift", "json_schema"):
             needed = {"unique": "key", "ref": "field",
                       "unique_items": "field", "contains": "predicate",
-                      "stats": "column", "drift": "column"}[r.kind]
+                      "stats": "column", "drift": "column",
+                      "json_schema": "field"}[r.kind]
             if needed not in r.params:
                 errors.append(f"{r.rule_id}: {r.kind} rule missing param {needed!r}")
             if r.kind == "contains" and "predicate" in r.params:
@@ -293,8 +316,8 @@ def cmd_fmt(args) -> int:
 _LINT_KNOWN_OPS = {
     "const", "and", "or", "not", "one_of", "if", "is_null", "not_null",
     "eq", "ne", "gt", "ge", "lt", "le", "between", "is_in", "regex",
-    "starts_with", "ends_with", "contains", "utf8_len", "format",
-    "divisible", "type",
+    "regex_search", "starts_with", "ends_with", "contains", "utf8_len",
+    "format", "divisible", "type",
 }
 
 
@@ -318,7 +341,7 @@ def cmd_lint(args) -> int:
         op = spec.get("op")
         if op not in _LINT_KNOWN_OPS:
             findings.append(("error", rule_id, f"unknown op {op!r}"))
-        if op == "regex":
+        if op in ("regex", "regex_search"):
             try:
                 re.compile(spec.get("pattern", ""))
             except re.error as e:
@@ -508,6 +531,8 @@ def _eval(spec, row):
         return v in spec["values"]
     if op == "regex":
         return re.fullmatch(spec["pattern"], v) is not None
+    if op == "regex_search":
+        return re.search(spec["pattern"], v) is not None
     if op == "starts_with":
         return v.startswith(spec["value"])
     if op == "ends_with":
@@ -672,7 +697,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="verb", required=True)
 
     c = sub.add_parser("compile")
-    c.add_argument("rules")
+    c.add_argument("rules", nargs="?")
+    c.add_argument("--schema")
     c.add_argument("-o", "--output")
     c.add_argument("--fast", action="store_true")
     c.set_defaults(fn=cmd_compile)
@@ -680,6 +706,7 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate")
     v.add_argument("inputs", nargs="+")
     v.add_argument("--plan", default="default")
+    v.add_argument("--schema")
     v.add_argument("--catalog")
     v.add_argument("--catalog-key", default="media_ref")
     v.add_argument("--out")

@@ -74,6 +74,7 @@ class CompiledRowChecker:
         self._ref_rules: list[tuple[str, str, Any, str]] = []
         self._contains_rules: list[tuple[str, Any, int, Any, str]] = []
         self._uniq_item_rules: list[tuple[str, str, str]] = []
+        self._jschema_rules: list[tuple[str, str, Any, Any, str]] = []
         catalog = None
         if catalog_keys is not None:
             # one-time index build — per-batch membership is then
@@ -108,6 +109,16 @@ class CompiledRowChecker:
                 # doc (nulls exempt); later duplicates are flagged.
                 self._uniq_item_rules.append(
                     (r.rule_id, r.params["field"], r.message))
+            elif r.kind == "json_schema":
+                # full JSON Schema over a JSON-string (or struct) column:
+                # the dynamic-keyword evaluator (LoopProperties*/LoopKeys/
+                # recursion/unevaluated*; see spec/jschema.py). Compiled
+                # once HERE — i.e. once per validator actor — the per-row
+                # hot path is parse + closure, no interpretation.
+                from jsonschema_ray.spec.jschema import compile_schema
+                self._jschema_rules.append(
+                    (r.rule_id, r.params["field"],
+                     compile_schema(r.params["schema"]), when, r.message))
             elif r.kind == "ref":
                 if catalog is None:
                     continue  # pipeline runs the anti-join path instead
@@ -148,6 +159,39 @@ class CompiledRowChecker:
             else:
                 mask &= pc.is_valid(col).to_numpy(zero_copy_only=False)
             yield rule_id, message, mask
+
+    def _jschema_fail(self, batch: pa.Table):
+        """Yield (rule_id, per-doc violation mask, per-doc messages) for
+        ``json_schema`` rules. The column may hold JSON strings (parsed
+        here, the dominating cost) or an already-structured struct/list
+        column (``to_pylist`` only). A null member is absent → valid."""
+        import json as _json
+
+        for rule_id, field, cs, when, message in self._jschema_rules:
+            col = batch.column(field)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.to_pylist()
+            n = len(vals)
+            mask = np.zeros(n, dtype=bool)
+            msgs = np.full(n, None, dtype=object)
+            wmask = when(batch) if when is not None else None
+            for i, s in enumerate(vals):
+                if s is None or (wmask is not None and not wmask[i]):
+                    continue
+                if isinstance(s, (str, bytes)):
+                    try:
+                        s = _json.loads(s)
+                    except ValueError:
+                        mask[i] = True
+                        msgs[i] = f"{message} [invalid JSON]"
+                        continue
+                errs = cs.validate(s)
+                if errs:
+                    p, kw, m = errs[0]
+                    mask[i] = True
+                    msgs[i] = f"{message} [{p or '/'} {kw}: {m}]"
+            yield rule_id, mask, msgs
 
     def _contains_fail_masks(self, flat: pa.Table, parent: np.ndarray,
                              n_docs: int):
@@ -222,6 +266,15 @@ class CompiledRowChecker:
             parts_rule.append(np.full(len(idx), rule_id, dtype=object))
             parts_msg.append(np.full(len(idx), message, dtype=object))
 
+        for rule_id, mask, msgs in self._jschema_fail(batch):
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            parts_parent.append(idx.astype(np.int64))
+            parts_span.append(np.full(len(idx), DOC_SCOPE_SPAN_INDEX, dtype=np.int32))
+            parts_rule.append(np.full(len(idx), rule_id, dtype=object))
+            parts_msg.append(msgs[idx])
+
         if not parts_parent:
             return empty_violations()
         all_parent = np.concatenate(parts_parent)
@@ -251,5 +304,7 @@ class CompiledRowChecker:
                 mask &= when(doc_table)
             fail |= mask
         for _, _, mask in self._contains_fail_masks(flat, parent, n):
+            fail |= mask
+        for _, mask, _ in self._jschema_fail(batch):
             fail |= mask
         return fail

@@ -1,0 +1,820 @@
+"""From-scratch JSON Schema (draft 2020-12 subset) evaluator + front-end.
+
+The reference engine's entire input format is a JSON Schema document
+(dialects draft4…2020-12; keyword→handler table in
+``/root/reference/vendor/blaze/src/compiler/default_compiler.cc:57-640``,
+dialect selection ``/root/reference/README.markdown:51-61``). This module
+is the Ray-side analog, split in two layers:
+
+1. ``compile_schema(schema)`` — a from-scratch recursive evaluator
+   compiled to Python closures ONCE (per driver / per validator actor),
+   covering the dynamic keyword families the columnar kernels cannot
+   express: object-member iteration (``properties`` /
+   ``patternProperties`` / ``additionalProperties`` / ``propertyNames``
+   — the ``LoopProperties*`` / ``LoopKeys`` instruction family,
+   ``evaluator_instruction.h:86-104``), array iteration (``prefixItems``
+   / ``items`` / ``contains`` — ``LoopItems*``), in-place applicators
+   (``allOf``/``anyOf``/``oneOf``/``not``/``if-then-else``/
+   ``dependentSchemas``), recursion via ``$ref`` into ``$defs``
+   (``ControlLabel``/``ControlJump``, ``evaluator_dispatch.h:1523`` —
+   here recursion is a late-bound closure, bounded only by data depth),
+   and ``unevaluatedProperties`` / ``unevaluatedItems`` via annotation
+   tracking (``evaluator.h:217-258``). This is the batched per-row
+   kernel: inside ``map_batches`` an actor parses a JSON payload column
+   and runs the compiled closure per document — the ONLY per-row Python
+   in the engine, used exactly where dynamic JSON makes vectorization
+   impossible (parsing dominates; the closure interprets nothing).
+
+2. ``schema_to_plan(schema)`` — maps the columnar-expressible subset
+   onto vectorized CheckPlan predicate rules (``spec/predicates.py``)
+   for STRUCTURED rows: top-level ``properties`` become column rules,
+   an array-of-struct property (the interleaved ``spans`` column)
+   becomes span-scope rules (``prefixItems`` → ``_span_index`` guards,
+   ``minItems``/``maxItems`` → ``n_spans`` bounds, ``contains`` →
+   contains rules), and a string property declaring
+   ``contentMediaType: application/json`` + ``contentSchema`` becomes a
+   ``json_schema`` rule evaluated by layer 1.
+
+Semantics follow the published 2020-12 spec: assertions apply only to
+instances of their type (``minLength`` on a number is valid);
+``properties`` apply only to present members; ``type: "integer"``
+matches floats with zero fraction; format assertion is opt-in
+(``assert_formats``, default True to mirror the reference's
+``--default-dialect``-style strictness). Draft-07 compat: array-form
+``items`` is treated as ``prefixItems`` and ``additionalItems`` as
+2020-12 ``items``; ``definitions`` as ``$defs``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from fractions import Fraction
+from typing import Any, Callable
+
+Err = tuple[str, str, str]  # (instance_path, keyword, message)
+
+_ALL = True  # annotation marker: every member/item evaluated
+
+
+class _Ann:
+    """Annotation state for unevaluated* tracking (2020-12 §11)."""
+
+    __slots__ = ("props", "items", "contains")
+
+    def __init__(self):
+        self.props: set[str] | bool = set()
+        self.items: int | bool = 0        # prefix length evaluated, or ALL
+        self.contains: set[int] = set()
+
+    def merge(self, other: "_Ann") -> None:
+        if other.props is _ALL:
+            self.props = _ALL
+        elif self.props is not _ALL:
+            self.props |= other.props
+        if other.items is _ALL:
+            self.items = _ALL
+        elif self.items is not _ALL:
+            self.items = max(self.items, other.items)
+        self.contains |= other.contains
+
+
+_Fn = Callable[[Any, str], tuple[list[Err], _Ann]]
+
+
+def _jeq(a: Any, b: Any) -> bool:
+    """JSON equality: 1 == 1.0 but true != 1; deep for containers."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_jeq(v, b[k]) for k, v in a.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_jeq(x, y) for x, y in zip(a, b))
+    return type(a) is type(b) and a == b
+
+
+def _ckey(v: Any) -> Any:
+    """Hashable canonical key under JSON equality (for uniqueItems)."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int, float)):
+        return ("n", Fraction(v))  # exact for both int and float
+    if isinstance(v, list):
+        return ("a", tuple(_ckey(x) for x in v))
+    if isinstance(v, dict):
+        return ("o", tuple(sorted((k, _ckey(x)) for k, x in v.items())))
+    return ("s" if isinstance(v, str) else "z", v)
+
+
+def _type_ok(v: Any, t: str) -> bool:
+    if t == "null":
+        return v is None
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t == "string":
+        return isinstance(v, str)
+    if t == "integer":
+        return (isinstance(v, int) and not isinstance(v, bool)) or \
+            (isinstance(v, float) and v.is_integer())
+    if t == "number":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if t == "array":
+        return isinstance(v, list)
+    if t == "object":
+        return isinstance(v, dict)
+    return False
+
+
+def _resolve_pointer(root: Any, pointer: str) -> Any:
+    node = root
+    if pointer:
+        for tok in pointer.lstrip("/").split("/"):
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                node = node[int(tok)]
+            elif isinstance(node, dict) and tok in node:
+                node = node[tok]
+            else:
+                raise KeyError(f"unresolvable $ref pointer: {pointer!r}")
+    return node
+
+
+def _find_anchors(node: Any, ptr: str, out: dict[str, str]) -> None:
+    if isinstance(node, dict):
+        for key in ("$anchor", "$dynamicAnchor"):
+            a = node.get(key)
+            if isinstance(a, str):
+                out.setdefault(a, ptr)
+        for k, v in node.items():
+            _find_anchors(v, f"{ptr}/{k.replace('~', '~0').replace('/', '~1')}", out)
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            _find_anchors(v, f"{ptr}/{i}", out)
+
+
+class CompiledSchema:
+    """A schema compiled to closures. Build once (driver or actor
+    ``__init__``); ``validate``/``is_valid`` are the per-row hot path."""
+
+    def __init__(self, schema: Any, *, assert_formats: bool = True):
+        import sys
+
+        # each instance nesting level costs ~8 evaluator frames; the
+        # default 1000-frame limit would cap documents at depth ~120.
+        # 40k frames ≈ depth 5000 — beyond that the RecursionError
+        # fallback in validate() reports a maxDepth violation rather
+        # than crashing the worker.
+        if sys.getrecursionlimit() < 40_000:
+            sys.setrecursionlimit(40_000)
+        self.schema = schema
+        self._assert_formats = assert_formats
+        self._cache: dict[str, _Fn] = {}
+        self._anchors: dict[str, str] = {}
+        _find_anchors(schema, "", self._anchors)
+        self._fn = self._compile(schema, "")
+
+    # -- public ---------------------------------------------------------
+    def validate(self, value: Any, path: str = "") -> list[Err]:
+        try:
+            return self._fn(value, path)[0]
+        except RecursionError:
+            return [(path, "maxDepth", "instance nesting exceeds evaluator depth")]
+
+    def is_valid(self, value: Any) -> bool:
+        return not self.validate(value)
+
+    # -- compilation ----------------------------------------------------
+    def _ref_target(self, ref: str) -> str:
+        if not ref.startswith("#"):
+            raise ValueError(f"external $ref not supported (no network): {ref!r}")
+        frag = ref[1:]
+        if frag.startswith("/") or frag == "":
+            return frag
+        if frag in self._anchors:  # "#name" → $anchor / $dynamicAnchor
+            return self._anchors[frag]
+        raise ValueError(f"unresolvable $ref anchor: {ref!r}")
+
+    def _compile_ref(self, ref: str) -> _Fn:
+        """Late-bound compile by canonical pointer — a self-referential
+        schema compiles to a closure that calls back into itself; data
+        depth, not schema shape, bounds the recursion (the analog of the
+        reference's ControlJump label machine, evaluator_dispatch.h:1523)."""
+        ptr = self._ref_target(ref)
+        if ptr in self._cache:
+            return self._cache[ptr]
+        slot: dict[str, _Fn] = {}
+
+        def thunk(v: Any, path: str):
+            return slot["fn"](v, path)
+
+        self._cache[ptr] = thunk
+        slot["fn"] = self._compile(_resolve_pointer(self.schema, ptr), ptr,
+                                   _no_cache=True)
+        return thunk
+
+    def _compile(self, sch: Any, ptr: str, _no_cache: bool = False) -> _Fn:
+        if not _no_cache and ptr in self._cache:
+            return self._cache[ptr]
+
+        if sch is True or sch == {}:
+            fn = lambda v, path: ([], _Ann())  # noqa: E731
+        elif sch is False:
+            fn = lambda v, path: (  # noqa: E731
+                [(path, "false", "schema is false: nothing is valid")], _Ann())
+        elif isinstance(sch, dict):
+            fn = self._compile_object_schema(sch, ptr)
+        else:
+            raise ValueError(f"schema must be a dict or bool, got {type(sch)}")
+        if not _no_cache:
+            self._cache[ptr] = fn
+        return fn
+
+    def _compile_object_schema(self, sch: dict, ptr: str) -> _Fn:
+        checks: list[Callable[[Any, str, list[Err], _Ann], None]] = []
+        sub = lambda key: self._compile(sch[key], f"{ptr}/{key}")  # noqa: E731
+
+        # ---- $ref (2020-12: composes with sibling keywords) ----
+        if "$ref" in sch:
+            reffn = self._compile_ref(sch["$ref"])
+            def c_ref(v, path, errs, ann, reffn=reffn):
+                e, a = reffn(v, path)
+                errs.extend(e)
+                if not e:
+                    ann.merge(a)
+            checks.append(c_ref)
+        if "$dynamicRef" in sch:  # lexical-scope approximation (documented)
+            reffn = self._compile_ref(sch["$dynamicRef"])
+            def c_dref(v, path, errs, ann, reffn=reffn):
+                e, a = reffn(v, path)
+                errs.extend(e)
+                if not e:
+                    ann.merge(a)
+            checks.append(c_dref)
+
+        # ---- type / enum / const ----
+        if "type" in sch:
+            ts = sch["type"] if isinstance(sch["type"], list) else [sch["type"]]
+            def c_type(v, path, errs, ann, ts=tuple(ts)):
+                if not any(_type_ok(v, t) for t in ts):
+                    errs.append((path, "type",
+                                 f"expected {'/'.join(ts)}"))
+            checks.append(c_type)
+        if "enum" in sch:
+            vals = sch["enum"]
+            def c_enum(v, path, errs, ann, vals=vals):
+                if not any(_jeq(v, x) for x in vals):
+                    errs.append((path, "enum", "value not in enum"))
+            checks.append(c_enum)
+        if "const" in sch:
+            cv = sch["const"]
+            def c_const(v, path, errs, ann, cv=cv):
+                if not _jeq(v, cv):
+                    errs.append((path, "const", "value != const"))
+            checks.append(c_const)
+
+        # ---- numeric ----
+        for kw, op in (("minimum", "ge"), ("maximum", "le"),
+                       ("exclusiveMinimum", "gt"), ("exclusiveMaximum", "lt")):
+            if kw in sch and isinstance(sch[kw], (int, float)) \
+                    and not isinstance(sch[kw], bool):
+                bound = sch[kw]
+                def c_num(v, path, errs, ann, kw=kw, op=op, bound=bound):
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        ok = {"ge": v >= bound, "le": v <= bound,
+                              "gt": v > bound, "lt": v < bound}[op]
+                        if not ok:
+                            errs.append((path, kw, f"violates {kw} {bound}"))
+                checks.append(c_num)
+        if "multipleOf" in sch:
+            by = sch["multipleOf"]
+            def c_mult(v, path, errs, ann, by=by):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    try:
+                        q = v / by
+                    except ZeroDivisionError:
+                        errs.append((path, "multipleOf", "multipleOf 0"))
+                        return
+                    import math
+                    if not math.isfinite(q) or not math.isclose(
+                            q, round(q), rel_tol=0.0, abs_tol=1e-9):
+                        errs.append((path, "multipleOf",
+                                     f"not a multiple of {by}"))
+            checks.append(c_mult)
+
+        # ---- string ----
+        if "minLength" in sch or "maxLength" in sch:
+            lo, hi = sch.get("minLength"), sch.get("maxLength")
+            def c_len(v, path, errs, ann, lo=lo, hi=hi):
+                if isinstance(v, str):
+                    n = len(v)
+                    if lo is not None and n < lo:
+                        errs.append((path, "minLength", f"length {n} < {lo}"))
+                    if hi is not None and n > hi:
+                        errs.append((path, "maxLength", f"length {n} > {hi}"))
+            checks.append(c_len)
+        if "pattern" in sch:
+            rx = re.compile(sch["pattern"])  # SEARCH semantics, per spec
+            def c_pat(v, path, errs, ann, rx=rx):
+                if isinstance(v, str) and rx.search(v) is None:
+                    errs.append((path, "pattern",
+                                 f"does not match {rx.pattern!r}"))
+            checks.append(c_pat)
+        if "format" in sch and self._assert_formats:
+            from jsonschema_ray.functions.formats import REGEX_FORMATS
+            fmt = sch["format"]
+            if fmt == "regex":
+                def c_fmt(v, path, errs, ann):
+                    if isinstance(v, str):
+                        try:
+                            re.compile(v)
+                        except re.error:
+                            errs.append((path, "format", "invalid regex"))
+                checks.append(c_fmt)
+            elif fmt in REGEX_FORMATS:
+                frx = re.compile(REGEX_FORMATS[fmt])
+                def c_fmt(v, path, errs, ann, frx=frx, fmt=fmt):
+                    if isinstance(v, str) and frx.fullmatch(v) is None:
+                        errs.append((path, "format", f"not a valid {fmt}"))
+                checks.append(c_fmt)
+            # unknown format → annotation only (spec-conformant)
+
+        # ---- object ----
+        if "required" in sch:
+            req = sch["required"]
+            def c_req(v, path, errs, ann, req=tuple(req)):
+                if isinstance(v, dict):
+                    for k in req:
+                        if k not in v:
+                            errs.append((path, "required",
+                                         f"missing property {k!r}"))
+            checks.append(c_req)
+        if "dependentRequired" in sch:
+            deps = {k: tuple(v) for k, v in sch["dependentRequired"].items()}
+            def c_depreq(v, path, errs, ann, deps=deps):
+                if isinstance(v, dict):
+                    for k, need in deps.items():
+                        if k in v:
+                            for n in need:
+                                if n not in v:
+                                    errs.append(
+                                        (path, "dependentRequired",
+                                         f"{k!r} requires {n!r}"))
+            checks.append(c_depreq)
+        if "minProperties" in sch or "maxProperties" in sch:
+            lo, hi = sch.get("minProperties"), sch.get("maxProperties")
+            def c_nprops(v, path, errs, ann, lo=lo, hi=hi):
+                if isinstance(v, dict):
+                    n = len(v)
+                    if lo is not None and n < lo:
+                        errs.append((path, "minProperties", f"{n} < {lo}"))
+                    if hi is not None and n > hi:
+                        errs.append((path, "maxProperties", f"{n} > {hi}"))
+            checks.append(c_nprops)
+
+        props = {k: self._compile(s, f"{ptr}/properties/{k}")
+                 for k, s in sch.get("properties", {}).items()}
+        pprops = [(re.compile(p), self._compile(s, f"{ptr}/patternProperties/{p}"))
+                  for p, s in sch.get("patternProperties", {}).items()]
+        addl = self._compile(sch["additionalProperties"],
+                             f"{ptr}/additionalProperties") \
+            if "additionalProperties" in sch else None
+        pnames = self._compile(sch["propertyNames"], f"{ptr}/propertyNames") \
+            if "propertyNames" in sch else None
+        if props or pprops or addl is not None or pnames is not None:
+            # the LoopProperties*/LoopKeys analog: one fused member loop
+            def c_members(v, path, errs, ann, props=props, pprops=pprops,
+                          addl=addl, pnames=pnames):
+                if not isinstance(v, dict):
+                    return
+                for k, mv in v.items():
+                    mpath = f"{path}/{k}"
+                    hit = False
+                    pfn = props.get(k)
+                    if pfn is not None:
+                        hit = True
+                        errs.extend(pfn(mv, mpath)[0])
+                    for rx, fn in pprops:
+                        if rx.search(k):
+                            hit = True
+                            errs.extend(fn(mv, mpath)[0])
+                    if hit:
+                        if ann.props is not _ALL:
+                            ann.props.add(k)
+                    elif addl is not None:
+                        errs.extend(addl(mv, mpath)[0])
+                        if ann.props is not _ALL:
+                            ann.props.add(k)
+                    if pnames is not None:
+                        e = pnames(k, mpath)[0]
+                        if e:
+                            errs.append((mpath, "propertyNames",
+                                         f"property name {k!r} invalid"))
+            checks.append(c_members)
+
+        if "dependentSchemas" in sch:
+            dsch = {k: self._compile(s, f"{ptr}/dependentSchemas/{k}")
+                    for k, s in sch["dependentSchemas"].items()}
+            def c_dsch(v, path, errs, ann, dsch=dsch):
+                if isinstance(v, dict):
+                    for k, fn in dsch.items():
+                        if k in v:
+                            e, a = fn(v, path)
+                            errs.extend(e)
+                            if not e:
+                                ann.merge(a)
+            checks.append(c_dsch)
+
+        # ---- array ----
+        prefix_key = "prefixItems" if "prefixItems" in sch else (
+            "items" if isinstance(sch.get("items"), list) else None)  # draft-07
+        prefix = [self._compile(s, f"{ptr}/{prefix_key}/{i}")
+                  for i, s in enumerate(sch[prefix_key])] if prefix_key else []
+        rest_key = "items" if ("items" in sch
+                               and not isinstance(sch["items"], list)) else (
+            "additionalItems" if "additionalItems" in sch and prefix_key
+            else None)
+        rest = self._compile(sch[rest_key], f"{ptr}/{rest_key}") \
+            if rest_key else None
+        if prefix or rest is not None:
+            def c_items(v, path, errs, ann, prefix=prefix, rest=rest):
+                if not isinstance(v, list):
+                    return
+                np_ = min(len(prefix), len(v))
+                for i in range(np_):
+                    errs.extend(prefix[i](v[i], f"{path}/{i}")[0])
+                if ann.items is not _ALL:
+                    ann.items = max(ann.items, np_)
+                if rest is not None:
+                    for i in range(len(prefix), len(v)):
+                        errs.extend(rest(v[i], f"{path}/{i}")[0])
+                    ann.items = _ALL
+            checks.append(c_items)
+        if "contains" in sch:
+            cfn = sub("contains")
+            lo = sch.get("minContains", 1)
+            hi = sch.get("maxContains")
+            def c_contains(v, path, errs, ann, cfn=cfn, lo=lo, hi=hi):
+                if not isinstance(v, list):
+                    return
+                hits = [i for i, x in enumerate(v)
+                        if not cfn(x, f"{path}/{i}")[0]]
+                ann.contains |= set(hits)
+                if len(hits) < lo:
+                    errs.append((path, "contains",
+                                 f"{len(hits)} matching items < minContains {lo}"))
+                if hi is not None and len(hits) > hi:
+                    errs.append((path, "maxContains",
+                                 f"{len(hits)} matching items > maxContains {hi}"))
+            checks.append(c_contains)
+        if "minItems" in sch or "maxItems" in sch:
+            lo, hi = sch.get("minItems"), sch.get("maxItems")
+            def c_nitems(v, path, errs, ann, lo=lo, hi=hi):
+                if isinstance(v, list):
+                    n = len(v)
+                    if lo is not None and n < lo:
+                        errs.append((path, "minItems", f"{n} < {lo}"))
+                    if hi is not None and n > hi:
+                        errs.append((path, "maxItems", f"{n} > {hi}"))
+            checks.append(c_nitems)
+        if sch.get("uniqueItems"):
+            def c_uniq(v, path, errs, ann):
+                if isinstance(v, list):
+                    seen = set()
+                    for i, x in enumerate(v):
+                        k = _ckey(x)
+                        if k in seen:
+                            errs.append((f"{path}/{i}", "uniqueItems",
+                                         "duplicate item"))
+                        seen.add(k)
+            checks.append(c_uniq)
+
+        # ---- in-place applicators ----
+        if "allOf" in sch:
+            fns = [self._compile(s, f"{ptr}/allOf/{i}")
+                   for i, s in enumerate(sch["allOf"])]
+            def c_all(v, path, errs, ann, fns=fns):
+                for fn in fns:
+                    e, a = fn(v, path)
+                    errs.extend(e)
+                    if not e:
+                        ann.merge(a)
+            checks.append(c_all)
+        if "anyOf" in sch:
+            fns = [self._compile(s, f"{ptr}/anyOf/{i}")
+                   for i, s in enumerate(sch["anyOf"])]
+            def c_any(v, path, errs, ann, fns=fns):
+                ok = False
+                for fn in fns:  # no short-circuit: annotations from ALL valid branches
+                    e, a = fn(v, path)
+                    if not e:
+                        ok = True
+                        ann.merge(a)
+                if not ok:
+                    errs.append((path, "anyOf", "no anyOf branch matched"))
+            checks.append(c_any)
+        if "oneOf" in sch:
+            fns = [self._compile(s, f"{ptr}/oneOf/{i}")
+                   for i, s in enumerate(sch["oneOf"])]
+            def c_one(v, path, errs, ann, fns=fns):
+                n = 0
+                for fn in fns:
+                    e, a = fn(v, path)
+                    if not e:
+                        n += 1
+                        ann.merge(a)
+                if n != 1:
+                    errs.append((path, "oneOf",
+                                 f"{n} oneOf branches matched (need exactly 1)"))
+            checks.append(c_one)
+        if "not" in sch:
+            nfn = sub("not")
+            def c_not(v, path, errs, ann, nfn=nfn):
+                if not nfn(v, path)[0]:
+                    errs.append((path, "not", "matches forbidden schema"))
+            checks.append(c_not)
+        if "if" in sch:
+            ifn = sub("if")
+            tfn = sub("then") if "then" in sch else None
+            efn = sub("else") if "else" in sch else None
+            def c_if(v, path, errs, ann, ifn=ifn, tfn=tfn, efn=efn):
+                e, a = ifn(v, path)
+                if not e:
+                    ann.merge(a)
+                    if tfn is not None:
+                        e2, a2 = tfn(v, path)
+                        errs.extend(e2)
+                        if not e2:
+                            ann.merge(a2)
+                elif efn is not None:
+                    e2, a2 = efn(v, path)
+                    errs.extend(e2)
+                    if not e2:
+                        ann.merge(a2)
+            checks.append(c_if)
+
+        # ---- unevaluated* (after all other keywords; sees merged anns) ----
+        ufn = self._compile(sch["unevaluatedProperties"],
+                            f"{ptr}/unevaluatedProperties") \
+            if "unevaluatedProperties" in sch else None
+        uifn = self._compile(sch["unevaluatedItems"],
+                             f"{ptr}/unevaluatedItems") \
+            if "unevaluatedItems" in sch else None
+
+        def fn(v: Any, path: str) -> tuple[list[Err], _Ann]:
+            errs: list[Err] = []
+            ann = _Ann()
+            for c in checks:
+                c(v, path, errs, ann)
+            if ufn is not None and isinstance(v, dict):
+                for k, mv in v.items():
+                    if ann.props is _ALL or k in ann.props:
+                        continue
+                    e = ufn(mv, f"{path}/{k}")[0]
+                    if e:
+                        errs.append((f"{path}/{k}", "unevaluatedProperties",
+                                     f"unevaluated property {k!r} invalid"))
+                    ann.props = ann.props | {k} if ann.props is not _ALL else _ALL
+            if uifn is not None and isinstance(v, list) and ann.items is not _ALL:
+                for i in range(ann.items, len(v)):
+                    if i in ann.contains:
+                        continue
+                    e = uifn(v[i], f"{path}/{i}")[0]
+                    if e:
+                        errs.append((f"{path}/{i}", "unevaluatedItems",
+                                     f"unevaluated item {i} invalid"))
+                ann.items = _ALL
+            return errs, ann
+
+        return fn
+
+
+def compile_schema(schema: Any, *, assert_formats: bool = True) -> CompiledSchema:
+    """Compile a JSON Schema document once; returns the reusable validator."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return CompiledSchema(schema, assert_formats=assert_formats)
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: JSON Schema → CheckPlan (the vectorized columnar front-end)
+# ---------------------------------------------------------------------------
+
+_SCALAR_FORMATS_OK = None  # populated lazily from functions.formats
+
+
+def _scalar_spec(sub: Any) -> dict | None:
+    """Compile the columnar-expressible keywords of a (sub)schema into ONE
+    composed predicate spec (``spec/predicates.py`` dialect) applied to a
+    field. Returns None when nothing is expressible. Columnar caveat
+    (documented in the module docstring): Arrow columns are statically
+    typed, so type-applicability guards (`minLength` ignored on numbers)
+    resolve at schema-authoring time, not per value."""
+    from jsonschema_ray.functions.formats import REGEX_FORMATS
+
+    if sub is True or sub == {}:
+        return None
+    if sub is False:
+        return {"op": "const", "value": False}
+    parts: list[dict] = []
+
+    if "type" in sub:
+        ts = sub["type"] if isinstance(sub["type"], list) else [sub["type"]]
+        tps = [{"op": "type", "type": t, "field": None} for t in ts]
+        parts.append(tps[0] if len(tps) == 1 else {"op": "or", "args": tps})
+    if "enum" in sub:
+        vals = sub["enum"]
+        if vals and all(isinstance(v, str) for v in vals) or \
+                all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in vals):
+            parts.append({"op": "is_in", "field": None, "values": vals})
+        else:
+            parts.append({"op": "or", "args": [
+                {"op": "eq", "field": None, "value": v} for v in vals]}
+                if vals else {"op": "const", "value": False})
+    if "const" in sub:
+        parts.append({"op": "eq", "field": None, "value": sub["const"]})
+    if "pattern" in sub:
+        parts.append({"op": "regex_search", "field": None,
+                      "pattern": sub["pattern"]})
+    if "minLength" in sub or "maxLength" in sub:
+        p: dict = {"op": "utf8_len", "field": None}
+        if "minLength" in sub:
+            p["min"] = sub["minLength"]
+        if "maxLength" in sub:
+            p["max"] = sub["maxLength"]
+        parts.append(p)
+    if "minimum" in sub or "maximum" in sub:
+        p = {"op": "between", "field": None}
+        if "minimum" in sub:
+            p["min"] = sub["minimum"]
+        if "maximum" in sub:
+            p["max"] = sub["maximum"]
+        parts.append(p)
+    if "exclusiveMinimum" in sub and not isinstance(sub["exclusiveMinimum"], bool):
+        parts.append({"op": "gt", "field": None, "value": sub["exclusiveMinimum"]})
+    if "exclusiveMaximum" in sub and not isinstance(sub["exclusiveMaximum"], bool):
+        parts.append({"op": "lt", "field": None, "value": sub["exclusiveMaximum"]})
+    if "multipleOf" in sub:
+        parts.append({"op": "divisible", "field": None, "by": sub["multipleOf"]})
+    if "format" in sub and sub["format"] in REGEX_FORMATS:
+        parts.append({"op": "format", "field": None, "format": sub["format"]})
+
+    for kw, op in (("allOf", "and"), ("anyOf", "or"), ("oneOf", "one_of")):
+        if kw in sub:
+            args = [_scalar_spec(s) or {"op": "const", "value": True}
+                    for s in sub[kw]]
+            parts.append({"op": op, "args": args})
+    if "not" in sub:
+        parts.append({"op": "not",
+                      "arg": _scalar_spec(sub["not"]) or
+                      {"op": "const", "value": True}})
+    if "if" in sub:
+        p = {"op": "if",
+             "cond": _scalar_spec(sub["if"]) or {"op": "const", "value": True}}
+        if "then" in sub:
+            p["then"] = _scalar_spec(sub["then"]) or {"op": "const", "value": True}
+        if "else" in sub:
+            p["else"] = _scalar_spec(sub["else"]) or {"op": "const", "value": True}
+        parts.append(p)
+
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else {"op": "and", "args": parts}
+
+
+def _bind_field(spec: dict, field: str) -> dict:
+    """Fill the deferred ``field: None`` slots of a composed spec."""
+    out = dict(spec)
+    if out.get("field", "") is None:
+        out["field"] = field
+    for k in ("args",):
+        if k in out:
+            out[k] = [_bind_field(s, field) for s in out[k]]
+    for k in ("arg", "cond", "then", "else"):
+        if k in out:
+            out[k] = _bind_field(out[k], field)
+    return out
+
+
+def _object_span_pred(sub: Any) -> dict:
+    """An items-level OBJECT schema over span-struct fields → one span
+    predicate: ``properties.f`` applies only when f is present (null ⇒
+    absent), ``required`` asserts presence."""
+    parts: list[dict] = []
+    for f in sub.get("required", []):
+        parts.append({"op": "not_null", "field": f})
+    for f, fsub in sub.get("properties", {}).items():
+        s = _scalar_spec(fsub)
+        if s is not None:
+            parts.append({"op": "or", "args": [
+                {"op": "is_null", "field": f}, _bind_field(s, f)]})
+    if not parts:
+        return {"op": "const", "value": True}
+    return parts[0] if len(parts) == 1 else {"op": "and", "args": parts}
+
+
+def schema_to_plan(schema: Any, *, mode: str = "exhaustive",
+                   spans_col: str = "spans") -> "CheckPlan":
+    """Compile a JSON Schema describing the ROW shape of a structured
+    dataset into a vectorized CheckPlan (the ``jsonschema validate
+    schema.json`` front door, re-expressed columnar).
+
+    Mapping (keyword table mirroring
+    ``vendor/blaze/src/compiler/default_compiler.cc:57-640``):
+
+    - top-level ``required`` → doc-scope ``not_null`` rules
+    - scalar-column subschemas → one composed predicate rule per column
+      (guarded ``when not_null`` — a missing member is valid JSON Schema)
+    - the array-of-struct ``spans`` column: ``items`` object schema →
+      span-scope rules; ``prefixItems`` → ``_span_index``-guarded rules
+      (AssertionArrayPrefix analog); ``minItems``/``maxItems`` →
+      ``n_spans`` bounds; ``contains``(+min/max) → contains rules;
+      ``items.required`` → span presence rules
+    - a string column with ``contentMediaType: application/json`` +
+      ``contentSchema`` → a ``json_schema`` rule (the dynamic evaluator,
+      layer 1 above) — LoopProperties/recursion land here
+    """
+    from jsonschema_ray.spec.plan import CheckPlan, Rule
+
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    if not isinstance(schema, dict):
+        raise ValueError("columnar schema_to_plan needs an object schema")
+
+    rules: list[Rule] = []
+
+    for c in schema.get("required", []):
+        rules.append(Rule(f"{c}.required", scope="doc",
+                          check={"op": "not_null", "field": c},
+                          message=f"missing required column {c!r}"))
+
+    for c, sub in schema.get("properties", {}).items():
+        if sub is True:
+            continue
+        if sub is False:
+            rules.append(Rule(f"{c}.forbidden", scope="doc",
+                              check={"op": "is_null", "field": c},
+                              message=f"column {c!r} must be absent"))
+            continue
+
+        if isinstance(sub.get("contentSchema"), (dict, bool)) and \
+                sub.get("contentMediaType", "application/json") == "application/json":
+            rules.append(Rule(
+                f"{c}.contentSchema", kind="json_schema", scope="doc",
+                params={"field": c, "schema": sub["contentSchema"]},
+                message=f"JSON payload in {c!r} violates contentSchema"))
+            continue
+
+        is_array = sub.get("type") == "array" or "items" in sub \
+            or "prefixItems" in sub
+        if c == spans_col and is_array:
+            if "minItems" in sub or "maxItems" in sub:
+                p = {"op": "between", "field": "n_spans"}
+                if "minItems" in sub:
+                    p["min"] = sub["minItems"]
+                if "maxItems" in sub:
+                    p["max"] = sub["maxItems"]
+                rules.append(Rule(f"{c}.nitems", scope="doc", check=p,
+                                  message=f"{c} length out of bounds"))
+            items = sub.get("items")
+            if isinstance(items, dict):
+                for f in items.get("required", []):
+                    rules.append(Rule(
+                        f"{c}.items.{f}.required", scope="span",
+                        check={"op": "not_null", "field": f},
+                        message=f"span missing required field {f!r}"))
+                for f, fsub in items.get("properties", {}).items():
+                    s = _scalar_spec(fsub)
+                    if s is not None:
+                        rules.append(Rule(
+                            f"{c}.items.{f}", scope="span",
+                            when={"op": "not_null", "field": f},
+                            check=_bind_field(s, f),
+                            message=f"span field {f!r} violates items schema"))
+            for i, psub in enumerate(sub.get("prefixItems", [])):
+                if not isinstance(psub, dict):
+                    continue
+                rules.append(Rule(
+                    f"{c}.prefix.{i}", scope="span",
+                    when={"op": "eq", "field": "_span_index", "value": i},
+                    check=_object_span_pred(psub),
+                    message=f"span {i} violates prefixItems[{i}]"))
+            if "contains" in sub and isinstance(sub["contains"], dict):
+                rules.append(Rule(
+                    f"{c}.contains", kind="contains", scope="doc",
+                    params={"predicate": _object_span_pred(sub["contains"]),
+                            "min": sub.get("minContains", 1),
+                            "max": sub.get("maxContains")},
+                    message=f"{c} contains-count out of bounds"))
+            continue
+
+        s = _scalar_spec(sub)
+        if s is not None:
+            rules.append(Rule(f"{c}.schema", scope="doc",
+                              when={"op": "not_null", "field": c},
+                              check=_bind_field(s, c),
+                              message=f"column {c!r} violates schema"))
+
+    return CheckPlan(rules=rules, mode=mode)

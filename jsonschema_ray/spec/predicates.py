@@ -149,6 +149,10 @@ def compile_predicate(spec: dict[str, Any]) -> Kernel:
         pattern = rf"^({spec['pattern']})$"
         return lambda t: _to_bool(pc.match_substring_regex(_col(t, field), pattern))
 
+    if op == "regex_search":  # unanchored search — JSON Schema `pattern`
+        pattern = spec["pattern"]
+        return lambda t: _to_bool(pc.match_substring_regex(_col(t, field), pattern))
+
     if op == "starts_with":
         prefix = spec["value"]
         return lambda t: _to_bool(pc.starts_with(_col(t, field), prefix))
@@ -294,6 +298,8 @@ def evaluate_predicate_python(spec: dict[str, Any], row: dict[str, Any]) -> bool
         return v in spec["values"]
     if op == "regex":
         return _re.fullmatch(spec["pattern"], v) is not None
+    if op == "regex_search":
+        return _re.search(spec["pattern"], v) is not None
     if op == "starts_with":
         return isinstance(v, str) and v.startswith(spec["value"])
     if op == "ends_with":

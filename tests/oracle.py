@@ -45,6 +45,13 @@ def oracle_violations(
                 if r.kind == "contains" and r.enabled]
     uniq_items = [(r.rule_id, r.params["field"]) for r in plan.rules
                   if r.kind == "unique_items" and r.enabled]
+    # json_schema rules reuse the compiled evaluator (spec/jschema.py) —
+    # that evaluator is itself oracled against hand-written fixtures in
+    # test_jschema.py; HERE the independence claim covers the columnar
+    # kernels and pipeline plumbing, not the schema evaluator.
+    from jsonschema_ray.spec.jschema import compile_schema as _cs
+    jschema = [(r.rule_id, r.params["field"], _cs(r.params["schema"]), r.when)
+               for r in plan.rules if r.kind == "json_schema" and r.enabled]
 
     for doc in docs:
         doc_id = doc["doc_id"]
@@ -55,6 +62,21 @@ def oracle_violations(
             if when is not None and not evaluate_predicate_python(when, doc_row):
                 continue
             if not evaluate_predicate_python(check, doc_row):
+                out.add((doc_id, rule_id, -1))
+        for rule_id, field, cs, when in jschema:
+            if when is not None and not evaluate_predicate_python(when, doc_row):
+                continue
+            v = doc.get(field)
+            if v is None:
+                continue
+            if isinstance(v, (str, bytes)):
+                import json as _json
+                try:
+                    v = _json.loads(v)
+                except ValueError:
+                    out.add((doc_id, rule_id, -1))
+                    continue
+            if not cs.is_valid(v):
                 out.add((doc_id, rule_id, -1))
         for i, span in enumerate(spans):
             span = dict(span, _span_index=i)
