@@ -452,6 +452,112 @@ def q_val_props_payload(sf_dir: str):
         check, batch_format="pyarrow")
 
 
+_EVENT_PAYLOAD_SCHEMA = {
+    "type": "object", "required": ["meta", "vals"],
+    "properties": {
+        "meta": {"type": "object", "required": ["type", "k"],
+                 "properties": {
+                     "type": {"enum": ["click", "view", "signup", "purchase"]},
+                     "k": {"type": "integer", "maximum": 79}},
+                 "additionalProperties": False},
+        "vals": {"type": "array", "minItems": 1,
+                 "items": {"type": "integer", "minimum": 1}},
+    },
+}
+
+_JSCHEMA_WORKER_CACHE: dict[str, Any] = {}
+
+
+def _worker_schema(key: str, schema: dict):
+    """Per-worker compiled-schema cache: compile once per Ray worker
+    process (the task-pool analog of actor ``__init__`` compilation)."""
+    cs = _JSCHEMA_WORKER_CACHE.get(key)
+    if cs is None:
+        from jsonschema_ray.spec.jschema import compile_schema
+
+        cs = _JSCHEMA_WORKER_CACHE[key] = compile_schema(schema)
+    return cs
+
+
+def q_val_schema_events(sf_dir: str):
+    """NESTED JSON Schema validation through the dynamic evaluator
+    (LoopProperties/LoopKeys analog, spec/jschema.py): a nested payload
+    ``{"meta": {"type", "k"}, "vals": [user_id]}`` is assembled
+    vectorized from event columns, then validated per doc against a
+    2020-12 schema exercising nested required/enum/maximum,
+    additionalProperties and array items. The oracle checks the same
+    conditions directly on the source columns — fully independent of
+    the JSON machinery. Scale shape: payload assembly + k-extraction
+    are Arrow kernels; only the schema closure runs per row, compiled
+    once per worker."""
+    import json as _json
+
+    def check(t: pa.Table) -> pa.Table:
+        cs = _worker_schema("event_payload", _EVENT_PAYLOAD_SCHEMA)
+        props = t.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        kstr = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)').field("k")
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        uid = t.column("user_id").cast(pa.string())
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        payload = pc.binary_join_element_wise(
+            '{"meta": {"type": "', et, '", "k": ', kstr,
+            '}, "vals": [', uid, "]}", "")
+        bad = np.fromiter(
+            (not cs.is_valid(_json.loads(s)) for s in payload.to_pylist()),
+            dtype=bool, count=len(payload))
+        return pa.table({"event_id": t.column("event_id")}).filter(pa.array(bad))
+
+    return _read(sf_dir, "events",
+                 columns=["event_id", "event_type", "user_id", "props"]) \
+        .map_batches(check, batch_format="pyarrow")
+
+
+_DOCS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": _ALLOWED_LANGS},
+        "n_chars": {"type": "integer", "minimum": 50, "maximum": 500},
+        "source": {"type": "string", "pattern": "^src", "maxLength": 4},
+        "text": {"type": "string", "minLength": 1},
+    },
+}
+
+
+def q_val_schema_documents(sf_dir: str):
+    """The ``validate --schema schema.json`` front door as a pipeline:
+    a real JSON Schema document describing the ``documents`` row shape
+    is compiled to vectorized CheckPlan rules (schema_to_plan) and run
+    via the standard row checker. Returns (doc_id, rule_id) violation
+    keys; the oracle re-states each generated rule as plain SQL."""
+    from jsonschema_ray.spec.compile import CompiledRowChecker
+    from jsonschema_ray.spec.jschema import schema_to_plan
+
+    plan_json = schema_to_plan(_DOCS_SCHEMA).to_json()
+
+    class Check:
+        def __init__(self):
+            self.checker = CompiledRowChecker(
+                plan_json, doc_id_col="doc_id", spans_col="spans")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = self.checker.violations(t)
+            return pa.table({
+                "doc_id": v.column("doc_id").cast(pa.int64()),
+                "rule_id": v.column("rule_id"),
+            })
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return ds.map_batches(Check, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def q_events_top_per_user(sf_dir: str):
     """Window-function analog (ROW_NUMBER() = 1 per partition): each
     user's highest-value event, tie-broken by event_id — implemented as
@@ -706,6 +812,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "val_ref_orders": q_val_ref_orders,
     "val_spans_documents": q_val_spans_documents,
     "val_props_payload": q_val_props_payload,
+    "val_schema_events": q_val_schema_events,
+    "val_schema_documents": q_val_schema_documents,
     "stats_profile_documents": q_stats_profile_documents,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
@@ -748,6 +856,28 @@ ORACLE: dict[str, str] = {
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
         "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NULL "
         "OR CAST(json_extract(props, '$.k') AS BIGINT) >= 80",
+    # the nested-payload schema (meta.type enum / meta.k max / vals
+    # items min) re-stated on the RAW columns — independent of all JSON
+    # machinery on the engine side
+    "val_schema_events":
+        "SELECT event_id FROM events "
+        "WHERE event_type NOT IN ('click', 'view', 'signup', 'purchase') "
+        "OR CAST(json_extract(props, '$.k') AS BIGINT) > 79 "
+        "OR user_id < 1",
+    # each rule schema_to_plan generates from _DOCS_SCHEMA, re-stated as
+    # plain SQL (type assertions are statically true for these columns)
+    "val_schema_documents":
+        "SELECT doc_id, 'lang.schema' AS rule_id FROM documents "
+        "WHERE lang IS NOT NULL AND lang NOT IN ('en', 'fr', 'es') "
+        "UNION ALL SELECT doc_id, 'n_chars.schema' FROM documents "
+        "WHERE n_chars IS NOT NULL AND NOT (n_chars BETWEEN 50 AND 500) "
+        "UNION ALL SELECT doc_id, 'source.schema' FROM documents "
+        "WHERE source IS NOT NULL AND NOT "
+        "(regexp_matches(source, '^src') AND length(source) <= 4) "
+        "UNION ALL SELECT doc_id, 'text.schema' FROM documents "
+        "WHERE text IS NOT NULL AND NOT (length(text) >= 1) "
+        "UNION ALL SELECT doc_id, 'doc_id.schema' FROM documents "
+        "WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)",
     "stats_profile_documents":
         "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_lang, "
         "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) "

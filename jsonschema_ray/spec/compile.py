@@ -221,13 +221,31 @@ class CompiledRowChecker:
         return flat.append_column("_span_index",
                                   pa.array(span_idx, type=pa.int32()))
 
+    def _flat_or_none(self, batch: pa.Table):
+        """Flatten spans when present; a spanless batch (pure doc-scope
+        plan, e.g. a columnar table validated via schema_to_plan) is
+        fine as long as no span-scope rule needs the column."""
+        if self.spans_col in batch.column_names:
+            flat, parent, span_idx = flatten_spans(batch, self.spans_col)
+            return self._with_span_index(flat, span_idx), parent, span_idx
+        if self._span_rules or self._mono_rules or self._uniq_item_rules \
+                or self._ref_rules or self._contains_rules:
+            raise KeyError(
+                f"plan has span-scope rules but batch lacks column "
+                f"{self.spans_col!r}")
+        empty = np.empty(0, dtype=np.int64)
+        return pa.table({}), empty, empty.astype(np.int32)
+
     def violations(self, batch: pa.Table) -> pa.Table:
         """Exhaustive mode: exact violation rows for one batch."""
-        flat, parent, span_idx = flatten_spans(batch, self.spans_col)
-        flat = self._with_span_index(flat, span_idx)
+        flat, parent, span_idx = self._flat_or_none(batch)
         doc_ids = batch.column(self.doc_id_col)
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
+        if not pa.types.is_string(doc_ids.type):
+            # violation rows carry string doc ids; predicates upstream
+            # still see the column's native type
+            doc_ids = doc_ids.cast(pa.string())
 
         parts_parent: list[np.ndarray] = []
         parts_span: list[np.ndarray] = []
@@ -290,8 +308,7 @@ class CompiledRowChecker:
 
     def fail_mask(self, batch: pa.Table) -> np.ndarray:
         """Fast mode: per-doc boolean "has any row-local violation"."""
-        flat, parent, span_idx = flatten_spans(batch, self.spans_col)
-        flat = self._with_span_index(flat, span_idx)
+        flat, parent, span_idx = self._flat_or_none(batch)
         n = batch.num_rows
         fail = np.zeros(n, dtype=bool)
         for _, _, mask in self._span_fail_masks(flat, parent):
