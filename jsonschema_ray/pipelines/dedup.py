@@ -49,8 +49,10 @@ def exact_dup_groups(source: Any, key_col: str, text_col: str = "text"):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         h = hash64(col.to_numpy(zero_copy_only=False).astype(object))
+        # int64 view (not uint64): Ray shuffles uint64 keys as pickled
+        # python-object extension arrays — int64 stays a native column
         return pa.table({
-            "text_hash": pa.array(h.astype(np.uint64)),
+            "text_hash": pa.array(h.view(np.int64)),
             key_col: t.column(key_col),
         })
 
@@ -66,50 +68,91 @@ def exact_dup_groups(source: Any, key_col: str, text_col: str = "text"):
 def exact_dedup_summary(source: Any, key_col: str, text_col: str = "text"
                         ) -> dict[str, int]:
     """{n_rows, n_unique, n_dup_groups} — collision-checked exactly via
-    a second text comparison on candidate groups (tiny)."""
+    a second text comparison on candidate groups.
+
+    Scale shape: the driver only ever holds scalars and the dup-group
+    HASH array (8 bytes per dup group, broadcast once via ``ray.put``).
+    Group stats are dataset aggregates; the collision audit (per-hash
+    distinct-text count) is a distributed groupby over candidate rows
+    — no candidate text ever reaches the driver."""
+    import pandas as pd
+    import ray
+
     src = as_source(source)
-    groups = exact_dup_groups(source, key_col, text_col)
-    candidates = groups.to_pandas()  # dup groups only: small by construction
+    groups = exact_dup_groups(source, key_col, text_col).materialize()
     n_rows = src.dataset(columns=[key_col]).count()
-    # verify candidate groups by exact text (collision audit)
+    n_groups = groups.count()
+    n_dup_rows = int(groups.sum("n_copies") or 0) if n_groups else 0
+
     extra_unique = 0
-    if len(candidates):
-        hashes = set(candidates["text_hash"].tolist())
+    if n_groups:
+        # thin pull: one uint64 per dup group, broadcast once
+        hash_arr = np.sort(np.concatenate([
+            b.column("text_hash").to_numpy(zero_copy_only=False)
+            for b in groups.select_columns(["text_hash"])
+            .iter_batches(batch_format="pyarrow")]))
+        href = ray.put(hash_arr)
 
         def pick(t: pa.Table) -> pa.Table:
+            hs = ray.get(href)  # zero-copy view from local object store
             col = t.column(text_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            h = hash64(col.to_numpy(zero_copy_only=False).astype(object))
-            return t.filter(pa.array(np.isin(h, np.fromiter(hashes, np.uint64))))
+            h = hash64(col.to_numpy(zero_copy_only=False).astype(object)) \
+                .view(np.int64)
+            idx = np.searchsorted(hs, h)
+            idx[idx == len(hs)] = 0
+            hit = hs[idx] == h
+            return pa.table({"text_hash": pa.array(h[hit]),
+                             text_col: col.filter(pa.array(hit))})
 
-        cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
-            pick, batch_format="pyarrow").to_pandas()
-        # distinct texts among collision-grouped rows
-        per_hash = cand_rows.assign(
-            _h=hash64(cand_rows[text_col].to_numpy().astype(object))
-        ).groupby("_h")[text_col].nunique()
-        extra_unique = int((per_hash - 1).clip(lower=0).sum())
-    n_dup_rows = int(candidates["n_copies"].sum()) if len(candidates) else 0
-    n_unique = n_rows - n_dup_rows + len(candidates) + extra_unique
+        def distinct_texts(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"extra": [int(g[text_col].nunique()) - 1]})
+
+        audit = src.dataset(columns=[key_col, text_col]) \
+            .map_batches(pick, batch_format="pyarrow") \
+            .groupby("text_hash").map_groups(distinct_texts,
+                                             batch_format="pandas")
+        extra_unique = int(audit.sum("extra") or 0)
+
+    n_unique = n_rows - n_dup_rows + n_groups + extra_unique
     return {"n_rows": n_rows, "n_unique": n_unique,
-            "n_dup_groups": int(len(candidates))}
+            "n_dup_groups": int(n_groups)}
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _tokenize_flat(texts: np.ndarray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a batch via Arrow kernels (no per-row Python
+    split): returns (counts_per_doc, flat_token_object_array)."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(texts, from_pandas=True)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.utf8_split_whitespace(arr.fill_null(""))
+    counts = pc.list_value_length(toks).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    # empty strings produce [''] singleton lists; drop those tokens
+    if len(flat):
+        keep = pc.not_equal(flat, "")
+        if not pc.all(keep).as_py():
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(len(counts)), counts)
+            counts = np.bincount(doc_of[keep_np], minlength=len(counts))
+            flat = flat.filter(keep)
+    return counts, flat.to_numpy(zero_copy_only=False)
+
+
 def _shingle_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle hashes for a batch: returns (doc_idx, shingle_hash)
-    flattened over all docs. Tokenization is whitespace; shingle hash is
-    a rolling combine of token hashes (vectorized over the flat token
-    stream)."""
-    # token stream
-    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
-    flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists]) \
-        if counts.sum() else np.empty(0, dtype=object)
+    flattened over all docs. Tokenization is Arrow ``utf8_split_whitespace``
+    (vectorized); shingle hash is a rolling combine of token hashes over
+    the flat token stream."""
+    counts, flat_tokens = _tokenize_flat(texts)
     th = hash64(flat_tokens) if len(flat_tokens) else np.empty(0, np.uint64)
     doc_of_tok = np.repeat(np.arange(len(texts)), counts)
     # rolling k-gram combine: h[i] ^ rot(h[i+1]) ^ ... within same doc
@@ -159,17 +202,31 @@ def minhash_band_rows(source: Any, key_col: str, text_col: str = "text",
     def to_bands(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, num_perm=num_perm, seed=seed)
-        n = len(texts)
+        # shingle-less docs share the all-max sentinel signature; banding
+        # them would fuse every short/empty doc into ONE bucket and the
+        # pair expansion would go quadratic on short-doc corpora — they
+        # cannot be near-dups by shingle Jaccard, so drop them here
+        has_sig = sig[:, 0] != np.iinfo(np.uint64).max
+        if not has_sig.all():
+            sig = sig[has_sig]
+        n = int(has_sig.sum())
+        if n == 0:
+            return pa.table({
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                key_col: t.column(key_col).slice(0, 0),
+            })
         band_sig = sig.reshape(n, bands, rows_per_band)
         with np.errstate(over="ignore"):
             bh = band_sig[:, :, 0].copy()
             for j in range(1, rows_per_band):
                 bh = bh * np.uint64(1099511628211) ^ band_sig[:, :, j]
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)[has_sig]
         return pa.table({
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)
                              .reshape(bands, n).T.reshape(-1)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.uint64)),
+            # int64 view: native Arrow column through the band shuffle
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             key_col: pa.array(np.repeat(keys, bands)),
         })
 
@@ -178,43 +235,66 @@ def minhash_band_rows(source: Any, key_col: str, text_col: str = "text",
 
 
 def minhash_candidate_pairs(source: Any, key_col: str, text_col: str = "text",
-                            num_perm: int = 64, bands: int = 16, seed: int = 1):
-    """LSH candidate pairs dataset (key_a < key_b), deduped."""
+                            num_perm: int = 64, bands: int = 16, seed: int = 1,
+                            max_bucket: int = 256):
+    """LSH candidate pairs dataset (key_a < key_b), deduped.
+
+    Pair expansion is vectorized (``np.triu_indices``), and a band
+    bucket larger than ``max_bucket`` is truncated to its smallest
+    ``max_bucket`` keys (deterministic) with the overflow counted in
+    the ``n_dropped`` column of the emitted frame — an oversized bucket
+    means the band hash has degenerated (skewed corpus) and quadratic
+    expansion there would dominate the whole job; truncation keeps the
+    densest duplicates and bounds work per bucket. No silent caps:
+    consumers can sum ``n_dropped``."""
     import pandas as pd
 
     band_rows = minhash_band_rows(source, key_col, text_col, num_perm, bands, seed)
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key_col].tolist())
+        ks = np.sort(g[key_col].to_numpy())
+        dropped = 0
+        if len(ks) > max_bucket:
+            dropped = len(ks) - max_bucket
+            ks = ks[:max_bucket]
         if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                out_a.append(ks[i]); out_b.append(ks[j])
-        return pd.DataFrame({"key_a": out_a, "key_b": out_b})
+            return pd.DataFrame({"key_a": ks[:0], "key_b": ks[:0],
+                                 "n_dropped": np.array([], dtype=np.int64)})
+        i, j = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
+                             "n_dropped": np.full(len(i), 0, dtype=np.int64)
+                             if not dropped else
+                             np.r_[dropped, np.zeros(len(i) - 1, np.int64)]})
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
         pairs_of_group, batch_format="pandas")
-    # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Count
+    # dedupe pairs found in multiple bands; n_dropped survives as a sum
+    # (attributed to the truncated bucket's first surviving pair)
+    from ray.data.aggregate import Count, Sum
 
     return pairs.groupby(["key_a", "key_b"]).aggregate(
-        Count(alias_name="n_bands"))
+        Count(alias_name="n_bands"), Sum("n_dropped", alias_name="n_dropped"))
 
 
 def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
                    shingle_k: int = 3, threshold: float = 0.7) -> list[dict]:
-    """Exact Jaccard on candidate pairs (driver-side; candidates are a
-    tiny fraction by construction — LSH prefilters)."""
-    def shingles(text: str) -> set:
-        toks = text.split()
-        return {tuple(toks[i:i + shingle_k])
-                for i in range(max(0, len(toks) - shingle_k + 1))}
+    """Exact Jaccard on candidate pairs (runs inside ``map_batches``
+    workers over pair partitions; candidates are a tiny fraction by
+    construction — LSH prefilters). Shingle sets are memoized per key
+    so a key in many pairs tokenizes once."""
+    cache: dict = {}
+
+    def shingles(key) -> set:
+        s = cache.get(key)
+        if s is None:
+            toks = texts_by_key[key].split()
+            s = cache[key] = {tuple(toks[i:i + shingle_k])
+                              for i in range(max(0, len(toks) - shingle_k + 1))}
+        return s
 
     out = []
     for a, b in pairs:
-        sa, sb = shingles(texts_by_key[a]), shingles(texts_by_key[b])
+        sa, sb = shingles(a), shingles(b)
         if not sa and not sb:
             j = 1.0
         else:
@@ -229,18 +309,32 @@ def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
                            bands: int = 16, shingle_k: int = 3,
                            seed: int = 1) -> pa.Table:
     """End-to-end near-dup detection: MinHash-LSH candidates → exact
-    n-gram-Jaccard verification. Candidate texts are fetched with a
-    broadcast id-set filter (distributed, reads only the candidates);
-    only the verified-candidate subset ever reaches the driver."""
-    import pyarrow.compute as pc
+    n-gram-Jaccard verification.
 
-    pairs_df = minhash_candidate_pairs(
-        source, key_col, text_col, num_perm, bands, seed).to_pandas()
-    if len(pairs_df) == 0:
-        return pa.table({"key_a": pa.array([], type=pa.int64()),
-                         "key_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    cand_ids = set(pairs_df["key_a"]) | set(pairs_df["key_b"])
+    Scale shape: the driver only ever holds (a) candidate KEY ids (8
+    bytes each) and (b) the candidate TEXTS, broadcast once via
+    ``ray.put`` — the Jaccard computation itself runs distributed as a
+    ``map_batches`` over the pairs dataset. Candidates are a tiny
+    fraction of the corpus by LSH construction; if a corpus ever makes
+    the candidate text set itself too big to broadcast, replace the
+    broadcast with two ``Dataset.join``s (pairs⋈texts on key_a, then
+    key_b) — same verification kernel, shuffle instead of broadcast."""
+    import ray
+
+    pairs = minhash_candidate_pairs(
+        source, key_col, text_col, num_perm, bands, seed).materialize()
+    empty = pa.table({"key_a": pa.array([], type=pa.int64()),
+                      "key_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if pairs.count() == 0:
+        return empty
+
+    # thin driver pull: ids only
+    cand_ids: set = set()
+    for b in pairs.select_columns(["key_a", "key_b"]).iter_batches(
+            batch_format="pyarrow"):
+        cand_ids.update(b.column("key_a").to_pylist())
+        cand_ids.update(b.column("key_b").to_pylist())
     id_set = pa.array(sorted(cand_ids))
 
     src = as_source(source)
@@ -253,15 +347,26 @@ def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
 
     cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
         pick, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(cand_rows[key_col], cand_rows[text_col]))
-    verified = verify_jaccard(
-        texts, list(zip(pairs_df["key_a"], pairs_df["key_b"])),
-        shingle_k=shingle_k, threshold=threshold)
-    if not verified:
-        return pa.table({"key_a": pa.array([], type=pa.int64()),
-                         "key_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    return pa.Table.from_pylist(verified)
+    texts_ref = ray.put(dict(zip(cand_rows[key_col], cand_rows[text_col])))
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)  # zero-copy from local object store
+        rows = verify_jaccard(
+            texts,
+            list(zip(t.column("key_a").to_pylist(),
+                     t.column("key_b").to_pylist())),
+            shingle_k=shingle_k, threshold=threshold)
+        if not rows:
+            return empty
+        return pa.Table.from_pylist(rows).select(
+            ["key_a", "key_b", "jaccard"]).cast(empty.schema)
+
+    out = pairs.map_batches(verify_batch, batch_format="pyarrow")
+    # verified pairs are the final (small) result — stream to driver
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    return pa.concat_tables(batches).combine_chunks()
 
 
 def dup_clusters(pairs, keys=None) -> dict:
@@ -326,13 +431,12 @@ def dedup_survivors(source: Any, clusters: dict, key_col: str):
 # ---------------------------------------------------------------------------
 
 def simhash_batch(texts: np.ndarray) -> np.ndarray:
-    """64-bit simhash per text: sign of summed ±1 token-hash bits."""
-    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    """64-bit simhash per text: sign of summed ±1 token-hash bits.
+    Tokenization via Arrow ``utf8_split_whitespace`` (no per-row split)."""
+    counts, flat = _tokenize_flat(texts)
     total = int(counts.sum())
     if total == 0:
         return np.zeros(len(texts), dtype=np.uint64)
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
     th = hash64(flat)
     doc_idx = np.repeat(np.arange(len(texts)), counts)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \

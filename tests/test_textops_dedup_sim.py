@@ -265,3 +265,51 @@ def test_near_dup_pairs(ray_session):
     pairs = near_dup_pairs(DatasetSource(rd.from_arrow(t2)),
                            threshold=0.99).to_pandas()
     assert (3, 500) in set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+
+
+def test_minhash_short_doc_corpus_no_sentinel_bucket(ray_session):
+    """Shingle-less docs (< k tokens) must be EXCLUDED from banding —
+    round-1 bug: they all shared the all-max sentinel signature and
+    collapsed into one quadratic bucket on short-doc corpora."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import (
+        minhash_candidate_pairs, minhash_verified_pairs)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "slowly sets behind the tall mountain range in the west")
+    rows = [(i, f"w{i}") for i in range(500)]          # 1 token → no 3-shingle
+    rows += [(1000, base), (1001, base + " tonight")]  # planted near-dup
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+
+    pairs = minhash_candidate_pairs(src, "doc_id").to_pandas()
+    touched = set(pairs["key_a"]) | set(pairs["key_b"])
+    assert touched <= {1000, 1001}, \
+        f"sentinel docs leaked into banding: {sorted(touched)[:5]}"
+
+    verified = minhash_verified_pairs(src, "doc_id", threshold=0.5)
+    got = set(zip(verified.column("key_a").to_pylist(),
+                  verified.column("key_b").to_pylist()))
+    assert (1000, 1001) in got
+
+
+def test_minhash_bucket_cap_bounds_pairs(ray_session):
+    """An oversized band bucket (here: one text duplicated 150×) is
+    truncated to max_bucket keys; the overflow is surfaced in
+    n_dropped, never silently."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import minhash_candidate_pairs
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    text = ("identical content repeated verbatim across many documents "
+            "to forge one degenerate locality sensitive hashing bucket")
+    rows = [(i, text) for i in range(150)]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    pairs = minhash_candidate_pairs(src, "doc_id", max_bucket=32).to_pandas()
+    # pairs bounded by C(32,2), not C(150,2)
+    assert len(pairs) <= 32 * 31 // 2
+    assert pairs["n_dropped"].sum() > 0
+    # survivors are the smallest keys (deterministic truncation)
+    assert set(pairs["key_a"]) | set(pairs["key_b"]) <= set(range(32))
