@@ -118,14 +118,16 @@ def cmd_validate(args) -> int:
     n = res.violation_count()
     if args.json:
         # Standard/Basic-style structured output
-        # (/root/reference/vendor/blaze/src/output/output_standard.cc:47-135)
-        rows = res.sorted_table().to_pylist()
+        # (/root/reference/vendor/blaze/src/output/output_standard.cc:47-135).
+        # Only the first --limit rows reach the driver (distributed
+        # sort + limit); the full set goes to --out parquet.
+        rows = res.sorted_head(args.limit).to_pylist()
         print(json.dumps({
             "valid": res.overall_pass(),
             "violations": [
                 {"doc_id": r["doc_id"], "rule_id": r["rule_id"],
                  "span_index": r["span_index"], "message": r["message"]}
-                for r in rows[:args.limit if not args.out else len(rows)]],
+                for r in rows],
             "total_violations": n,
             "plan_hash": plan.plan_hash(),
         }, indent=1))
@@ -135,7 +137,7 @@ def cmd_validate(args) -> int:
     if args.out:
         res.violations.write_parquet(args.out)
     else:
-        for row in res.sorted_table().slice(0, args.limit).to_pylist():
+        for row in res.sorted_head(args.limit).to_pylist():
             print(f"{row['doc_id']}\t{row['rule_id']}\t"
                   f"{row['span_index']}\t{row['message']}", file=sys.stderr)
     verdicts = res.partition_verdicts()

@@ -798,7 +798,12 @@ def q_flagship_validate(sf_dir: str):
     cfg = GenConfig(n_docs=n_docs)
     cat = catalog_table(cfg).column("media_ref").combine_chunks()
     res = validate(SynthSource(cfg), catalog_keys=cat)
-    return res.sorted_table().drop_columns(["part"])
+    # distributed sort, part column dropped in-stream — the driver
+    # receives the ordered violation dataset without a driver-side
+    # concat (ValidationResult.sorted_head is the capped variant)
+    res.materialize()
+    return res._normalized().sort(
+        ["doc_id", "rule_id", "span_index"]).drop_columns(["part"])
 
 
 # ---------------------------------------------------------------------------

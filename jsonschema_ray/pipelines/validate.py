@@ -309,6 +309,40 @@ class ValidationResult:
                                               ("span_index", "ascending")])
         return t.take(order)
 
+    def _normalized(self):
+        """Violations dataset with every block coerced to the canonical
+        schema (Ray's groupby can emit zero-column empty blocks)."""
+        def fix(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "part" not in b.schema.names:
+                return VIOLATION_PART_SCHEMA.empty_table()
+            return b.select(VIOLATION_PART_SCHEMA.names)
+        return self.violations.map_batches(fix, batch_format="pyarrow")
+
+    def sorted_head(self, limit: int) -> pa.Table:
+        """First ``limit`` rows in deterministic order WITHOUT a driver
+        concat: distributed sort + limit — only ``limit`` rows ever
+        reach the driver. This is the report path for big results;
+        ``sorted_table`` stays for tests / small results."""
+        self.materialize()
+        ds = self._normalized().sort(
+            ["doc_id", "rule_id", "span_index"]).limit(limit)
+        batches = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+                   if b.num_rows]
+        if not batches:
+            return VIOLATION_PART_SCHEMA.empty_table()
+        return pa.concat_tables(
+            [b.select(VIOLATION_PART_SCHEMA.names) for b in batches]
+        ).combine_chunks()
+
+    def write_sorted(self, out_dir: str) -> None:
+        """Globally sorted violation report as parquet, written straight
+        from the cluster (the scale path for the reference's ordered
+        text report — no driver materialization)."""
+        self.materialize()
+        self._normalized().sort(
+            ["doc_id", "rule_id", "span_index"]).write_parquet(out_dir)
+
     def violation_count(self) -> int:
         self.materialize()
         return self.violations.count()

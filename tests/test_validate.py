@@ -278,3 +278,28 @@ def test_resume_clears_stale_shard_output(ray_session, tmp_path):
         [pq.read_table(f) for f in glob.glob(d + "/*.parquet")])
     assert "stale" not in set(got.column("rule_id").to_pylist())
     assert got.num_rows == summary["violations"]
+
+
+def test_sorted_head_matches_sorted_table(ray_session, small):
+    """The streaming report path (distributed sort + limit) must agree
+    with the driver-concat path on content and order."""
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat)
+    full = res.sorted_table()
+    head = res.sorted_head(37)
+    assert head.num_rows == min(37, full.num_rows)
+    assert head.to_pylist() == full.slice(0, 37).to_pylist()
+
+
+def test_write_sorted_roundtrip(ray_session, small, tmp_path):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    cfg, table, cat, expected = small
+    res = validate(DatasetSource(rd.from_arrow(table)), catalog_keys=cat)
+    out = str(tmp_path / "sorted_report")
+    res.write_sorted(out)
+    back = pads.dataset(out).to_table()
+    assert back.num_rows == res.violation_count()
