@@ -114,27 +114,43 @@ def q_val_ref_orders(sf_dir: str):
 
 def q_stats_profile_documents(sf_dir: str):
     """Column-stats rule, exact flavour (count / nulls / distinct /
-    min / max) — single-row profile of the documents table."""
+    min / max) — single-row profile of the documents table in ONE pass:
+    mergeable per-block partials (count, min, max, null count, distinct
+    lang SET — exact, since lang cardinality is tiny), merged on the
+    driver from one thin row per block. Round-1 version scanned the
+    table three times."""
     import pandas as pd
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
-    from ray.data.aggregate import Count, Max, Min
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars")
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], type=pa.int64()),
+            "min_chars": pa.array([pc.min(nc).as_py()], type=pa.int64()),
+            "max_chars": pa.array([pc.max(nc).as_py()], type=pa.int64()),
+            "null_text": pa.array(
+                [int(pc.sum(pc.is_null(txt)).as_py() or 0)], type=pa.int64()),
+            "langs": pa.array([pc.unique(lang.drop_null()).to_pylist()],
+                              type=pa.list_(pa.string())),
+        })
 
-    agg = ds.aggregate(Count(alias_name="n_docs"),
-                       Min("n_chars", alias_name="min_chars"),
-                       Max("n_chars", alias_name="max_chars"))
-    n_lang = len(ds.unique("lang"))
-    null_text = ds.map_batches(
-        lambda t: pa.table({"n": pa.array(
-            [int(pc.sum(pc.is_null(t.column("text")).combine_chunks()
-                        if isinstance(t.column("text"), pa.ChunkedArray)
-                        else pc.is_null(t.column("text"))).as_py() or 0)],
-            type=pa.int64())}),
-        batch_format="pyarrow").sum("n")
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .take_all()  # one thin row per block
+    langs: set = set()
+    for p in parts:
+        langs.update(p["langs"])
     return pd.DataFrame([{
-        "n_docs": int(agg["n_docs"]), "n_lang": int(n_lang),
-        "null_text": int(null_text or 0),
-        "min_chars": int(agg["min_chars"]), "max_chars": int(agg["max_chars"]),
+        "n_docs": int(sum(p["n_docs"] for p in parts)),
+        "n_lang": len(langs),
+        "null_text": int(sum(p["null_text"] for p in parts)),
+        "min_chars": int(min(p["min_chars"] for p in parts)),
+        "max_chars": int(max(p["max_chars"] for p in parts)),
     }])
 
 
@@ -272,13 +288,17 @@ def q_q1_pricing_summary(sf_dir: str):
                         "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
                filter=(pc.field("l_shipdate") <= cutoff))
 
-    def derive(t: pa.Table) -> pa.Table:
+    def derive_partial(t: pa.Table) -> pa.Table:
+        # per-block COMBINER (Arrow group_by, vectorized C++): the
+        # groupby shuffle then carries ≤ |groups| rows per block (~6)
+        # instead of one row per lineitem — a ~10^5 shuffle reduction
+        # at sf0.1 and the pattern that holds at 100 TB.
         t = t.filter(pc.less_equal(t.column("l_shipdate"),
                                    pa.scalar(cutoff)))  # exact post-filter
         ext = t.column("l_extendedprice")
         disc_price = pc.multiply(ext, pc.subtract(1.0, t.column("l_discount")))
         charge = pc.multiply(disc_price, pc.add(1.0, t.column("l_tax")))
-        return pa.table({
+        derived = pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
             "qty_c": _scale100(t.column("l_quantity")),
@@ -287,15 +307,28 @@ def q_q1_pricing_summary(sf_dir: str):
             "charge_c": _scale100(charge),
             "discount_c": _scale100(t.column("l_discount")),
         })
+        g = derived.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_price_c", "sum"),
+             ("charge_c", "sum"), ("discount_c", "sum"), ("qty_c", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "qty_c": g.column("qty_c_sum"),
+            "base_c": g.column("base_c_sum"),
+            "disc_price_c": g.column("disc_price_c_sum"),
+            "charge_c": g.column("charge_c_sum"),
+            "discount_c": g.column("discount_c_sum"),
+            "n": g.column("qty_c_count"),
+        })
 
-    out = (ds.map_batches(derive, batch_format="pyarrow")
+    out = (ds.map_batches(derive_partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
                         Sum("base_c", alias_name="sum_base_price_c"),
                         Sum("disc_price_c", alias_name="sum_disc_price_c"),
                         Sum("charge_c", alias_name="sum_charge_c"),
                         Sum("discount_c", alias_name="sum_discount_c"),
-                        Count(alias_name="count_order")))
+                        Sum("n", alias_name="count_order")))
 
     q1_schema = pa.schema(
         [("l_returnflag", pa.string()), ("l_linestatus", pa.string())]
@@ -633,12 +666,33 @@ def q_quality_counts(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """* rows-only: stopword-profile language ID."""
+    """Stopword-profile language ID (SQL-oracled: the same per-profile
+    regex counts + first-max argmax, re-stated in DuckDB)."""
     from jsonschema_ray.pipelines.textops import add_langid
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: add_langid(t).select(["doc_id", "lang_pred"]),
         batch_format="pyarrow")
+
+
+def _langid_sql() -> str:
+    """Oracle for q_langid, generated from the SAME LANG_PROFILES so the
+    two stay in sync; argmax ties resolve to profile order (np.argmax
+    takes the first maximum)."""
+    from jsonschema_ray.pipelines.textops import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    counts = ", ".join(
+        rf"len(regexp_extract_all(text, '\b({'|'.join(ws)})\b')) AS c_{lang}"
+        for lang, ws in LANG_PROFILES.items())
+    all_zero = " AND ".join(f"c_{lang} = 0" for lang in langs)
+    case = f"WHEN {all_zero} THEN 'und' "
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"c_{lang} >= c_{other}"
+                           for other in langs[i + 1:]) or "TRUE"
+        case += f"WHEN {geq} THEN '{lang}' "
+    return (f"WITH s AS (SELECT doc_id, {counts} FROM documents) "
+            f"SELECT doc_id, CASE {case}END AS lang_pred FROM s")
 
 
 # ---------------------------------------------------------------------------
@@ -962,7 +1016,9 @@ ORACLE: dict[str, str] = {
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos_sim "
         "FROM embeddings e WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
-    # langid / minhash_pairs / simhash / ann_topk / near_dup_embeddings /
-    # flagship_validate: non-SQL-expressible (heuristic / approximate /
-    # synthetic-input) → rows-only driver check; exactness covered by pytest.
+    "langid": _langid_sql(),
+    # minhash_pairs / minhash_verified / simhash / ann_topk /
+    # near_dup_embeddings / profile_interleaved / flagship_validate:
+    # non-SQL-expressible (custom hashing / approximate / synthetic-
+    # input) → rows-only driver check; exactness covered by pytest.
 }

@@ -169,12 +169,19 @@ def profile(
 
     # coalesce the hundreds of tiny partial blocks before the groupby:
     # Ray's sort shuffle schedules a map+reduce task per block, which
-    # dominates wall time when blocks hold a handful of sketch rows
+    # dominates wall time when blocks hold a handful of sketch rows.
+    # Coalesce width scales with the cluster (≈ cpus/4, floor 4) rather
+    # than a hardcoded single-node constant.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    width = max(4, cpus // 4)
     salted = partials.map_batches(add_salt, batch_format="pyarrow") \
-        .repartition(8)
+        .repartition(width)
     level1 = salted.groupby(["column", "salt"]).map_groups(
         lambda t: _merge_rows(t.drop_columns(["salt"])), batch_format="pyarrow")
-    level2 = level1.repartition(4).groupby("column").map_groups(
+    level2 = level1.repartition(max(2, width // 2)).groupby("column").map_groups(
         _merge_rows, batch_format="pyarrow")
 
     out: dict[str, dict[str, Any]] = {}
