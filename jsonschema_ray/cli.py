@@ -545,7 +545,12 @@ def _eval(spec, row):
         lo, hi = spec.get("min"), spec.get("max")
         return (lo is None or len(v) >= lo) and (hi is None or len(v) <= hi)
     if op == "format":
-        return re.fullmatch(FORMATS[spec["format"]], v) is not None
+        fmt = spec["format"]
+        if fmt == "idn-hostname":
+            return _idn_hostname_ok(v)
+        if fmt == "idn-email":
+            return _idn_email_ok(v)
+        return re.fullmatch(FORMATS[fmt], v) is not None
     if op == "divisible":
         q = v / spec["by"]
         return abs(q - round(q)) <= 1e-9
@@ -569,6 +574,26 @@ def _eval(spec, row):
 
 
 FORMATS = {formats}
+
+
+def _idn_hostname_ok(v):
+    if not v or len(v) > 510:
+        return False
+    try:
+        enc = v.rstrip(".").encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return False
+    if len(enc) > 253:
+        return False
+    label = r"[A-Za-z0-9]([A-Za-z0-9-]{{0,61}}[A-Za-z0-9])?"
+    return re.fullmatch(label + r"(\." + label + r")*\.?", enc) is not None
+
+
+def _idn_email_ok(v):
+    local, sep, domain = v.rpartition("@")
+    if not sep or not local or not re.fullmatch(r"[^\s@]+", local):
+        return False
+    return _idn_hostname_ok(domain)
 
 
 def validate_rows(rows):

@@ -30,7 +30,13 @@ import pyarrow.compute as pc
 # Regex-representable formats (anchored; evaluated by RE2 — no lookaround).
 # ---------------------------------------------------------------------------
 
-_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+# calendar-aware month/day combos (Feb capped at 29; leap-year
+# pedantics are the one divergence from a full parser, documented in
+# tests/test_formats_parity.py)
+_DATE = (r"\d{4}-"
+         r"(((0[13578]|1[02])-(0[1-9]|[12]\d|3[01]))"
+         r"|((0[469]|11)-(0[1-9]|[12]\d|30))"
+         r"|(02-(0[1-9]|1\d|2\d)))")
 _PARTIAL_TIME = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
 _TIME = _PARTIAL_TIME + r"(Z|z|[+-]([01]\d|2[0-3]):[0-5]\d)"
 _IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
@@ -56,9 +62,16 @@ _HOSTNAME = rf"{_HOSTNAME_LABEL}(\.{_HOSTNAME_LABEL})*\.?"
 # common draft-test-suite-compatible subset)
 _EMAIL = r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@" + _HOSTNAME
 _UUID = r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-_DURATION = (
-    r"P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)"
-)
+# RFC 3339 appendix-A duration WITHOUT the degenerate forms the round-1
+# regex accepted ("P", "PT", "P1YT"): every alternative requires ≥1
+# component and a "T" requires ≥1 time component (RE2-safe: alternation
+# instead of lookahead; mirrors the reference's parser in
+# vendor/core/src/core/time)
+_DUR_TIME = (r"T(\d+H(\d+M)?(\d+(\.\d+)?S)?"
+             r"|\d+M(\d+(\.\d+)?S)?"
+             r"|\d+(\.\d+)?S)")
+_DUR_DATE = rf"(\d+Y(\d+M)?(\d+D)?|\d+M(\d+D)?|\d+D)({_DUR_TIME})?"
+_DURATION = rf"P(\d+W|{_DUR_TIME}|{_DUR_DATE})"
 _SCHEME = r"[A-Za-z][A-Za-z0-9+.-]*"
 _URI_CHARS = r"[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]"
 _URI = rf"{_SCHEME}:{_URI_CHARS}*"
@@ -79,9 +92,7 @@ REGEX_FORMATS: dict[str, str] = {
     "ipv4": _IPV4,
     "ipv6": _IPV6,
     "hostname": _HOSTNAME,
-    "idn-hostname": _HOSTNAME,  # ASCII subset; IDN/punycode pedantics stubbed
     "email": _EMAIL,
-    "idn-email": _EMAIL,  # ASCII subset
     "uuid": _UUID,
     "duration": _DURATION,
     "uri": _URI,
@@ -128,10 +139,81 @@ def _regex_format_kernel(arr: pa.Array) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# IDN formats: real punycode via the stdlib IDNA codec (RFC 3490 ToASCII,
+# the public analog of the reference's vendor/core/src/core/dns encoder).
+# Non-regex by nature → batched Python kernels with a per-unique cache.
+# ---------------------------------------------------------------------------
+
+_HOSTNAME_RX = re.compile(rf"^({_HOSTNAME})$")
+_IDN_LOCAL_RX = re.compile(r"^[^\s@]+$")
+
+
+def idn_hostname_ok(v: str) -> bool:
+    """Unicode hostname validity: every label survives IDNA ToASCII
+    (punycode) and the encoded form is a valid LDH hostname. Rejects
+    bad punycode (`xn--` labels that don't decode), overlong labels,
+    and empty labels — the failure modes the round-1 ASCII stub let
+    through."""
+    if not v or len(v) > 510:
+        return False
+    try:
+        enc = v.rstrip(".").encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return False
+    if len(enc) > 253:
+        return False
+    return _HOSTNAME_RX.match(enc) is not None
+
+
+def idn_email_ok(v: str) -> bool:
+    """SMTPUTF8-flavoured email: non-empty local part without
+    whitespace/@, domain a valid IDN hostname."""
+    local, sep, domain = v.rpartition("@")
+    if not sep or not local:
+        return False
+    return _IDN_LOCAL_RX.match(local) is not None and idn_hostname_ok(domain)
+
+
+PYTHON_FORMATS: dict[str, Callable[[str], bool]] = {
+    "idn-hostname": idn_hostname_ok,
+    "idn-email": idn_email_ok,
+}
+
+
+def _python_kernel(fn: Callable[[str], bool]) -> Callable[[pa.Array], np.ndarray]:
+    def kernel(arr: pa.Array) -> np.ndarray:
+        uniq = pc.unique(arr.drop_null())
+        ok = {v: fn(v) for v in uniq.to_pylist()}
+        vals = arr.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(arr), dtype=bool)
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = ok.get(v, False)
+        return out
+    return kernel
+
+
+def check_format_value(v: str, fmt: str) -> bool:
+    """Scalar format check — the single source of truth shared by the
+    pure-Python predicate evaluator and the JSON Schema evaluator."""
+    if fmt in PYTHON_FORMATS:
+        return PYTHON_FORMATS[fmt](v)
+    if fmt == "regex":
+        try:
+            re.compile(v)
+            return True
+        except re.error:
+            return False
+    return re.fullmatch(REGEX_FORMATS[fmt], v) is not None
+
+
 _KERNELS: dict[str, Callable[[pa.Array], np.ndarray]] = {
     name: _regex_kernel(pat) for name, pat in REGEX_FORMATS.items()
 }
 _KERNELS["regex"] = _regex_format_kernel
+for _name, _fn in PYTHON_FORMATS.items():
+    _KERNELS[_name] = _python_kernel(_fn)
 
 
 def format_names() -> list[str]:

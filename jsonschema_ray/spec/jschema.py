@@ -322,20 +322,12 @@ class CompiledSchema:
                                  f"does not match {rx.pattern!r}"))
             checks.append(c_pat)
         if "format" in sch and self._assert_formats:
-            from jsonschema_ray.functions.formats import REGEX_FORMATS
+            from jsonschema_ray.functions.formats import (
+                PYTHON_FORMATS, REGEX_FORMATS, check_format_value)
             fmt = sch["format"]
-            if fmt == "regex":
-                def c_fmt(v, path, errs, ann):
-                    if isinstance(v, str):
-                        try:
-                            re.compile(v)
-                        except re.error:
-                            errs.append((path, "format", "invalid regex"))
-                checks.append(c_fmt)
-            elif fmt in REGEX_FORMATS:
-                frx = re.compile(REGEX_FORMATS[fmt])
-                def c_fmt(v, path, errs, ann, frx=frx, fmt=fmt):
-                    if isinstance(v, str) and frx.fullmatch(v) is None:
+            if fmt == "regex" or fmt in REGEX_FORMATS or fmt in PYTHON_FORMATS:
+                def c_fmt(v, path, errs, ann, fmt=fmt):
+                    if isinstance(v, str) and not check_format_value(v, fmt):
                         errs.append((path, "format", f"not a valid {fmt}"))
                 checks.append(c_fmt)
             # unknown format → annotation only (spec-conformant)
@@ -658,8 +650,11 @@ def _scalar_spec(sub: Any) -> dict | None:
         parts.append({"op": "lt", "field": None, "value": sub["exclusiveMaximum"]})
     if "multipleOf" in sub:
         parts.append({"op": "divisible", "field": None, "by": sub["multipleOf"]})
-    if "format" in sub and sub["format"] in REGEX_FORMATS:
-        parts.append({"op": "format", "field": None, "format": sub["format"]})
+    if "format" in sub:
+        from jsonschema_ray.functions.formats import PYTHON_FORMATS
+        if sub["format"] in REGEX_FORMATS or sub["format"] in PYTHON_FORMATS:
+            parts.append({"op": "format", "field": None,
+                          "format": sub["format"]})
 
     for kw, op in (("allOf", "and"), ("anyOf", "or"), ("oneOf", "one_of")):
         if kw in sub:

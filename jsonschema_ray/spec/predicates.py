@@ -311,15 +311,8 @@ def evaluate_predicate_python(spec: dict[str, Any], row: dict[str, Any]) -> bool
         n = len(v)
         return (lo is None or n >= lo) and (hi is None or n <= hi)
     if op == "format":
-        from jsonschema_ray.functions.formats import REGEX_FORMATS
-        fmt = spec["format"]
-        if fmt == "regex":
-            try:
-                _re.compile(v)
-                return True
-            except _re.error:
-                return False
-        return _re.fullmatch(REGEX_FORMATS[fmt], v) is not None
+        from jsonschema_ray.functions.formats import check_format_value
+        return check_format_value(v, spec["format"])
     if op == "divisible":
         q = v / spec["by"]
         if not math.isfinite(q):

@@ -86,9 +86,10 @@ def test_format_kernels_spot():
     arr = pa.array(["192.168.0.1", "256.1.1.1", "1.2.3", None])
     assert check_format(arr, "ipv4").tolist() == [True, False, False, False]
 
-    arr = pa.array(["2024-02-29", "2024-13-01", "2024-02-30"])
-    # regex-level date check: month/day digit ranges, not calendar pedantics
-    assert check_format(arr, "date").tolist() == [True, False, True]
+    arr = pa.array(["2024-02-29", "2024-13-01", "2024-02-30", "2024-04-31"])
+    # calendar-aware month/day combos (Feb capped at 29; leap-year
+    # pedantics excluded — see tests/test_formats_parity.py)
+    assert check_format(arr, "date").tolist() == [True, False, False, False]
 
     arr = pa.array(["2024-01-01T10:00:00Z", "2024-01-01 10:00:00+05:30", "nope"])
     assert check_format(arr, "date-time").tolist() == [True, True, False]
