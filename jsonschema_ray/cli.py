@@ -47,9 +47,40 @@ def _plan_from_args(args):
     if getattr(args, "schema", None):
         from jsonschema_ray.spec.jschema import schema_to_plan
 
-        with open(args.schema) as f:
-            return schema_to_plan(json.load(f))
+        return schema_to_plan(_load_schema_doc(args.schema))
     return _load_plan(args.plan)
+
+
+def _input_source(inputs: list[str]):
+    """Pick a DocSource from the input paths: parquet (default), JSONL
+    (.json/.jsonl/.gz), YAML (.yaml/.yml), or "-" for JSONL on stdin
+    (the reference's stdin mode, ``src/input.h:197-226`` — driver-side
+    by nature)."""
+    from jsonschema_ray.sources.readers import (
+        DatasetSource, JsonlSource, ParquetSource, YamlSource)
+
+    if inputs == ["-"]:
+        import ray.data as rd
+
+        rows = [json.loads(line) for line in sys.stdin if line.strip()]
+        return DatasetSource(rd.from_items(rows))
+    exts = {p.rsplit(".", 1)[-1].lower() for p in inputs if "." in p}
+    if exts <= {"yaml", "yml"} and exts:
+        return YamlSource(inputs)
+    if exts <= {"json", "jsonl", "gz", "ndjson"} and exts:
+        return JsonlSource(inputs)
+    return ParquetSource(inputs)
+
+
+def _load_schema_doc(path: str):
+    """Schema documents may be JSON or YAML (the reference accepts both
+    via --yaml; README.markdown input handling)."""
+    with open(path) as f:
+        if path.lower().endswith((".yaml", ".yml")):
+            import yaml
+
+            return yaml.safe_load(f)
+        return json.load(f)
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
@@ -73,8 +104,7 @@ def cmd_compile(args) -> int:
     if getattr(args, "schema", None):
         from jsonschema_ray.spec.jschema import schema_to_plan
 
-        with open(args.schema) as f:
-            plan = schema_to_plan(json.load(f))
+        plan = schema_to_plan(_load_schema_doc(args.schema))
     elif not args.rules:
         print("compile: need RULES.json or --schema SCHEMA.json",
               file=sys.stderr)
@@ -96,7 +126,6 @@ def cmd_validate(args) -> int:
     import pyarrow.parquet as pq
 
     from jsonschema_ray.pipelines.validate import fast_validate, validate
-    from jsonschema_ray.sources.readers import ParquetSource
 
     _ensure_ray(args.num_cpus)
     plan = _plan_from_args(args)
@@ -106,7 +135,22 @@ def cmd_validate(args) -> int:
     if args.catalog:
         cat = pq.read_table(args.catalog).column(
             args.catalog_key).combine_chunks()
-    src = ParquetSource(args.inputs)
+    src = _input_source(args.inputs)
+    if getattr(args, "trace", 0):
+        # annotation/trace rows for the first N docs (the --trace analog,
+        # reference output_simple.cc:83-93) — driver-side by design
+        import pyarrow as pa
+
+        from jsonschema_ray.spec.compile import CompiledRowChecker
+
+        head = pa.concat_tables([
+            b for b in src.dataset().limit(args.trace)
+            .iter_batches(batch_format="pyarrow")])
+        checker = CompiledRowChecker(
+            plan.filtered(only=only, exclude=exclude), catalog_keys=cat)
+        for row in checker.trace(head).to_pylist():
+            print(f"{row['doc_id']}\t{row['rule_id']}\t"
+                  f"{row['span_index']}\t{row['outcome']}", file=sys.stderr)
     if args.fast:
         # --only/--exclude must bind in fast mode too, not silently drop
         fplan = plan.filtered(only=only, exclude=exclude)
@@ -717,6 +761,97 @@ def cmd_inspect(args) -> int:
     return EXIT_OK
 
 
+def cmd_bundle(args) -> int:
+    """Inline every file-based ``$ref`` of a JSON Schema document into
+    ``$defs``, emitting a self-contained schema (the ``jsonschema
+    bundle`` verb, ``/root/reference/src/command_bundle.cc:56-81`` —
+    there it inlines registry/HTTP refs; this sandbox has no network,
+    so the supported external-ref form is a relative file path,
+    JSON or YAML).
+
+    Each referenced file is mounted at ``#/$defs/<key>`` and its
+    internal fragment refs are pointer-rewritten under that mount
+    (correct for JSON-pointer refs; ``$anchor`` collisions across
+    bundled files are reported as errors rather than silently merged).
+    """
+    import os
+
+    root_path = os.path.abspath(args.schema)
+    root = _load_schema_doc(root_path)
+    defs = root.setdefault("$defs", {})
+    loaded: dict[str, str] = {}  # abs path -> $defs key
+    errors: list[str] = []
+
+    def key_for(path: str) -> str:
+        base = os.path.basename(path)
+        key = base.rsplit(".", 1)[0]
+        i = 1
+        while key in defs and loaded.get(path) != key:
+            key = f"{base.rsplit('.', 1)[0]}_{i}"
+            i += 1
+        return key
+
+    def rewrite_fragments(node, mount: str):
+        """Shift a bundled doc's internal '#...'-refs under its mount."""
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("$ref", "$dynamicRef") and isinstance(v, str) \
+                        and v.startswith("#"):
+                    frag = v[1:]
+                    node[k] = f"#{mount}{frag}" if frag.startswith("/") \
+                        else (f"#{mount}" if frag == "" else v)
+                    if frag and not frag.startswith("/"):
+                        errors.append(
+                            f"anchor ref {v!r} inside bundled file cannot "
+                            "be relocated (unsupported)")
+                else:
+                    rewrite_fragments(v, mount)
+        elif isinstance(node, list):
+            for v in node:
+                rewrite_fragments(v, mount)
+
+    def bundle_refs(node, base_dir: str):
+        if isinstance(node, dict):
+            for k, v in list(node.items()):
+                if k == "$ref" and isinstance(v, str) and not v.startswith("#"):
+                    if "://" in v:
+                        errors.append(f"non-file external $ref {v!r} "
+                                      "(no network in this environment)")
+                        continue
+                    path, _, frag = v.partition("#")
+                    apath = os.path.abspath(os.path.join(base_dir, path))
+                    if apath not in loaded:
+                        try:
+                            sub = _load_schema_doc(apath)
+                        except OSError as e:
+                            errors.append(f"cannot load $ref {v!r}: {e}")
+                            continue
+                        key = key_for(apath)
+                        loaded[apath] = key
+                        defs[key] = sub  # mount first: cycles terminate
+                        rewrite_fragments(sub, f"/$defs/{key}")
+                        bundle_refs(sub, os.path.dirname(apath))
+                    node[k] = f"#/$defs/{loaded[apath]}{frag}"
+                else:
+                    bundle_refs(v, base_dir)
+        elif isinstance(node, list):
+            for v in node:
+                bundle_refs(v, base_dir)
+
+    bundle_refs(root, os.path.dirname(root_path))
+    if errors:
+        for e in errors:
+            print(f"bundle: {e}", file=sys.stderr)
+        return EXIT_ERROR
+    out = json.dumps(root, indent=2, sort_keys=True)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    return EXIT_OK
+
+
 # ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
@@ -742,6 +877,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--only")
     v.add_argument("--exclude")
     v.add_argument("--limit", type=int, default=20)
+    v.add_argument("--trace", type=int, default=0,
+                   help="print per-(doc,rule,span) outcome rows for the "
+                        "first N docs (annotation/trace analog)")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 
@@ -754,6 +892,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--shard-size", type=int, default=8)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser("bundle")
+    b.add_argument("schema")
+    b.add_argument("-o", "--output")
+    b.set_defaults(fn=cmd_bundle)
 
     m = sub.add_parser("metaschema")
     m.add_argument("plan")

@@ -80,6 +80,53 @@ class JsonlSource(DocSource):
 
 
 @dataclass
+class YamlSource(DocSource):
+    """YAML documents, multi-doc streams included — the reference reads
+    ``.yaml``/``.yml`` schema and instance files via ``--yaml``
+    (``/root/reference/src/input.h:339-399``). Parsing is driver-side
+    per FILE (YAML is a config-scale format: schemas, suites, manifests
+    — never the 100 TB data plane), then handed to Ray as Arrow rows;
+    a directory of YAML files parses in parallel via ``flat_map`` over
+    the file list."""
+
+    paths: str | list[str]
+
+    @staticmethod
+    def _parse_file(path: str) -> list[dict]:
+        import yaml
+
+        with open(path) as f:
+            return [d for d in yaml.safe_load_all(f) if d is not None]
+
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        paths = [self.paths] if isinstance(self.paths, str) else list(self.paths)
+        out: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                out.extend(sorted(
+                    glob.glob(os.path.join(p, "**", "*.y*ml"), recursive=True)))
+            else:
+                out.extend(sorted(glob.glob(p)) or [p])
+        return out
+
+    def dataset(self, columns: Sequence[str] | None = None):
+        import ray.data as rd
+
+        files = self._files()
+        ds = rd.from_items(files).flat_map(
+            lambda row: YamlSource._parse_file(row["item"]))
+        if columns:
+            ds = ds.map_batches(
+                lambda t: t.select([c for c in columns
+                                    if c in t.schema.names]),
+                batch_format="pyarrow")
+        return ds
+
+
+@dataclass
 class DatasetSource(DocSource):
     """Wrap an existing Dataset (tests / already-built pipelines).
 

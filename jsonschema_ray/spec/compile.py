@@ -306,6 +306,66 @@ class CompiledRowChecker:
             schema=VIOLATION_SCHEMA,
         )
 
+    def trace(self, batch: pa.Table) -> pa.Table:
+        """Annotation/trace rows: one row per (doc, rule[, span]) with
+        its outcome — the analog of the reference's ``--trace`` step log
+        (``/root/reference/vendor/blaze/src/output/output_simple.cc:83-93``:
+        every instruction's push/pop with verdict). A rule whose
+        ``when`` guard is unsatisfied traces as "pass" (it did not
+        fire). Exhaustive by construction — intended for small slices;
+        the CLI gates it behind ``--trace N``."""
+        flat, parent, span_idx = self._flat_or_none(batch)
+        doc_ids = batch.column(self.doc_id_col)
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        if not pa.types.is_string(doc_ids.type):
+            doc_ids = doc_ids.cast(pa.string())
+
+        did, rid, sidx, outc = [], [], [], []
+
+        def emit_span(rule_id: str, fail: np.ndarray):
+            did.append(parent)
+            rid.append(np.full(len(parent), rule_id, dtype=object))
+            sidx.append(span_idx)
+            outc.append(np.where(fail, "fail", "pass"))
+
+        def emit_doc(rule_id: str, fail: np.ndarray):
+            n = batch.num_rows
+            did.append(np.arange(n, dtype=np.int64))
+            rid.append(np.full(n, rule_id, dtype=object))
+            sidx.append(np.full(n, DOC_SCOPE_SPAN_INDEX, dtype=np.int32))
+            outc.append(np.where(fail, "fail", "pass"))
+
+        for rule_id, _, mask in self._span_fail_masks(flat, parent):
+            emit_span(rule_id, mask)
+        doc_table = self._doc_table(batch)
+        for rule_id, when, check, _ in self._doc_rules:
+            mask = ~check(doc_table)
+            if when is not None:
+                mask &= when(doc_table)
+            emit_doc(rule_id, mask)
+        for rule_id, _, mask in self._contains_fail_masks(
+                flat, parent, batch.num_rows):
+            emit_doc(rule_id, mask)
+        for rule_id, mask, _ in self._jschema_fail(batch):
+            emit_doc(rule_id, mask)
+
+        if not did:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "rule_id": pa.array([], type=pa.string()),
+                             "span_index": pa.array([], type=pa.int32()),
+                             "outcome": pa.array([], type=pa.string())})
+        all_parent = np.concatenate(did)
+        t = pa.table({
+            "doc_id": pc.take(doc_ids, pa.array(all_parent)),
+            "rule_id": pa.array(np.concatenate(rid), type=pa.string()),
+            "span_index": pa.array(np.concatenate(sidx).astype(np.int32)),
+            "outcome": pa.array(np.concatenate(outc), type=pa.string()),
+        })
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("doc_id", "ascending"), ("rule_id", "ascending"),
+            ("span_index", "ascending")]))
+
     def fail_mask(self, batch: pa.Table) -> np.ndarray:
         """Fast mode: per-doc boolean "has any row-local violation"."""
         flat, parent, span_idx = self._flat_or_none(batch)

@@ -174,3 +174,81 @@ def test_validate_fast_respects_rule_filters(tmp_path, ray_session):
     assert main(["validate", str(p), "--fast", "--exclude", firing]) == 0
     # --only a single firing rule → still fail
     assert main(["validate", str(p), "--fast", "--only", "kind_enum"]) == 2
+
+
+def test_bundle_inlines_file_refs(tmp_path):
+    """bundle: file $refs → self-contained $defs; the bundled schema
+    validates identically to the multi-file original."""
+    import json as _json
+    import subprocess
+    import sys
+
+    (tmp_path / "node.yaml").write_text(
+        "type: object\nrequired: [v]\nproperties:\n  v: {type: integer}\n"
+        "  next: {$ref: 'node.yaml'}\n")  # self-recursive file ref
+    (tmp_path / "root.json").write_text(_json.dumps({
+        "type": "object",
+        "properties": {"head": {"$ref": "node.yaml"},
+                       "tag": {"$ref": "tag.json#/$defs/t"}}}))
+    (tmp_path / "tag.json").write_text(_json.dumps(
+        {"$defs": {"t": {"type": "string", "minLength": 2}}}))
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "bundle",
+         str(tmp_path / "root.json")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 0, p.stderr
+    bundled = _json.loads(p.stdout)
+    assert set(bundled["$defs"]) == {"node", "tag"}
+    assert bundled["properties"]["head"]["$ref"] == "#/$defs/node"
+    assert bundled["properties"]["tag"]["$ref"] == "#/$defs/tag/$defs/t"
+    # recursive file-ref now points at its own mount
+    assert bundled["$defs"]["node"]["properties"]["next"]["$ref"] \
+        == "#/$defs/node"
+
+    from jsonschema_ray.spec.jschema import compile_schema
+    cs = compile_schema(bundled)
+    assert cs.is_valid({"head": {"v": 1, "next": {"v": 2}}, "tag": "ab"})
+    assert not cs.is_valid({"head": {"v": 1, "next": {"v": "x"}}})
+    assert not cs.is_valid({"tag": "a"})
+
+
+def test_bundle_rejects_network_refs(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    (tmp_path / "net.json").write_text(_json.dumps(
+        {"$ref": "https://example.com/schema.json"}))
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "bundle",
+         str(tmp_path / "net.json")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 1
+    assert "no network" in p.stderr
+
+
+def test_validate_trace_outputs_annotation_rows(ray_session, tmp_path):
+    """--trace N prints pass AND fail outcome rows per (doc, rule)."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.sources.synth import GenConfig, docs_table
+
+    pq.write_table(docs_table(GenConfig(n_docs=40)),
+                   str(tmp_path / "docs.parquet"))
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         str(tmp_path / "docs.parquet"), "--trace", "5",
+         "--num-cpus", "2", "--limit", "0"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode in (0, 2)
+    trace_lines = [ln for ln in p.stderr.splitlines()
+                   if "\t" in ln and ln.split("\t")[-1] in ("pass", "fail")]
+    assert len(trace_lines) > 10
+    outcomes = {ln.split("\t")[-1] for ln in trace_lines}
+    assert "pass" in outcomes  # annotations, not just violations
+    rules = {ln.split("\t")[1] for ln in trace_lines}
+    assert "kind_enum" in rules and "offset_monotonic" in rules

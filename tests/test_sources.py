@@ -56,3 +56,61 @@ def test_parquet_column_pruning(tmp_path, ray_session):
     ds = src.dataset(columns=["doc_id"])
     assert ds.schema().names == ["doc_id"]
     assert ds.count() == 100
+
+
+def test_yaml_source_multidoc(ray_session, tmp_path):
+    """YAML reader: multi-doc streams and directory scan, structured
+    rows land as Arrow with nested spans intact."""
+    from jsonschema_ray.sources.readers import YamlSource
+
+    (tmp_path / "a.yaml").write_text(
+        "doc_id: y1\nspans:\n- kind: text\n  offset: 0\n"
+        "---\n"
+        "doc_id: y2\nspans:\n- kind: image\n  media_ref: media://0123456789abcdef\n  offset: 3\n")
+    (tmp_path / "b.yml").write_text("doc_id: y3\nspans: []\n")
+    ds = YamlSource(str(tmp_path)).dataset()
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == ["y1", "y2", "y3"]
+    assert rows[1]["spans"][0]["kind"] == "image"
+    pruned = YamlSource(str(tmp_path)).dataset(columns=["doc_id"]).take_all()
+    assert all(set(r) == {"doc_id"} for r in pruned)
+
+
+def test_cli_yaml_input_and_schema(ray_session, tmp_path):
+    """validate reads YAML inputs and a YAML schema document."""
+    import json as _json
+    import subprocess
+    import sys
+
+    (tmp_path / "docs.yaml").write_text(
+        "doc_id: ok1\nn: 5\n---\ndoc_id: bad1\nn: 50\n")
+    (tmp_path / "schema.yaml").write_text(
+        "type: object\nproperties:\n  n:\n    maximum: 10\n")
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         "--schema", str(tmp_path / "schema.yaml"),
+         str(tmp_path / "docs.yaml"), "--num-cpus", "2", "--json"],
+        capture_output=True, text=True, cwd="/root/repo")
+    out = _json.loads(p.stdout)
+    assert p.returncode == 2
+    assert out["total_violations"] == 1
+    assert out["violations"][0]["doc_id"] == "bad1"
+
+
+def test_cli_stdin_jsonl(ray_session, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    docs = "\n".join(_json.dumps({"doc_id": f"s{i}", "n": i * 20})
+                     for i in range(3))
+    (tmp_path / "schema.json").write_text(
+        _json.dumps({"properties": {"n": {"maximum": 25}}}))
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         "--schema", str(tmp_path / "schema.json"), "-",
+         "--num-cpus", "2", "--json"],
+        input=docs, capture_output=True, text=True, cwd="/root/repo")
+    out = _json.loads(p.stdout)
+    assert p.returncode == 2
+    assert out["total_violations"] == 1  # n=40 only
