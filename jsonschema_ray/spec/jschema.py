@@ -244,14 +244,15 @@ class CompiledSchema:
                 if not e:
                     ann.merge(a)
             checks.append(c_ref)
-        if "$dynamicRef" in sch:  # lexical-scope approximation (documented)
-            reffn = self._compile_ref(sch["$dynamicRef"])
-            def c_dref(v, path, errs, ann, reffn=reffn):
-                e, a = reffn(v, path)
-                errs.extend(e)
-                if not e:
-                    ann.merge(a)
-            checks.append(c_dref)
+        for dyn_kw in ("$dynamicRef", "$recursiveRef"):  # 2020-12 / 2019-09
+            if dyn_kw in sch:  # lexical-scope approximation (documented)
+                reffn = self._compile_ref(sch[dyn_kw])
+                def c_dref(v, path, errs, ann, reffn=reffn):
+                    e, a = reffn(v, path)
+                    errs.extend(e)
+                    if not e:
+                        ann.merge(a)
+                checks.append(c_dref)
 
         # ---- type / enum / const ----
         if "type" in sch:
@@ -275,7 +276,11 @@ class CompiledSchema:
             checks.append(c_const)
 
         # ---- numeric ----
-        for kw, op in (("minimum", "ge"), ("maximum", "le"),
+        # draft-04 compat: boolean exclusiveMinimum/Maximum flip the
+        # minimum/maximum comparison instead of carrying their own bound
+        _min_op = "gt" if sch.get("exclusiveMinimum") is True else "ge"
+        _max_op = "lt" if sch.get("exclusiveMaximum") is True else "le"
+        for kw, op in (("minimum", _min_op), ("maximum", _max_op),
                        ("exclusiveMinimum", "gt"), ("exclusiveMaximum", "lt")):
             if kw in sch and isinstance(sch[kw], (int, float)) \
                     and not isinstance(sch[kw], bool):
@@ -638,12 +643,13 @@ def _scalar_spec(sub: Any) -> dict | None:
             p["max"] = sub["maxLength"]
         parts.append(p)
     if "minimum" in sub or "maximum" in sub:
-        p = {"op": "between", "field": None}
+        # draft-04 boolean exclusive* flips the comparison
         if "minimum" in sub:
-            p["min"] = sub["minimum"]
+            parts.append({"op": "gt" if sub.get("exclusiveMinimum") is True
+                          else "ge", "field": None, "value": sub["minimum"]})
         if "maximum" in sub:
-            p["max"] = sub["maximum"]
-        parts.append(p)
+            parts.append({"op": "lt" if sub.get("exclusiveMaximum") is True
+                          else "le", "field": None, "value": sub["maximum"]})
     if "exclusiveMinimum" in sub and not isinstance(sub["exclusiveMinimum"], bool):
         parts.append({"op": "gt", "field": None, "value": sub["exclusiveMinimum"]})
     if "exclusiveMaximum" in sub and not isinstance(sub["exclusiveMaximum"], bool):

@@ -303,3 +303,26 @@ def test_schema_to_plan_content_schema_roundtrip():
     })
     out = ck.violations(batch)
     assert out.column("doc_id").to_pylist() == ["b"]
+
+
+def test_draft4_boolean_exclusive_bounds():
+    cs = compile_schema({"minimum": 2, "exclusiveMinimum": True,
+                         "maximum": 5, "exclusiveMaximum": True})
+    assert cs.is_valid(3) and cs.is_valid(4.9)
+    assert not cs.is_valid(2) and not cs.is_valid(5)
+    # columnar path agrees
+    plan = schema_to_plan({"type": "object", "properties": {
+        "n": {"minimum": 2, "exclusiveMinimum": True}}})
+    ck = CompiledRowChecker(plan)
+    batch = pa.table({"doc_id": ["a", "b"], "n": [2, 3]})
+    assert ck.violations(batch).column("doc_id").to_pylist() == ["a"]
+
+
+def test_2019_09_recursive_ref():
+    cs = compile_schema({
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {"v": {"type": "integer"},
+                       "next": {"$recursiveRef": "#"}}})
+    assert cs.is_valid({"v": 1, "next": {"v": 2}})
+    assert not cs.is_valid({"v": 1, "next": {"v": "x"}})
