@@ -111,6 +111,10 @@ def cmd_compile(args) -> int:
         return EXIT_ERROR
     else:
         plan = _load_plan(args.rules)
+    if getattr(args, "optimize", False):
+        from jsonschema_ray.spec.optimize import optimize_plan
+
+        plan = optimize_plan(plan)
     plan.mode = "fast" if args.fast else plan.mode
     out = json.dumps(plan.to_json(), indent=2, sort_keys=True)
     if args.output:
@@ -863,6 +867,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--schema")
     c.add_argument("-o", "--output")
     c.add_argument("--fast", action="store_true")
+    c.add_argument("-O", "--optimize", action="store_true",
+                   help="postprocess pass: constant folding, flattening, "
+                        "bound fusion, dead-rule elimination")
     c.set_defaults(fn=cmd_compile)
 
     v = sub.add_parser("validate")
