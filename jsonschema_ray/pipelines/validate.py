@@ -38,7 +38,11 @@ from jsonschema_ray.stages.validator import (
     partition_of,
 )
 
-DEFAULT_BATCH_SIZE = 8192  # docs per batch; span-heavy rows ⇒ keep modest
+DEFAULT_BATCH_SIZE = 32768  # docs per batch — measured sweet spot: big
+                            # enough that task dispatch (~50 tasks/s on
+                            # this sandbox) never starves 32 workers,
+                            # small enough that batch × concurrency fits
+                            # worker heaps even for span-heavy rows
 
 
 def _maybe_put(obj: Any) -> Any:
