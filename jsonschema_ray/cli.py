@@ -131,6 +131,35 @@ def cmd_validate(args) -> int:
 
     from jsonschema_ray.pipelines.validate import fast_validate, validate
 
+    if getattr(args, "instance", None):
+        # single-instance mode — the reference's flagship UX
+        # (``jsonschema validate schema.json instance.json``,
+        # ``test/validate/fail_2020_12.sh``): driver-side, no Ray
+        # session; errors print instance location + keyword, exit 2.
+        if not args.schema:
+            print("validate --instance requires --schema", file=sys.stderr)
+            return EXIT_ERROR
+        from jsonschema_ray.spec.jschema import compile_schema
+
+        cs = compile_schema(_load_schema_doc(args.schema))
+        rc = EXIT_OK
+        for path in args.instance:
+            inst = _load_schema_doc(path)  # JSON or YAML instance
+            errs = cs.validate(inst)
+            if errs:
+                rc = EXIT_VALIDATION
+                print(f"fail: {path}", file=sys.stderr)
+                for p, kw, msg in errs:
+                    print(f"  {msg}\n    at instance location \"{p}\"\n"
+                          f"    at keyword \"{kw}\"", file=sys.stderr)
+            else:
+                print(f"ok: {path}", file=sys.stderr)
+        return rc
+
+    if not args.inputs:
+        print("validate: need INPUT paths (or --instance files)",
+              file=sys.stderr)
+        return EXIT_ERROR
     _ensure_ray(args.num_cpus)
     plan = _plan_from_args(args)
     only = args.only.split(",") if args.only else None
@@ -873,7 +902,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_compile)
 
     v = sub.add_parser("validate")
-    v.add_argument("inputs", nargs="+")
+    v.add_argument("inputs", nargs="*", default=[])
+    v.add_argument("--instance", nargs="+",
+                   help="single-instance mode: validate JSON/YAML "
+                        "document file(s) against --schema driver-side")
     v.add_argument("--plan", default="default")
     v.add_argument("--schema")
     v.add_argument("--catalog")

@@ -64,6 +64,25 @@ def _parse_header(payload: bytes) -> tuple[int, int]:
     return struct.unpack_from("<HH", payload, 4)
 
 
+def _binary_parts(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy view of a binary column's raw buffers:
+    (starts, lengths, flat_data, valid) — the batch-level primitives
+    every vectorized byte kernel below indexes into (no per-row Python
+    objects are ever materialized)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset: col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) \
+        if col.buffers()[2] is not None else np.empty(0, np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lens = np.diff(offsets).astype(np.int64)
+    valid = np.ones(n, dtype=bool) if col.null_count == 0 else \
+        col.is_valid().to_numpy(zero_copy_only=False)
+    return starts, lens, data, valid
+
+
 class DecodeMedia:
     """Actor stage: payload bytes → (width, height, ok). Real decoders
     would load here once per actor; the fake path parses the synthetic
@@ -82,14 +101,26 @@ class DecodeMedia:
                     "pass allow_fake=True for the deterministic stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        dims = np.array([_parse_header(p) for p in payloads], dtype=np.int32)
-        if len(dims) == 0:
-            dims = np.empty((0, 2), dtype=np.int32)
-        ok = (dims[:, 0] > 0) & (dims[:, 1] > 0)
+        # vectorized header parse: gather magic + LE uint16 dims straight
+        # out of the binary column's flat data buffer — no per-row bytes
+        starts, lens, data, valid = _binary_parts(batch.column("payload"))
+        n = len(lens)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        parse = valid & (lens >= 8)
+        if parse.any():
+            s = starts[parse]
+            hdr_ok = np.ones(len(s), dtype=bool)
+            for i, b in enumerate(_MAGIC):
+                hdr_ok &= data[s + i] == b
+            w = data[s + 4].astype(np.int32) | (data[s + 5].astype(np.int32) << 8)
+            h = data[s + 6].astype(np.int32) | (data[s + 7].astype(np.int32) << 8)
+            widths[parse] = np.where(hdr_ok, w, 0)
+            heights[parse] = np.where(hdr_ok, h, 0)
+        ok = (widths > 0) & (heights > 0)
         return (batch.drop_columns(["payload"])
-                .append_column("width", pa.array(dims[:, 0]))
-                .append_column("height", pa.array(dims[:, 1]))
+                .append_column("width", pa.array(widths))
+                .append_column("height", pa.array(heights))
                 .append_column("decode_ok", pa.array(ok)))
 
 
@@ -108,20 +139,30 @@ class ExtractMediaFeatures:
             raise NotImplementedError("no feature model available in sandbox")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for p in batch.column("payload").to_pylist():
-            if not p or len(p) < 8:
-                feats.append([0.0] * self.DIM)
-                continue
-            raw = np.frombuffer(p[8:8 + self.DIM * 8], dtype=np.uint8)
-            v = raw[: self.DIM * 8].astype(np.float64)
-            v = v.reshape(-1, 8).mean(axis=1) if len(v) >= 64 else \
-                np.resize(v, self.DIM)
-            n = np.linalg.norm(v) or 1.0
-            feats.append((v / n).tolist())
+        # vectorized: gather a body window per row from the flat data
+        # buffer (clamped + zero-masked for short payloads), then one
+        # matrix reduce — the shape real batched inference would take
+        starts, lens, data, valid = _binary_parts(batch.column("payload"))
+        n = len(lens)
+        body = self.DIM * 8
+        window = np.minimum(np.maximum(lens - 8, 0), body)   # bytes available
+        idx = starts[:, None] + 8 + np.arange(body)[None, :]
+        in_range = np.arange(body)[None, :] < window[:, None]
+        mat = np.zeros((n, body), dtype=np.float64)
+        if n and len(data):
+            flat_idx = np.clip(idx, 0, len(data) - 1)
+            mat = data[flat_idx].astype(np.float64) * in_range
+        full = valid & (window >= body)
+        v = np.where(full[:, None],
+                     mat.reshape(n, self.DIM, 8).mean(axis=2),
+                     mat[:, : self.DIM])
+        v[~valid | (lens < 8)] = 0.0
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        v = (v / norms[:, None]).astype(np.float32)
         return (batch.select(["media_ref", "mime"])
                 .append_column("features",
-                               pa.array(feats, type=pa.list_(pa.float32()))))
+                               pa.array(list(v), type=pa.list_(pa.float32()))))
 
 
 def decode_media(source: Any, *, concurrency=(1, 8), batch_size: int = 1024,

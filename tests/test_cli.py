@@ -252,3 +252,35 @@ def test_validate_trace_outputs_annotation_rows(ray_session, tmp_path):
     assert "pass" in outcomes  # annotations, not just violations
     rules = {ln.split("\t")[1] for ln in trace_lines}
     assert "kind_enum" in rules and "offset_monotonic" in rules
+
+
+def test_validate_single_instance_mode(tmp_path):
+    """The reference's flagship UX (test/validate/fail_2020_12.sh):
+    validate one JSON instance against a schema, exit 2 with per-error
+    instance locations; no Ray session involved."""
+    import json as _json
+    import subprocess
+    import sys
+
+    (tmp_path / "schema.json").write_text(_json.dumps({
+        "type": "object",
+        "properties": {"foo": {"type": "string"}}}))
+    (tmp_path / "bad.json").write_text('{"foo": 1}')
+    (tmp_path / "good.json").write_text('{"foo": "x"}')
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         "--schema", str(tmp_path / "schema.json"),
+         "--instance", str(tmp_path / "bad.json")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 2
+    assert 'instance location "/foo"' in p.stderr
+    assert 'keyword "type"' in p.stderr
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         "--schema", str(tmp_path / "schema.json"),
+         "--instance", str(tmp_path / "good.json")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 0
+    assert "ok:" in p.stderr
