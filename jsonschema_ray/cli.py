@@ -3,15 +3,20 @@ Ray engine (``/root/reference/src/main.cc:160-287`` dispatches 14
 commands; the data-scale ones distribute, the schema-scale ones stay
 driver-side, SURVEY.md §2.11).
 
-    python -m jsonschema_ray compile RULES.json [-o PLAN.json] [--fast]
+    python -m jsonschema_ray compile RULES.json [-o PLAN.json] [--fast] [-O]
+    python -m jsonschema_ray compile --schema SCHEMA.json [-o PLAN.json]
     python -m jsonschema_ray validate --plan PLAN.json INPUT.parquet...
-        [--catalog CAT.parquet] [--out DIR] [--fast]
+        [--catalog CAT.parquet] [--out DIR] [--fast] [--trace N]
         [--only a,b] [--exclude a,b] [--num-cpus N]
+    python -m jsonschema_ray validate --schema SCHEMA.{json,yaml} INPUTS...
+        (inputs: parquet | jsonl[.gz] | yaml | "-" for stdin JSONL)
+    python -m jsonschema_ray validate --schema S.json --instance DOC.json...
+    python -m jsonschema_ray bundle SCHEMA.json [-o OUT.json]
     python -m jsonschema_ray metaschema PLAN.json
     python -m jsonschema_ray fmt PLAN.json [--check]
     python -m jsonschema_ray lint PLAN.json [--fix]
     python -m jsonschema_ray test SUITE.json --plan PLAN.json
-    python -m jsonschema_ray inspect PLAN.json
+    python -m jsonschema_ray inspect [PLAN.json | --schema SCHEMA.json]
 
 Exit codes mirror ``/root/reference/src/exit_code.h:6-11``: 0 success,
 1 usage/other error, 2 validation (or fmt --check / lint) failure,
@@ -237,7 +242,7 @@ def cmd_run(args) -> int:
     from jsonschema_ray.pipelines.run import run_checkpointed
 
     _ensure_ray(args.num_cpus)
-    plan = _load_plan(args.plan)
+    plan = _plan_from_args(args)
     cat = None
     if args.catalog:
         cat = pq.read_table(args.catalog).column(
@@ -756,7 +761,7 @@ def cmd_codegen(args) -> int:
 def cmd_inspect(args) -> int:
     """Plan frame report (``jsonschema inspect`` analog): rules, kinds,
     referenced fields, execution strategy per rule."""
-    plan = _load_plan(args.plan)
+    plan = _plan_from_args(args)
     rows = []
     for r in plan.rules:
         fields: set[str] = set()
@@ -926,6 +931,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("inputs", nargs="+")
     r.add_argument("--out", required=True)
     r.add_argument("--plan", default="default")
+    r.add_argument("--schema")
     r.add_argument("--catalog")
     r.add_argument("--catalog-key", default="media_ref")
     r.add_argument("--shard-size", type=int, default=8)
@@ -964,7 +970,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_test)
 
     i = sub.add_parser("inspect")
-    i.add_argument("plan")
+    i.add_argument("plan", nargs="?", default="default")
+    i.add_argument("--schema")
     i.set_defaults(fn=cmd_inspect)
 
     g = sub.add_parser("codegen")
