@@ -146,7 +146,8 @@ def cmd_validate(args) -> int:
             return EXIT_ERROR
         from jsonschema_ray.spec.jschema import compile_schema
 
-        cs = compile_schema(_load_schema_doc(args.schema))
+        cs = compile_schema(_load_schema_doc(args.schema),
+                            entrypoint=getattr(args, "entrypoint", "") or "")
         rc = EXIT_OK
         for path in args.instance:
             inst = _load_schema_doc(path)  # JSON or YAML instance
@@ -261,7 +262,17 @@ def cmd_metaschema(args) -> int:
     """Plan self-check (the ``jsonschema metaschema`` analog: validate
     the schema artifact itself): structural validation + compile every
     kernel + cross-check compiled kernels against the independent
-    Python evaluator on a synthetic probe table."""
+    Python evaluator on a synthetic probe table. With ``--schema``, a
+    JSON Schema DOCUMENT is validated against the embedded self-hosted
+    metaschema instead (``src/command_metaschema.cc`` analog)."""
+    if getattr(args, "schema", None):
+        from jsonschema_ray.spec.jschema import check_metaschema
+
+        errs = check_metaschema(_load_schema_doc(args.schema))
+        for p, kw, msg in errs:
+            print(f"metaschema: {p or '/'}: {kw}: {msg}", file=sys.stderr)
+        return EXIT_VALIDATION if errs else EXIT_OK
+
     import numpy as np
     import pyarrow as pa
 
@@ -911,6 +922,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--instance", nargs="+",
                    help="single-instance mode: validate JSON/YAML "
                         "document file(s) against --schema driver-side")
+    v.add_argument("--entrypoint", default="",
+                   help="JSON pointer into --schema to use as the "
+                        "validation root (single-instance mode)")
     v.add_argument("--plan", default="default")
     v.add_argument("--schema")
     v.add_argument("--catalog")
@@ -944,7 +958,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.set_defaults(fn=cmd_bundle)
 
     m = sub.add_parser("metaschema")
-    m.add_argument("plan")
+    m.add_argument("plan", nargs="?", default="default")
+    m.add_argument("--schema")
     m.set_defaults(fn=cmd_metaschema)
 
     u = sub.add_parser("upgrade")

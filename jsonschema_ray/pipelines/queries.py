@@ -442,6 +442,158 @@ def q_q3_top_orders(sf_dir: str):
     return top
 
 
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-style: revenue per nation where the customer and the
+    supplier share a nation in one region. Scale shape: the three
+    dimension tables (region/nation/supplier — KBs) and the
+    customer→nation map become driver-built numpy lookup tables closed
+    over by the batch kernels (broadcast, no shuffle); the ONE genuinely
+    big join (lineitem ⋈ orders) is a distributed hash join on thin
+    projections; the equality filter + per-block combiner shrink the
+    final groupby to ≤|nations| rows per block."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(_pq(sf_dir, "nation"))
+    region = pq.read_table(_pq(sf_dir, "region"))
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey").combine_chunks()
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=asia))
+    nat_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+
+    def lut(table: pa.Table, key: str, val: str) -> np.ndarray:
+        k = table.column(key).to_numpy()
+        v = table.column(val).to_numpy()
+        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
+        out[k] = v
+        return out
+
+    supp_nat = lut(pq.read_table(_pq(sf_dir, "supplier"),
+                                 columns=["s_suppkey", "s_nationkey"]),
+                   "s_suppkey", "s_nationkey")
+    cust_nat = lut(pq.read_table(_pq(sf_dir, "customer"),
+                                 columns=["c_custkey", "c_nationkey"]),
+                   "c_custkey", "c_nationkey")
+    asia_nats = np.zeros(len(supp_nat.clip(min=0)) + 25, dtype=bool)
+    for k in nat_name:
+        asia_nats[k] = True
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def orders_map(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                       pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(keep)
+        ck = t.column("o_custkey").to_numpy()
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_nat": pa.array(cust_nat[ck])})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_map, batch_format="pyarrow")
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_nat": pa.array(supp_nat[t.column("l_suppkey").to_numpy()]),
+            "revenue_c": _scale100(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")))),
+        })
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                              "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=max(2, min(32, cpus // 2)),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        s = t.column("s_nat").to_numpy()
+        c = t.column("c_nat").to_numpy()
+        keep = (s == c) & (s >= 0) & asia_nats[np.clip(s, 0, len(asia_nats) - 1)]
+        nats = s[keep]
+        rev = t.column("revenue_c").to_numpy()[keep]
+        agg: dict[int, int] = {}
+        for n in np.unique(nats):
+            agg[int(n)] = int(rev[nats == n].sum())
+        return pa.table({
+            "n_name": pa.array([nat_name[n] for n in agg], type=pa.string()),
+            "revenue_c": pa.array(list(agg.values()), type=pa.int64()),
+        })
+
+    out = joined.map_batches(combine, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        want = pa.schema([("n_name", pa.string()), ("revenue_c", pa.int64())])
+        if t.num_rows == 0 or "n_name" not in t.schema.names:
+            return want.empty_table()
+        return t.select(["n_name", "revenue_c"]).cast(want)
+
+    return out.map_batches(fix_schema, batch_format="pyarrow")
+
+
+def q_events_running_window(sf_dir: str):
+    """Running-window aggregate (streaming analog): per-user cumulative
+    value sum + row number in (ts, event_id) order — the SQL
+    ``SUM() OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` re-expressed as ``groupby(user).map_groups`` over
+    sorted groups. Partitioning assumption: one user's events fit one
+    group (same contract as sessionization)."""
+    import pandas as pd
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vc = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "running_value_c": np.cumsum(vc),
+            "row_n": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
+def q_string_funcs_documents(sf_dir: str):
+    """§2.8 scalar-function breadth over strings: slice+upper, replace,
+    length, element-wise concat — all single-pass Arrow kernels."""
+    def f(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "head_upper": pc.utf8_upper(pc.utf8_slice_codeunits(txt, 0, 12)),
+            "lang_up": pc.replace_substring(lang, "en", "EN"),
+            "src_len": pc.utf8_length(src).cast(pa.int64()),
+            "tag": pc.binary_join_element_wise(lang, src, "-"),
+        })
+
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
 def q_sort_topk_orders(sf_dir: str):
     """Global sort + limit (deterministic two-key ordering)."""
     def scale(t: pa.Table) -> pa.Table:
@@ -876,6 +1028,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stats_profile_documents": q_stats_profile_documents,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "events_running_window": q_events_running_window,
+    "string_funcs_documents": q_string_funcs_documents,
     "sort_topk_orders": q_sort_topk_orders,
     "distinct_mktsegment": q_distinct_mktsegment,
     "events_hourly": q_events_hourly,
@@ -974,6 +1129,29 @@ ORACLE: dict[str, str] = {
         "AND o_orderdate < TIMESTAMP '1998-01-01' "
         "GROUP BY l_orderkey "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10",
+    "q5_local_supplier_volume":
+        "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)"
+        "*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name",
+    "events_running_window":
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_c, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS row_n FROM events",
+    "string_funcs_documents":
+        "SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper, "
+        "replace(lang, 'en', 'EN') AS lang_up, "
+        "CAST(length(source) AS BIGINT) AS src_len, "
+        "concat(lang, '-', source) AS tag FROM documents",
     "sort_topk_orders":
         "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) "
         "AS totalprice_c FROM orders "

@@ -158,7 +158,12 @@ class CompiledSchema:
     """A schema compiled to closures. Build once (driver or actor
     ``__init__``); ``validate``/``is_valid`` are the per-row hot path."""
 
-    def __init__(self, schema: Any, *, assert_formats: bool = True):
+    def __init__(self, schema: Any, *, assert_formats: bool = True,
+                 entrypoint: str = ""):
+        """``entrypoint``: JSON pointer into the document to compile as
+        the validation root (the reference's ``--entrypoint``/IdentifyA
+        flow, ``test/validate/fail_entrypoint_*.sh``) — ``$ref``s still
+        resolve against the WHOLE document."""
         import sys
 
         # each instance nesting level costs ~8 evaluator frames; the
@@ -173,7 +178,11 @@ class CompiledSchema:
         self._cache: dict[str, _Fn] = {}
         self._anchors: dict[str, str] = {}
         _find_anchors(schema, "", self._anchors)
-        self._fn = self._compile(schema, "")
+        if entrypoint:
+            ptr = entrypoint.lstrip("#")
+            self._fn = self._compile(_resolve_pointer(schema, ptr), ptr)
+        else:
+            self._fn = self._compile(schema, "")
 
     # -- public ---------------------------------------------------------
     def validate(self, value: Any, path: str = "") -> list[Err]:
@@ -587,11 +596,119 @@ class CompiledSchema:
         return fn
 
 
-def compile_schema(schema: Any, *, assert_formats: bool = True) -> CompiledSchema:
+def compile_schema(schema: Any, *, assert_formats: bool = True,
+                   entrypoint: str = "") -> CompiledSchema:
     """Compile a JSON Schema document once; returns the reusable validator."""
     if isinstance(schema, str):
         schema = json.loads(schema)
-    return CompiledSchema(schema, assert_formats=assert_formats)
+    return CompiledSchema(schema, assert_formats=assert_formats,
+                          entrypoint=entrypoint)
+
+
+# ---------------------------------------------------------------------------
+# Self-hosted metaschema: a hand-written 2020-12-subset schema that
+# DESCRIBES schemas — the analog of ``jsonschema metaschema`` validating
+# a schema against its dialect metaschema (``src/command_metaschema.cc``).
+# Validated BY this module's own evaluator (recursive via $dynamicRef-
+# style $ref into #/$defs/schema).
+# ---------------------------------------------------------------------------
+
+_SCHEMA_OR_BOOL = {"$ref": "#/$defs/schema"}
+
+METASCHEMA: dict = {
+    "$defs": {
+        "schema": {
+            "if": {"type": "object"},
+            "then": {
+                "properties": {
+                    "type": {"anyOf": [
+                        {"enum": ["null", "boolean", "string", "integer",
+                                  "number", "array", "object"]},
+                        {"type": "array", "items": {
+                            "enum": ["null", "boolean", "string", "integer",
+                                     "number", "array", "object"]}}]},
+                    "enum": {"type": "array"},
+                    "multipleOf": {"type": "number", "exclusiveMinimum": 0},
+                    "minimum": {"type": "number"},
+                    "maximum": {"type": "number"},
+                    "exclusiveMinimum": {"type": ["number", "boolean"]},
+                    "exclusiveMaximum": {"type": ["number", "boolean"]},
+                    "minLength": {"type": "integer", "minimum": 0},
+                    "maxLength": {"type": "integer", "minimum": 0},
+                    "pattern": {"type": "string", "format": "regex"},
+                    "format": {"type": "string"},
+                    "required": {"type": "array", "items": {"type": "string"},
+                                 "uniqueItems": True},
+                    "dependentRequired": {
+                        "type": "object",
+                        "additionalProperties": {
+                            "type": "array", "items": {"type": "string"}}},
+                    "minProperties": {"type": "integer", "minimum": 0},
+                    "maxProperties": {"type": "integer", "minimum": 0},
+                    "properties": {"type": "object",
+                                   "additionalProperties": _SCHEMA_OR_BOOL},
+                    "patternProperties": {
+                        "type": "object",
+                        "propertyNames": {"format": "regex"},
+                        "additionalProperties": _SCHEMA_OR_BOOL},
+                    "additionalProperties": _SCHEMA_OR_BOOL,
+                    "propertyNames": _SCHEMA_OR_BOOL,
+                    "dependentSchemas": {
+                        "type": "object",
+                        "additionalProperties": _SCHEMA_OR_BOOL},
+                    "items": {"anyOf": [
+                        {"$ref": "#/$defs/schema"},
+                        {"type": "array", "items": _SCHEMA_OR_BOOL}]},
+                    "prefixItems": {"type": "array",
+                                    "items": _SCHEMA_OR_BOOL},
+                    "additionalItems": _SCHEMA_OR_BOOL,
+                    "contains": _SCHEMA_OR_BOOL,
+                    "minContains": {"type": "integer", "minimum": 0},
+                    "maxContains": {"type": "integer", "minimum": 0},
+                    "minItems": {"type": "integer", "minimum": 0},
+                    "maxItems": {"type": "integer", "minimum": 0},
+                    "uniqueItems": {"type": "boolean"},
+                    "allOf": {"type": "array", "minItems": 1,
+                              "items": _SCHEMA_OR_BOOL},
+                    "anyOf": {"type": "array", "minItems": 1,
+                              "items": _SCHEMA_OR_BOOL},
+                    "oneOf": {"type": "array", "minItems": 1,
+                              "items": _SCHEMA_OR_BOOL},
+                    "not": _SCHEMA_OR_BOOL,
+                    "if": _SCHEMA_OR_BOOL,
+                    "then": _SCHEMA_OR_BOOL,
+                    "else": _SCHEMA_OR_BOOL,
+                    "unevaluatedProperties": _SCHEMA_OR_BOOL,
+                    "unevaluatedItems": _SCHEMA_OR_BOOL,
+                    "$ref": {"type": "string"},
+                    "$dynamicRef": {"type": "string"},
+                    "$recursiveRef": {"type": "string"},
+                    "$anchor": {"type": "string",
+                                "pattern": "^[A-Za-z][A-Za-z0-9_:.-]*$"},
+                    "$defs": {"type": "object",
+                              "additionalProperties": _SCHEMA_OR_BOOL},
+                    "definitions": {"type": "object",
+                                    "additionalProperties": _SCHEMA_OR_BOOL},
+                    "$schema": {"type": "string"},
+                    "$id": {"type": "string"},
+                    "title": {"type": "string"},
+                    "description": {"type": "string"},
+                    "contentMediaType": {"type": "string"},
+                    "contentSchema": _SCHEMA_OR_BOOL,
+                },
+            },
+            "else": {"type": "boolean"},
+        },
+    },
+    "$ref": "#/$defs/schema",
+}
+
+
+def check_metaschema(schema: Any) -> list[Err]:
+    """Validate a schema DOCUMENT against the embedded metaschema using
+    this module's own evaluator (self-hosting: the metaschema exercises
+    recursion, propertyNames, format:regex and if/then/else)."""
+    return compile_schema(METASCHEMA).validate(schema)
 
 
 # ---------------------------------------------------------------------------

@@ -326,3 +326,24 @@ def test_2019_09_recursive_ref():
                        "next": {"$recursiveRef": "#"}}})
     assert cs.is_valid({"v": 1, "next": {"v": 2}})
     assert not cs.is_valid({"v": 1, "next": {"v": "x"}})
+
+
+def test_entrypoint_subschema():
+    cs = compile_schema({"$defs": {
+        "node": {"type": "object", "required": ["v"],
+                 "properties": {"v": {"type": "integer"},
+                                "next": {"$ref": "#/$defs/node"}}}}},
+        entrypoint="#/$defs/node")
+    assert cs.is_valid({"v": 1, "next": {"v": 2}})
+    assert not cs.is_valid({"next": {"v": 2}})  # missing v at root
+
+
+def test_metaschema_self_hosting():
+    from jsonschema_ray.spec.jschema import METASCHEMA, check_metaschema
+
+    assert check_metaschema(METASCHEMA) == []  # fixed point
+    assert check_metaschema({"type": "object", "allOf": [True, False]}) == []
+    errs = check_metaschema({"properties": {"a": {"minLength": -1}}})
+    assert errs and errs[0][1] == "minimum"
+    errs = check_metaschema({"patternProperties": {"[": {}}})
+    assert errs
