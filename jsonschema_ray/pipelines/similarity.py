@@ -245,18 +245,26 @@ def recall_at_k(approx: pa.Table, exact: pa.Table,
 
 def near_dup_pairs(source: Any, threshold: float = 0.95, *,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   bits: int = 8, seed: int = 11):
+                   bits: int = 8, seed: int = 11, max_bucket: int = 4096):
     """Embedding near-duplicate pairs (cos ≥ threshold) within LSH
     buckets: all-pairs matmul per bucket group — never across the
-    whole corpus."""
+    whole corpus. A degenerate bucket larger than ``max_bucket`` is
+    truncated to its smallest ids (deterministic) — the overflow count
+    is surfaced via the ``n_dropped`` column, never silently."""
     import pandas as pd
 
     bucketed = lsh_bucketed(source, id_col=id_col, emb_col=emb_col,
                             bits=bits, seed=seed)
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = max(0, len(g) - max_bucket)
+        if dropped:
+            g = g.nsmallest(max_bucket, id_col)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "cos_sim": np.empty(0, np.float64),
+                                 "n_dropped": np.empty(0, np.int64)})
         m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
@@ -264,11 +272,86 @@ def near_dup_pairs(source: Any, threshold: float = 0.95, *,
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         keep = sims[iu] >= threshold
+        n_out = int(keep.sum())
         return pd.DataFrame({
             "id_a": ids[iu[0][keep]],
             "id_b": ids[iu[1][keep]],
             "cos_sim": np.round(sims[iu][keep], 4),
+            "n_dropped": np.r_[dropped, np.zeros(max(0, n_out - 1), np.int64)]
+            if n_out else np.empty(0, dtype=np.int64),
         })
 
     return bucketed.groupby("bucket").map_groups(
         pairs_of_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: write the bucketed layout ONCE, prune at the read
+# ---------------------------------------------------------------------------
+
+def build_ann_index(source: Any, index_dir: str, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding", bits: int = 8,
+                    seed: int = 11) -> dict:
+    """Persist the LSH-bucketed layout as bucket-partitioned parquet.
+
+    The per-query paths above re-scan the corpus to recompute bucket
+    assignments; at scale an index must be a LAYOUT. This writes
+    ``index_dir/bucket=<i>/`` once; every later query prunes to its
+    probe buckets at the READ (hive partition filter → only matching
+    files leave storage). A manifest records (bits, seed) so queries
+    regenerate the hyperplanes deterministically with no coordination,
+    and the writer doubles as the resumable layout (one directory per
+    bucket)."""
+    import json
+    import os
+
+    bucketed = lsh_bucketed(source, id_col=id_col, emb_col=emb_col,
+                            bits=bits, seed=seed)
+    # data under data/ so the manifest file can't confuse hive-partition
+    # discovery on the read side
+    bucketed.write_parquet(os.path.join(index_dir, "data"),
+                           partition_cols=["bucket"])
+    manifest = {"bits": bits, "seed": seed, "id_col": id_col,
+                "emb_col": emb_col, "kind": "hyperplane-lsh"}
+    tmp = os.path.join(index_dir, "_index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "_index.json"))
+    return manifest
+
+
+def ann_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10, *,
+                   multiprobe: int = 1, round_to: int | None = None):
+    """Query a persisted ANN index: regenerate the planes from the
+    manifest, compute the probe-bucket set, and read ONLY those
+    partition directories (explicit path pruning — not a post-read
+    filter: no byte of a non-probed bucket ever leaves storage. Ray's
+    ``read_parquet(filter=...)`` cannot bind hive-partition fields
+    during its sampling pass, so paths are pruned directly)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_index.json")) as f:
+        man = json.load(f)
+    bits, seed = man["bits"], man["seed"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    planes = np.random.default_rng(seed).normal(size=(bits, len(q)))
+    q_bucket = int(hyperplane_signatures(qn[None, :], planes)[0])
+    probe = {q_bucket}
+    if multiprobe >= 1:
+        probe |= {q_bucket ^ (1 << b) for b in range(bits)}
+
+    import glob
+
+    paths = [f for b in sorted(probe)
+             for f in sorted(glob.glob(os.path.join(
+                 index_dir, "data", f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return pa.table({man["id_col"]: pa.array([], type=pa.int64()),
+                         "cos_sim": pa.array([], type=pa.float64())})
+    ds = rd.read_parquet(paths)
+    return brute_force_topk(ds, query_vec, k, id_col=man["id_col"],
+                            emb_col=man["emb_col"], round_to=round_to)

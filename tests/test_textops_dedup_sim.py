@@ -313,3 +313,48 @@ def test_minhash_bucket_cap_bounds_pairs(ray_session):
     assert pairs["n_dropped"].sum() > 0
     # survivors are the smallest keys (deterministic truncation)
     assert set(pairs["key_a"]) | set(pairs["key_b"]) <= set(range(32))
+
+
+def test_persisted_ann_index(ray_session, tmp_path):
+    """build once → query prunes partitions at the read; recall matches
+    the on-the-fly ANN path."""
+    import os
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import (
+        ann_index_topk, brute_force_topk, build_ann_index, recall_at_k)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table(n=400)
+    src = DatasetSource(rd.from_arrow(t))
+    idx = str(tmp_path / "annidx")
+    man = build_ann_index(src, idx, bits=6)
+    assert man["bits"] == 6
+    # hive layout: one dir per occupied bucket + manifest
+    buckets = [d for d in os.listdir(os.path.join(idx, "data"))
+               if d.startswith("bucket=")]
+    assert len(buckets) > 4
+    assert os.path.exists(os.path.join(idx, "_index.json"))
+
+    # the persisted-index path must return EXACTLY what the on-the-fly
+    # bucketing path returns (same planes, same probe set)
+    from jsonschema_ray.pipelines.similarity import ann_topk
+
+    q = m[17].astype(np.float64)
+    got = ann_index_topk(idx, q, k=5, multiprobe=1)
+    scan = ann_topk(src, q, k=5, bits=6, multiprobe=1)
+    assert got.column("vec_id").to_pylist() == scan.column("vec_id").to_pylist()
+    assert got.column("vec_id").to_pylist()[0] == 17  # self is its own NN
+
+    # a planted near-duplicate lands in the same bucket and is recovered
+    dup = (m[17] + np.random.default_rng(0).normal(scale=1e-3, size=16)
+           ).astype(np.float32)
+    t_dup = pa.table({
+        "vec_id": pa.array(list(range(400)) + [9000], type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m] + [dup.tolist()],
+                              type=pa.list_(pa.float32()))})
+    idx2 = str(tmp_path / "annidx2")
+    build_ann_index(DatasetSource(rd.from_arrow(t_dup)), idx2, bits=6)
+    got2 = ann_index_topk(idx2, q, k=2, multiprobe=0)
+    assert set(got2.column("vec_id").to_pylist()) == {17, 9000}
