@@ -810,6 +810,43 @@ def cmd_inspect(args) -> int:
     return EXIT_OK
 
 
+def cmd_encode(args) -> int:
+    """JSONL → columnar parquet with the size ratio printed — the
+    distributed analog of ``jsonschema encode`` (JSON BinPack,
+    ``/root/reference/src/command_encode.cc:73-90`` prints
+    ``encoded*100/original %``): schema-aware columnar encodings play
+    the binary-serialization role at dataset scale (SURVEY §2.1)."""
+    import glob as _glob
+    import os
+
+    from jsonschema_ray.sources.readers import JsonlSource
+
+    _ensure_ray(args.num_cpus)
+    JsonlSource(args.inputs).dataset().write_parquet(args.output)
+    orig = sum(os.path.getsize(f) for pat in args.inputs
+               for f in (_glob.glob(pat) or [pat]))
+    enc = sum(os.path.getsize(os.path.join(r, f))
+              for r, _, fs in os.walk(args.output) for f in fs)
+    pct = (enc * 100.0 / orig) if orig else 0.0
+    print(json.dumps({"original_bytes": orig, "encoded_bytes": enc,
+                      "ratio_pct": round(pct, 1)}))
+    return EXIT_OK
+
+
+def cmd_decode(args) -> int:
+    """Parquet → JSONL (the ``jsonschema decode`` analog)."""
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    _ensure_ray(args.num_cpus)
+    ds = ParquetSource(args.inputs).dataset()
+    if args.output == "-":
+        for row in ds.iter_rows():
+            print(json.dumps(row, default=str))
+    else:
+        ds.write_json(args.output)
+    return EXIT_OK
+
+
 def cmd_bundle(args) -> int:
     """Inline every file-based ``$ref`` of a JSON Schema document into
     ``$defs``, emitting a self-contained schema (the ``jsonschema
@@ -951,6 +988,18 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--shard-size", type=int, default=8)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("encode")
+    e.add_argument("inputs", nargs="+")
+    e.add_argument("-o", "--output", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_encode)
+
+    dd = sub.add_parser("decode")
+    dd.add_argument("inputs", nargs="+")
+    dd.add_argument("-o", "--output", required=True)
+    dd.add_argument("--num-cpus", type=int, default=None)
+    dd.set_defaults(fn=cmd_decode)
 
     b = sub.add_parser("bundle")
     b.add_argument("schema")

@@ -409,19 +409,22 @@ def dup_clusters(pairs, keys=None) -> dict:
 def dedup_survivors(source: Any, clusters: dict, key_col: str):
     """Filter a dataset down to cluster survivors (key == its root) —
     the 'per-group first' step of near-dup dedup, applied distributed
-    with the (small) cluster map broadcast."""
-    import pyarrow.compute as pc
+    with the (small) cluster map broadcast. Membership goes through a
+    prebuilt CatalogIndex: ``pc.is_in`` rebuilds its hash set on every
+    batch (round-1 measurement: 391 ms/batch vs 7 ms at 1.1M keys)."""
+    from jsonschema_ray.functions.catalog import CatalogIndex
 
-    losers = pa.array(sorted(k for k, r in clusters.items() if k != r))
+    losers = sorted(k for k, r in clusters.items() if k != r)
     src = as_source(source)
+    if not losers:
+        return src.dataset()
+    idx = CatalogIndex(pa.array(losers))
 
     def keep(t: pa.Table) -> pa.Table:
         col = t.column(key_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if len(losers) == 0:
-            return t
-        return t.filter(pc.invert(pc.is_in(col, value_set=losers)))
+        return t.filter(pa.array(~idx.contains(col)))
 
     return src.dataset().map_batches(keep, batch_format="pyarrow")
 

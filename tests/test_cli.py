@@ -284,3 +284,32 @@ def test_validate_single_instance_mode(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert p.returncode == 0
     assert "ok:" in p.stderr
+
+
+def test_encode_decode_roundtrip(ray_session, tmp_path):
+    """encode (JSONL→parquet, ratio printed) then decode back — the
+    JSON BinPack analog pair (src/command_encode.cc:73-90)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    rows = [{"doc_id": f"d{i}", "n": i} for i in range(200)]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "encode", str(src),
+         "-o", str(tmp_path / "enc"), "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 0, p.stderr
+    stats = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert stats["original_bytes"] > 0 and stats["encoded_bytes"] > 0
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "decode",
+         str(tmp_path / "enc"), "-o", "-", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 0, p.stderr
+    back = sorted((_json.loads(ln) for ln in p.stdout.splitlines()
+                   if ln.strip()), key=lambda r: r["n"])
+    assert back == rows
