@@ -164,15 +164,6 @@ class CompiledSchema:
         the validation root (the reference's ``--entrypoint``/IdentifyA
         flow, ``test/validate/fail_entrypoint_*.sh``) — ``$ref``s still
         resolve against the WHOLE document."""
-        import sys
-
-        # each instance nesting level costs ~8 evaluator frames; the
-        # default 1000-frame limit would cap documents at depth ~120.
-        # 40k frames ≈ depth 5000 — beyond that the RecursionError
-        # fallback in validate() reports a maxDepth violation rather
-        # than crashing the worker.
-        if sys.getrecursionlimit() < 40_000:
-            sys.setrecursionlimit(40_000)
         self.schema = schema
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
@@ -189,7 +180,22 @@ class CompiledSchema:
         try:
             return self._fn(value, path)[0]
         except RecursionError:
-            return [(path, "maxDepth", "instance nesting exceeds evaluator depth")]
+            # each instance nesting level costs ~8 evaluator frames; the
+            # default 1000-frame limit caps documents at depth ~120.
+            # Raise the limit LAZILY — only when a deep document actually
+            # appears (keeps library import/compile side-effect-free) —
+            # and retry once; past ~depth-5000 report a maxDepth
+            # violation rather than crash the worker.
+            import sys
+
+            if sys.getrecursionlimit() < 40_000:
+                sys.setrecursionlimit(40_000)
+                try:
+                    return self._fn(value, path)[0]
+                except RecursionError:
+                    pass
+            return [(path, "maxDepth",
+                     "instance nesting exceeds evaluator depth")]
 
     def is_valid(self, value: Any) -> bool:
         return not self.validate(value)
