@@ -426,6 +426,19 @@ def cmd_lint(args) -> int:
 
     from jsonschema_ray.functions.formats import format_names
 
+    if getattr(args, "schema", None):
+        # schema-document lint: metaschema validation + static analysis
+        # (unknown-keyword typo detection, unsatisfiable bounds, empty
+        # enums, constant-false branches, double negation)
+        from jsonschema_ray.spec.jschema import lint_schema
+
+        findings = lint_schema(_load_schema_doc(args.schema))
+        for sev, ptr, msg in findings:
+            print(f"{sev}: {ptr or '/'}: {msg}", file=sys.stderr)
+        n_err = sum(1 for sev, _, _ in findings if sev == "error")
+        print(json.dumps({"findings": len(findings), "errors": n_err}))
+        return EXIT_VALIDATION if n_err else EXIT_OK
+
     plan = _load_plan(args.plan)
     findings: list[tuple[str, str, str]] = []  # (severity, rule_id, message)
     seen = set()
@@ -1022,7 +1035,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.set_defaults(fn=cmd_fmt)
 
     li = sub.add_parser("lint")
-    li.add_argument("plan")
+    li.add_argument("plan", nargs="?", default="default")
+    li.add_argument("--schema")
     li.add_argument("--fix", action="store_true")
     li.set_defaults(fn=cmd_lint)
 

@@ -710,6 +710,82 @@ METASCHEMA: dict = {
 }
 
 
+_KNOWN_KEYWORDS = set(METASCHEMA["$defs"]["schema"]["then"]["properties"]) | {
+    "$comment", "default", "examples", "deprecated", "readOnly", "writeOnly",
+    "$vocabulary", "$dynamicAnchor", "$recursiveAnchor", "contentEncoding",
+}
+
+_BOUND_PAIRS = [("minimum", "maximum"), ("minLength", "maxLength"),
+                ("minItems", "maxItems"), ("minProperties", "maxProperties"),
+                ("minContains", "maxContains")]
+
+
+def lint_schema(schema: Any) -> list[tuple[str, str, str]]:
+    """Static analysis of a schema document — the alterschema-style
+    lint surface (``vendor/blaze/src/alterschema``) applied to schemas:
+    (severity, json_pointer, message) findings for unknown keywords
+    (typo detection), unsatisfiable bounds, empty enums, constant-false
+    applicator members, and double-negation — on top of full
+    metaschema validation."""
+    findings: list[tuple[str, str, str]] = []
+    for p, kw, msg in check_metaschema(schema):
+        findings.append(("error", p, f"{kw}: {msg}"))
+
+    def walk(node: Any, ptr: str, in_schema_pos: bool):
+        if isinstance(node, bool):
+            return
+        if isinstance(node, dict) and in_schema_pos:
+            for k in node:
+                if k not in _KNOWN_KEYWORDS:
+                    findings.append(
+                        ("warning", f"{ptr}/{k}",
+                         f"unknown keyword {k!r} (typo?) — ignored by "
+                         "evaluation"))
+            for lo, hi in _BOUND_PAIRS:
+                if lo in node and hi in node and \
+                        isinstance(node[lo], (int, float)) and \
+                        isinstance(node[hi], (int, float)) and \
+                        node[lo] > node[hi]:
+                    findings.append(("error", ptr,
+                                     f"unsatisfiable: {lo} {node[lo]} > "
+                                     f"{hi} {node[hi]}"))
+            if node.get("enum") == []:
+                findings.append(("error", f"{ptr}/enum",
+                                 "empty enum matches nothing"))
+            for app in ("allOf",):
+                for i, sub in enumerate(node.get(app, [])):
+                    if sub is False:
+                        findings.append(
+                            ("warning", f"{ptr}/{app}/{i}",
+                             "constant-false branch makes the whole "
+                             "schema unsatisfiable"))
+            if isinstance(node.get("not"), dict) and \
+                    "not" in node["not"] and len(node["not"]) == 1:
+                findings.append(("warning", f"{ptr}/not",
+                                 "double negation — inline the inner schema"))
+            # recurse into schema-valued positions
+            for k, v in node.items():
+                esc = k.replace("~", "~0").replace("/", "~1")
+                if k in ("properties", "patternProperties",
+                         "dependentSchemas", "$defs", "definitions"):
+                    if isinstance(v, dict):
+                        for kk, vv in v.items():
+                            kesc = kk.replace("~", "~0").replace("/", "~1")
+                            walk(vv, f"{ptr}/{esc}/{kesc}", True)
+                elif k in ("allOf", "anyOf", "oneOf", "prefixItems") or \
+                        (k == "items" and isinstance(v, list)):
+                    for i, vv in enumerate(v if isinstance(v, list) else []):
+                        walk(vv, f"{ptr}/{esc}/{i}", True)
+                elif k in ("items", "additionalProperties", "propertyNames",
+                           "contains", "not", "if", "then", "else",
+                           "unevaluatedProperties", "unevaluatedItems",
+                           "additionalItems", "contentSchema"):
+                    walk(v, f"{ptr}/{esc}", True)
+
+    walk(schema, "", True)
+    return findings
+
+
 def check_metaschema(schema: Any) -> list[Err]:
     """Validate a schema DOCUMENT against the embedded metaschema using
     this module's own evaluator (self-hosting: the metaschema exercises

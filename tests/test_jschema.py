@@ -347,3 +347,24 @@ def test_metaschema_self_hosting():
     assert errs and errs[0][1] == "minimum"
     errs = check_metaschema({"patternProperties": {"[": {}}})
     assert errs
+
+
+def test_lint_schema_static_analysis():
+    from jsonschema_ray.spec.jschema import lint_schema
+
+    f = lint_schema({
+        "type": "object",
+        "properties": {
+            "a": {"minimun": 3},                      # typo
+            "b": {"minimum": 5, "maximum": 2},        # unsatisfiable
+            "c": {"enum": []},
+            "d": {"allOf": [False, {"type": "string"}]},
+            "e": {"not": {"not": {"type": "integer"}}},
+        }})
+    msgs = {(sev, ptr) for sev, ptr, _ in f}
+    assert ("warning", "/properties/a/minimun") in msgs
+    assert ("error", "/properties/b") in msgs
+    assert ("error", "/properties/c/enum") in msgs
+    assert ("warning", "/properties/d/allOf/0") in msgs
+    assert ("warning", "/properties/e/not") in msgs
+    assert lint_schema({"type": "string", "minLength": 1}) == []
