@@ -179,10 +179,30 @@ def profile(
     width = max(4, cpus // 4)
     salted = partials.map_batches(add_salt, batch_format="pyarrow") \
         .repartition(width)
+    def _merge_group(t: pa.Table) -> pa.Table:
+        # Ray's sort-based groupby hands empty partitions a zero-column
+        # table; pass the declared schema through instead of "." blocks.
+        if t.num_rows == 0 or "column" not in t.column_names:
+            return PARTIAL_SCHEMA.empty_table()
+        return _merge_rows(t.drop_columns(["salt"]))
+
     level1 = salted.groupby(["column", "salt"]).map_groups(
-        lambda t: _merge_rows(t.drop_columns(["salt"])), batch_format="pyarrow")
-    level2 = level1.repartition(max(2, width // 2)).groupby("column").map_groups(
-        _merge_rows, batch_format="pyarrow")
+        _merge_group, batch_format="pyarrow")
+
+    # Final merge: level1 is bounded at 64 rows per profiled column
+    # regardless of input size (the salt fan-in), so a single coalesced
+    # task replaces a second sort shuffle — fewer tasks, and no empty
+    # sort partitions emitting schemaless blocks.
+    def _merge_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "column" not in t.column_names:
+            return PARTIAL_SCHEMA.empty_table()
+        parts = []
+        for c in sorted(set(t.column("column").to_pylist())):
+            parts.append(_merge_rows(t.filter(pc.equal(t.column("column"), c))))
+        return pa.concat_tables(parts)
+
+    level2 = level1.repartition(1).map_batches(
+        _merge_final, batch_format="pyarrow", batch_size=None)
 
     out: dict[str, dict[str, Any]] = {}
     for row in level2.take_all():  # ≤ one row per profiled column
