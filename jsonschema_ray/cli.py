@@ -6,12 +6,15 @@ driver-side, SURVEY.md §2.11).
     python -m jsonschema_ray compile RULES.json [-o PLAN.json] [--fast] [-O]
     python -m jsonschema_ray compile --schema SCHEMA.json [-o PLAN.json]
     python -m jsonschema_ray validate --plan PLAN.json INPUT.parquet...
-        [--catalog CAT.parquet] [--out DIR] [--fast] [--trace N]
-        [--only a,b] [--exclude a,b] [--num-cpus N]
+        [--catalog CAT.parquet] [--out DIR] [--fast] [--fail-fast]
+        [--trace N] [--only a,b] [--exclude a,b] [--num-cpus N]
+        [--extension json --ignore build/]
     python -m jsonschema_ray validate --schema SCHEMA.{json,yaml} INPUTS...
         (inputs: parquet | jsonl[.gz] | yaml | "-" for stdin JSONL)
     python -m jsonschema_ray validate --schema S.json --instance DOC.json...
     python -m jsonschema_ray bundle SCHEMA.json [-o OUT.json]
+        [--store DIR] [--http]
+    python -m jsonschema_ray install URI... [--to DIR] [--force | --frozen]
     python -m jsonschema_ray metaschema PLAN.json
     python -m jsonschema_ray fmt PLAN.json [--check]
     python -m jsonschema_ray lint PLAN.json [--fix]
@@ -174,7 +177,20 @@ def cmd_validate(args) -> int:
     if args.catalog:
         cat = pq.read_table(args.catalog).column(
             args.catalog_key).combine_chunks()
-    src = _input_source(args.inputs)
+    inputs = args.inputs
+    if getattr(args, "extension", None) or getattr(args, "ignore", None):
+        # reference traversal filters (src/input.h parse_extensions /
+        # parse_ignore); without the flags, directories pass through so
+        # parquet directory reads keep working
+        from jsonschema_ray.state.manifest import scan_inputs
+
+        inputs = scan_inputs(inputs, extensions=args.extension,
+                             ignore=args.ignore)
+        if not inputs:
+            print("validate: no inputs left after extension/ignore "
+                  "filters", file=sys.stderr)
+            return EXIT_ERROR
+    src = _input_source(inputs)
     if getattr(args, "trace", 0):
         # annotation/trace rows for the first N docs (the --trace analog,
         # reference output_simple.cc:83-93) — driver-side by design
@@ -197,6 +213,21 @@ def cmd_validate(args) -> int:
         print(json.dumps(out))
         return EXIT_OK if out["passed"] else EXIT_VALIDATION
     res = validate(src, plan, catalog_keys=cat, only=only, exclude=exclude)
+    if getattr(args, "fail_fast", False):
+        # streaming early-exit (the reference's default fail-fast vs
+        # our exhaustive default, SURVEY §2.7): Dataset.limit() stops
+        # upstream execution once the first rows materialize, so a
+        # corrupt input fails in seconds instead of a full scan
+        head = res.violations.limit(args.limit).to_pandas()
+        if len(head):
+            for r in head.itertuples(index=False):
+                print(f"{r.doc_id}\t{r.rule_id}\t{r.span_index}\t"
+                      f"{r.message}", file=sys.stderr)
+            print(f"fail-fast: violations found (showing ≤{args.limit})",
+                  file=sys.stderr)
+            return EXIT_VALIDATION
+        print("ok (fail-fast scan: no violations)", file=sys.stderr)
+        return EXIT_OK
     res.materialize()
     n = res.violation_count()
     if args.json:
@@ -578,7 +609,7 @@ def cmd_test(args) -> int:
     return EXIT_OK if passed == len(cases) else EXIT_VALIDATION
 
 
-_CODEGEN_TEMPLATE = '''"""Standalone validator generated by `jsonschema_ray codegen`.
+_CODEGEN_TEMPLATE = r'''"""Standalone validator generated by `jsonschema_ray codegen`.
 
 Plan hash: {plan_hash} (version {version}). No dependency on the
 engine: pure-Python row-at-a-time evaluation of the plan's row-local
@@ -878,8 +909,13 @@ def cmd_bundle(args) -> int:
     root_path = os.path.abspath(args.schema)
     root = _load_schema_doc(root_path)
     defs = root.setdefault("$defs", {})
-    loaded: dict[str, str] = {}  # abs path -> $defs key
+    loaded: dict[str, str] = {}  # abs path or URI -> $defs key
     errors: list[str] = []
+    store = None
+    if getattr(args, "store", None):
+        from jsonschema_ray.sources.fetch import SchemaStore
+
+        store = SchemaStore(args.store)
 
     def key_for(path: str) -> str:
         base = os.path.basename(path)
@@ -909,16 +945,46 @@ def cmd_bundle(args) -> int:
             for v in node:
                 rewrite_fragments(v, mount)
 
-    def bundle_refs(node, base_dir: str):
+    def bundle_refs(node, base: str, remote: bool = False):
+        """``base`` is a filesystem dir (remote=False) or the URI of the
+        containing document (remote=True): relative refs inside a
+        fetched remote schema resolve against its URI, not the local
+        tree (reference resolver semantics, ``src/resolver.h:262+``)."""
         if isinstance(node, dict):
             for k, v in list(node.items()):
                 if k == "$ref" and isinstance(v, str) and not v.startswith("#"):
-                    if "://" in v:
-                        errors.append(f"non-file external $ref {v!r} "
-                                      "(no network in this environment)")
+                    if remote or "://" in v:
+                        from urllib.parse import urljoin
+
+                        uri, _, frag = v.partition("#")
+                        if "://" not in uri:
+                            uri = urljoin(base, uri)
+                        sub = store.resolve(uri) if store else None
+                        if sub is None and getattr(args, "http", False):
+                            from jsonschema_ray.sources.fetch import (
+                                fetch_schema)
+
+                            try:
+                                sub = fetch_schema(uri)
+                            except Exception as e:  # noqa: BLE001
+                                errors.append(
+                                    f"cannot fetch $ref {v!r}: {e}")
+                                continue
+                        if sub is None:
+                            errors.append(
+                                f"unresolved external $ref {v!r} (install "
+                                "it to --store, or pass --http)")
+                            continue
+                        if uri not in loaded:
+                            key = key_for(uri)
+                            loaded[uri] = key
+                            defs[key] = sub  # mount first: cycles terminate
+                            rewrite_fragments(sub, f"/$defs/{key}")
+                            bundle_refs(sub, uri, remote=True)
+                        node[k] = f"#/$defs/{loaded[uri]}{frag}"
                         continue
                     path, _, frag = v.partition("#")
-                    apath = os.path.abspath(os.path.join(base_dir, path))
+                    apath = os.path.abspath(os.path.join(base, path))
                     if apath not in loaded:
                         try:
                             sub = _load_schema_doc(apath)
@@ -932,10 +998,10 @@ def cmd_bundle(args) -> int:
                         bundle_refs(sub, os.path.dirname(apath))
                     node[k] = f"#/$defs/{loaded[apath]}{frag}"
                 else:
-                    bundle_refs(v, base_dir)
+                    bundle_refs(v, base, remote)
         elif isinstance(node, list):
             for v in node:
-                bundle_refs(v, base_dir)
+                bundle_refs(v, base, remote)
 
     bundle_refs(root, os.path.dirname(root_path))
     if errors:
@@ -949,6 +1015,33 @@ def cmd_bundle(args) -> int:
     else:
         print(out)
     return EXIT_OK
+
+
+def cmd_install(args) -> int:
+    """Fetch remote schemas into a local store + lock file (the
+    ``jsonschema install`` verb,
+    ``/root/reference/src/command_install.cc:273-465``: vendored
+    dependency fetch with ``jsonschema.lock.json``; ``--frozen``
+    verifies the lock without refreshing).  With no URIs and
+    ``--frozen``, every locked entry is verified."""
+    from jsonschema_ray.sources.fetch import SchemaStore
+
+    store = SchemaStore(args.to)
+    uris = args.uris or (store.uris() if args.frozen else [])
+    if not uris:
+        print("install: no URIs given and lock is empty", file=sys.stderr)
+        return EXIT_ERROR
+    failed = 0
+    for uri in uris:
+        try:
+            entry = store.install(uri, force=args.force, frozen=args.frozen)
+            print(f"{'verified' if args.frozen else 'installed'}: {uri} -> "
+                  f"{entry['path']} ({entry['sha256'][:12]})",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — per-URI diagnostics
+            failed += 1
+            print(f"install: {uri}: {e}", file=sys.stderr)
+    return EXIT_ERROR if failed else EXIT_OK
 
 
 # ---------------------------------------------------------------------------
@@ -989,6 +1082,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-(doc,rule,span) outcome rows for the "
                         "first N docs (annotation/trace analog)")
     v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--extension", action="append", default=[],
+                   help="when an input is a directory, only scan files "
+                        "with this extension (repeatable; default "
+                        "json/yaml/yml; '' = extensionless)")
+    v.add_argument("--ignore", action="append", default=[],
+                   help="skip files under this path prefix (repeatable)")
+    v.add_argument("--fail-fast", action="store_true",
+                   help="stop at the first violations instead of an "
+                        "exhaustive report (streaming early-exit)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("run")
@@ -1017,7 +1119,23 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bundle")
     b.add_argument("schema")
     b.add_argument("-o", "--output")
+    b.add_argument("--store",
+                   help="schema store directory (from `install`) for "
+                        "resolving remote $refs offline")
+    b.add_argument("--http", action="store_true",
+                   help="allow fetching unresolved remote $refs live")
     b.set_defaults(fn=cmd_bundle)
+
+    ins = sub.add_parser("install")
+    ins.add_argument("uris", nargs="*", default=[],
+                     help="schema URIs to install (http/https/file)")
+    ins.add_argument("--to", default="vendor/schemas",
+                     help="store directory (lock file lives here)")
+    ins.add_argument("--force", action="store_true",
+                     help="re-fetch even if already installed")
+    ins.add_argument("--frozen", action="store_true",
+                     help="verify the lock instead of refreshing it")
+    ins.set_defaults(fn=cmd_install)
 
     m = sub.add_parser("metaschema")
     m.add_argument("plan", nargs="?", default="default")

@@ -112,6 +112,33 @@ def q_val_ref_orders(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
+def q_val_ref_orders_join(sf_dir: str):
+    """Referential check, LARGE-catalog flavour (SURVEY §2.4 #42): the
+    same orders→restricted-customer check as ``q_val_ref_orders``, but
+    through the engine's distributed hash anti-join path
+    (``referential_violations_join``, ``spans_col=None``) — the route
+    for catalogs too large to broadcast. Output is the engine's
+    violation-row shape keyed (doc_id, rule_id, span_index)."""
+    from jsonschema_ray.pipelines.validate import referential_violations_join
+    from jsonschema_ray.sources.readers import DatasetSource
+    from jsonschema_ray.spec.plan import Rule
+
+    def restrict(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 10 != 0))
+
+    cat = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        restrict, batch_format="pyarrow")
+    rule = Rule(rule_id="ref_custkey", kind="ref",
+                params={"field": "o_custkey", "catalog_key": "c_custkey"},
+                message="o_custkey missing from customer catalog")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    out = referential_violations_join(
+        DatasetSource(orders), rule, DatasetSource(cat), 8,
+        doc_id_col="o_orderkey", spans_col=None)
+    return out.drop_columns(["part"])
+
+
 def q_stats_profile_documents(sf_dir: str):
     """Column-stats rule, exact flavour (count / nulls / distinct /
     min / max) — single-row profile of the documents table in ONE pass:
@@ -1021,6 +1048,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "val_nchars_range": q_val_nchars_range,
     "val_unique_user": q_val_unique_user,
     "val_ref_orders": q_val_ref_orders,
+    "val_ref_orders_join": q_val_ref_orders_join,
     "val_spans_documents": q_val_spans_documents,
     "val_props_payload": q_val_props_payload,
     "val_schema_events": q_val_schema_events,
@@ -1064,6 +1092,12 @@ ORACLE: dict[str, str] = {
     "val_ref_orders":
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
+    "val_ref_orders_join":
+        "SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, "
+        "'ref_custkey' AS rule_id, CAST(-1 AS INTEGER) AS span_index, "
+        "'o_custkey missing from customer catalog' AS message "
+        "FROM orders WHERE o_custkey NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
     "val_spans_documents": _SPANS_SQL,
     "val_props_payload":

@@ -204,14 +204,18 @@ def referential_violations_join(
     num_partitions: int,
     *,
     doc_id_col: str = "doc_id",
-    spans_col: str = "spans",
+    spans_col: str | None = "spans",
     join_partitions: int | None = None,
 ):
     """Referential check via distributed hash anti-join — the path for
     catalogs too large to broadcast (SURVEY.md §2.4: ``Dataset.join``
     with ``left_anti``, hash-partitioned on the ref key). Only the thin
     (doc_id, span_index, ref) projection of the docs ever shuffles; the
-    span payloads stay at the read."""
+    span payloads stay at the read.
+
+    ``spans_col=None`` checks a TOP-LEVEL column of the row instead of a
+    span-struct field (span_index emitted as -1), so flat tables get the
+    same large-catalog path as interleaved documents."""
     from jsonschema_ray.functions.listops import flatten_spans
     from jsonschema_ray.spec.predicates import compile_predicate
 
@@ -228,7 +232,12 @@ def referential_violations_join(
         join_partitions = max(2, min(64, cpus // 2))
 
     def extract(t: pa.Table) -> pa.Table:
-        flat, parent, span_idx = flatten_spans(t, spans_col)
+        if spans_col is None:
+            flat = t
+            parent = np.arange(t.num_rows, dtype=np.int64)
+            span_idx = np.full(t.num_rows, -1, dtype=np.int32)
+        else:
+            flat, parent, span_idx = flatten_spans(t, spans_col)
         col = flat.column(field)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -262,6 +271,8 @@ def referential_violations_join(
         keys = t.column("doc_id")
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        if keys.type != pa.string():
+            keys = keys.cast(pa.string())
         part = partition_of(keys, num_partitions) if n else np.empty(0, np.int32)
         return pa.Table.from_arrays(
             [keys,

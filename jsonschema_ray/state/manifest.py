@@ -86,3 +86,54 @@ def plan_shards(paths: Sequence[str], shard_size: int) -> list[list[str]]:
     ordered = sorted(paths)
     return [list(ordered[i:i + shard_size])
             for i in range(0, len(ordered), shard_size)]
+
+
+def scan_inputs(
+    paths: Sequence[str],
+    *,
+    extensions: Sequence[str] | None = None,
+    ignore: Sequence[str] = (),
+) -> list[str]:
+    """Recursive input scanner with extension + ignore filters — the
+    reference's directory traversal semantics
+    (``/root/reference/src/input.h:48-106`` parse_extensions,
+    ``:109-122`` parse_ignore, ``:229-271`` handle_json_entry):
+
+    - directories are walked recursively; files kept when they match an
+      extension (default ``.json .yaml .yml``; an EMPTY extension means
+      extensionless files) and are not under an ignored path prefix;
+      empty files are skipped
+    - explicitly-named files bypass the extension filter but still
+      honor the ignore list
+    - output is deterministically sorted (canonical path)
+    """
+    exts = set()
+    for e in (extensions or []):
+        exts.add(e if (e == "" or e.startswith(".")) else "." + e)
+    if not exts:
+        exts = {".json", ".yaml", ".yml"}
+    blacklist = [os.path.realpath(p) for p in ignore]
+
+    def ignored(p: str) -> bool:
+        rp = os.path.realpath(p)
+        return any(rp == b or rp.startswith(b + os.sep) for b in blacklist)
+
+    def ext_match(p: str) -> bool:
+        _, dot, tail = os.path.basename(p).rpartition(".")
+        if "" in exts and not dot:
+            return True
+        return any(e != "" and p.endswith(e) for e in exts)
+
+    out: list[str] = []
+    for entry in paths:
+        if os.path.isdir(entry):
+            for root, dirs, files in os.walk(entry):
+                dirs.sort()
+                for name in sorted(files):
+                    p = os.path.join(root, name)
+                    if ext_match(p) and not ignored(p) \
+                            and os.path.getsize(p) > 0:
+                        out.append(p)
+        elif not ignored(entry):
+            out.append(entry)
+    return sorted(out)

@@ -313,3 +313,52 @@ def test_encode_decode_roundtrip(ray_session, tmp_path):
     back = sorted((_json.loads(ln) for ln in p.stdout.splitlines()
                    if ln.strip()), key=lambda r: r["n"])
     assert back == rows
+
+
+def test_validate_fail_fast_early_exit(tmp_path, ray_session):
+    """--fail-fast: exit 2 with a capped head of violations instead of
+    the exhaustive report; clean input exits 0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.cli import main
+    from jsonschema_ray.sources.synth import GenConfig, gen_docs_batch
+
+    bad = tmp_path / "bad.parquet"
+    pq.write_table(gen_docs_batch(
+        np.arange(500, dtype=np.uint64), GenConfig(n_docs=500, seed=9)),
+        str(bad))
+    assert main(["validate", str(bad), "--fail-fast",
+                 "--exclude", "media_ref_exists"]) == 2
+    good = tmp_path / "good.parquet"
+    pq.write_table(gen_docs_batch(
+        np.arange(200, dtype=np.uint64),
+        GenConfig(n_docs=200, seed=9, clean=True)), str(good))
+    assert main(["validate", str(good), "--fail-fast",
+                 "--exclude", "media_ref_exists"]) == 0
+
+
+def test_scan_inputs_filters(tmp_path):
+    """Directory scanner: extension + ignore semantics of the
+    reference's traversal (src/input.h)."""
+    from jsonschema_ray.state.manifest import scan_inputs
+
+    (tmp_path / "sub" / "skip").mkdir(parents=True)
+    (tmp_path / "a.json").write_text("{}")
+    (tmp_path / "b.yaml").write_text("x: 1")
+    (tmp_path / "c.txt").write_text("t")
+    (tmp_path / "noext").write_text("n")
+    (tmp_path / "empty.json").write_text("")      # empty → skipped
+    (tmp_path / "sub" / "d.json").write_text("{}")
+    (tmp_path / "sub" / "skip" / "e.json").write_text("{}")
+
+    got = scan_inputs([str(tmp_path)], ignore=[str(tmp_path / "sub" / "skip")])
+    rel = [p.split(str(tmp_path) + "/")[-1] for p in got]
+    assert rel == ["a.json", "b.yaml", "sub/d.json"]
+    got2 = scan_inputs([str(tmp_path)], extensions=["txt", ""])
+    rel2 = [p.split(str(tmp_path) + "/")[-1] for p in got2]
+    assert rel2 == ["c.txt", "noext"]
+    # explicit file bypasses the extension filter, honors ignore
+    assert scan_inputs([str(tmp_path / "c.txt")]) == [str(tmp_path / "c.txt")]
+    assert scan_inputs([str(tmp_path / "c.txt")],
+                       ignore=[str(tmp_path)]) == []

@@ -303,3 +303,31 @@ def test_write_sorted_roundtrip(ray_session, small, tmp_path):
     res.write_sorted(out)
     back = pads.dataset(out).to_table()
     assert back.num_rows == res.violation_count()
+
+
+def test_ref_join_flat_table(ray_session):
+    """spans_col=None flavour of the anti-join path: referential check
+    on a TOP-LEVEL column of a flat table (no span structs), span_index
+    emitted as -1 and doc_id cast to string."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate import referential_violations_join
+    from jsonschema_ray.spec.plan import Rule
+
+    rows = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([10, 20, 30, None], type=pa.int64()),
+    })
+    cat = pa.table({"c_custkey": pa.array([10, 30], type=pa.int64())})
+    rule = Rule("ref_flat", kind="ref",
+                params={"field": "o_custkey", "catalog_key": "c_custkey"},
+                message="missing custkey")
+    out = referential_violations_join(
+        DatasetSource(rd.from_arrow(rows)), rule,
+        DatasetSource(rd.from_arrow(cat)), 4,
+        doc_id_col="o_orderkey", spans_col=None).to_pandas()
+    # null ref without a guard is skipped (matches broadcast semantics);
+    # only custkey 20 is a genuine miss
+    assert sorted(out["doc_id"].tolist()) == ["2"]
+    assert out["span_index"].tolist() == [-1]
+    assert out["rule_id"].tolist() == ["ref_flat"]
