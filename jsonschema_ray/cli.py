@@ -1044,6 +1044,50 @@ def cmd_install(args) -> int:
     return EXIT_ERROR if failed else EXIT_OK
 
 
+def cmd_rdf(args) -> int:
+    """Promote instances to expanded-form JSON-LD via ``x-jsonld-*``
+    schema annotations (the ``jsonschema rdf`` verb,
+    ``/root/reference/src/command_rdf.cc:100-220``, vocabulary in
+    ``docs/rdf.markdown``).  Single-instance mode prints the expanded
+    document; ``--table`` mode promotes a JSON payload column of a
+    parquet/JSONL dataset distributed (actor-pool ``map_batches``,
+    schema compiled once per actor)."""
+    from jsonschema_ray.spec.jsonld import ResolutionError, promote
+
+    schema = _load_schema_doc(args.schema)
+    if getattr(args, "table", None):
+        _ensure_ray(args.num_cpus)
+        from jsonschema_ray.spec.jsonld import PromoteBatch
+
+        src = _input_source([args.table])
+        ds = src.dataset().map_batches(
+            PromoteBatch,
+            fn_constructor_kwargs={"schema": schema, "column": args.column},
+            batch_format="pyarrow", concurrency=(1, 8))
+        if args.output:
+            ds.write_parquet(args.output)
+            print(f"wrote {args.output}", file=sys.stderr)
+        else:
+            for row in ds.limit(args.limit).to_pandas().itertuples(
+                    index=False):
+                print(getattr(row, "jsonld"))
+        return EXIT_OK
+    rc = EXIT_OK
+    for path in args.instances:
+        inst = _load_schema_doc(path)
+        try:
+            print(json.dumps(promote(schema, inst), indent=2,
+                             sort_keys=True))
+            print(f"ok: {path}", file=sys.stderr)
+        except ResolutionError as e:
+            print(f"rdf: {path}: {e}", file=sys.stderr)
+            rc = EXIT_ERROR
+        except ValueError as e:
+            print(f"fail: {path}\n  {e}", file=sys.stderr)
+            rc = EXIT_VALIDATION
+    return rc
+
+
 # ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1136,6 +1180,20 @@ def build_parser() -> argparse.ArgumentParser:
     ins.add_argument("--frozen", action="store_true",
                      help="verify the lock instead of refreshing it")
     ins.set_defaults(fn=cmd_install)
+
+    rdf = sub.add_parser("rdf")
+    rdf.add_argument("schema")
+    rdf.add_argument("instances", nargs="*", default=[],
+                     help="instance JSON/YAML files to promote")
+    rdf.add_argument("--table",
+                     help="promote a dataset instead: parquet/JSONL path "
+                          "whose --column holds JSON payloads")
+    rdf.add_argument("--column", default="props")
+    rdf.add_argument("-o", "--output",
+                     help="(table mode) write promoted parquet here")
+    rdf.add_argument("--limit", type=int, default=20)
+    rdf.add_argument("--num-cpus", type=int, default=None)
+    rdf.set_defaults(fn=cmd_rdf)
 
     m = sub.add_parser("metaschema")
     m.add_argument("plan", nargs="?", default="default")

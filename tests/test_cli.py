@@ -225,7 +225,7 @@ def test_bundle_rejects_network_refs(tmp_path):
          str(tmp_path / "net.json")],
         capture_output=True, text=True, cwd="/root/repo")
     assert p.returncode == 1
-    assert "no network" in p.stderr
+    assert "unresolved external $ref" in p.stderr
 
 
 def test_validate_trace_outputs_annotation_rows(ray_session, tmp_path):
