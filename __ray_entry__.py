@@ -15,6 +15,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from jsonschema_ray.raycompat import quiet_empty_schema_warnings
+
+# Log hygiene only (no execution-semantics change; safe pre-ray.init):
+# suppress Ray's cosmetic empty-schema divergence warnings — see
+# jsonschema_ray/raycompat.py for the Ray-internal cause.
+quiet_empty_schema_warnings()
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the CheckPlan

@@ -26,6 +26,9 @@ import time
 def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
     import ray
 
+    from jsonschema_ray.raycompat import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext

@@ -94,6 +94,9 @@ def _load_schema_doc(path: str):
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
 
+    from jsonschema_ray.raycompat import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
@@ -787,7 +790,7 @@ if __name__ == "__main__":
 
     rows = json.load(sys.stdin)
     for key in validate_rows(rows):
-        print("\\t".join(map(str, key)))
+        print("\t".join(map(str, key)))
 '''
 
 

@@ -32,9 +32,9 @@ def _pq(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
-    import ray.data as rd
+    from jsonschema_ray.raycompat import read_parquet_clean
 
-    return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kw)
+    return read_parquet_clean(_pq(sf_dir, table), columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------

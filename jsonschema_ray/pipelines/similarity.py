@@ -352,6 +352,8 @@ def ann_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10, *,
     if not paths:
         return pa.table({man["id_col"]: pa.array([], type=pa.int64()),
                          "cos_sim": pa.array([], type=pa.float64())})
-    ds = rd.read_parquet(paths)
+    from jsonschema_ray.raycompat import read_parquet_clean
+
+    ds = read_parquet_clean(paths)
     return brute_force_topk(ds, query_vec, k, id_col=man["id_col"],
                             emb_col=man["emb_col"], round_to=round_to)

@@ -142,9 +142,11 @@ def profile(
 ) -> dict[str, dict[str, Any]]:
     """Compute the column profile. Returns {column: profile dict}.
 
-    Two-level tree merge: block partials → 64 salted pre-merges per
-    column (``groupby(column, salt)``) → final per-column merge. At 10^12
-    docs the final merge sees at most 64 rows per column.
+    Two-level tree merge: block partials → ``width`` block-local
+    pre-merges (sketch merge is associative, so no key shuffle is
+    needed — ``repartition(width)`` then merge-within-block) → final
+    per-column merge. At 10^12 docs the final merge sees at most
+    ``width`` rows per column, and no stage sorts.
     """
     specs = [s if isinstance(s, ProfileSpec) else ProfileSpec(**s) for s in specs]
     src = as_source(source)
@@ -163,49 +165,32 @@ def profile(
             concurrency=concurrency,
         )
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        salt = np.arange(t.num_rows) % 64  # merge placement only
-        return t.append_column("salt", pa.array(salt.astype(np.int32)))
-
-    # coalesce the hundreds of tiny partial blocks before the groupby:
-    # Ray's sort shuffle schedules a map+reduce task per block, which
-    # dominates wall time when blocks hold a handful of sketch rows.
-    # Coalesce width scales with the cluster (≈ cpus/4, floor 4) rather
-    # than a hardcoded single-node constant.
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
-    width = max(4, cpus // 4)
-    salted = partials.map_batches(add_salt, batch_format="pyarrow") \
-        .repartition(width)
-    def _merge_group(t: pa.Table) -> pa.Table:
-        # Ray's sort-based groupby hands empty partitions a zero-column
-        # table; pass the declared schema through instead of "." blocks.
+    # Pre-merge per column across partial blocks.  Merging is
+    # associative+commutative, so no key co-location is needed:
+    # StreamingRepartition (target_num_rows_per_block) coalesces the
+    # tiny per-block partial tables into ~8192-row blocks WITHOUT a
+    # barrier — and unlike block-count Repartition it never emits
+    # zero-schema empty bundles (the source of the "new schema: ."
+    # executor warnings; MapBatches forwards empty bundles without
+    # calling the UDF, so guards inside the UDF can't help).
+    # 8192 partial rows/block → ≤ n_cols rows out per block, so the
+    # driver-side fold below sees ~n_cols × n_partials/8192 rows — a
+    # few thousand at 10^12 docs, scalars not data.
+    def _merge_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "column" not in t.column_names:
             return PARTIAL_SCHEMA.empty_table()
-        return _merge_rows(t.drop_columns(["salt"]))
-
-    level1 = salted.groupby(["column", "salt"]).map_groups(
-        _merge_group, batch_format="pyarrow")
-
-    # Final merge: level1 is bounded at 64 rows per profiled column
-    # regardless of input size (the salt fan-in), so a single coalesced
-    # task replaces a second sort shuffle — fewer tasks, and no empty
-    # sort partitions emitting schemaless blocks.
-    def _merge_final(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "column" not in t.column_names:
-            return PARTIAL_SCHEMA.empty_table()
-        parts = []
-        for c in sorted(set(t.column("column").to_pylist())):
-            parts.append(_merge_rows(t.filter(pc.equal(t.column("column"), c))))
+        parts = [_merge_rows(t.filter(pc.equal(t.column("column"), c)))
+                 for c in sorted(set(t.column("column").to_pylist()))]
         return pa.concat_tables(parts)
 
-    level2 = level1.repartition(1).map_batches(
-        _merge_final, batch_format="pyarrow", batch_size=None)
+    level1 = partials.repartition(target_num_rows_per_block=8192) \
+        .map_batches(_merge_block, batch_format="pyarrow", batch_size=None)
+
+    pre = pa.Table.from_pylist(level1.take_all(), schema=PARTIAL_SCHEMA)
+    final = _merge_block(pre)
 
     out: dict[str, dict[str, Any]] = {}
-    for row in level2.take_all():  # ≤ one row per profiled column
+    for row in final.to_pylist():  # one row per profiled column
         col = row["column"]
         hll = HyperLogLog.deserialize(row["hll"]) if row["hll"] else None
         td = TDigest.deserialize(row["tdigest"]) if row["tdigest"] else None

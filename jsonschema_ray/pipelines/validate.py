@@ -65,6 +65,8 @@ def _maybe_put(obj: Any) -> Any:
 
 def _dup_violation_fn(rule_id: str, message: str, num_partitions: int):
     def to_violations(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return VIOLATION_PART_SCHEMA.empty_table()
         keys = t.column(t.column_names[0])
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -88,21 +90,26 @@ def uniqueness_violations(source: DocSource, key: str | list[str],
                           rule_id: str, message: str, num_partitions: int,
                           agg_partitions: int = 64):
     """Dataset-scope uniqueness: pruned read of the key column → per-block
-    partial counts hash-bucketed by key → ``groupby(part).map_groups``
-    merges each bucket with a pandas hash-aggregate. Lazy, so it
-    overlaps the row-local scan in the streaming executor.
+    partial counts keyed by an int64 key hash → ``sort(hash)`` co-locates
+    each key's partials → one vectorized Arrow ``group_by`` merge per
+    sorted partition. Lazy, so it overlaps the row-local scan in the
+    streaming executor.
 
-    The explicit hash-bucket scheme shuffles the same thin (key, count)
-    pairs but sorts only the int32 bucket column — measured 2.75×
-    faster than ``groupby(key).aggregate(Sum)`` whose sort-based
-    shuffle orders all key strings (8.0s vs 22.0s on 2M keys, 32 cpus;
-    a uint64-hash-keyed groupby and Ray's HASH_SHUFFLE strategy were
-    both slower still — see BASELINE.md). Skewed duplicate keys are
-    collapsed to one row per block BEFORE the shuffle, so a hot key
-    costs one row per block, not its multiplicity.
+    The hash-sort scheme shuffles the same thin (key, count) pairs but
+    sorts only an int64 column — measured 2.75× faster than
+    ``groupby(key).aggregate(Sum)`` whose sort-based shuffle orders all
+    key strings (8.0s vs 22.0s on 2M keys, 32 cpus; Ray's HASH_SHUFFLE
+    strategy was slower still — see BASELINE.md). The FULL hash (not
+    hash % num_buckets) is the sort key: range boundaries sampled from
+    a 64-value bucket column collide, and Ray pads the resulting empty
+    sort partitions with schema-less blocks ("new schema: ." executor
+    warnings); a high-cardinality key makes boundary ties — and the
+    pads — vanish. Equal hashes never straddle a partition (Ray splits
+    at boundary VALUES), so a per-partition merge is exact. Skewed
+    duplicate keys are collapsed to one row per block BEFORE the
+    shuffle, so a hot key costs one row per block, not its
+    multiplicity.
     """
-    import pandas as pd
-
     key_cols = [key] if isinstance(key, str) else list(key)
     kname = key_cols[0] if len(key_cols) == 1 else "__ckey"
 
@@ -120,22 +127,33 @@ def uniqueness_violations(source: DocSource, key: str | list[str],
             parts.append(col.cast(pa.string()))
         return pc.binary_join_element_wise(*parts, "\x1f")
 
+    from jsonschema_ray.functions.sketches import hash64
+
     def partials_bucketed(batch: pa.Table) -> pa.Table:
         vc = _key_array(batch).drop_null().value_counts()
         keys = vc.field("values")
+        h = hash64(keys.to_numpy(zero_copy_only=False), seed=0)
         return pa.table({
             kname: keys,
             "partial_count": vc.field("counts").cast(pa.int64()),
-            "part": pa.array(partition_of(keys, agg_partitions)),
+            # int64 view: a uint64 column round-trips through Ray's
+            # shuffle as a pickled extension array (see BASELINE.md)
+            "__khash": pa.array(h.view(np.int64)),
         })
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(kname, as_index=False)["partial_count"].sum()
-        return g[g["partial_count"] > 1][[kname]]
+    def merge_sorted(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or kname not in t.column_names:
+            # 0-row partition (boundary-tie pad): emit a typed empty
+            return pa.table({kname: pa.array([], type=pa.string())})
+        g = pa.TableGroupBy(t.select([kname, "partial_count"]),
+                            kname).aggregate([("partial_count", "sum")])
+        return g.filter(pc.greater(g.column("partial_count_sum"), 1)) \
+            .select([kname])
 
-    # coalesce the many small partial blocks before the groupby sort:
-    # hundreds of 16k-row blocks thrash the sort scheduler (measured
-    # 21.9s → 8.9s at 8M keys with 32 coalesced blocks)
+    # coalesce the many small partial blocks before the sort:
+    # hundreds of 16k-row blocks thrash the sort scheduler, which
+    # schedules a map+reduce pair per block (measured 21.9s → 8.9s at
+    # 8M keys with 32 coalesced blocks)
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
@@ -144,7 +162,8 @@ def uniqueness_violations(source: DocSource, key: str | list[str],
     dups = source.dataset(columns=key_cols).map_batches(
         partials_bucketed, batch_format="pyarrow") \
         .repartition(coalesce) \
-        .groupby("part").map_groups(merge_bucket, batch_format="pandas")
+        .sort("__khash") \
+        .map_batches(merge_sorted, batch_format="pyarrow", batch_size=None)
     return dups.map_batches(_dup_violation_fn(rule_id, message, num_partitions),
                             batch_format="pyarrow")
 

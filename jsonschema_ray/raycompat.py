@@ -1,0 +1,83 @@
+"""Workarounds for Ray Data quirks that cannot be fixed at the UDF level.
+
+Nothing here changes execution semantics — only log hygiene.
+"""
+
+from __future__ import annotations
+
+import logging
+
+_INSTALLED = False
+
+
+class _EmptySchemaDivergenceFilter(logging.Filter):
+    """Drop ONLY the cosmetic "RefBundle with a different schema …
+    new schema: <empty>" executor warnings.
+
+    When every block of a map task's input partition is empty, Ray
+    builds a schema-less placeholder block and forwards it AROUND the
+    UDF (``ray/data/_internal/planner/plan_udf_map_op.py:454-462`` —
+    "For empty input blocks, we directly output them without calling
+    the UDF … TODO(hchen): This workaround is because some all-to-all
+    operators output empty blocks with no schema").  A UDF that
+    returns ``schema.empty_table()`` therefore never sees these
+    blocks and cannot restore their schema; any filter-like stage
+    that empties a partition (a sorted bucket with no duplicates, a
+    selective predicate) triggers the warning.  The blocks carry zero
+    rows, so the divergence is harmless.  Real schema divergences
+    (non-empty new schema) still warn.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # an empty Arrow schema stringifies to "", an empty pandas one
+        # to "PandasBlockSchema(names=[], types=[])"
+        harmless = ("new schema: . This" in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])"
+                    in msg)
+        return not harmless
+
+
+def read_parquet_clean(paths, columns=None, **kw):
+    """``ray.data.read_parquet`` with the ``b'pandas'`` schema metadata
+    stripped at the source.
+
+    pandas-written parquet carries a ``b'pandas'`` schema-metadata
+    blob; ``hash(pa.Schema)`` raises ``unhashable type: 'dict'`` when
+    metadata is present, which trips Ray's schema-dedup fast path
+    (``transform_pyarrow.py:176-181`` — "Unsure if there are cases
+    where schemas are NOT hashable") inside the read task and on every
+    downstream exchange, logging a warning per task.  Passing an
+    explicit metadata-free ``schema=`` makes every block of the
+    pipeline metadata-free.  The metadata only serves pandas
+    round-trip niceties the engine never uses."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    # pyarrow.dataset accepts a dir OR a list of files, but not a list
+    # containing dirs — resolve each element separately in that case
+    if isinstance(paths, (list, tuple)):
+        schema = pa.unify_schemas(
+            [pds.dataset(p).schema.remove_metadata() for p in paths])
+    else:
+        schema = pds.dataset(paths).schema.remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(paths, schema=schema,
+                           columns=list(columns) if columns else None,
+                           **kw)
+
+
+def quiet_empty_schema_warnings() -> None:
+    """Install the empty-schema warning filter (idempotent; safe to
+    call before ``ray.init`` — it only touches the Python logger)."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaDivergenceFilter())
+    _INSTALLED = True

@@ -35,9 +35,9 @@ class ParquetSource(DocSource):
     override_num_blocks: int | None = None
 
     def dataset(self, columns: Sequence[str] | None = None):
-        import ray.data as rd
+        from jsonschema_ray.raycompat import read_parquet_clean
 
-        return rd.read_parquet(
+        return read_parquet_clean(
             self.paths,
             columns=list(columns) if columns else None,
             override_num_blocks=self.override_num_blocks,

@@ -6,6 +6,9 @@ def ray_session():
     """One Ray session for the whole pytest run (see repo instructions)."""
     import ray
 
+    from jsonschema_ray.raycompat import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
