@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from jsonschema_ray.sources.readers import DocSource
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -1017,26 +1019,86 @@ def q_profile_interleaved(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+_GOOD_REF = "media://0123456789abcdef"
+
+
+def _derive_key(ids: np.ndarray) -> np.ndarray:
+    """Doc key with PLANTED duplicates (ids ≡ 0 mod 101 collapse onto
+    three hot keys) so the flagship exercises the dataset-scope
+    uniqueness shuffle with a nonzero answer. Mirrored in the oracle
+    SQL's ``kdoc`` expression."""
+    key = ids.astype("U20").astype(object)
+    dup = ids % 101 == 0
+    if dup.any():
+        key[dup] = np.array(
+            ["dup-%d" % m for m in (ids[dup] % 3)], dtype=object)
+    return key
+
+
+def _derive_interleaved_batch(t: pa.Table) -> pa.Table:
+    """documents.doc_id → interleaved (doc_id: string key, spans) batch."""
+    from jsonschema_ray.sources.synth import SPAN_SCHEMA
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kind, type=pa.string()),
+         pa.array(text, type=pa.string(), from_pandas=True),
+         pa.array(ref, type=pa.string(), from_pandas=True),
+         pa.array(offset, type=pa.int32())],
+        fields=list(SPAN_SCHEMA))
+    offsets32 = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
+    spans = pa.ListArray.from_arrays(
+        pa.array(offsets32, type=pa.int32()), struct)
+    return pa.table({"doc_id": pa.array(_derive_key(ids),
+                                        type=pa.string()),
+                     "spans": spans})
+
+
+class _DerivedInterleavedSource(DocSource):
+    """DocSource adapter: derives the interleaved table from the flat
+    ``documents`` parquet in-stream (read stays pruned to doc_id)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def dataset(self, columns=None):
+        from jsonschema_ray.raycompat import read_parquet_clean
+
+        ds = read_parquet_clean(self.path, columns=["doc_id"]) \
+            .map_batches(_derive_interleaved_batch, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
+
+
 def q_flagship_validate(sf_dir: str):
-    """* rows-only: full CheckPlan over a deterministic synthetic
-    interleaved table (size scaled to the sf documents table); exact-row
-    correctness is asserted by the pytest oracle."""
-    import pyarrow.parquet as pq
-
+    """The north-rule flagship, SQL-oracled end to end: the FULL default
+    CheckPlan (span kernels + dataset-scope uniqueness shuffle +
+    broadcast-catalog referential) over the interleaved table derived
+    from ``documents``. Every rule's verdict is re-stated as plain SQL
+    over the flat table (see ORACLE['flagship_validate']), so the driver
+    value-hash checks the whole engine path. Large-scale perf of the
+    same path is measured by bench.py on the synthetic generator."""
     from jsonschema_ray.pipelines.validate import validate
-    from jsonschema_ray.sources.readers import SynthSource
-    from jsonschema_ray.sources.synth import GenConfig, catalog_table
 
-    n_docs = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows * 20
-    cfg = GenConfig(n_docs=n_docs)
-    cat = catalog_table(cfg).column("media_ref").combine_chunks()
-    res = validate(SynthSource(cfg), catalog_keys=cat)
-    # distributed sort, part column dropped in-stream — the driver
-    # receives the ordered violation dataset without a driver-side
-    # concat (ValidationResult.sorted_head is the capped variant)
-    res.materialize()
-    return res._normalized().sort(
-        ["doc_id", "rule_id", "span_index"]).drop_columns(["part"])
+    src = _DerivedInterleavedSource(_pq(sf_dir, "documents"))
+    res = validate(src, catalog_keys=[_GOOD_REF])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.string()),
+                              ("rule_id", pa.string()),
+                              ("span_index", pa.int64()),
+                              ("message", pa.string())]).empty_table()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "rule_id": t.column("rule_id"),
+            "span_index": t.column("span_index").cast(pa.int64()),
+            "message": t.column("message"),
+        })
+
+    return res.violations.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1229,8 +1291,64 @@ ORACLE: dict[str, str] = {
         "FROM embeddings e WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
     "langid": _langid_sql(),
-    # minhash_pairs / minhash_verified / simhash / ann_topk /
-    # near_dup_embeddings / profile_interleaved / flagship_validate:
-    # non-SQL-expressible (custom hashing / approximate / synthetic-
-    # input) → rows-only driver check; exactness covered by pytest.
+    # The full default CheckPlan re-stated rule by rule over the flat
+    # documents table: span-kernel arms share the derived-span CTE with
+    # val_spans_documents, plus the uniqueness group-by and the
+    # referential arm (catalog = {_GOOD_REF}, so bad refs are exactly
+    # the planted (did+si)%13 spans).
+    "flagship_validate": """
+WITH spans AS (
+  SELECT d.doc_id AS did,
+         CASE WHEN d.doc_id % 101 = 0
+              THEN 'dup-' || CAST(d.doc_id % 3 AS VARCHAR)
+              ELSE CAST(d.doc_id AS VARCHAR) END AS kdoc,
+         s AS si,
+         (d.doc_id*7 + s*3) % 5 AS k,
+         CASE WHEN (d.doc_id % 23)=0 AND s=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s=1 THEN 0
+              ELSE s*5 END AS off,
+         CASE WHEN s=0 THEN NULL
+              WHEN (d.doc_id % 23)=0 AND s-1=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s-1=1 THEN 0
+              ELSE (s-1)*5 END AS prev_off
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+)
+SELECT kdoc AS doc_id, 'kind_enum' AS rule_id,
+       CAST(si AS BIGINT) AS span_index,
+       'span kind must be one of text/image/audio/table' AS message
+  FROM spans WHERE k = 4
+UNION ALL
+SELECT kdoc, 'text_requires_text', CAST(si AS BIGINT),
+       'text span must carry a non-null text'
+  FROM spans WHERE k = 0 AND (did + si) % 11 = 0
+UNION ALL
+SELECT kdoc, 'media_ref_format', CAST(si AS BIGINT),
+       'media_ref must match media://<hex16>'
+  FROM spans WHERE k <> 0 AND (did + si) % 13 = 0
+UNION ALL
+SELECT kdoc, 'media_ref_exists', CAST(si AS BIGINT),
+       'media_ref must exist in the media catalog'
+  FROM spans WHERE k <> 0 AND (did + si) % 13 = 0
+UNION ALL
+SELECT kdoc, 'offset_nonnegative', CAST(si AS BIGINT),
+       'span offset must be a non-negative int32'
+  FROM spans WHERE off < 0
+UNION ALL
+SELECT kdoc, 'offset_monotonic', CAST(si AS BIGINT),
+       'span offsets must be strictly increasing within a doc'
+  FROM spans WHERE si >= 1 AND off <= prev_off
+UNION ALL
+SELECT kdoc, 'doc_id_unique', CAST(-1 AS BIGINT),
+       'doc_id must be unique across the dataset'
+  FROM (SELECT CASE WHEN doc_id % 101 = 0
+                    THEN 'dup-' || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE CAST(doc_id AS VARCHAR) END AS kdoc
+          FROM documents) GROUP BY kdoc HAVING count(*) > 1
+""",
+    # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings
+    # / profile_interleaved: approximate by construction (LSH banding /
+    # multiprobe recall / sketch estimates) → rows-only driver check;
+    # exactness of the underlying kernels is covered by pytest.
 }
