@@ -52,6 +52,27 @@ def hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
                               categorize=False).astype(np.uint64)
 
 
+def md5_hash64(values: np.ndarray) -> np.ndarray:
+    """64-bit MD5-based hash (bytes 8..16 of the digest, little-endian)
+    — bit-identical to DuckDB's ``md5_number_lower``, so operators built
+    on it (simhash) are SQL-oracle-verifiable cross-engine.
+
+    MD5 itself is per-string Python, so the cost is bounded by the
+    UNIQUE value count: the batch is dictionary-encoded first and the
+    digest computed once per distinct token (natural-language batches
+    are vocabulary-bounded), then scattered back vectorized."""
+    import hashlib
+
+    if len(values) == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(values.astype(object), return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(t).encode()).digest()[8:],
+                        "little") for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
 class HyperLogLog:
     """Dense HLL, p=12 (4096 registers, ~1.6% relative error)."""
 

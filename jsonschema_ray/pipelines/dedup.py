@@ -132,6 +132,8 @@ def _tokenize_flat(texts: np.ndarray | pa.Array) -> tuple[np.ndarray, np.ndarray
         else pa.array(texts, from_pandas=True)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_null(arr.type):  # all-null block infers type null
+        arr = arr.cast(pa.string())
     toks = pc.utf8_split_whitespace(arr.fill_null(""))
     counts = pc.list_value_length(toks).fill_null(0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -433,14 +435,17 @@ def dedup_survivors(source: Any, clusters: dict, key_col: str):
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(texts: np.ndarray) -> np.ndarray:
+def simhash_batch(texts: np.ndarray, token_hash=hash64) -> np.ndarray:
     """64-bit simhash per text: sign of summed ±1 token-hash bits.
-    Tokenization via Arrow ``utf8_split_whitespace`` (no per-row split)."""
+    Tokenization via Arrow ``utf8_split_whitespace`` (no per-row split).
+    ``token_hash``: the 64-bit token hash — default is the fast pandas
+    hash; pass ``sketches.md5_hash64`` for a DuckDB-reproducible
+    fingerprint (oracle-checkable, vocab-memoized)."""
     counts, flat = _tokenize_flat(texts)
     total = int(counts.sum())
     if total == 0:
         return np.zeros(len(texts), dtype=np.uint64)
-    th = hash64(flat)
+    th = token_hash(flat)
     doc_idx = np.repeat(np.arange(len(texts)), counts)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \
         .astype(np.int32) * 2 - 1  # (tokens, 64) in {-1,+1}
@@ -451,14 +456,15 @@ def simhash_batch(texts: np.ndarray) -> np.ndarray:
         axis=1, dtype=np.uint64)
 
 
-def simhash_dataset(source: Any, key_col: str, text_col: str = "text"):
+def simhash_dataset(source: Any, key_col: str, text_col: str = "text",
+                    token_hash=hash64):
     """→ Dataset (key, simhash, chunk0..chunk3) — the four 16-bit chunks
     are the LSH buckets for Hamming-≤3 candidate search."""
     src = as_source(source)
 
     def add(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        s = simhash_batch(texts)
+        s = simhash_batch(texts, token_hash=token_hash)
         cols = {key_col: t.column(key_col), "simhash": pa.array(s)}
         for c in range(4):
             cols[f"chunk{c}"] = pa.array(

@@ -920,9 +920,10 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_minhash_verified(sf_dir: str):
-    """* rows-only: LSH candidates verified by exact n-gram Jaccard
-    (threshold 0.5 — documents are random word soup, so verified pairs
-    are rare; the machinery is exercised end-to-end)."""
+    """LSH candidates verified by exact word-3-shingle Jaccard
+    (threshold 0.5). SQL-oracled against the ALL-pairs exact-Jaccard
+    set, so a green row certifies both the verification arithmetic and
+    LSH recall = 1.0 on this corpus."""
     from jsonschema_ray.pipelines.dedup import minhash_verified_pairs
     from jsonschema_ray.sources.readers import ParquetSource
 
@@ -931,15 +932,20 @@ def q_minhash_verified(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """* rows-only: 64-bit simhash fingerprints (hex) + LSH chunks."""
+    """64-bit simhash fingerprints, SQL-oracled: token hash is
+    ``md5_hash64`` (bit-identical to DuckDB ``md5_number_lower``,
+    vocab-memoized per batch), so the full bit-vote is re-derivable in
+    SQL. Emitted as a decimal string (uint64 exceeds BIGINT)."""
+    from jsonschema_ray.functions.sketches import md5_hash64
     from jsonschema_ray.pipelines.dedup import simhash_dataset
     from jsonschema_ray.sources.readers import ParquetSource
 
-    ds = simhash_dataset(ParquetSource(_pq(sf_dir, "documents")), "doc_id")
+    ds = simhash_dataset(ParquetSource(_pq(sf_dir, "documents")), "doc_id",
+                         token_hash=md5_hash64)
     return ds.map_batches(
         lambda t: pa.table({
             "doc_id": t.column("doc_id"),
-            "simhash_hex": pc.cast(t.column("simhash"), pa.string()),
+            "simhash": pc.cast(t.column("simhash"), pa.string()),
         }),
         batch_format="pyarrow")
 
@@ -1291,6 +1297,65 @@ ORACLE: dict[str, str] = {
         "FROM embeddings e WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
     "langid": _langid_sql(),
+    # simhash re-derived bit-by-bit in SQL: the engine's token hash is
+    # md5_hash64 == DuckDB md5_number_lower (verified bit-identical), so
+    # the per-bit ±1 vote and the strict acc>0 threshold reproduce the
+    # exact 64-bit fingerprint. Zero-token docs fingerprint to 0.
+    "simhash": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+                     ELSE CAST(0 AS UBIGINT) END) AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(fp.sh, 0) AS VARCHAR) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+    # ALL pairs with exact word-3-shingle Jaccard >= 0.5, shingle-joined
+    # (docs with <3 tokens have empty shingle sets and can never pair).
+    # This is a strictly STRONGER claim than the engine makes: the
+    # engine reports LSH candidates that verify, the oracle reports
+    # every true near-dup pair — matching it certifies LSH recall = 1.0
+    # on this corpus, not just verification correctness.
+    "minhash_verified": r"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM (SELECT * FROM tp WHERE tok <> '')
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sets AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
     # The full default CheckPlan re-stated rule by rule over the flat
     # documents table: span-kernel arms share the derived-span CTE with
     # val_spans_documents, plus the uniqueness group-by and the
