@@ -1,0 +1,193 @@
+"""Temporal joins Ray Data lacks natively: as-of join and broadcast
+interval (range) join.
+
+Reference parity: the reference engine has no temporal joins — these
+extend the engine for the training-data-pipeline tier (event
+attribution, windowed incident analysis) the way ``pipelines/dedup``
+extends it for dedup. Both are expressed in the two canonical
+distributed-join shapes:
+
+- **as-of join** (big ⋈ big on key + time): ONE hash shuffle of both
+  sides on the equality key, then a per-partition sorted merge
+  (``pandas.merge_asof``) inside ``groupby(part).map_groups``.
+  Partitioning assumption: all rows of one equality key fit in one
+  group (the same assumption sessionization makes — holds for
+  per-user/per-entity event streams; a pathological hot key cannot be
+  salted without breaking time continuity, it must be time-sliced with
+  boundary overlap instead, which ``asof_join`` does not do).
+- **interval join** (big ⋈ tiny ranges): the window table is broadcast
+  once via ``ray.put`` and every batch scans it vectorized — zero
+  shuffle, the idiomatic shape when one side fits in the object store.
+  The per-window loop is over WINDOWS (broadcast-small), never rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from jsonschema_ray.sources.readers import as_source
+
+
+def _num_partitions(requested: int | None) -> int:
+    import ray
+
+    if requested:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(64, cpus))
+
+
+def asof_join(left: Any, right: Any, *, by: str, on: str,
+              left_columns: list[str], right_columns: list[str],
+              right_suffix: str = "_r", direction: str = "backward",
+              how: str = "left", num_partitions: int | None = None):
+    """As-of join: for each left row, the single right row with the
+    same ``by`` key and the nearest ``on`` value (``direction``:
+    backward = latest right.on <= left.on, forward, nearest — pandas
+    ``merge_asof`` semantics, exact matches allowed).
+
+    → Dataset with ``left_columns`` + ``right_columns`` renamed with
+    ``right_suffix``. ``how='left'`` keeps unmatched left rows (right
+    columns null — int columns surface as float64/NaN, pandas merge
+    semantics); ``how='inner'`` drops them and preserves right dtypes.
+
+    Shape: both sides are shuffled ONCE on ``hash(by) % P`` and merged
+    per partition — no global sort, no driver materialization.
+    """
+    if by not in left_columns or on not in left_columns:
+        raise ValueError("left_columns must include `by` and `on`")
+    if by not in right_columns or on not in right_columns:
+        raise ValueError("right_columns must include `by` and `on`")
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    parts = _num_partitions(num_partitions)
+    lsrc, rsrc = as_source(left), as_source(right)
+    lds = lsrc.dataset(columns=left_columns)
+    rds = rsrc.dataset(columns=right_columns)
+    # the unified shuffle schema: left cols + suffixed right cols + tags
+    # (ray.data.Schema: parallel .names/.types lists of Arrow types)
+    l_schema = lds.schema()
+    r_schema = rds.schema()
+    l_all = dict(zip(l_schema.names, l_schema.types))
+    r_all = dict(zip(r_schema.names, r_schema.types))
+    r_named = [c + right_suffix for c in right_columns]
+    l_types = {c: l_all[c] for c in left_columns}
+    r_types = {n: r_all[c] for c, n in zip(right_columns, r_named)}
+
+    def tag(side: int):
+        own = left_columns if side == 0 else right_columns
+        own_named = left_columns if side == 0 else r_named
+        other_named = r_named if side == 0 else left_columns
+        other_types = r_types if side == 0 else l_types
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t.column(by).to_numpy(zero_copy_only=False)
+            part = (hash64(keys.astype(object)) % np.uint64(parts)) \
+                .astype(np.int32)
+            cols: dict[str, Any] = {
+                "__part": pa.array(part),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c, named in zip(own, own_named):
+                cols[named] = t.column(c)
+            for named in other_named:
+                cols[named] = pa.nulls(n, type=other_types[named])
+            # deterministic column order across sides
+            ordered = ["__part", "__side"] + left_columns + r_named
+            return pa.table({c: cols[c] for c in ordered})
+        return fn
+
+    unioned = lds.map_batches(tag(0), batch_format="pyarrow").union(
+        rds.map_batches(tag(1), batch_format="pyarrow"))
+
+    by_r, on_r = by + right_suffix, on + right_suffix
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, left_columns]
+        r = g.loc[g["__side"] == 1, r_named]
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(on_r, kind="stable")
+        out = pd.merge_asof(l, r, left_on=on, right_on=on_r,
+                            left_by=by, right_by=by_r,
+                            direction=direction)
+        if how == "inner":
+            out = out[out[on_r].notna()]
+        # the union's null-padding widened int columns to float64 in
+        # the group frame; restore dtypes so every group emits the SAME
+        # block schema. Left columns are never null after the side
+        # filter; right int columns can only be restored on the inner
+        # path (left-join NaNs stay float64 — consistently, every group)
+        # (unconditional: a null in an integer input column raises here
+        # rather than silently emitting divergent block schemas — nulls
+        # in `on`/`by` are unsupported by merge_asof anyway)
+        restore = [(c, l_types[c]) for c in left_columns] + (
+            [(n, r_types[n]) for n in r_named] if how == "inner" else [])
+        for named, want in restore:
+            if pa.types.is_integer(want):
+                out[named] = out[named].astype(want.to_pandas_dtype())
+        return out
+
+    return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def broadcast_interval_join(source: Any, windows: "pa.Table", *,
+                            time_col: str, window_id_col: str = "window_id",
+                            start_col: str = "start", end_col: str = "end",
+                            columns: list[str] | None = None):
+    """Interval (range) join: emit one row per (event, containing
+    window) pair, ``start <= t <= end`` inclusive. Windows MAY overlap;
+    an event in k windows emits k rows.
+
+    ``windows`` is a small in-memory table (id, start, end) — broadcast
+    once via ``ray.put``, scanned vectorized per batch (one boolean
+    mask per window: the loop is over the K broadcast windows, never
+    over rows). Zero shuffle. For aggregation per window, follow with
+    a tiny ``groupby(window_id)`` over the emitted pairs (pre-reduced
+    per batch by the caller when possible).
+    """
+    import ray
+
+    cols = columns or [time_col]
+    if time_col not in cols:
+        cols = [time_col] + cols
+    wtab = windows if isinstance(windows, pa.Table) \
+        else pa.Table.from_pandas(windows)
+    win_ref = ray.put({
+        "id": wtab.column(window_id_col).to_numpy(zero_copy_only=False),
+        "start": wtab.column(start_col).to_numpy(zero_copy_only=False),
+        "end": wtab.column(end_col).to_numpy(zero_copy_only=False),
+    })
+    id_type = wtab.schema.field(window_id_col).type
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)  # zero-copy from the local object store
+        ts = t.column(time_col).to_numpy(zero_copy_only=False)
+        take: list[np.ndarray] = []
+        wids: list[np.ndarray] = []
+        for i in range(len(w["id"])):
+            m = (ts >= w["start"][i]) & (ts <= w["end"][i])
+            idx = np.flatnonzero(m)
+            if len(idx):
+                take.append(idx)
+                wids.append(np.full(len(idx), i, dtype=np.int64))
+        if not take:
+            return pa.table(
+                {window_id_col: pa.array([], type=id_type),
+                 **{c: t.column(c).slice(0, 0) for c in cols}})
+        idx = np.concatenate(take)
+        wi = np.concatenate(wids)
+        picked = t.select(cols).take(pa.array(idx))
+        return pa.table({
+            window_id_col: pa.array(w["id"][wi], type=id_type),
+            **{c: picked.column(c) for c in cols},
+        })
+
+    return as_source(source).dataset(columns=cols).map_batches(
+        expand, batch_format="pyarrow")

@@ -811,6 +811,88 @@ def q_events_sessionize(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (pipelines/joins.py operators)
+# ---------------------------------------------------------------------------
+
+def _events_of_type(sf_dir: str, kind: str):
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def pick(t: pa.Table, k=kind) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), k)) \
+            .select(["event_id", "user_id", "ts"])
+
+    return _read(sf_dir, "events", columns=cols).map_batches(
+        pick, batch_format="pyarrow")
+
+
+def q_asof_clicks(sf_dir: str):
+    """As-of join: each purchase attributed to the same user's most
+    recent at-or-before click (inner: unattributed purchases dropped).
+    One hash shuffle on user_id, per-partition sorted merge — the
+    distributed shape of pandas ``merge_asof`` (pipelines/joins.py)."""
+    from jsonschema_ray.pipelines.joins import asof_join
+
+    out = asof_join(_events_of_type(sf_dir, "purchase"),
+                    _events_of_type(sf_dir, "click"),
+                    by="user_id", on="ts",
+                    left_columns=["event_id", "user_id", "ts"],
+                    right_columns=["event_id", "user_id", "ts"],
+                    how="inner")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "click_id": t.column("event_id_r"),
+            "click_ts": t.column("ts_r"),
+        }), batch_format="pyarrow")
+
+
+def q_interval_windows(sf_dir: str):
+    """Broadcast interval (range) join: the 20 highest-value purchase
+    events define ±10-minute incident windows; every event landing in a
+    window (any user — a genuinely non-equi range predicate) is counted
+    per window. Windows are driver-small by construction → broadcast
+    once, zero shuffle; the final per-window reduce groups ≤ K keys.
+    Money sums are scaled ints (value_cents) — cross-engine float SUM
+    is order-dependent, int SUM is exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from jsonschema_ray.pipelines.joins import broadcast_interval_join
+
+    def purchases(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), "purchase")) \
+            .select(["event_id", "ts", "value"])
+
+    top = _read(sf_dir, "events",
+                columns=["event_id", "ts", "value", "event_type"]) \
+        .map_batches(purchases, batch_format="pyarrow") \
+        .sort(["value", "event_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    delta = np.timedelta64(10, "m")
+    windows = pa.table({
+        "window_id": pa.array(top["event_id"], type=pa.int64()),
+        "start": pa.array(top["ts"] - delta),
+        "end": pa.array(top["ts"] + delta),
+    })
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_id": t.column("window_id"),
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    pairs = broadcast_interval_join(
+        _read(sf_dir, "events", columns=["ts", "value"]), windows,
+        time_col="ts", columns=["ts", "value"])
+    return pairs.map_batches(cents, batch_format="pyarrow") \
+        .groupby("window_id").aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="value_cents"))
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
@@ -1132,6 +1214,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_top_per_user": q_events_top_per_user,
+    "asof_clicks": q_asof_clicks,
+    "interval_windows": q_interval_windows,
     "token_count": q_token_count,
     "quality_counts": q_quality_counts,
     "langid": q_langid,
@@ -1296,6 +1380,28 @@ ORACLE: dict[str, str] = {
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos_sim "
         "FROM embeddings e WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
+    "asof_clicks":
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.event_id AS click_id, c.ts AS click_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts",
+    "interval_windows": """
+WITH topp AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+  ORDER BY value DESC, event_id LIMIT 20
+), w AS (
+  SELECT event_id AS window_id,
+         ts - INTERVAL 10 MINUTE AS ws,
+         ts + INTERVAL 10 MINUTE AS we
+  FROM topp
+)
+SELECT w.window_id, count(*) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM w JOIN events e ON e.ts BETWEEN w.ws AND w.we
+GROUP BY 1
+""",
     "langid": _langid_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is
     # md5_hash64 == DuckDB md5_number_lower (verified bit-identical), so

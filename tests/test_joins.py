@@ -1,0 +1,107 @@
+"""asof_join / broadcast_interval_join vs independent pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray.pipelines.joins import asof_join, broadcast_interval_join
+
+
+def _mk_events(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    return pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "uid": rng.integers(0, 12, n).astype(np.int64),
+        "ts": ts,
+    })
+
+
+def _ds(df):
+    import ray
+
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_join_matches_pandas(ray_session, how):
+    left = _mk_events(300, seed=1)
+    right = _mk_events(250, seed=2)
+
+    out = asof_join(_ds(left), _ds(right), by="uid", on="ts",
+                    left_columns=["eid", "uid", "ts"],
+                    right_columns=["eid", "uid", "ts"],
+                    how=how, num_partitions=5).to_pandas()
+
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(
+            columns={"eid": "eid_r", "uid": "uid_r", "ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", left_by="uid", right_by="uid_r",
+        direction="backward")
+    if how == "inner":
+        exp = exp[exp["ts_r"].notna()].copy()
+        for c in ("eid_r", "uid_r"):
+            exp[c] = exp[c].astype(np.int64)
+
+    key = ["eid"]
+    out = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)[out.columns]
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_asof_join_forward_direction(ray_session):
+    left = _mk_events(100, seed=3)
+    right = _mk_events(80, seed=4)
+    out = asof_join(_ds(left), _ds(right), by="uid", on="ts",
+                    left_columns=["eid", "uid", "ts"],
+                    right_columns=["eid", "uid", "ts"],
+                    how="inner", direction="forward",
+                    num_partitions=3).to_pandas()
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(
+            columns={"eid": "eid_r", "uid": "uid_r", "ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", left_by="uid", right_by="uid_r",
+        direction="forward")
+    exp = exp[exp["ts_r"].notna()]
+    assert len(out) == len(exp)
+    assert set(zip(out.eid, out.eid_r)) == set(zip(exp.eid, exp.eid_r))
+    # forward: matched right timestamp is never before the left one
+    assert (out.ts_r >= out.ts).all()
+
+
+def test_interval_join_overlapping_windows(ray_session):
+    ev = _mk_events(500, seed=5)
+    base = np.datetime64("2024-01-01", "us")
+    starts = base + np.array([0, 200, 350], dtype="timedelta64[s]") * 10**6
+    ends = starts + np.array([300, 300, 900], dtype="timedelta64[s]") * 10**6
+    win = pa.table({"window_id": pa.array([10, 20, 30], type=pa.int64()),
+                    "start": pa.array(starts.astype("datetime64[us]")),
+                    "end": pa.array(ends.astype("datetime64[us]"))})
+
+    out = broadcast_interval_join(_ds(ev), win, time_col="ts",
+                                  columns=["ts", "eid"]).to_pandas()
+
+    rows = []
+    for wid, s, e in zip([10, 20, 30], starts, ends):
+        m = (ev.ts.values >= s) & (ev.ts.values <= e)
+        for eid in ev.eid.values[m]:
+            rows.append((wid, eid))
+    assert sorted(zip(out.window_id, out.eid)) == sorted(rows)
+    # overlap emits one row per containing window
+    assert len(out) >= out.eid.nunique()
+
+
+def test_interval_join_no_matches_keeps_schema(ray_session):
+    ev = _mk_events(50, seed=6)
+    far = np.datetime64("2030-01-01", "us")
+    win = pa.table({"window_id": pa.array([1], type=pa.int64()),
+                    "start": pa.array([far]),
+                    "end": pa.array([far + np.timedelta64(1, "h")])})
+    ds = broadcast_interval_join(_ds(ev), win, time_col="ts",
+                                 columns=["ts", "eid"])
+    assert ds.count() == 0
+    assert ds.schema().names == ["window_id", "ts", "eid"]
