@@ -149,13 +149,16 @@ def _tokenize_flat(texts: np.ndarray | pa.Array) -> tuple[np.ndarray, np.ndarray
     return counts, flat.to_numpy(zero_copy_only=False)
 
 
-def _shingle_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(texts: np.ndarray, k: int,
+                    token_hash=hash64) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle hashes for a batch: returns (doc_idx, shingle_hash)
     flattened over all docs. Tokenization is Arrow ``utf8_split_whitespace``
     (vectorized); shingle hash is a rolling combine of token hashes over
-    the flat token stream."""
+    the flat token stream. ``token_hash``: 64-bit token hash — default
+    fast pandas hash; ``sketches.md5_hash64`` for the DuckDB-reproducible
+    (oracle-checkable) variant."""
     counts, flat_tokens = _tokenize_flat(texts)
-    th = hash64(flat_tokens) if len(flat_tokens) else np.empty(0, np.uint64)
+    th = token_hash(flat_tokens) if len(flat_tokens) else np.empty(0, np.uint64)
     doc_of_tok = np.repeat(np.arange(len(texts)), counts)
     # rolling k-gram combine: h[i] ^ rot(h[i+1]) ^ ... within same doc
     n = len(th)
@@ -177,14 +180,15 @@ def _shingle_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signatures(texts: np.ndarray, num_perm: int = 64,
-                       shingle_k: int = 3, seed: int = 1) -> np.ndarray:
+                       shingle_k: int = 3, seed: int = 1,
+                       token_hash=hash64) -> np.ndarray:
     """(n_docs, num_perm) uint64 minhash signature matrix, vectorized:
     permutations applied to the flat shingle-hash stream, per-doc min
     via ``np.minimum.at``. Docs with no shingles get all-max sentinel."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    doc_idx, sh = _shingle_hashes(texts, shingle_k)
+    doc_idx, sh = _shingle_hashes(texts, shingle_k, token_hash=token_hash)
     sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sig
@@ -196,14 +200,16 @@ def minhash_signatures(texts: np.ndarray, num_perm: int = 64,
 
 
 def minhash_band_rows(source: Any, key_col: str, text_col: str = "text",
-                      num_perm: int = 64, bands: int = 16, seed: int = 1):
+                      num_perm: int = 64, bands: int = 16, seed: int = 1,
+                      token_hash=hash64):
     """Explode each doc into ``bands`` (band, band_hash, key) rows."""
     src = as_source(source)
     rows_per_band = num_perm // bands
 
     def to_bands(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        sig = minhash_signatures(texts, num_perm=num_perm, seed=seed)
+        sig = minhash_signatures(texts, num_perm=num_perm, seed=seed,
+                                 token_hash=token_hash)
         # shingle-less docs share the all-max sentinel signature; banding
         # them would fuse every short/empty doc into ONE bucket and the
         # pair expansion would go quadratic on short-doc corpora — they
@@ -238,7 +244,7 @@ def minhash_band_rows(source: Any, key_col: str, text_col: str = "text",
 
 def minhash_candidate_pairs(source: Any, key_col: str, text_col: str = "text",
                             num_perm: int = 64, bands: int = 16, seed: int = 1,
-                            max_bucket: int = 256):
+                            max_bucket: int = 256, token_hash=hash64):
     """LSH candidate pairs dataset (key_a < key_b), deduped.
 
     Pair expansion is vectorized (``np.triu_indices``), and a band
@@ -251,7 +257,8 @@ def minhash_candidate_pairs(source: Any, key_col: str, text_col: str = "text",
     consumers can sum ``n_dropped``."""
     import pandas as pd
 
-    band_rows = minhash_band_rows(source, key_col, text_col, num_perm, bands, seed)
+    band_rows = minhash_band_rows(source, key_col, text_col, num_perm,
+                                  bands, seed, token_hash=token_hash)
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         ks = np.sort(g[key_col].to_numpy())

@@ -938,6 +938,72 @@ def q_langid(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _minhash_sql(num_perm: int = 64, bands: int = 16, seed: int = 1) -> str:
+    """DuckDB SQL replicating ``minhash_candidate_pairs`` bit-exactly
+    for ``token_hash=md5_hash64`` (== ``md5_number_lower``): the 64
+    affine-permutation constants come from the SAME seeded generator as
+    the engine (dedup.minhash_signatures), inlined as a VALUES table;
+    uint64 wraparound arithmetic is emulated via HUGEINT ``% 2^64``.
+    Assumes no band bucket exceeds the engine's max_bucket=256 (holds
+    for the sf corpora; a truncated bucket would mismatch loudly)."""
+    from jsonschema_ray.pipelines.dedup import _MERSENNE
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    perm_rows = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})"
+                          for p in range(num_perm))
+    F, TWO64 = 1099511628211, 1 << 64
+    M61 = (1 << 61) - 1
+    rpb = num_perm // bands
+    piv = ",\n         ".join(
+        f"max(CASE WHEN p % {rpb} = {j} THEN v END) AS v{j}"
+        for j in range(rpb))
+    fold = "CAST(v0 AS UBIGINT)"
+    for j in range(1, rpb):
+        fold = (f"xor(CAST((CAST({fold} AS HUGEINT) * {F}) % {TWO64} "
+                f"AS UBIGINT), CAST(v{j} AS UBIGINT))")
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id,
+         (((CAST(t0.h AS HUGEINT) * {F}) % {TWO64} + t1.h) % {TWO64}
+          * {F} + t2.h) % {TWO64} AS s
+  FROM th t0
+  JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.r = t0.r + 1
+  JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.r = t0.r + 2
+), perms(p, a, b) AS (
+  VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, p,
+         -- numpy uint64 semantics: a*sh and +b WRAP mod 2^64 before
+         -- the mod-Mersenne reduction (engine runs errstate(over=ignore))
+         min(((CAST(a AS HUGEINT) * s) % {TWO64} + b) % {TWO64} % {M61}) AS v
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p
+), sigp AS (
+  SELECT doc_id, CAST(p // {rpb} AS INTEGER) AS band,
+         {piv}
+  FROM sig GROUP BY 1, 2
+), bh AS (
+  SELECT doc_id, band, {fold} AS bhash FROM sigp
+), pr AS (
+  SELECT x.doc_id AS key_a, y.doc_id AS key_b
+  FROM bh x JOIN bh y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+)
+SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n_bands,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM pr GROUP BY 1, 2
+"""
+
+
 def _langid_sql() -> str:
     """Oracle for q_langid, generated from the SAME LANG_PROFILES so the
     two stay in sync; argmax ties resolve to profile order (np.argmax
@@ -993,12 +1059,18 @@ def q_dedup_prefix_groups(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """* rows-only: MinHash-LSH near-duplicate candidate pairs."""
+    """MinHash-LSH near-duplicate candidate pairs, SQL-oracled: with
+    the ``md5_hash64`` token hash (== DuckDB ``md5_number_lower``) the
+    whole chain — FNV rolling 3-shingle combine, 64 seed-fixed affine
+    permutations mod 2^61-1, per-band FNV-XOR fold, bucket pairing —
+    is re-derivable bit-exactly in SQL (see ORACLE['minhash_pairs'],
+    generated by ``_minhash_sql`` from the same constants)."""
+    from jsonschema_ray.functions.sketches import md5_hash64
     from jsonschema_ray.pipelines.dedup import minhash_candidate_pairs
     from jsonschema_ray.sources.readers import ParquetSource
 
     return minhash_candidate_pairs(ParquetSource(_pq(sf_dir, "documents")),
-                                   "doc_id")
+                                   "doc_id", token_hash=md5_hash64)
 
 
 def q_minhash_verified(sf_dir: str):
@@ -1403,6 +1475,7 @@ FROM w JOIN events e ON e.ts BETWEEN w.ws AND w.we
 GROUP BY 1
 """,
     "langid": _langid_sql(),
+    "minhash_pairs": _minhash_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is
     # md5_hash64 == DuckDB md5_number_lower (verified bit-identical), so
     # the per-bit ±1 vote and the strict acc>0 threshold reproduce the
