@@ -155,6 +155,39 @@ def cmd_validate(args) -> int:
         cs = compile_schema(_load_schema_doc(args.schema),
                             entrypoint=getattr(args, "entrypoint", "") or "")
         rc = EXIT_OK
+        if getattr(args, "benchmark", False):
+            # per-instance latency harness, overhead-compensated —
+            # mirrors the reference's run_loop output contract
+            # (command_validate.cc:83-133): avg +- stdev us (overhead)
+            import math
+            import time as _time
+
+            loop = max(1, int(getattr(args, "loop", 1) or 1))
+            for path in args.instance:
+                inst = _load_schema_doc(path)
+                empty = 0.0
+                for _ in range(loop):
+                    t0 = _time.perf_counter_ns()
+                    t1 = _time.perf_counter_ns()
+                    empty += (t1 - t0) / 1000.0
+                empty /= loop
+                s = s2 = 0.0
+                ok = True
+                for _ in range(loop):
+                    t0 = _time.perf_counter_ns()
+                    ok = not cs.validate(inst)
+                    t1 = _time.perf_counter_ns()
+                    d = max(0.0, (t1 - t0) / 1000.0 - empty)
+                    s += d
+                    s2 += d * d
+                avg = s / loop
+                stdev = 0.0 if loop == 1 else \
+                    math.sqrt(max(0.0, s2 / loop - avg * avg))
+                print(f"{path}: {'PASS' if ok else 'FAIL'} "
+                      f"{avg:.3f} +- {stdev:.3f} us ({empty:.3f})")
+                if not ok:
+                    rc = EXIT_VALIDATION
+            return rc
         for path in args.instance:
             inst = _load_schema_doc(path)  # JSON or YAML instance
             errs = cs.validate(inst)
@@ -1138,6 +1171,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--fail-fast", action="store_true",
                    help="stop at the first violations instead of an "
                         "exhaustive report (streaming early-exit)")
+    v.add_argument("--benchmark", action="store_true",
+                   help="single-instance mode: time the validation in a "
+                        "loop and print 'PATH: PASS|FAIL avg +- stdev us "
+                        "(overhead)' (reference command_validate.cc:83-133)")
+    v.add_argument("--loop", type=int, default=1,
+                   help="iterations for --benchmark (default 1)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("run")

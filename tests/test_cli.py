@@ -286,6 +286,33 @@ def test_validate_single_instance_mode(tmp_path):
     assert "ok:" in p.stderr
 
 
+def test_validate_benchmark_loop(tmp_path):
+    """--benchmark prints the reference's per-instance latency line
+    'PATH: PASS|FAIL avg +- stdev us (overhead)' and keeps the exit-2
+    verdict contract (test/validate/fail_benchmark.sh,
+    command_validate.cc:83-133)."""
+    import json as _json
+    import re
+    import subprocess
+    import sys
+
+    (tmp_path / "schema.json").write_text(_json.dumps({
+        "type": "object",
+        "properties": {"foo": {"type": "string"}}}))
+    (tmp_path / "bad.json").write_text('{"foo": 1}')
+
+    p = subprocess.run(
+        [sys.executable, "-m", "jsonschema_ray", "validate",
+         "--schema", str(tmp_path / "schema.json"),
+         "--instance", str(tmp_path / "bad.json"),
+         "--benchmark", "--loop", "50"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 2
+    assert re.search(
+        r"bad\.json: FAIL \d+\.\d+ \+- \d+\.\d+ us \(\d+\.\d+\)",
+        p.stdout), p.stdout
+
+
 def test_encode_decode_roundtrip(ray_session, tmp_path):
     """encode (JSONL→parquet, ratio printed) then decode back — the
     JSON BinPack analog pair (src/command_encode.cc:73-90)."""
