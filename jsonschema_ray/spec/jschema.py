@@ -18,7 +18,11 @@ is the Ray-side analog, split in two layers:
    ``dependentSchemas``), recursion via ``$ref`` into ``$defs``
    (``ControlLabel``/``ControlJump``, ``evaluator_dispatch.h:1523`` —
    here recursion is a late-bound closure, bounded only by data depth),
-   and ``unevaluatedProperties`` / ``unevaluatedItems`` via annotation
+   embedded ``$id`` resources with true dynamic-scope ``$dynamicRef`` /
+   ``$dynamicAnchor`` and 2019-09 ``$recursiveRef`` (the
+   ``ControlDynamicAnchorJump`` analog: an eval-time resource stack,
+   outermost bookended anchor wins — strict-tree semantics), and
+   ``unevaluatedProperties`` / ``unevaluatedItems`` via annotation
    tracking (``evaluator.h:217-258``). This is the batched per-row
    kernel: inside ``map_batches`` an actor parses a JSON payload column
    and runs the compiled closure per document — the ONLY per-row Python
@@ -141,22 +145,84 @@ def _resolve_pointer(root: Any, pointer: str) -> Any:
     return node
 
 
-def _find_anchors(node: Any, ptr: str, out: dict[str, str]) -> None:
-    if isinstance(node, dict):
-        for key in ("$anchor", "$dynamicAnchor"):
-            a = node.get(key)
-            if isinstance(a, str):
-                out.setdefault(a, ptr)
-        for k, v in node.items():
-            _find_anchors(v, f"{ptr}/{k.replace('~', '~0').replace('/', '~1')}", out)
-    elif isinstance(node, list):
-        for i, v in enumerate(node):
-            _find_anchors(v, f"{ptr}/{i}", out)
+class _DocIndex:
+    """Resource/anchor index of one schema document (2020-12 §8.2):
+    embedded ``$id`` subschemas are separate schema RESOURCES with
+    their own base URI (resolved against the enclosing base), their own
+    anchor namespace, and JSON-pointer fragments relative to their own
+    root. Mirrors the reference's frame/registry
+    (``vendor/core/src/core/jsonschema``); built once per compile."""
+
+    __slots__ = ("resources", "resource_roots", "anchors", "dyn_anchors",
+                 "rec_roots", "any_anchor", "_res_ptrs")
+
+    def __init__(self, schema: Any):
+        from urllib.parse import urljoin
+
+        self.resources: dict[str, str] = {}      # uri -> document ptr
+        self.resource_roots: dict[str, str] = {}  # ptr -> uri
+        self.anchors: dict[tuple[str, str], str] = {}
+        self.dyn_anchors: dict[tuple[str, str], str] = {}
+        self.rec_roots: set[str] = set()          # $recursiveAnchor: true
+        self.any_anchor: dict[str, str] = {}      # legacy fallback
+
+        root_base = ""
+        if isinstance(schema, dict) and isinstance(schema.get("$id"), str):
+            root_base = schema["$id"].split("#", 1)[0]
+        self.resources[root_base] = ""
+        self.resource_roots[""] = root_base
+
+        def walk(node: Any, ptr: str, base: str) -> None:
+            if isinstance(node, dict):
+                nid = node.get("$id")
+                if ptr and isinstance(nid, str):
+                    uri = urljoin(base or "", nid.split("#", 1)[0])
+                    self.resources.setdefault(uri, ptr)
+                    self.resource_roots.setdefault(ptr, uri)
+                    base = uri
+                for key in ("$anchor", "$dynamicAnchor"):
+                    a = node.get(key)
+                    if isinstance(a, str):
+                        self.anchors.setdefault((base, a), ptr)
+                        self.any_anchor.setdefault(a, ptr)
+                        if key == "$dynamicAnchor":
+                            self.dyn_anchors.setdefault((base, a), ptr)
+                if node.get("$recursiveAnchor") is True:
+                    self.rec_roots.add(base)
+                for k, v in node.items():
+                    if k in ("enum", "const"):  # instance data, not schema
+                        continue
+                    walk(v, f"{ptr}/{k.replace('~', '~0').replace('/', '~1')}",
+                         base)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    walk(v, f"{ptr}/{i}", base)
+
+        walk(schema, "", root_base)
+        self._res_ptrs = sorted(self.resource_roots, key=len, reverse=True)
+
+    def enclosing(self, ptr: str) -> str:
+        """Base URI of the innermost resource containing ``ptr``."""
+        for rp in self._res_ptrs:
+            if ptr == rp or ptr.startswith(rp + "/") or rp == "":
+                return self.resource_roots[rp]
+        return self.resource_roots[""]
+
+    def enclosing_chain(self, ptr: str) -> list[str]:
+        """URIs of every resource enclosing ``ptr``, outermost first."""
+        out = [self.resource_roots[rp] for rp in self._res_ptrs
+               if ptr == rp or ptr.startswith(rp + "/") or rp == ""]
+        return out[::-1]
 
 
 class CompiledSchema:
     """A schema compiled to closures. Build once (driver or actor
-    ``__init__``); ``validate``/``is_valid`` are the per-row hot path."""
+    ``__init__``); ``validate``/``is_valid`` are the per-row hot path.
+
+    NOT thread-safe: dynamic-scope resolution (``$dynamicRef`` /
+    ``$recursiveRef``) keeps a per-evaluation resource stack on the
+    instance — matches the engine's usage (one instance at a time per
+    validator actor / per driver call)."""
 
     def __init__(self, schema: Any, *, assert_formats: bool = True,
                  entrypoint: str = ""):
@@ -167,16 +233,25 @@ class CompiledSchema:
         self.schema = schema
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
-        self._anchors: dict[str, str] = {}
-        _find_anchors(schema, "", self._anchors)
+        self._idx = _DocIndex(schema)
+        root_ptr = entrypoint.lstrip("#") if entrypoint else ""
+        # dynamic scope: resources enclosing the compile root, outermost
+        # first, EXCLUDING the root node itself when it is a resource
+        # root (its own boundary wrapper pushes it at eval time)
+        chain = self._idx.enclosing_chain(root_ptr)
+        if root_ptr in self._idx.resource_roots and chain:
+            chain = chain[:-1]
+        self._dstack0: list[str] = chain
+        self._dstack: list[str] = list(chain)
         if entrypoint:
-            ptr = entrypoint.lstrip("#")
-            self._fn = self._compile(_resolve_pointer(schema, ptr), ptr)
+            self._fn = self._compile(_resolve_pointer(schema, root_ptr),
+                                     root_ptr)
         else:
             self._fn = self._compile(schema, "")
 
     # -- public ---------------------------------------------------------
     def validate(self, value: Any, path: str = "") -> list[Err]:
+        self._dstack = list(self._dstack0)  # fresh dynamic scope per doc
         try:
             return self._fn(value, path)[0]
         except RecursionError:
@@ -191,6 +266,7 @@ class CompiledSchema:
             if sys.getrecursionlimit() < 40_000:
                 sys.setrecursionlimit(40_000)
                 try:
+                    self._dstack = list(self._dstack0)
                     return self._fn(value, path)[0]
                 except RecursionError:
                     pass
@@ -201,22 +277,40 @@ class CompiledSchema:
         return not self.validate(value)
 
     # -- compilation ----------------------------------------------------
-    def _ref_target(self, ref: str) -> str:
-        if not ref.startswith("#"):
-            raise ValueError(f"external $ref not supported (no network): {ref!r}")
-        frag = ref[1:]
-        if frag.startswith("/") or frag == "":
-            return frag
-        if frag in self._anchors:  # "#name" → $anchor / $dynamicAnchor
-            return self._anchors[frag]
-        raise ValueError(f"unresolvable $ref anchor: {ref!r}")
+    def _ref_target(self, ref: str, from_ptr: str = "") -> str:
+        """Resolve a ``$ref`` URI-reference to a DOCUMENT pointer:
+        against the referrer's base URI (innermost enclosing ``$id``
+        resource), with pointer fragments relative to the target
+        RESOURCE root and plain fragments looked up in that resource's
+        anchor namespace (2020-12 §8.2; reference frame registry)."""
+        uri_part, _, frag = ref.partition("#")
+        base = self._idx.enclosing(from_ptr)
+        if uri_part:
+            from urllib.parse import urljoin
 
-    def _compile_ref(self, ref: str) -> _Fn:
+            target = urljoin(base or "", uri_part)
+            if target not in self._idx.resources:
+                raise ValueError(
+                    f"external $ref not supported (no network): {ref!r}")
+            res_uri, res_ptr = target, self._idx.resources[target]
+        else:
+            res_uri, res_ptr = base, self._idx.resources.get(base, "")
+        if frag == "":
+            return res_ptr
+        if frag.startswith("/"):
+            return res_ptr + frag
+        ptr = self._idx.anchors.get((res_uri, frag))
+        if ptr is None:  # legacy fallback: anchor from any resource
+            ptr = self._idx.any_anchor.get(frag)
+        if ptr is None:
+            raise ValueError(f"unresolvable $ref anchor: {ref!r}")
+        return ptr
+
+    def _fn_for_ptr(self, ptr: str) -> _Fn:
         """Late-bound compile by canonical pointer — a self-referential
         schema compiles to a closure that calls back into itself; data
         depth, not schema shape, bounds the recursion (the analog of the
         reference's ControlJump label machine, evaluator_dispatch.h:1523)."""
-        ptr = self._ref_target(ref)
         if ptr in self._cache:
             return self._cache[ptr]
         slot: dict[str, _Fn] = {}
@@ -228,6 +322,9 @@ class CompiledSchema:
         slot["fn"] = self._compile(_resolve_pointer(self.schema, ptr), ptr,
                                    _no_cache=True)
         return thunk
+
+    def _compile_ref(self, ref: str, from_ptr: str = "") -> _Fn:
+        return self._fn_for_ptr(self._ref_target(ref, from_ptr))
 
     def _compile(self, sch: Any, ptr: str, _no_cache: bool = False) -> _Fn:
         if not _no_cache and ptr in self._cache:
@@ -242,6 +339,18 @@ class CompiledSchema:
             fn = self._compile_object_schema(sch, ptr)
         else:
             raise ValueError(f"schema must be a dict or bool, got {type(sch)}")
+        if ptr in self._idx.resource_roots:
+            # resource boundary: entering this subschema pushes its URI
+            # onto the dynamic scope (outermost-first search target for
+            # $dynamicRef/$recursiveRef — ControlDynamicAnchorJump analog)
+            uri, inner = self._idx.resource_roots[ptr], fn
+
+            def fn(v: Any, path: str, _inner=inner, _uri=uri):
+                self._dstack.append(_uri)
+                try:
+                    return _inner(v, path)
+                finally:
+                    self._dstack.pop()
         if not _no_cache:
             self._cache[ptr] = fn
         return fn
@@ -252,22 +361,66 @@ class CompiledSchema:
 
         # ---- $ref (2020-12: composes with sibling keywords) ----
         if "$ref" in sch:
-            reffn = self._compile_ref(sch["$ref"])
+            reffn = self._compile_ref(sch["$ref"], ptr)
             def c_ref(v, path, errs, ann, reffn=reffn):
                 e, a = reffn(v, path)
                 errs.extend(e)
                 if not e:
                     ann.merge(a)
             checks.append(c_ref)
-        for dyn_kw in ("$dynamicRef", "$recursiveRef"):  # 2020-12 / 2019-09
-            if dyn_kw in sch:  # lexical-scope approximation (documented)
-                reffn = self._compile_ref(sch[dyn_kw])
-                def c_dref(v, path, errs, ann, reffn=reffn):
-                    e, a = reffn(v, path)
+        if "$dynamicRef" in sch:
+            # 2020-12 dynamic scope: when the lexical target BOOKENDS
+            # (declares $dynamicAnchor of the same name), re-resolve at
+            # eval time to the OUTERMOST resource in the dynamic scope
+            # declaring that anchor; otherwise behave as plain $ref
+            ref = sch["$dynamicRef"]
+            lex_ptr = self._ref_target(ref, ptr)
+            lexfn = self._fn_for_ptr(lex_ptr)
+            frag = ref.partition("#")[2]
+            name = frag if frag and not frag.startswith("/") else None
+            lex_node = _resolve_pointer(self.schema, lex_ptr)
+            bookended = (name is not None and isinstance(lex_node, dict)
+                         and lex_node.get("$dynamicAnchor") == name)
+            if bookended:
+                def c_dref(v, path, errs, ann, name=name, lexfn=lexfn):
+                    fn = lexfn
+                    for uri in self._dstack:  # outermost-first
+                        tp = self._idx.dyn_anchors.get((uri, name))
+                        if tp is not None:
+                            fn = self._fn_for_ptr(tp)
+                            break
+                    e, a = fn(v, path)
                     errs.extend(e)
                     if not e:
                         ann.merge(a)
-                checks.append(c_dref)
+            else:
+                def c_dref(v, path, errs, ann, lexfn=lexfn):
+                    e, a = lexfn(v, path)
+                    errs.extend(e)
+                    if not e:
+                        ann.merge(a)
+            checks.append(c_dref)
+        if "$recursiveRef" in sch:  # 2019-09 (value is always "#")
+            res_uri = self._idx.enclosing(ptr)
+            lexfn = self._fn_for_ptr(self._idx.resources.get(res_uri, ""))
+            if res_uri in self._idx.rec_roots:
+                def c_rref(v, path, errs, ann, lexfn=lexfn):
+                    fn = lexfn
+                    for uri in self._dstack:  # outermost-first
+                        if uri in self._idx.rec_roots:
+                            fn = self._fn_for_ptr(self._idx.resources[uri])
+                            break
+                    e, a = fn(v, path)
+                    errs.extend(e)
+                    if not e:
+                        ann.merge(a)
+            else:
+                def c_rref(v, path, errs, ann, lexfn=lexfn):
+                    e, a = lexfn(v, path)
+                    errs.extend(e)
+                    if not e:
+                        ann.merge(a)
+            checks.append(c_rref)
 
         # ---- type / enum / const ----
         if "type" in sch:

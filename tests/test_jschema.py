@@ -105,6 +105,106 @@ def test_keyword_families(schema, valid, invalid):
         assert not cs.is_valid(v), f"{v!r} should violate {schema!r}"
 
 
+def test_dynamic_ref_strict_tree():
+    """The 2020-12 spec's flagship $dynamicRef case (tree/strict-tree,
+    mirrored from the official suite's dynamicRef.json semantics): the
+    extending resource's $dynamicAnchor overrides the base resource's
+    node schema for RECURSIVE references, so an extra property deep in
+    the tree is caught by strict-tree's unevaluatedProperties: false."""
+    schema = {
+        "$id": "https://example.com/strict-tree",
+        "$dynamicAnchor": "node",
+        "$ref": "tree",
+        "unevaluatedProperties": False,
+        "$defs": {
+            "tree": {
+                "$id": "https://example.com/tree",
+                "$dynamicAnchor": "node",
+                "type": "object",
+                "properties": {
+                    "data": True,
+                    "children": {"type": "array",
+                                 "items": {"$dynamicRef": "#node"}},
+                },
+            },
+        },
+    }
+    cs = compile_schema(schema)
+    assert cs.is_valid({"data": 1, "children": [{"data": 2}]})
+    # extra property at depth 1: only caught if the DYNAMIC scope
+    # (strict-tree) wins over the lexical target (tree)
+    assert not cs.is_valid({"children": [{"daat": 1}]})
+    assert not cs.is_valid({"data": 1, "children": [{"data": 2,
+                                                     "extra": 3}]})
+    # the base tree alone (lexical compile root) stays permissive
+    cs_tree = compile_schema(schema["$defs"]["tree"])
+    assert cs_tree.is_valid({"children": [{"daat": 1}]})
+
+
+def test_dynamic_ref_without_bookend_is_lexical():
+    """A $dynamicRef whose target has only $anchor (no $dynamicAnchor)
+    must behave as a plain $ref even if an outer resource declares a
+    $dynamicAnchor of the same name (official suite semantics)."""
+    schema = {
+        "$id": "https://example.com/outer",
+        "$dynamicAnchor": "thing",  # outer: permissive
+        "$ref": "inner",
+        "$defs": {
+            "inner": {
+                "$id": "https://example.com/inner",
+                "properties": {"x": {"$dynamicRef": "#thing"}},
+                "$defs": {
+                    "t": {"$anchor": "thing", "type": "integer"},  # no bookend
+                },
+            },
+        },
+    }
+    cs = compile_schema(schema)
+    assert cs.is_valid({"x": 3})
+    assert not cs.is_valid({"x": "s"})  # lexical integer wins
+
+
+def test_recursive_ref_dynamic_2019_09():
+    """$recursiveRef '#' + $recursiveAnchor true: the OUTERMOST
+    resource with the anchor wins (2019-09 dynamic recursion)."""
+    schema = {
+        "$id": "https://example.com/strict",
+        "$recursiveAnchor": True,
+        "$ref": "base",
+        "unevaluatedProperties": False,
+        "$defs": {
+            "base": {
+                "$id": "https://example.com/base",
+                "$recursiveAnchor": True,
+                "properties": {
+                    "child": {"$recursiveRef": "#"},
+                    "data": True,
+                },
+            },
+        },
+    }
+    cs = compile_schema(schema)
+    assert cs.is_valid({"data": 1, "child": {"data": 2}})
+    assert not cs.is_valid({"child": {"oops": 2}})
+
+
+def test_embedded_id_pointer_fragments():
+    """JSON-pointer fragments resolve against the RESOURCE root, not
+    the document root, once an embedded $id starts a new resource."""
+    schema = {
+        "$id": "https://example.com/root",
+        "$ref": "sub#/$defs/positive",
+        "$defs": {
+            "sub": {
+                "$id": "https://example.com/sub",
+                "$defs": {"positive": {"minimum": 0}},
+            },
+        },
+    }
+    cs = compile_schema(schema)
+    assert cs.is_valid(1) and not cs.is_valid(-1)
+
+
 def test_recursive_tree_schema():
     """ControlJump analog: self-referential schema over arbitrarily deep
     instances (SURVEY.md §7.4 hard case)."""
