@@ -91,8 +91,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
     n_viol = res.violation_count()
 
     if not headline_only:
-        timed("validate_fast", lambda: fast_validate(
-            src, catalog_keys=cat, include_dataset_rules=False))
+        # fast mode gets the same min-of-2 treatment as the headline:
+        # a single timed pass swings 2x with host contention (round-2
+        # cold driver run measured 23.8s vs the committed 13.2s)
+        fast_passes = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fast_validate(src, catalog_keys=cat, include_dataset_rules=False)
+            fast_passes.append(round(time.perf_counter() - t0, 3))
+        queries["validate_fast"] = min(fast_passes)
 
         timed("profile_stats", lambda: profile(
             src, [ProfileSpec(column="doc_id", hll=True),

@@ -53,10 +53,16 @@ class LanceSource(DocSource):
     uri: str
 
     def dataset(self, columns: Sequence[str] | None = None):
+        import importlib.util
+
         import ray.data as rd
 
-        if not hasattr(rd, "read_lance"):
-            raise NotImplementedError("ray.data.read_lance unavailable in this build")
+        if not hasattr(rd, "read_lance") \
+                or importlib.util.find_spec("lance") is None:
+            raise NotImplementedError(
+                "Lance reader needs the `pylance` package (absent in this "
+                "sandbox); the same pipelines run on ParquetSource, which "
+                "shares the column-pruned DocSource contract")
         return rd.read_lance(self.uri, columns=list(columns) if columns else None)
 
 

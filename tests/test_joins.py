@@ -73,6 +73,37 @@ def test_asof_join_forward_direction(ray_session):
     assert (out.ts_r >= out.ts).all()
 
 
+def test_asof_join_hot_key(ray_session):
+    """Skew shape: one key holding most rows still merges correctly —
+    the partitioning assumption is per-KEY group fit, and a hot key
+    lands whole in one partition (documented in pipelines/joins.py)."""
+    rng = np.random.default_rng(11)
+    n = 20_000
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "uid": np.where(np.arange(n) % 50 == 0,
+                        np.arange(n, dtype=np.int64) % 7, 0),  # ~98% uid=0
+        "ts": base + rng.integers(0, 10**10, n).astype("timedelta64[us]"),
+    })
+    right = left.sample(frac=0.3, random_state=3).reset_index(drop=True)
+    right["eid"] = right["eid"] + 10**6
+
+    out = asof_join(_ds(left), _ds(right), by="uid", on="ts",
+                    left_columns=["eid", "uid", "ts"],
+                    right_columns=["eid", "uid", "ts"],
+                    how="inner", num_partitions=8).to_pandas()
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(
+            columns={"eid": "eid_r", "uid": "uid_r", "ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", left_by="uid", right_by="uid_r",
+        direction="backward")
+    exp = exp[exp["ts_r"].notna()]
+    assert len(out) == len(exp)
+    assert set(zip(out.eid, out.eid_r)) == set(zip(exp.eid, exp.eid_r))
+
+
 def test_interval_join_overlapping_windows(ray_session):
     ev = _mk_events(500, seed=5)
     base = np.datetime64("2024-01-01", "us")
