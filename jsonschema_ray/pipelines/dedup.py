@@ -480,3 +480,173 @@ def simhash_dataset(source: Any, key_col: str, text_col: str = "text",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity self-join (no LSH prefilter)
+# ---------------------------------------------------------------------------
+
+def shingle_set_rows(source: Any, key_col: str, text_col: str = "text",
+                     shingle_k: int = 3, n_buckets: int | None = None,
+                     token_hash=hash64):
+    """→ Dataset of per-doc DISTINCT word-k-shingle rows
+    ``(key, shingle, n, bucket)`` where ``n`` is the doc's distinct
+    shingle-set size (carried on every row so the pair join never needs
+    a separate size lookup) and ``bucket = shingle mod n_buckets``.
+
+    Because the bucket is a pure function of the shingle, every
+    occurrence of a shingle lands in ONE bucket — so per-bucket document
+    frequency equals global document frequency, and per-bucket joins see
+    the complete posting list of each of their shingles.
+    """
+    import ray
+
+    src = as_source(source)
+    if n_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(16, 4 * cpus)
+    nb = np.uint64(n_buckets)
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        doc_idx, sh = _shingle_hashes(texts, shingle_k,
+                                      token_hash=token_hash)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if len(sh) == 0:
+            return pa.table({
+                "key": keys.slice(0, 0), "shingle": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32())})
+        # per-doc distinct: lexsort by (doc, shingle), drop adjacent dups
+        order = np.lexsort((sh, doc_idx))
+        d, s = doc_idx[order], sh[order]
+        first = np.empty(len(s), dtype=bool)
+        first[0] = True
+        first[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[first], s[first]
+        n_of_doc = np.bincount(d, minlength=len(texts)).astype(np.int64)
+        return pa.table({
+            "key": keys.take(pa.array(d)),
+            "shingle": pa.array(s.view(np.int64)),
+            "n": pa.array(n_of_doc[d]),
+            "bucket": pa.array((s % nb).astype(np.int32)),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        to_rows, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        n_buckets: int | None = None,
+                        max_df: int | None = None, token_hash=hash64):
+    """EXACT all-pairs n-gram Jaccard similarity self-join — the
+    no-false-negative counterpart of ``minhash_verified_pairs`` (the
+    reference ships only per-document predicates; this is the
+    training-data near-dup mode over a corpus). → Dataset
+    ``(key_a, key_b, n_common, jaccard)`` with ``jaccard >= threshold``.
+
+    Distributed shape (inverted shingle index, NEVER a global
+    cross-join):
+
+    1. per-batch vectorized shingling → thin ``(key, shingle, n)`` rows
+       (the text column never leaves stage 1);
+    2. hash-bucket by shingle → per-bucket VECTORIZED pandas self-merge
+       on the shingle column emits partial co-occurrence counts
+       ``(key_a, key_b, n_a, n_b, i)`` — one Python call per bucket,
+       not per shingle group;
+    3. one thin global shuffle sums partials per pair;
+    4. ``jaccard = i / (n_a + n_b - i)`` filter, streamed out.
+
+    Work is sum over shingles of df² — exact-by-construction but
+    quadratic in document frequency. ``max_df`` bounds it for degenerate
+    corpora: shingles appearing in more than ``max_df`` docs are dropped
+    from pairing (exactly computable per bucket, because a shingle's
+    full posting list lives in one bucket). That loses only pairs whose
+    ENTIRE overlap is ultra-common shingles; leave ``None`` for strict
+    exactness. The real scale upgrade is prefix filtering (PPJoin):
+    order each doc's shingles by global df and index only the first
+    ``n - ceil(t*n) + 1`` — same bucket layout, fewer rows.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    rows = shingle_set_rows(source, key_col, text_col, shingle_k,
+                            n_buckets, token_hash=token_hash)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        kd = g["key"].dtype  # typed empties: no object-dtype blocks
+        empty_pairs = pd.DataFrame({
+            "key_a": pd.Series([], dtype=kd),
+            "key_b": pd.Series([], dtype=kd),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "i": pd.Series([], dtype=np.int64)})
+        g = g[["key", "shingle", "n"]]
+        if max_df is not None:
+            df_of = g["shingle"].map(g["shingle"].value_counts())
+            g = g[df_of <= max_df]
+        if len(g) < 2:
+            return empty_pairs
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["key_a"] < m["key_b"]]
+        if not len(m):
+            return empty_pairs
+        part = m.groupby(["key_a", "key_b", "n_a", "n_b"], sort=False) \
+            .size().reset_index(name="i")
+        part["i"] = part["i"].astype(np.int64)
+        return part
+
+    partials = rows.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    agg = partials.groupby(["key_a", "key_b", "n_a", "n_b"]).aggregate(
+        Sum("i", alias_name="n_common"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0 or t.num_columns == 0:  # empty-group blocks
+            return empty
+        i = t.column("n_common").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb_ = t.column("n_b").to_numpy(zero_copy_only=False)
+        j = i / (na + nb_ - i)
+        keep = j >= threshold
+        if not keep.any():
+            return empty
+        # np.round == Python round (half-to-even); matches the oracle in
+        # practice (same convention as verify_jaccard, driver-green)
+        return pa.table({
+            "key_a": t.column("key_a").filter(pa.array(keep)),
+            "key_b": t.column("key_b").filter(pa.array(keep)),
+            "n_common": pa.array(i[keep].astype(np.int64)),
+            "jaccard": pa.array(np.round(j[keep], 4)),
+        })
+
+    # NOTE: Ray drops zero-row blocks, so a corpus with NO qualifying
+    # pairs collapses to a schemaless empty dataset — use
+    # ``ngram_jaccard_table`` when a stable schema matters.
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_jaccard_table(source: Any, key_col: str, **kw) -> pa.Table:
+    """``ngram_jaccard_pairs`` materialized to an Arrow table with the
+    canonical (int64, int64, int64, float64) schema even when empty."""
+    ds = ngram_jaccard_pairs(source, key_col, **kw)
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not batches:
+        return empty
+    return pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in batches]).combine_chunks()

@@ -1085,6 +1085,20 @@ def q_minhash_verified(sf_dir: str):
                                   "doc_id", threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT all-pairs word-3-shingle Jaccard >= 0.4 via the distributed
+    inverted shingle index (no LSH prefilter, no false negatives) —
+    reports the intersection size too, so the oracle checks the whole
+    count chain, not just the final ratio. Complements minhash_verified
+    (threshold 0.5, LSH-prefiltered): together they pin down both the
+    exact join and the LSH recall."""
+    from jsonschema_ray.pipelines.dedup import ngram_jaccard_pairs
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return ngram_jaccard_pairs(ParquetSource(_pq(sf_dir, "documents")),
+                               "doc_id", threshold=0.4)
+
+
 def q_simhash(sf_dir: str):
     """64-bit simhash fingerprints, SQL-oracled: token hash is
     ``md5_hash64`` (bit-identical to DuckDB ``md5_number_lower``,
@@ -1295,6 +1309,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1534,6 +1549,37 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = key_a
 JOIN sizes sb ON sb.doc_id = key_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+    # Same exact all-pairs shingle join, threshold 0.4, with the
+    # intersection size exposed — oracles the engine's inverted-index
+    # count chain (ngram_jaccard_pairs), not just the final ratio.
+    "ngram_jaccard": r"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM (SELECT * FROM tp WHERE tok <> '')
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sets AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, CAST(i AS BIGINT) AS n_common,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
 """,
     # The full default CheckPlan re-stated rule by rule over the flat
     # documents table: span-kernel arms share the derived-span CTE with

@@ -166,8 +166,14 @@ class SynthSource(DocSource):
 
 
 def as_source(obj) -> DocSource:
+    import pyarrow as pa
+
     if isinstance(obj, DocSource):
         return obj
     if isinstance(obj, (str, list)):
         return ParquetSource(obj)
+    if isinstance(obj, pa.Table):  # tests / small in-memory inputs
+        import ray.data as rd
+
+        return DatasetSource(rd.from_arrow(obj))
     return DatasetSource(obj)
