@@ -1085,6 +1085,86 @@ def q_minhash_verified(sf_dir: str):
                                   "doc_id", threshold=0.5)
 
 
+_HLL_COLS = (  # (table, column, exercises)
+    ("documents", "text", "linear-counting branch"),
+    ("events", "event_id", "linear-counting near the 2.5m cut"),
+    ("lineitem", "l_orderkey", "raw harmonic-mean branch"),
+)
+
+
+def q_hll_registers(sf_dir: str):
+    """Cross-engine HLL certificate: the full sketch pipeline (per-block
+    partials → tree merge, ``pipelines.stats.profile`` with the
+    ``md5`` hash == DuckDB ``md5_number_lower``) emits its register-value
+    HISTOGRAM — pure integers, bit-reproducible in SQL (register index =
+    top-12 hash bits, rho = 53 - bitlength of the low-52 remainder) —
+    plus the rounded distinct estimate, covering both estimator branches
+    across three columns. This upgrades the 'approximate, so rows-only'
+    HLL story to a SQL-oracled one: the ESTIMATE is approximate, the
+    SKETCH STATE is exact."""
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import HyperLogLog
+    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    rows = []
+    for table, col, _why in _HLL_COLS:
+        p = profile(ParquetSource(_pq(sf_dir, table)),
+                    [ProfileSpec(column=col, hll=True, hash_fn="md5")])[col]
+        hll = HyperLogLog.deserialize(bytes.fromhex(p["hll"]))
+        est = int(round(hll.estimate()))
+        hist = np.bincount(hll.registers)
+        rows += [{"column": f"{table}.{col}", "rho": int(r),
+                  "n_registers": int(n), "distinct_est": est}
+                 for r, n in enumerate(hist) if n]
+    return pd.DataFrame(rows)
+
+
+def _hll_sql() -> str:
+    """Generate the register-exact HLL oracle for ``q_hll_registers``:
+    same md5 hash, same (idx, rho) split, same linear-counting /
+    harmonic-mean estimate as ``functions.sketches.HyperLogLog``."""
+    arms = []
+    for table, col, _why in _HLL_COLS:
+        arms.append(f"""
+SELECT * FROM (
+WITH hv AS (SELECT md5_number_lower(CAST({col} AS VARCHAR)) AS h
+            FROM {table} WHERE {col} IS NOT NULL),
+r AS (SELECT CAST(h >> 52 AS INTEGER) AS idx,
+             53 - length(ltrim(bin(h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                               '0')) AS rho
+      FROM hv),
+regs AS (SELECT idx, MAX(rho) AS rho FROM r GROUP BY idx),
+hist AS (SELECT rho, count(*) AS n FROM regs GROUP BY rho
+         UNION ALL
+         SELECT 0 AS rho, 4096 - (SELECT count(*) FROM regs) AS n),
+est AS (SELECT CASE WHEN e <= 2.5 * 4096.0 AND z > 0
+                    THEN 4096.0 * ln(4096.0 / z) ELSE e END AS v
+        FROM (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                     / SUM(n * power(2.0, -rho)) AS e,
+                     COALESCE(SUM(CASE WHEN rho = 0 THEN n END), 0) AS z
+              FROM hist))
+SELECT '{table}.{col}' AS "column", CAST(rho AS BIGINT) AS rho,
+       CAST(n AS BIGINT) AS n_registers,
+       CAST(ROUND((SELECT v FROM est), 0) AS BIGINT) AS distinct_est
+FROM hist WHERE n > 0)""")
+    return "\nUNION ALL\n".join(arms)
+
+
+def q_cosine_pairs_exact(sf_dir: str):
+    """EXACT all-pairs embedding cosine near-dup join (cos >= 0.45) —
+    distributed block-nested-loop against a broadcast normalized matrix.
+    SQL-oracled (DuckDB ``list_cosine_similarity`` over DOUBLE[] casts);
+    0.45 sits mid-gap in the sf corpus' similarity distribution, so
+    cross-engine float64 summation order can't flip a pair."""
+    from jsonschema_ray.pipelines.similarity import cosine_pairs_exact
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return cosine_pairs_exact(ParquetSource(_pq(sf_dir, "embeddings")),
+                              threshold=0.45)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """EXACT all-pairs word-3-shingle Jaccard >= 0.4 via the distributed
     inverted shingle index (no LSH prefilter, no false negatives) —
@@ -1310,6 +1390,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
     "ngram_jaccard": q_ngram_jaccard,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
+    "hll_registers": q_hll_registers,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1462,6 +1544,14 @@ ORACLE: dict[str, str] = {
         "SELECT substr(text, 1, 20) AS prefix, count(*) AS n_copies, "
         "min(doc_id) AS keep_id FROM documents "
         "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
+    "hll_registers": _hll_sql(),
+    "cosine_pairs_exact":
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.45",
     "similarity_topk":
         "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos_sim "

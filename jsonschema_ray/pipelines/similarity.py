@@ -357,3 +357,45 @@ def ann_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10, *,
     ds = read_parquet_clean(paths)
     return brute_force_topk(ds, query_vec, k, id_col=man["id_col"],
                             emb_col=man["emb_col"], round_to=round_to)
+
+
+def cosine_pairs_exact(source: Any, threshold: float = 0.9, *,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       round_to: int = 4):
+    """EXACT all-pairs embedding near-dup join (cos >= threshold) — the
+    no-false-negative baseline that ``near_dup_pairs`` (LSH-bucketed)
+    approximates; → Dataset (id_a, id_b, cos_sim), id_a < id_b.
+
+    Shape: the normalized (n, d) float64 matrix is broadcast ONCE via
+    ``ray.put`` and every batch does one vectorized matmul against it —
+    distributed block-nested-loop, O(n²) compute but never an O(n²)
+    shuffle. The documented constraint is that the broadcast matrix fit
+    in a worker's heap (8·n·d bytes): beyond that, switch to
+    ``near_dup_pairs`` or tile the broadcast side into column strips.
+    """
+    import ray
+
+    src = as_source(source)
+    ds = src.dataset(columns=[id_col, emb_col])
+    parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b
+             for b in ds.iter_batches(batch_format="pyarrow")]
+    tbl = pa.concat_tables(parts).combine_chunks()
+    all_ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    ref = ray.put((all_ids, _normalize(_stack(tbl.column(emb_col)))))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)  # zero-copy from local plasma
+        ids_b = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = _normalize(_stack(t.column(emb_col))) @ m_all.T
+        ia, ja = np.nonzero(sims >= threshold)
+        ka, kb = ids_b[ia], ids_all[ja]
+        keep = ka < kb
+        return pa.table({
+            "id_a": pa.array(ka[keep]),
+            "id_b": pa.array(kb[keep]),
+            "cos_sim": pa.array(np.round(sims[ia[keep], ja[keep]],
+                                         round_to)),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -43,6 +43,9 @@ class ProfileSpec:
     column: str                      # "doc_id" or "spans.offset"
     hll: bool = True                 # distinct estimate
     tdigest: bool = False            # numeric quantiles (drift input)
+    hash_fn: str = "fast"            # "fast" (pandas hash64) or "md5"
+    #   "md5" == DuckDB md5_number_lower: slower, but makes the HLL
+    #   registers bit-reproducible in SQL (cross-engine certificate)
 
 
 def _resolve_columns(specs: Sequence[ProfileSpec]) -> list[str]:
@@ -79,10 +82,13 @@ class ProfilePartial:
             else:
                 row["vmin_str"], row["vmax_str"] = str(lo), str(hi)
         if spec.hll and len(valid):
+            from jsonschema_ray.functions.sketches import md5_hash64
+
             h = HyperLogLog()
             vals = valid.to_numpy(zero_copy_only=False)
-            h.add_hashes(hash64(vals if vals.dtype != object
-                                else vals.astype(object)))
+            hf = md5_hash64 if spec.hash_fn == "md5" else hash64
+            h.add_hashes(hf(vals if vals.dtype != object
+                            else vals.astype(object)))
             row["hll"] = h.serialize()
         if spec.tdigest and is_num and len(valid):
             td = TDigest()

@@ -115,3 +115,31 @@ def test_profile_partial_roundtrip_via_parquet(tmp_path, ray_session):
     pq.write_table(docs_table(GenConfig(n_docs=500, clean=True)), p)
     out = profile(ParquetSource(str(p)), [ProfileSpec(column="doc_id")])
     assert out["doc_id"]["count"] == 500
+
+
+def test_hll_md5_registers_block_invariant(ray_session):
+    """ProfileSpec(hash_fn='md5'): registers are a pure function of the
+    value SET — identical across block layouts, and equal to a
+    single-shot local HLL (the property the SQL oracle relies on)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.functions.sketches import HyperLogLog, md5_hash64
+    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    vals = [f"v{i % 700}" for i in range(5000)]  # dups across blocks
+    t = pa.table({"doc_id": pa.array(range(5000), pa.int64()),
+                  "x": vals})
+    regs = []
+    for blocks in (1, 7):
+        src = DatasetSource(rd.from_arrow(t).repartition(blocks))
+        p = profile(src, [ProfileSpec(column="x", hll=True,
+                                      hash_fn="md5")])["x"]
+        regs.append(HyperLogLog.deserialize(bytes.fromhex(p["hll"]))
+                    .registers)
+    local = HyperLogLog()
+    local.add_hashes(md5_hash64(np.array(vals, dtype=object)))
+    assert np.array_equal(regs[0], regs[1])
+    assert np.array_equal(regs[0], local.registers)

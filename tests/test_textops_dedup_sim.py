@@ -358,3 +358,38 @@ def test_persisted_ann_index(ray_session, tmp_path):
     build_ann_index(DatasetSource(rd.from_arrow(t_dup)), idx2, bits=6)
     got2 = ann_index_topk(idx2, q, k=2, multiprobe=0)
     assert set(got2.column("vec_id").to_pylist()) == {17, 9000}
+
+
+def test_cosine_pairs_exact_vs_numpy(ray_session):
+    """Exact pair join == brute-force numpy all-pairs; and the LSH
+    near_dup_pairs candidates are a subset of it (no false positives)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import (
+        _normalize, cosine_pairs_exact, near_dup_pairs)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(300, 16)).astype(np.float32)
+    m[50] = m[40] + rng.normal(scale=1e-2, size=16)  # planted near-dup
+    m[60] = m[40] + rng.normal(scale=2e-2, size=16)
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in m],
+                                        type=pa.list_(pa.float32()))})
+    th = 0.8
+    got = cosine_pairs_exact(DatasetSource(rd.from_arrow(t)), th) \
+        .to_pandas().sort_values(["id_a", "id_b"])
+    sims = _normalize(m.astype(np.float64)) @ _normalize(
+        m.astype(np.float64)).T
+    iu = np.triu_indices(300, k=1)
+    keep = sims[iu] >= th
+    exp = sorted(zip(iu[0][keep], iu[1][keep],
+                     np.round(sims[iu][keep], 4)))
+    assert [tuple(r) for r in got.itertuples(index=False)] == \
+        [(int(a), int(b), float(s)) for a, b, s in exp]
+    assert {(0 + a, b) for a, b, _ in exp} >= {(40, 50), (40, 60), (50, 60)}
+
+    lsh = near_dup_pairs(DatasetSource(rd.from_arrow(t)), th).to_pandas()
+    got_set = {(a, b) for a, b, _ in exp}
+    assert {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])} \
+        <= got_set
