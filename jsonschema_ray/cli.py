@@ -10,7 +10,8 @@ driver-side, SURVEY.md §2.11).
         [--trace N] [--only a,b] [--exclude a,b] [--num-cpus N]
         [--extension json --ignore build/]
     python -m jsonschema_ray validate --schema SCHEMA.{json,yaml} INPUTS...
-        (inputs: parquet | jsonl[.gz] | yaml | "-" for stdin JSONL)
+        (inputs: parquet | jsonl[.gz] | yaml | "-" for stdin JSONL;
+         --checked = position-tracked parse, errors as path:line:col)
     python -m jsonschema_ray validate --schema S.json --instance DOC.json...
     python -m jsonschema_ray bundle SCHEMA.json [-o OUT.json]
         [--store DIR] [--http]
@@ -226,7 +227,22 @@ def cmd_validate(args) -> int:
             print("validate: no inputs left after extension/ignore "
                   "filters", file=sys.stderr)
             return EXIT_ERROR
-    src = _input_source(inputs)
+    if getattr(args, "checked", False):
+        # position-tracked parse first: the reference prints
+        # path:line:col for malformed input and stops before validating
+        from jsonschema_ray.sources.readers import JsonlCheckedSource
+
+        checked = JsonlCheckedSource(inputs)
+        perrs = sorted(checked.errors().take_all(),
+                       key=lambda e: (e["path"], e["line"], e["col"]))
+        if perrs:
+            for e in perrs:
+                print(f"{e['path']}:{e['line']}:{e['col']}: "
+                      f"{e['message']}", file=sys.stderr)
+            return EXIT_ERROR
+        src = checked
+    else:
+        src = _input_source(inputs)
     if getattr(args, "trace", 0):
         # annotation/trace rows for the first N docs (the --trace analog,
         # reference output_simple.cc:83-93) — driver-side by design
@@ -1168,6 +1184,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "json/yaml/yml; '' = extensionless)")
     v.add_argument("--ignore", action="append", default=[],
                    help="skip files under this path prefix (repeatable)")
+    v.add_argument("--checked", action="store_true",
+                   help="position-tracked JSON/JSONL parse: malformed "
+                        "documents report path:line:col and abort "
+                        "(reference parse-error UX)")
     v.add_argument("--fail-fast", action="store_true",
                    help="stop at the first violations instead of an "
                         "exhaustive report (streaming early-exit)")

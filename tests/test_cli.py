@@ -389,3 +389,14 @@ def test_scan_inputs_filters(tmp_path):
     assert scan_inputs([str(tmp_path / "c.txt")]) == [str(tmp_path / "c.txt")]
     assert scan_inputs([str(tmp_path / "c.txt")],
                        ignore=[str(tmp_path)]) == []
+
+
+def test_validate_checked_reports_parse_positions(tmp_path):
+    """validate --checked: malformed JSONL prints path:line:col and
+    exits 1 before any validation runs (reference parse-error UX)."""
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1}\n{"doc_id": oops}\n{"doc_id": 3}\n')
+    r = run_cli("validate", str(bad), "--checked", "--num-cpus", "2",
+                timeout=180)
+    assert r.returncode == 1
+    assert f"{bad}:2:" in r.stderr and "Expecting value" in r.stderr

@@ -114,3 +114,35 @@ def test_cli_stdin_jsonl(ray_session, tmp_path):
     out = _json.loads(p.stdout)
     assert p.returncode == 2
     assert out["total_violations"] == 1  # n=40 only
+
+
+def test_checked_jsonl_position_tracker(tmp_path, ray_session):
+    """JsonlCheckedSource reports (path, line, col) for malformed lines
+    and parses the good ones (reference parse-error UX analog)."""
+    from jsonschema_ray.sources.readers import JsonlCheckedSource
+
+    p = tmp_path / "mix.jsonl"
+    p.write_text('{"doc_id": 1, "lang": "en"}\n'
+                 '\n'
+                 '{"doc_id": 2, "lang": }\n'          # line 3, bad value
+                 '{"doc_id": 3, "lang": "fr"}\n'
+                 '{"doc_id": 4  "lang": "de"}\n')     # line 5, missing comma
+    src = JsonlCheckedSource(str(p))
+    errs = sorted(src.errors().take_all(), key=lambda e: e["line"])
+    assert [(e["line"], e["path"]) for e in errs] == \
+        [(3, str(p)), (5, str(p))]
+    assert errs[0]["col"] == 23  # points at the missing value
+    docs = src.dataset().to_pandas().sort_values("doc_id")
+    assert docs["doc_id"].tolist() == [1, 3]
+
+    # whole-file .json: multi-line document, real line/col
+    q = tmp_path / "doc.json"
+    q.write_text('{\n  "a": 1,\n  "b": oops\n}\n')
+    errs2 = JsonlCheckedSource(str(q)).errors().take_all()
+    assert [(e["line"], e["col"]) for e in errs2] == [(3, 8)]
+
+    # clean .json array → one row per element
+    r = tmp_path / "arr.json"
+    r.write_text('[{"doc_id": 10}, {"doc_id": 11}]')
+    got = JsonlCheckedSource(str(r)).dataset().to_pandas()
+    assert got["doc_id"].tolist() == [10, 11]
