@@ -305,11 +305,13 @@ def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
     for a, b in pairs:
         sa, sb = shingles(a), shingles(b)
         if not sa and not sb:
-            j = 1.0
+            j, i = 1.0, 0
         else:
-            j = len(sa & sb) / max(1, len(sa | sb))
+            i = len(sa & sb)
+            j = i / max(1, len(sa | sb))
         if j >= threshold:
-            out.append({"key_a": a, "key_b": b, "jaccard": round(j, 4)})
+            out.append({"key_a": a, "key_b": b, "n_common": i,
+                        "jaccard": round(j, 4)})
     return out
 
 
@@ -328,12 +330,23 @@ def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
     the candidate text set itself too big to broadcast, replace the
     broadcast with two ``Dataset.join``s (pairs⋈texts on key_a, then
     key_b) — same verification kernel, shuffle instead of broadcast."""
-    import ray
-
     pairs = minhash_candidate_pairs(
         source, key_col, text_col, num_perm, bands, seed).materialize()
-    empty = pa.table({"key_a": pa.array([], type=pa.int64()),
-                      "key_b": pa.array([], type=pa.int64()),
+    return _verify_candidate_pairs(source, key_col, text_col, pairs,
+                                   shingle_k, threshold)
+
+
+def _verify_candidate_pairs(source: Any, key_col: str, text_col: str,
+                            pairs, shingle_k: int, threshold: float,
+                            with_counts: bool = False) -> pa.Table:
+    """Exact-Jaccard verification of a (key_a, key_b) candidate Dataset:
+    broadcast the candidate TEXTS once (ids pulled thin, texts fetched
+    via a vectorized semi-join), verify distributed over pair
+    partitions. Shared by the MinHash-LSH and PPJoin-prefix paths."""
+    import ray
+
+    cols = ["key_a", "key_b"] + (["n_common"] if with_counts else [])
+    empty = pa.table({**{c: pa.array([], type=pa.int64()) for c in cols},
                       "jaccard": pa.array([], type=pa.float64())})
     if pairs.count() == 0:
         return empty
@@ -368,7 +381,7 @@ def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
         if not rows:
             return empty
         return pa.Table.from_pylist(rows).select(
-            ["key_a", "key_b", "jaccard"]).cast(empty.schema)
+            cols + ["jaccard"]).cast(empty.schema)
 
     out = pairs.map_batches(verify_batch, batch_format="pyarrow")
     # verified pairs are the final (small) result — stream to driver
@@ -650,3 +663,104 @@ def ngram_jaccard_table(source: Any, key_col: str, **kw) -> pa.Table:
     return pa.concat_tables(
         [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
          for b in batches]).combine_chunks()
+
+
+def ngram_prefix_candidates(source: Any, key_col: str,
+                            text_col: str = "text", shingle_k: int = 3,
+                            threshold: float = 0.5,
+                            n_buckets: int | None = None,
+                            token_hash=hash64):
+    """PPJoin-style prefix-filtered candidate pairs — the SCALE path of
+    the exact n-gram Jaccard join, with NO false negatives.
+
+    Prefix-filter theorem: order every doc's shingle set by a global
+    canonical order (ascending document frequency, then shingle value);
+    if J(A, B) >= t then |A∩B| >= ceil(t·max(|A|,|B|)), and the two
+    PREFIXES — the first ``n - ceil(t·n) + 1`` shingles of each doc —
+    must share at least one shingle. Only prefix shingles are indexed,
+    so the pair-expansion work drops from Σ df² over ALL shingles to Σ
+    df'² over prefix postings (rare shingles first ⇒ tiny df').
+
+    Three thin shuffles, all on (key, shingle, n) rows, never text:
+      1. bucket by shingle → attach EXACT global df (a shingle's whole
+         posting list lives in one bucket, so per-bucket df is global);
+      2. bucket by doc → vectorized per-doc prefix selection;
+      3. bucket prefix rows by shingle → vectorized pair expansion,
+         then a distinct-pair groupby.
+    """
+    import pandas as pd
+    import ray
+
+    rows = shingle_set_rows(source, key_col, text_col, shingle_k,
+                            n_buckets, token_hash=token_hash)
+    if n_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(16, 4 * cpus)
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            df=g.groupby("shingle")["shingle"].transform("size")
+            .astype(np.int64),
+            kbucket=(g["key"].to_numpy().astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15) % np.uint64(n_buckets))
+            .astype(np.int32))
+        return g[["key", "shingle", "n", "df", "kbucket"]]
+
+    with_df = rows.groupby("bucket").map_groups(
+        attach_df, batch_format="pandas")
+
+    def prefix_of_docs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-doc prefix: sort by (key, df, shingle), keep
+        # the first n - ceil(t*n) + 1 rows of each key
+        g = g.sort_values(["key", "df", "shingle"], kind="mergesort")
+        n = g["n"].to_numpy()
+        # epsilon-DOWN before ceil: float error in t*n may round a true
+        # integer product up (0.3*10 → 3.0000000000000004 → ceil 4),
+        # shortening the prefix and losing pairs; erring low only makes
+        # the prefix longer (more candidates, still exact)
+        p = n - np.ceil(threshold * n - 1e-9).astype(np.int64) + 1
+        rank = g.groupby("key").cumcount().to_numpy()
+        out = g.loc[rank < p, ["key", "shingle", "n"]]
+        return out.assign(bucket=(out["shingle"].to_numpy()
+                                  .astype(np.uint64)
+                                  % np.uint64(n_buckets)).astype(np.int32))
+
+    prefixes = with_df.groupby("kbucket").map_groups(
+        prefix_of_docs, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        kd = g["key"].dtype
+        m = g[["key", "shingle"]].merge(g[["key", "shingle"]],
+                                        on="shingle",
+                                        suffixes=("_a", "_b"))
+        m = m[m["key_a"] < m["key_b"]][["key_a", "key_b"]]
+        if not len(m):
+            return pd.DataFrame({"key_a": pd.Series([], dtype=kd),
+                                 "key_b": pd.Series([], dtype=kd)})
+        return m.drop_duplicates()
+
+    cand = prefixes.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["key_a", "key_b"]).aggregate(
+        Count(alias_name="n_prefix_buckets"))
+
+
+def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
+                               text_col: str = "text", shingle_k: int = 3,
+                               threshold: float = 0.5,
+                               n_buckets: int | None = None,
+                               token_hash=hash64) -> pa.Table:
+    """Exact n-gram Jaccard join via PPJoin prefix filtering: candidate
+    pairs from ``ngram_prefix_candidates`` (no false negatives), exact
+    verification via the shared broadcast-texts verifier. Returns the
+    SAME result set as ``ngram_jaccard_pairs`` — (key_a, key_b,
+    n_common, jaccard) — at a fraction of the pair-expansion work on
+    corpora with common shingles."""
+    cand = ngram_prefix_candidates(source, key_col, text_col, shingle_k,
+                                   threshold, n_buckets,
+                                   token_hash=token_hash).materialize()
+    return _verify_candidate_pairs(source, key_col, text_col, cand,
+                                   shingle_k, threshold, with_counts=True)

@@ -96,3 +96,46 @@ def test_agrees_with_minhash_verified_at_same_threshold(ray_session):
     lsh = {(int(a), int(b), float(j))
            for a, b, j in zip(mh["key_a"], mh["key_b"], mh["jaccard"])}
     assert lsh == exact
+
+
+def test_prefix_filtered_join_equals_exact(ray_session):
+    """PPJoin prefix path returns EXACTLY the inverted-index join's
+    result set (no false negatives), across thresholds including ones
+    where t*n is a true integer (the ceil boundary)."""
+    from jsonschema_ray.pipelines.dedup import ngram_jaccard_prefix_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 14)))
+             for _ in range(150)]
+    texts[5] = texts[6] = "alpha beta gamma delta epsilon zeta eta"
+    texts[7] = "alpha beta gamma delta epsilon zeta theta"
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    for th in (0.3, 0.5, 0.75):
+        exact = set(_run(texts, th))
+        pf = ngram_jaccard_prefix_pairs(tbl, "doc_id", threshold=th) \
+            .to_pandas()
+        got = {(int(a), int(b), int(i), float(j)) for a, b, i, j in
+               zip(pf["key_a"], pf["key_b"], pf["n_common"],
+                   pf["jaccard"])}
+        assert got == exact, th
+
+
+def test_prefix_filter_prunes_candidates(ray_session):
+    """On a corpus dominated by one common shingle, the prefix index
+    generates strictly fewer candidate pairs than full inverted-index
+    expansion (the point of PPJoin)."""
+    from jsonschema_ray.pipelines.dedup import ngram_prefix_candidates
+
+    # every doc shares 'the common core' but differs elsewhere
+    texts = [f"u{i} v{i} the common core x{i} y{i} z{i}"
+             for i in range(60)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    cand = ngram_prefix_candidates(tbl, "doc_id", threshold=0.5) \
+        .count()
+    full = 60 * 59 // 2  # 'the common core' shingle pairs every doc
+    assert cand < full / 4
+    # and nothing real is lost: no pair reaches 0.5 here
+    assert _run(texts, 0.5) == []
