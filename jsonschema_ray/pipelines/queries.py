@@ -415,6 +415,51 @@ def q_events_hourly(sf_dir: str):
     return out.map_batches(cast_hour_us, batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING-window aggregate (size 1 h, hop 15 min — each event lands
+    in exactly 4 overlapping windows): the sliding-window streaming
+    analog SURVEY.md §2.9 doesn't get from tumbling windows. Replication
+    is vectorized (np.tile over 4 hop offsets) and pre-aggregated per
+    batch, so the shuffle carries (batch, event_type, window) partials,
+    never the 4× event stream. Sums in exact scaled cents."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    HOPS = 4  # 1h window / 15min hop
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        vc = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        starts = np.concatenate(
+            [(base - pd.Timedelta(minutes=15 * i)).to_numpy()
+             for i in range(HOPS)])
+        rep = pd.DataFrame({
+            "event_type": np.tile(df["event_type"].to_numpy(), HOPS),
+            "wstart": starts,
+            "vc": np.tile(vc, HOPS)})
+        return rep.groupby(["event_type", "wstart"], as_index=False).agg(
+            n=("vc", "size"), sv=("vc", "sum"))
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "wstart"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
+
+    schema = pa.schema([
+        ("event_type", pa.string()), ("wstart", pa.timestamp("us")),
+        ("n", pa.int64()), ("sum_value_c", pa.int64())])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wstart" not in t.schema.names:
+            return schema.empty_table()
+        i = t.schema.get_field_index("wstart")
+        return t.set_column(i, "wstart",
+                            t.column("wstart").cast(pa.timestamp("us")))
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
 def q_q3_top_orders(sf_dir: str):
     """TPC-H-Q3-style: dimension filter broadcast (customer segment),
     distributed hash join lineitem⋈orders (``Dataset.join``), grouped
@@ -1179,6 +1224,60 @@ def q_ngram_jaccard(sf_dir: str):
                                "doc_id", threshold=0.4)
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprints (window 4 over word-3-shingles),
+    SQL-oracled bit-exactly: md5 token hash + the same FNV rolling
+    combine as the minhash oracle, window-min via SQL window function,
+    leftmost tie-break via MIN(pos) join-back. Guarantees any shared
+    6-token run yields a shared fingerprint."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import winnow_fingerprints
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return winnow_fingerprints(ParquetSource(_pq(sf_dir, "documents")),
+                               "doc_id", token_hash=md5_hash64)
+
+
+def _winnow_sql(window: int = 4) -> str:
+    """Oracle for ``q_winnow_fingerprints``: shares the shingle CTE (and
+    uint64 wraparound emulation) with ``_minhash_sql``."""
+    F, TWO64 = 1099511628211, 1 << 64
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, t0.r - 1 AS pos,
+         (((CAST(t0.h AS HUGEINT) * {F}) % {TWO64} + t1.h) % {TWO64}
+          * {F} + t2.h) % {TWO64} AS s
+  FROM th t0
+  JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.r = t0.r + 1
+  JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.r = t0.r + 2
+), wmin AS (
+  SELECT doc_id, pos AS wend,
+         MIN(s) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {window - 1} PRECEDING
+                      AND CURRENT ROW) AS mh
+  FROM sh QUALIFY pos >= {window - 1}
+), sel AS (
+  SELECT w.doc_id, MIN(g.pos) AS pos, w.mh
+  FROM wmin w JOIN sh g
+    ON g.doc_id = w.doc_id
+   AND g.pos BETWEEN w.wend - {window - 1} AND w.wend
+   AND g.s = w.mh
+  GROUP BY w.doc_id, w.wend, w.mh
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(CAST(mh AS UBIGINT) AS VARCHAR) AS fp
+FROM sel
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit simhash fingerprints, SQL-oracled: token hash is
     ``md5_hash64`` (bit-identical to DuckDB ``md5_number_lower``,
@@ -1378,6 +1477,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sort_topk_orders": q_sort_topk_orders,
     "distinct_mktsegment": q_distinct_mktsegment,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "events_sessionize": q_events_sessionize,
     "events_top_per_user": q_events_top_per_user,
     "asof_clicks": q_asof_clicks,
@@ -1392,6 +1492,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1474,6 +1575,17 @@ ORACLE: dict[str, str] = {
         "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS sum_value_c "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)",
+    # hopping window: each event in the 4 windows [b-45m..b], b = 15-min
+    # bucket of ts — mirrored by the engine's np.tile hop replication
+    "events_hopping":
+        "SELECT event_type, "
+        "time_bucket(INTERVAL '15 minutes', ts) "
+        "  - i * INTERVAL '15 minutes' AS wstart, "
+        "count(*) AS n, "
+        "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_c "
+        "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) "
+        "GROUP BY 1, 2",
     "q3_top_orders":
         "SELECT l_orderkey, "
         "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) "
@@ -1545,6 +1657,7 @@ ORACLE: dict[str, str] = {
         "min(doc_id) AS keep_id FROM documents "
         "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
     "hll_registers": _hll_sql(),
+    "winnow_fingerprints": _winnow_sql(),
     "cosine_pairs_exact":
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

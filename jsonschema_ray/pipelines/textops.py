@@ -98,3 +98,59 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     vals = col.to_numpy(zero_copy_only=False)
     h = hash64(vals.astype(object))
     return batch.append_column(out_col, pa.array(h.astype(np.uint64)))
+
+
+def winnow_fingerprints(source, key_col: str, text_col: str = "text",
+                        shingle_k: int = 3, window: int = 4,
+                        token_hash=hash64):
+    """MOSS-style WINNOWING document fingerprints (Schleimer et al.,
+    SIGMOD'03): per document, slide a ``window`` over the word-k-shingle
+    hash stream and select each window's minimum hash (leftmost on
+    ties); the DISTINCT selected (position, hash) set is the
+    fingerprint — guaranteeing any shared run of ``window + k - 1``
+    tokens yields a shared fingerprint. → Dataset (key, pos, fp),
+    ``fp`` as a decimal string (uint64 exceeds BIGINT).
+
+    Fully vectorized across document boundaries: one
+    ``sliding_window_view`` over the batch-flat hash stream with
+    cross-document windows masked out — no per-doc Python loop. Docs
+    with fewer than ``window`` shingles emit nothing (no full window).
+    With ``token_hash=md5_hash64`` the whole chain is re-derivable in
+    SQL (see ORACLE['winnow_fingerprints'])."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from jsonschema_ray.pipelines.dedup import _shingle_hashes
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+    w = window
+
+    def kern(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        d, h = _shingle_hashes(texts, shingle_k, token_hash=token_hash)
+        empty = pa.table({key_col: keys.slice(0, 0),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.string())})
+        if len(h) < w:
+            return empty
+        wins = sliding_window_view(h, w)              # (n-w+1, w)
+        valid = d[: len(d) - w + 1] == d[w - 1:]      # window within one doc
+        am = wins.argmin(axis=1)                      # first min = leftmost
+        gsel = np.unique(np.arange(len(am))[valid] + am[valid])
+        if not len(gsel):
+            return empty
+        counts = np.bincount(d, minlength=len(texts))
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        dsel = d[gsel]
+        return pa.table({
+            key_col: keys.take(pa.array(dsel)),
+            "pos": pa.array((gsel - starts[dsel]).astype(np.int64)),
+            "fp": pa.array(h[gsel].astype(np.str_).astype(object),
+                           pa.string()),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        kern, batch_format="pyarrow")

@@ -393,3 +393,33 @@ def test_cosine_pairs_exact_vs_numpy(ray_session):
     got_set = {(a, b) for a, b, _ in exp}
     assert {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])} \
         <= got_set
+
+
+def test_winnow_fingerprints_guarantee(ray_session):
+    """Winnowing property (Schleimer et al.): documents sharing a run of
+    window + k - 1 = 6 tokens share at least one fingerprint hash; and
+    the selection is position-stable (prefixing unrelated text shifts
+    positions but keeps the shared hashes)."""
+    from jsonschema_ray.pipelines.textops import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [f"{shared} tail one two three",
+             f"intro words here then {shared}",
+             "completely different content with nothing in common at all"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": texts})
+    fp = winnow_fingerprints(t, "doc_id").to_pandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a print"
+    assert not (by_doc[0] & by_doc[2])
+    # determinism across block layouts
+    import ray.data as rd
+
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    fp2 = winnow_fingerprints(
+        DatasetSource(rd.from_arrow(t).repartition(3)), "doc_id") \
+        .to_pandas()
+    a = sorted(map(tuple, fp.itertuples(index=False)))
+    b = sorted(map(tuple, fp2.itertuples(index=False)))
+    assert a == b
