@@ -1224,6 +1224,16 @@ def q_ngram_jaccard(sf_dir: str):
                                "doc_id", threshold=0.4)
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by md5 bucket of
+    doc_id) — reproducible across runs/cluster sizes by construction,
+    and SQL-oracled bit-exactly via ``md5_number_lower``."""
+    from jsonschema_ray.pipelines.sampling import hash_split
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return hash_split(ParquetSource(_pq(sf_dir, "documents")), "doc_id")
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """MOSS winnowing fingerprints (window 4 over word-3-shingles),
     SQL-oracled bit-exactly: md5 token hash + the same FNV rolling
@@ -1493,6 +1503,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "split_assign": q_split_assign,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1658,6 +1669,15 @@ ORACLE: dict[str, str] = {
         "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
     "hll_registers": _hll_sql(),
     "winnow_fingerprints": _winnow_sql(),
+    "split_assign": """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                  AS BIGINT) AS bucket
+      FROM documents)
+""",
     "cosine_pairs_exact":
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -1,0 +1,87 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Both operators key on a HASH of a stable id column, so they are
+reproducible across runs, cluster sizes, and block layouts — unlike
+``Dataset.random_sample`` (per-block RNG) or reservoir sampling
+(order-dependent). With ``hash_fn="md5"`` the assignment is bit-exactly
+re-derivable in DuckDB (``md5_number_lower``), which is how the driver
+oracle checks it.
+
+The reference engine has no corpus-level sampling (it validates one
+document at a time); these are the training-data operators the brief
+adds on top (sampling row of SURVEY.md §2.6 covers the driver-sample
+k-means used by IVF).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from jsonschema_ray.functions.sketches import hash64, md5_hash64
+from jsonschema_ray.sources.readers import as_source
+
+
+def _bucket_of(keys: pa.Array, n_buckets: int, hash_fn: str) -> np.ndarray:
+    vals = keys.to_numpy(zero_copy_only=False)
+    hf = md5_hash64 if hash_fn == "md5" else hash64
+    h = hf(vals.astype(object) if vals.dtype == object else vals)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_split(source: Any, key_col: str,
+               splits: Sequence[tuple[str, int]] = (
+                   ("train", 80), ("val", 10), ("test", 10)),
+               n_buckets: int = 100, hash_fn: str = "md5",
+               columns: Sequence[str] | None = None):
+    """Deterministic train/val/test assignment: bucket = hash(key) mod
+    ``n_buckets``; consecutive bucket ranges map to the named splits
+    (weights must sum to ``n_buckets``). → Dataset with ``bucket`` and
+    ``split`` columns appended. Stable under re-runs, resharding, and
+    cluster growth — the property a 100 TB corpus split must have, so
+    a re-ingested document never migrates between train and test."""
+    if sum(w for _, w in splits) != n_buckets:
+        raise ValueError("split weights must sum to n_buckets")
+    names, weights = zip(*splits)
+    bounds = np.cumsum([0] + list(weights))
+    src = as_source(source)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        b = _bucket_of(keys, n_buckets, hash_fn)
+        lab = np.array(names, dtype=object)[
+            np.searchsorted(bounds, b, side="right") - 1]
+        return t.append_column("bucket", pa.array(b)) \
+            .append_column("split", pa.array(lab, pa.string()))
+
+    cols = list(columns) if columns else [key_col]
+    return src.dataset(columns=cols).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def hash_sample(source: Any, key_col: str, rate: float,
+                n_buckets: int = 1_000_000, hash_fn: str = "md5",
+                columns: Sequence[str] | None = None):
+    """Deterministic Bernoulli-by-hash sample: keep a row iff
+    hash(key) mod ``n_buckets`` < rate * n_buckets. Unlike
+    ``Dataset.random_sample`` the choice is a pure function of the key:
+    re-runs, retries, and different block layouts sample the SAME rows,
+    and a join of two hash-samples of related tables stays consistent
+    when they share the key."""
+    cut = int(rate * n_buckets)
+    src = as_source(source)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        b = _bucket_of(keys, n_buckets, hash_fn)
+        return t.filter(pa.array(b < cut))
+
+    cols = list(columns) if columns else None
+    return src.dataset(columns=cols).map_batches(
+        pick, batch_format="pyarrow")

@@ -1,0 +1,62 @@
+"""Deterministic hash split / sample (pipelines.sampling)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl(n=1000):
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": [f"doc {i}" for i in range(n)]})
+
+
+def test_hash_split_deterministic_and_partitioned(ray_session):
+    from jsonschema_ray.pipelines.sampling import hash_split
+
+    a = hash_split(_tbl(), "doc_id").to_pandas().sort_values("doc_id")
+    b = hash_split(_tbl(), "doc_id").to_pandas().sort_values("doc_id")
+    assert a.equals(b)
+    counts = a["split"].value_counts()
+    # 80/10/10 within binomial slack
+    assert 700 < counts["train"] < 880
+    assert set(a["split"]) == {"train", "val", "test"}
+    # buckets map to splits consistently
+    assert (a.loc[a["bucket"] < 80, "split"] == "train").all()
+    assert (a.loc[a["bucket"] >= 90, "split"] == "test").all()
+
+
+def test_hash_split_stable_under_resharding(ray_session):
+    """The same key gets the same split no matter how the corpus is
+    sharded or what subset it arrives in (the anti-leak property)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.sampling import hash_split
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    full = hash_split(_tbl(1000), "doc_id").to_pandas()
+    resharded = hash_split(
+        DatasetSource(rd.from_arrow(_tbl(1000)).repartition(13)),
+        "doc_id").to_pandas()
+    subset = hash_split(_tbl(400), "doc_id").to_pandas()
+    m_full = dict(zip(full["doc_id"], full["split"]))
+    assert dict(zip(resharded["doc_id"], resharded["split"])) == m_full
+    assert all(m_full[k] == v for k, v in
+               zip(subset["doc_id"], subset["split"]))
+
+
+def test_hash_split_rejects_bad_weights(ray_session):
+    from jsonschema_ray.pipelines.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(_tbl(10), "doc_id", splits=(("a", 50), ("b", 40)))
+
+
+def test_hash_sample_rate_and_determinism(ray_session):
+    from jsonschema_ray.pipelines.sampling import hash_sample
+
+    s1 = hash_sample(_tbl(5000), "doc_id", rate=0.2).to_pandas()
+    s2 = hash_sample(_tbl(5000), "doc_id", rate=0.2).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    assert 800 < len(s1) < 1200  # 0.2 * 5000 within slack
+    # monotone: a 10% sample is a subset of the 20% sample
+    s3 = hash_sample(_tbl(5000), "doc_id", rate=0.1).to_pandas()
+    assert set(s3["doc_id"]) <= set(s1["doc_id"])
