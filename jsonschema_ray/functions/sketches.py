@@ -203,3 +203,73 @@ def quantile_drift(base: TDigest, cur: TDigest,
     qb, qc = base.quantile(probs), cur.quantile(probs)
     scale = float(qb.max() - qb.min()) or 1.0
     return float(np.max(np.abs(qb - qc)) / scale)
+
+
+class MisraGries:
+    """Misra-Gries / SpaceSaving-style heavy-hitters summary with at
+    most ``capacity`` counters. Guarantee: for a stream of N items,
+    every reported count is an UNDER-estimate by at most N/(capacity+1),
+    and any item with true frequency > N/(capacity+1) is present.
+
+    Mergeable (Agarwal et al., PODS'12): sum counters pairwise, then
+    subtract the (capacity+1)-th largest count from all and drop
+    non-positives — the merged summary keeps the additive error bound
+    err_a + err_b. When ``capacity`` >= the true distinct count the
+    summary is EXACT regardless of stream order or block layout (the
+    property the SQL oracle relies on)."""
+
+    def __init__(self, capacity: int = 256,
+                 counters: dict | None = None, shed: int = 0):
+        self.capacity = int(capacity)
+        self.counters: dict = counters if counters is not None else {}
+        self.shed = int(shed)  # cumulative decrement = max undercount
+
+    def add_counts(self, items, counts) -> None:
+        """Bulk update from pre-aggregated (item, count) pairs — the
+        vectorized path: batches pre-count via ``value_counts`` so this
+        touches each DISTINCT item once, not each occurrence."""
+        c = self.counters
+        for it, n in zip(items, counts):
+            c[it] = c.get(it, 0) + int(n)
+        self._trim()
+
+    def _trim(self) -> None:
+        c = self.counters
+        over = len(c) - self.capacity
+        if over <= 0:
+            return
+        # subtract the (capacity+1)-th largest count, drop non-positives
+        vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        cut = int(np.partition(vals, over - 1)[over - 1])
+        self.counters = {k: v - cut for k, v in c.items() if v > cut}
+        self.shed += cut
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(min(self.capacity, other.capacity),
+                         dict(self.counters),
+                         self.shed + other.shed)
+        c = out.counters
+        for k, v in other.counters.items():
+            c[k] = c.get(k, 0) + v
+        out._trim()
+        return out
+
+    def topk(self, k: int) -> list[tuple]:
+        """(item, lower-bound count) sorted by count desc, item asc."""
+        return sorted(self.counters.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def serialize(self) -> bytes:
+        import json as _json
+
+        return _json.dumps({"capacity": self.capacity, "shed": self.shed,
+                            "counters": list(self.counters.items())}) \
+            .encode()
+
+    @staticmethod
+    def deserialize(b: bytes) -> "MisraGries":
+        import json as _json
+
+        d = _json.loads(b.decode())
+        return MisraGries(d["capacity"], dict(map(tuple, d["counters"])),
+                          d["shed"])

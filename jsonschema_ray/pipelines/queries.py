@@ -1224,6 +1224,17 @@ def q_ngram_jaccard(sf_dir: str):
                                "doc_id", threshold=0.4)
 
 
+def q_token_topk(sf_dir: str):
+    """Exact top-20 token frequencies (thin (token, n) partial shuffle,
+    never the text; deterministic n-desc/token-asc tie-break). The
+    Misra-Gries mergeable-summary scale path of the same operator is
+    pytest-certified (``test_token_topk_*``)."""
+    from jsonschema_ray.pipelines.textops import token_topk
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return token_topk(ParquetSource(_pq(sf_dir, "documents")), k=20)
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split (80/10/10 by md5 bucket of
     doc_id) — reproducible across runs/cluster sizes by construction,
@@ -1504,6 +1515,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
+    "token_topk": q_token_topk,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1669,6 +1681,12 @@ ORACLE: dict[str, str] = {
         "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
     "hll_registers": _hll_sql(),
     "winnow_fingerprints": _winnow_sql(),
+    "token_topk": r"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
+        AS tok FROM documents)
+WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
     "split_assign": """
 SELECT doc_id, bucket,
        CASE WHEN bucket < 80 THEN 'train'

@@ -154,3 +154,83 @@ def winnow_fingerprints(source, key_col: str, text_col: str = "text",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         kern, batch_format="pyarrow")
+
+
+def token_topk(source, text_col: str = "text", k: int = 20,
+               capacity: int | None = None) -> pa.Table:
+    """Top-k token frequencies over a corpus.
+
+    ``capacity=None`` → EXACT: per-batch Arrow ``value_counts`` on the
+    flat token stream (each batch ships one thin (token, n) row per
+    DISTINCT token — the text never shuffles), pre-aggregated partials
+    → one small groupby → global sort + limit.
+
+    ``capacity=N`` → Misra-Gries scale path: each block folds into an
+    N-counter summary, summaries tree-merge on the driver (scalars, no
+    shuffle at all); counts are lower bounds within N_tokens/(N+1)
+    (``functions.sketches.MisraGries``). Use when the vocabulary itself
+    is too big to shuffle (e.g. raw n-grams at 100 TB)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+    ds = src.dataset(columns=[text_col])
+
+    if capacity is not None:
+        from jsonschema_ray.functions.sketches import MisraGries
+
+        def summarize(t: pa.Table) -> pa.Table:
+            col = t.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            toks = pc.list_flatten(
+                pc.utf8_split_whitespace(col.fill_null("")))
+            if len(toks):
+                toks = toks.filter(pc.not_equal(toks, ""))
+            mg = MisraGries(capacity)
+            if len(toks):
+                vc = toks.value_counts()
+                mg.add_counts(vc.field("values").to_pylist(),
+                              vc.field("counts").to_pylist())
+            return pa.table({"mg": pa.array([mg.serialize()],
+                                            pa.binary())})
+
+        mg = MisraGries(capacity)
+        for b in ds.map_batches(summarize, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for s in b.column("mg").to_pylist():
+                mg = mg.merge(MisraGries.deserialize(s))
+        rows = mg.topk(k)
+        return pa.table({"token": pa.array([t for t, _ in rows]),
+                         "n": pa.array([n for _, n in rows], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(pc.utf8_split_whitespace(col.fill_null("")))
+        if len(toks):
+            toks = toks.filter(pc.not_equal(toks, ""))
+        if not len(toks):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(max(2, cpus)) \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    out = agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not batches:
+        return empty
+    return pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in batches]).cast(empty.schema)

@@ -423,3 +423,53 @@ def test_winnow_fingerprints_guarantee(ray_session):
     a = sorted(map(tuple, fp.itertuples(index=False)))
     b = sorted(map(tuple, fp2.itertuples(index=False)))
     assert a == b
+
+
+def test_token_topk_exact_vs_local(ray_session):
+    from collections import Counter
+
+    from jsonschema_ray.pipelines.textops import token_topk
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    weights = rng.dirichlet(np.ones(40) * 0.3)
+    texts = [" ".join(rng.choice(vocab, size=20, p=weights))
+             for _ in range(400)]
+    t = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                  "text": texts})
+    got = token_topk(t, k=10)
+    cnt = Counter(tok for s in texts for tok in s.split())
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.column("token").to_pylist(),
+                    got.column("n").to_pylist())) == exp
+
+
+def test_token_topk_misra_gries_guarantee(ray_session):
+    """MG path: with capacity >= vocab the summary is exact; with a
+    small capacity every reported count under-estimates by at most
+    N/(capacity+1) and the true heavy hitter is retained."""
+    from collections import Counter
+
+    from jsonschema_ray.pipelines.textops import token_topk
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(300)]
+    texts += ["hotword " * 40] * 50  # a true heavy hitter
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    cnt = Counter(tok for s in texts for tok in s.split())
+    n_total = sum(cnt.values())
+
+    exact = token_topk(t, k=5, capacity=100_000)
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(exact.column("token").to_pylist(),
+                    exact.column("n").to_pylist())) == exp
+
+    small = token_topk(t, k=5, capacity=32)
+    got = dict(zip(small.column("token").to_pylist(),
+                   small.column("n").to_pylist()))
+    assert "hotword" in got
+    for tok, est in got.items():
+        assert est <= cnt[tok]                      # lower bound
+        assert cnt[tok] - est <= n_total / (32 + 1)  # MG error bound
