@@ -552,6 +552,18 @@ def shingle_set_rows(source: Any, key_col: str, text_col: str = "text",
         to_rows, batch_format="pyarrow")
 
 
+def _pair_partition(df, n_parts: int) -> np.ndarray:
+    """int32 partition id = 64-bit row hash of (key_a, key_b) mod
+    ``n_parts`` — a pure function of the pair, so every partial of a
+    pair lands in ONE partition and a per-partition pandas groupby is a
+    complete global aggregate for its pairs."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(df[["key_a", "key_b"]],
+                                   index=False).to_numpy()
+    return (h % np.uint64(n_parts)).astype(np.int32)
+
+
 def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
                         shingle_k: int = 3, threshold: float = 0.5,
                         n_buckets: int | None = None,
@@ -571,7 +583,11 @@ def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
        on the shingle column emits partial co-occurrence counts
        ``(key_a, key_b, n_a, n_b, i)`` — one Python call per bucket,
        not per shingle group;
-    3. one thin global shuffle sums partials per pair;
+    3. pair partials carry a PAIR-HASH partition column, so the global
+       sum is one int32-keyed shuffle + a vectorized per-partition
+       pandas groupby — NOT a multi-column ``aggregate(Sum)``, which
+       sort-shuffles every key column and measured 280 s vs 4 s on a
+       1.3M-partial / 1.1M-group corpus (sf0.1 documents);
     4. ``jaccard = i / (n_a + n_b - i)`` filter, streamed out.
 
     Work is sum over shingles of df² — exact-by-construction but
@@ -585,10 +601,14 @@ def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
     ``n - ceil(t*n) + 1`` — same bucket layout, fewer rows.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
+    import ray
 
     rows = shingle_set_rows(source, key_col, text_col, shingle_k,
                             n_buckets, token_hash=token_hash)
+    if n_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(16, 4 * cpus)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         kd = g["key"].dtype  # typed empties: no object-dtype blocks
@@ -597,7 +617,8 @@ def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
             "key_b": pd.Series([], dtype=kd),
             "n_a": pd.Series([], dtype=np.int64),
             "n_b": pd.Series([], dtype=np.int64),
-            "i": pd.Series([], dtype=np.int64)})
+            "i": pd.Series([], dtype=np.int64),
+            "pb": pd.Series([], dtype=np.int32)})
         g = g[["key", "shingle", "n"]]
         if max_df is not None:
             df_of = g["shingle"].map(g["shingle"].value_counts())
@@ -611,12 +632,20 @@ def ngram_jaccard_pairs(source: Any, key_col: str, text_col: str = "text",
         part = m.groupby(["key_a", "key_b", "n_a", "n_b"], sort=False) \
             .size().reset_index(name="i")
         part["i"] = part["i"].astype(np.int64)
+        part["pb"] = _pair_partition(part, n_buckets)
         return part
 
     partials = rows.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas")
-    agg = partials.groupby(["key_a", "key_b", "n_a", "n_b"]).aggregate(
-        Sum("i", alias_name="n_common"))
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["key_a", "key_b", "n_a", "n_b"], sort=False)["i"] \
+            .sum().reset_index(name="n_common")
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    agg = partials.groupby("pb").map_groups(sum_pairs,
+                                            batch_format="pandas")
 
     def finish(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -687,6 +716,13 @@ def ngram_prefix_candidates(source: Any, key_col: str,
       2. bucket by doc → vectorized per-doc prefix selection;
       3. bucket prefix rows by shingle → vectorized pair expansion,
          then a distinct-pair groupby.
+
+    Measured (sf0.1 documents, 5k docs, 32 cpus): 35 s vs the plain
+    inverted index's 11 s — the three extra thin shuffles only pay off
+    when Σ df² explodes (common-shingle-heavy corpora; see
+    ``test_prefix_filter_prunes_candidates`` for a corpus where the
+    candidate set shrinks 4×+). Prefer ``ngram_jaccard_pairs`` until
+    profiling shows pair expansion dominating.
     """
     import pandas as pd
     import ray
@@ -737,15 +773,21 @@ def ngram_prefix_candidates(source: Any, key_col: str,
         m = m[m["key_a"] < m["key_b"]][["key_a", "key_b"]]
         if not len(m):
             return pd.DataFrame({"key_a": pd.Series([], dtype=kd),
-                                 "key_b": pd.Series([], dtype=kd)})
-        return m.drop_duplicates()
+                                 "key_b": pd.Series([], dtype=kd),
+                                 "pb": pd.Series([], dtype=np.int32)})
+        m = m.drop_duplicates()
+        return m.assign(pb=_pair_partition(m, n_buckets))
 
     cand = prefixes.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count
 
-    return cand.groupby(["key_a", "key_b"]).aggregate(
-        Count(alias_name="n_prefix_buckets"))
+    # global distinct via one int32-keyed shuffle (pair-hash partition),
+    # NOT a two-column aggregate — see ngram_jaccard_pairs step 3
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["key_a", "key_b"]].drop_duplicates()
+
+    return cand.groupby("pb").map_groups(distinct_pairs,
+                                         batch_format="pandas")
 
 
 def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
