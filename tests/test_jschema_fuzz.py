@@ -1,8 +1,9 @@
 """Metamorphic property fuzz for the JSON Schema evaluator.
 
-There is no second implementation to differential-test against, so the
-evaluator is pinned by metamorphic laws that hold for ANY schema S and
-instance v (hypothesis generates both):
+(Direct differential fuzzing against the canonical ``jsonschema``
+package lives in ``test_jschema_differential.py``; the metamorphic laws
+below additionally pin properties no second implementation can —
+they hold for ANY schema S and instance v, hypothesis generates both):
 
   - allOf-wrap:   [[S]] ≡ allOf:[S]
   - anyOf-widen:  valid(S) ⇒ valid(anyOf:[S, X]) for any X
