@@ -30,13 +30,17 @@ import pyarrow.compute as pc
 # Regex-representable formats (anchored; evaluated by RE2 — no lookaround).
 # ---------------------------------------------------------------------------
 
-# calendar-aware month/day combos (Feb capped at 29; leap-year
-# pedantics are the one divergence from a full parser, documented in
-# tests/test_formats_parity.py)
-_DATE = (r"\d{4}-"
+# calendar-aware month/day combos, INCLUDING the Gregorian leap rule:
+# Feb 29 only in years divisible by 4, except centuries not divisible
+# by 400 — expressible as a pure (RE2-safe, lookaround-free) regex, so
+# the vectorized kernel is a full RFC 3339 full-date parser
+_LEAP_YEAR = (r"(\d{2}(0[48]|[2468][048]|[13579][26])"
+              r"|([02468][048]|[13579][26])00)")
+_DATE = (r"(\d{4}-"
          r"(((0[13578]|1[02])-(0[1-9]|[12]\d|3[01]))"
          r"|((0[469]|11)-(0[1-9]|[12]\d|30))"
-         r"|(02-(0[1-9]|1\d|2\d)))")
+         r"|(02-(0[1-9]|1\d|2[0-8])))"
+         rf"|{_LEAP_YEAR}-02-29)")
 _PARTIAL_TIME = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
 _TIME = _PARTIAL_TIME + r"(Z|z|[+-]([01]\d|2[0-3]):[0-5]\d)"
 _IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
@@ -88,7 +92,9 @@ REGEX_FORMATS: dict[str, str] = {
     "date": _DATE,
     "time": _TIME,
     "partial-time": _PARTIAL_TIME,
-    "date-time": rf"{_DATE}[Tt ]{_TIME}",
+    # RFC 3339 grammar: 'T'/'t' only (the space variant is a
+    # by-mutual-agreement NOTE, rejected by the official test suite)
+    "date-time": rf"{_DATE}[Tt]{_TIME}",
     "ipv4": _IPV4,
     "ipv6": _IPV6,
     "hostname": _HOSTNAME,

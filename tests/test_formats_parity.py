@@ -82,11 +82,33 @@ def test_date_accepts_all_real_dates(d):
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet="0123456789-", min_size=8, max_size=12))
 def test_date_agrees_with_fromisoformat_on_rejects(s):
-    """Anything our kernel accepts must parse with
-    date.fromisoformat — modulo Feb-29 leap pedantics (kernel allows
-    02-29 in any year; a full parser would check the leap rule)."""
-    if _ok(s, "date") and not s[5:10].startswith("02-29"):
+    """Anything our kernel accepts must parse with date.fromisoformat —
+    including the Gregorian leap rule (the regex encodes it)."""
+    if _ok(s, "date"):
         datetime.date.fromisoformat(s)  # must not raise
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 9999), st.integers(1, 12), st.integers(1, 31))
+def test_date_full_calendar_parity(y, m, d):
+    """Exact two-way parity with the stdlib calendar on all y-m-d."""
+    s = f"{y:04d}-{m:02d}-{d:02d}"
+    try:
+        datetime.date.fromisoformat(s)
+        valid = True
+    except ValueError:
+        valid = False
+    assert _ok(s, "date") == valid, s
+
+
+def test_leap_rule_and_datetime_separator():
+    assert _ok("2024-02-29", "date")          # /4 leap
+    assert _ok("2000-02-29", "date")          # /400 century leap
+    assert not _ok("1900-02-29", "date")      # /100 century non-leap
+    assert not _ok("2023-02-29", "date")
+    assert _ok("2024-01-01T00:00:00Z", "date-time")
+    assert _ok("2024-01-01t00:00:00z", "date-time")
+    assert not _ok("2024-01-01 00:00:00Z", "date-time")  # RFC: T only
 
 
 @settings(max_examples=200, deadline=None)

@@ -86,13 +86,14 @@ def test_format_kernels_spot():
     arr = pa.array(["192.168.0.1", "256.1.1.1", "1.2.3", None])
     assert check_format(arr, "ipv4").tolist() == [True, False, False, False]
 
-    arr = pa.array(["2024-02-29", "2024-13-01", "2024-02-30", "2024-04-31"])
-    # calendar-aware month/day combos (Feb capped at 29; leap-year
-    # pedantics excluded — see tests/test_formats_parity.py)
+    arr = pa.array(["2024-02-29", "2023-02-29", "2024-02-30", "2024-04-31"])
+    # calendar-aware incl. the Gregorian leap rule (encoded in the regex;
+    # full stdlib parity in tests/test_formats_parity.py)
     assert check_format(arr, "date").tolist() == [True, False, False, False]
 
     arr = pa.array(["2024-01-01T10:00:00Z", "2024-01-01 10:00:00+05:30", "nope"])
-    assert check_format(arr, "date-time").tolist() == [True, True, False]
+    # RFC 3339 separator is 'T'/'t' only — space rejected
+    assert check_format(arr, "date-time").tolist() == [True, False, False]
 
     arr = pa.array(["::1", "2001:db8::ff00:42:8329", "1:2:3:4:5:6:7:8:9", "::ffff:1.2.3.4"])
     assert check_format(arr, "ipv6").tolist() == [True, True, False, True]
