@@ -1298,6 +1298,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    # reference parity: `version` / `--version` / `-v` print the version
+    # (src/main.cc:280-283)
+    if argv and argv[0] in ("version", "--version", "-v"):
+        from jsonschema_ray import __version__
+
+        print(__version__)
+        return EXIT_OK
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

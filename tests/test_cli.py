@@ -400,3 +400,10 @@ def test_validate_checked_reports_parse_positions(tmp_path):
                 timeout=180)
     assert r.returncode == 1
     assert f"{bad}:2:" in r.stderr and "Expecting value" in r.stderr
+
+
+def test_version_verb_parity():
+    """version / --version / -v (reference src/main.cc:280-283)."""
+    for flag in ("version", "--version", "-v"):
+        r = run_cli(flag)
+        assert r.returncode == 0 and r.stdout.strip(), flag
