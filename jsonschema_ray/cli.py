@@ -476,9 +476,30 @@ def cmd_upgrade(args) -> int:
 
 def cmd_fmt(args) -> int:
     """Canonical plan formatting (``jsonschema fmt`` analog: stable key
-    order + 2-space indent; ``--check`` diff mode)."""
+    order + 2-space indent; ``--check`` diff mode). With ``--schema``,
+    formats a JSON Schema DOCUMENT using the reference's canonical
+    keyword ranking (``vendor/blaze/src/format/format.cc:14-136``);
+    ``--keep-ordering`` prettifies without reordering
+    (``src/command_fmt.cc:57-63``)."""
     with open(args.plan) as f:
         raw = f.read()
+    if getattr(args, "schema", False):
+        from jsonschema_ray.spec.format import prettify_schema
+
+        doc = json.loads(raw)
+        if getattr(args, "keep_ordering", False):
+            canonical = json.dumps(doc, indent=2, ensure_ascii=False) + "\n"
+        else:
+            canonical = prettify_schema(doc)
+        if args.check:
+            if raw != canonical:
+                print(f"{args.plan}: not canonically formatted",
+                      file=sys.stderr)
+                return EXIT_VALIDATION
+            return EXIT_OK
+        with open(args.plan, "w") as f:
+            f.write(canonical)
+        return EXIT_OK
     plan = _load_plan(args.plan)
     canonical = json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n"
     if args.check:
@@ -1270,6 +1291,12 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("fmt")
     f.add_argument("plan")
     f.add_argument("--check", action="store_true")
+    f.add_argument("--schema", action="store_true",
+                   help="treat the file as a JSON Schema document and "
+                        "apply the reference's canonical keyword "
+                        "ordering (blaze format.cc rank table)")
+    f.add_argument("--keep-ordering", action="store_true",
+                   help="with --schema: prettify only, keep key order")
     f.set_defaults(fn=cmd_fmt)
 
     li = sub.add_parser("lint")

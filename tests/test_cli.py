@@ -407,3 +407,35 @@ def test_version_verb_parity():
     for flag in ("version", "--version", "-v"):
         r = run_cli(flag)
         assert r.returncode == 0 and r.stdout.strip(), flag
+
+
+def test_fmt_schema_keyword_ordering(tmp_path):
+    """fmt --schema reorders schema keywords per the reference rank
+    table (core → metadata → refs → logic → type-family → $defs),
+    recursively; property-name maps keep their order."""
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps({
+        "properties": {"z": {"minLength": 1, "type": "string"},
+                       "a": {"type": "integer"}},
+        "x-custom": 1,
+        "required": ["a"],
+        "title": "T",
+        "$id": "https://example.com/s",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "$defs": {"d": {"enum": [1], "const": 1}},
+    }))
+    assert run_cli("fmt", str(p), "--schema", "--check").returncode == 2
+    assert run_cli("fmt", str(p), "--schema").returncode == 0
+    out = json.loads(p.read_text())
+    assert list(out) == ["$schema", "$id", "title", "x-custom", "type",
+                         "required", "properties", "$defs"]
+    assert list(out["properties"]) == ["z", "a"]  # data keys untouched
+    assert list(out["properties"]["z"]) == ["type", "minLength"]
+    assert list(out["$defs"]["d"]) == ["const", "enum"]
+    assert run_cli("fmt", str(p), "--schema", "--check").returncode == 0
+    # --keep-ordering: prettify without reordering
+    q = tmp_path / "k.json"
+    q.write_text('{"type": "string", "$schema": "x"}\n')
+    run_cli("fmt", str(q), "--schema", "--keep-ordering")
+    assert list(json.loads(q.read_text())) == ["type", "$schema"]
