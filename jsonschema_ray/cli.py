@@ -533,10 +533,25 @@ def cmd_lint(args) -> int:
     if getattr(args, "schema", None):
         # schema-document lint: metaschema validation + static analysis
         # (unknown-keyword typo detection, unsatisfiable bounds, empty
-        # enums, constant-false branches, double negation)
+        # enums, constant-false branches, double negation) + the
+        # alterschema transform registry (spec/alterschema.py); --fix
+        # canonicalizes the document in place (transformer.cc fixpoint)
+        from jsonschema_ray.spec.alterschema import canonicalize, lint_fixable
         from jsonschema_ray.spec.jschema import lint_schema
 
-        findings = lint_schema(_load_schema_doc(args.schema))
+        doc = _load_schema_doc(args.schema)
+        findings = lint_schema(doc)
+        if getattr(args, "fix", False):
+            fixed, applied = canonicalize(doc)
+            if applied:
+                from jsonschema_ray.spec.format import prettify_schema
+
+                with open(args.schema, "w") as f:
+                    f.write(prettify_schema(fixed))
+                for name, ptr in applied:
+                    print(f"fixed: {ptr}: {name}", file=sys.stderr)
+        else:
+            findings = findings + lint_fixable(doc)
         for sev, ptr, msg in findings:
             print(f"{sev}: {ptr or '/'}: {msg}", file=sys.stderr)
         n_err = sum(1 for sev, _, _ in findings if sev == "error")

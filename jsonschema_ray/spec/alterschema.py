@@ -1,0 +1,340 @@
+"""Alterschema-style canonicalization transforms for schema DOCUMENTS.
+
+The reference's ``lint --fix`` applies a registry of rewrite rules to a
+fixpoint (``vendor/blaze/src/alterschema``: ``linter/`` +  ``common/``,
+driven by ``transformer.cc``). This module implements the most common
+of those rules as pure functions over the schema tree; each entry cites
+its reference header. ``canonicalize`` applies all rules to a fixpoint;
+``lint_fixable`` reports which rules WOULD fire (for ``lint`` without
+``--fix``).
+
+Every transform is semantics-preserving: ``tests/test_alterschema.py``
+property-checks that the canonicalized schema accepts exactly the same
+instances as the original (differential against the evaluator).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from jsonschema_ray.spec.format import (_SUBSCHEMA, _SUBSCHEMA_LIST,
+                                        _SUBSCHEMA_MAP)
+
+# each rule: name -> fn(node_dict) -> (changed: bool, new_node)
+# rules see a SCHEMA OBJECT (dict) and return a replacement
+
+
+def _enum_to_const(n: dict):
+    # linter/enum_to_const.h: single-element enum → const
+    if "const" not in n and isinstance(n.get("enum"), list) \
+            and len(n["enum"]) == 1:
+        m = dict(n)
+        m["const"] = m.pop("enum")[0]
+        return True, m
+    return False, n
+
+
+def _const_in_enum(n: dict):
+    # common/const_in_enum.h: const present and member of enum → drop enum
+    if "const" in n and isinstance(n.get("enum"), list) \
+            and any(_jeq(n["const"], e) for e in n["enum"]):
+        m = dict(n)
+        del m["enum"]
+        return True, m
+    return False, n
+
+
+def _duplicate_enum_values(n: dict):
+    # common/duplicate_enum_values.h
+    e = n.get("enum")
+    if isinstance(e, list):
+        seen, out = set(), []
+        for v in e:
+            k = json.dumps(v, sort_keys=True)
+            if k not in seen:
+                seen.add(k)
+                out.append(v)
+        if len(out) != len(e):
+            m = dict(n)
+            m["enum"] = out
+            return True, m
+    return False, n
+
+
+def _duplicate_required_values(n: dict):
+    # common/duplicate_required_values.h
+    r = n.get("required")
+    if isinstance(r, list) and len(set(r)) != len(r) \
+            and all(isinstance(x, str) for x in r):
+        m = dict(n)
+        m["required"] = list(dict.fromkeys(r))
+        return True, m
+    return False, n
+
+
+def _duplicate_applicator_branches(n: dict):
+    # common/duplicate_allof_branches.h / duplicate_anyof_branches.h
+    for app in ("allOf", "anyOf"):
+        b = n.get(app)
+        if isinstance(b, list):
+            seen, out = set(), []
+            for v in b:
+                k = json.dumps(v, sort_keys=True)
+                if k not in seen:
+                    seen.add(k)
+                    out.append(v)
+            if len(out) != len(b):
+                m = dict(n)
+                m[app] = out
+                return True, m
+    return False, n
+
+
+def _flatten_nested_allof(n: dict):
+    # common/flatten_nested_allof.h
+    b = n.get("allOf")
+    if isinstance(b, list) and any(isinstance(x, dict)
+                                   and set(x) == {"allOf"}
+                                   and isinstance(x["allOf"], list)
+                                   for x in b):
+        out = []
+        for x in b:
+            if isinstance(x, dict) and set(x) == {"allOf"} \
+                    and isinstance(x["allOf"], list):
+                out.extend(x["allOf"])
+            else:
+                out.append(x)
+        m = dict(n)
+        m["allOf"] = out
+        return True, m
+    return False, n
+
+
+def _drop_empty_applicator_schemas(n: dict):
+    # common/drop_allof_empty_schemas.h / anyof_true_simplify is separate
+    b = n.get("allOf")
+    if isinstance(b, list) and len(b) > 1 and \
+            any(x is True or x == {} for x in b):
+        m = dict(n)
+        m["allOf"] = [x for x in b if not (x is True or x == {})] \
+            or [True]
+        return True, m
+    return False, n
+
+
+def _allof_single_true(n: dict):
+    # degenerate allOf:[true] with siblings → drop the allOf entirely
+    if n.get("allOf") == [True] and len(n) > 1:
+        m = dict(n)
+        del m["allOf"]
+        return True, m
+    return False, n
+
+
+def _anyof_remove_false_schemas(n: dict):
+    # common/anyof_remove_false_schemas.h (keep at least one branch)
+    b = n.get("anyOf")
+    if isinstance(b, list) and len(b) > 1 and \
+            any(x is False for x in b):
+        kept = [x for x in b if x is not False]
+        if kept:
+            m = dict(n)
+            m["anyOf"] = kept
+            return True, m
+    return False, n
+
+
+_NON_ANNOTATING = {
+    "type", "const", "enum", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "required", "minItems", "maxItems", "uniqueItems",
+    "minProperties", "maxProperties", "dependentRequired",
+    "title", "description", "$comment", "examples", "default",
+}
+
+
+def _double_negation_elimination(n: dict):
+    # common/double_negation_elimination.h: not: {not: S} → allOf:[S].
+    # Stricter guard than the reference (which only excludes SIBLING
+    # unevaluated*): `not` discards S's annotations but allOf exposes
+    # them to ANCESTOR unevaluated* too, so only rewrite when S cannot
+    # produce annotations at all (boolean, or assertion-only object).
+    inner = n.get("not")
+    if isinstance(inner, dict) and set(inner) == {"not"} \
+            and "unevaluatedProperties" not in n \
+            and "unevaluatedItems" not in n:
+        s = inner["not"]
+        if isinstance(s, bool) or (isinstance(s, dict)
+                                   and set(s) <= _NON_ANNOTATING):
+            m = dict(n)
+            del m["not"]
+            m["allOf"] = list(m.get("allOf", [])) + [s]
+            return True, m
+    return False, n
+
+
+def _definitions_to_defs(n: dict):
+    # linter/definitions_to_defs.h (2019-09+: $defs is the keyword).
+    # Guarded: never fire while any textual '#/definitions' pointer
+    # exists under this node — renaming would dangle those $refs.
+    if "definitions" in n and "$defs" not in n \
+            and "/definitions" not in json.dumps(n):
+        m = dict(n)
+        m["$defs"] = m.pop("definitions")
+        return True, m
+    return False, n
+
+
+def _else_without_if(n: dict):
+    # common/else_without_if.h (+ then): conditionals without if are dead
+    if "if" not in n and ("then" in n or "else" in n):
+        m = {k: v for k, v in n.items() if k not in ("then", "else")}
+        return True, m
+    return False, n
+
+
+def _then_else_empty(n: dict):
+    # linter/then_empty.h / else_empty.h: then/else: true are no-ops
+    if "if" in n and (n.get("then") is True or n.get("else") is True):
+        m = {k: v for k, v in n.items()
+             if not (k in ("then", "else") and v is True)}
+        return True, m
+    return False, n
+
+
+def _exclusive_and_inclusive_bounds(n: dict):
+    # common/exclusive_maximum_number_and_maximum.h (+ minimum variant):
+    # keep the strictly tighter of the two
+    changed, m = False, n
+    if isinstance(n.get("exclusiveMaximum"), (int, float)) \
+            and not isinstance(n.get("exclusiveMaximum"), bool) \
+            and isinstance(n.get("maximum"), (int, float)) \
+            and not isinstance(n.get("maximum"), bool):
+        m = dict(m)
+        if m["exclusiveMaximum"] <= m["maximum"]:
+            del m["maximum"]
+        else:
+            del m["exclusiveMaximum"]
+        changed = True
+    if isinstance(m.get("exclusiveMinimum"), (int, float)) \
+            and not isinstance(m.get("exclusiveMinimum"), bool) \
+            and isinstance(m.get("minimum"), (int, float)) \
+            and not isinstance(m.get("minimum"), bool):
+        m = dict(m)
+        if m["exclusiveMinimum"] >= m["minimum"]:
+            del m["minimum"]
+        else:
+            del m["exclusiveMinimum"]
+        changed = True
+    return changed, m
+
+
+def _equal_numeric_bounds_to_enum(n: dict):
+    # common/equal_numeric_bounds_to_enum.h: min == max → enum [value]
+    lo, hi = n.get("minimum"), n.get("maximum")
+    if isinstance(lo, (int, float)) and not isinstance(lo, bool) \
+            and isinstance(hi, (int, float)) and not isinstance(hi, bool) \
+            and lo == hi and "const" not in n and "enum" not in n \
+            and n.get("type") in ("number", "integer"):
+        m = {k: v for k, v in n.items() if k not in ("minimum", "maximum")}
+        m["enum"] = [lo]
+        return True, m
+    return False, n
+
+
+def _title_description_trim(n: dict):
+    # linter/title_trim.h / description_trim.h
+    changed, m = False, n
+    for k in ("title", "description"):
+        v = m.get(k)
+        if isinstance(v, str) and v != v.strip():
+            m = dict(m)
+            m[k] = v.strip()
+            changed = True
+    return changed, m
+
+
+def _jeq(a, b) -> bool:
+    """JSON equality (bool is not a number)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+
+RULES: dict[str, Callable[[dict], tuple[bool, dict]]] = {
+    "enum_to_const": _enum_to_const,
+    "const_in_enum": _const_in_enum,
+    "duplicate_enum_values": _duplicate_enum_values,
+    "duplicate_required_values": _duplicate_required_values,
+    "duplicate_applicator_branches": _duplicate_applicator_branches,
+    "flatten_nested_allof": _flatten_nested_allof,
+    "drop_allof_empty_schemas": _drop_empty_applicator_schemas,
+    "allof_single_true": _allof_single_true,
+    "anyof_remove_false_schemas": _anyof_remove_false_schemas,
+    "double_negation_elimination": _double_negation_elimination,
+    "definitions_to_defs": _definitions_to_defs,
+    "else_without_if": _else_without_if,
+    "then_else_empty": _then_else_empty,
+    "exclusive_and_inclusive_bounds": _exclusive_and_inclusive_bounds,
+    "equal_numeric_bounds_to_enum": _equal_numeric_bounds_to_enum,
+    "title_description_trim": _title_description_trim,
+}
+
+
+def _walk(node: Any, fn: Callable[[dict, str], dict], ptr: str = "") -> Any:
+    """Bottom-up rewrite over schema positions only (data-keyed maps
+    like ``properties`` keep keys; their values are schemas)."""
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        esc = k.replace("~", "~0").replace("/", "~1")
+        if k in _SUBSCHEMA and isinstance(v, (dict, bool)):
+            out[k] = _walk(v, fn, f"{ptr}/{esc}")
+        elif k in _SUBSCHEMA_LIST and isinstance(v, list):
+            out[k] = [_walk(x, fn, f"{ptr}/{esc}/{i}")
+                      for i, x in enumerate(v)]
+        elif (k in _SUBSCHEMA_MAP or k == "dependentSchemas") \
+                and isinstance(v, dict):
+            out[k] = {kk: _walk(vv, fn,
+                                f"{ptr}/{esc}/"
+                                f"{kk.replace('~', '~0').replace('/', '~1')}")
+                      for kk, vv in v.items()}
+        elif k == "items" and isinstance(v, list):  # draft-07 array form
+            out[k] = [_walk(x, fn, f"{ptr}/{esc}/{i}")
+                      for i, x in enumerate(v)]
+        else:
+            out[k] = v
+    return fn(out, ptr)
+
+
+def canonicalize(schema: Any, max_passes: int = 32
+                 ) -> tuple[Any, list[tuple[str, str]]]:
+    """Apply all transforms to a FIXPOINT (the reference transformer
+    loops until no rule fires). Returns (new_schema, [(rule, pointer)]
+    in application order)."""
+    applied: list[tuple[str, str]] = []
+
+    def apply_rules(node: dict, ptr: str) -> dict:
+        for name, rule in RULES.items():
+            changed, node2 = rule(node)
+            if changed:
+                applied.append((name, ptr or "/"))
+                node = node2
+        return node
+
+    cur = schema
+    for _ in range(max_passes):
+        before = len(applied)
+        cur = _walk(cur, apply_rules)
+        if len(applied) == before:
+            break
+    return cur, applied
+
+
+def lint_fixable(schema: Any) -> list[tuple[str, str, str]]:
+    """(severity, pointer, message) findings for every transform that
+    WOULD fire — the report side of ``lint --fix``."""
+    _, applied = canonicalize(schema)
+    return [("warning", ptr, f"fixable: {name}") for name, ptr in applied]

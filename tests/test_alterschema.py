@@ -1,0 +1,112 @@
+"""Alterschema canonicalization: per-rule unit tests + the global
+semantics-preservation property (canonicalized schema accepts exactly
+the same instances, judged by BOTH the engine evaluator and the
+canonical ``jsonschema`` package)."""
+import warnings
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonschema_ray.spec.alterschema import RULES, canonicalize, lint_fixable
+from jsonschema_ray.spec.jschema import compile_schema
+from tests.test_jschema_differential import _schemas
+from tests.test_jschema_fuzz import _json
+
+# ref-free schemas only: wrappers nest them under properties/definitions,
+# where a top-level '#/$defs/s' pointer would no longer resolve
+REF_FREE = _schemas(2)
+
+warnings.filterwarnings("ignore", module="jsonschema")
+import jsonschema as _js  # noqa: E402
+
+
+def _canon(s, v):
+    return _js.Draft202012Validator(s).is_valid(v)
+
+
+def test_rule_units():
+    cases = [
+        ({"enum": [3]}, {"const": 3}),
+        ({"const": 2, "enum": [1, 2]}, {"const": 2}),
+        ({"enum": [1, 1, 2]}, {"enum": [1, 2]}),
+        ({"required": ["a", "a", "b"]}, {"required": ["a", "b"]}),
+        ({"allOf": [{"type": "string"}, {"type": "string"}]},
+         {"allOf": [{"type": "string"}]}),
+        ({"allOf": [{"allOf": [{"type": "string"}]}, {"minLength": 1}]},
+         {"allOf": [{"type": "string"}, {"minLength": 1}]}),
+        ({"allOf": [True, {"type": "string"}]},
+         {"allOf": [{"type": "string"}]}),
+        ({"anyOf": [False, {"type": "string"}]},
+         {"anyOf": [{"type": "string"}]}),
+        ({"not": {"not": {"type": "string"}}},
+         {"allOf": [{"type": "string"}]}),
+        ({"definitions": {"a": {"type": "integer"}}},
+         {"$defs": {"a": {"type": "integer"}}}),
+        ({"then": {"type": "string"}}, {}),
+        ({"if": {"type": "string"}, "then": True},
+         {"if": {"type": "string"}}),
+        ({"exclusiveMaximum": 3, "maximum": 5}, {"exclusiveMaximum": 3}),
+        ({"exclusiveMinimum": 3, "minimum": 2}, {"exclusiveMinimum": 3}),
+        # bounds → enum [4] → (fixpoint) → const 4
+        ({"type": "integer", "minimum": 4, "maximum": 4},
+         {"type": "integer", "const": 4}),
+        ({"title": "  x ", "description": "y  "},
+         {"title": "x", "description": "y"}),
+    ]
+    for before, after in cases:
+        got, applied = canonicalize(before)
+        assert got == after, (before, got, after)
+        assert applied, before
+
+
+def test_rules_guarded():
+    # dangling-$ref guard on definitions rename
+    s = {"definitions": {"a": {"type": "integer"}},
+         "$ref": "#/definitions/a"}
+    got, _ = canonicalize(s)
+    assert "definitions" in got and "$defs" not in got
+    # double negation NOT eliminated when inner produces annotations
+    s2 = {"not": {"not": {"properties": {"a": True}}}}
+    assert canonicalize(s2)[0] == s2
+    # ... nor next to sibling unevaluatedProperties
+    s3 = {"not": {"not": {"type": "object"}},
+          "unevaluatedProperties": False}
+    assert canonicalize(s3)[0] == s3
+
+
+def test_fixpoint_and_nested_application():
+    s = {"properties": {"p": {"enum": [1, 1]}},   # dedupe THEN to-const
+         "allOf": [{"allOf": [{"allOf": [{"minimum": 0}]}]}]}
+    got, applied = canonicalize(s)
+    assert got["properties"]["p"] == {"const": 1}
+    assert got["allOf"] == [{"minimum": 0}]
+    names = [n for n, _ in applied]
+    assert "duplicate_enum_values" in names and "enum_to_const" in names
+    assert names.count("flatten_nested_allof") >= 2
+
+
+def test_lint_fixable_reports_pointers():
+    finds = lint_fixable({"properties": {"p": {"enum": [2]}}})
+    assert ("warning", "/properties/p", "fixable: enum_to_const") in finds
+
+
+_WRAPPERS = st.sampled_from([
+    lambda s: {"not": {"not": s}},
+    lambda s: {"allOf": [s, s]},
+    lambda s: {"allOf": [{"allOf": [s]}, True]},
+    lambda s: {"anyOf": [False, s]},
+    lambda s: {"then": s},
+    lambda s: {"if": s, "then": True, "else": s},
+    lambda s: {"definitions": {"d": s}, "properties": {"a": s}},
+    lambda s: dict(s, title=" pad ") if isinstance(s, dict) else s,
+])
+
+
+@settings(max_examples=400, deadline=None)
+@given(s=REF_FREE, w=_WRAPPERS, v=_json)
+def test_canonicalize_preserves_semantics(s, w, v):
+    schema = w(s)
+    fixed, _ = canonicalize(schema)
+    assert compile_schema(fixed).is_valid(v) == \
+        compile_schema(schema).is_valid(v)
+    assert _canon(fixed, v) == _canon(schema, v)

@@ -439,3 +439,26 @@ def test_fmt_schema_keyword_ordering(tmp_path):
     q.write_text('{"type": "string", "$schema": "x"}\n')
     run_cli("fmt", str(q), "--schema", "--keep-ordering")
     assert list(json.loads(q.read_text())) == ["type", "$schema"]
+
+
+def test_lint_schema_fix_canonicalizes(tmp_path):
+    """lint --schema --fix applies the alterschema registry to a
+    fixpoint and rewrites the file in canonical keyword order."""
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps({
+        "type": "object",
+        "properties": {"a": {"enum": [1, 1]},
+                       "b": {"not": {"not": {"type": "string"}}}},
+        "allOf": [{"allOf": [{"minProperties": 0}]}, True],
+    }))
+    r = run_cli("lint", "--schema", str(p))
+    assert r.returncode == 0 and "fixable: enum_to_const" in r.stderr
+    r = run_cli("lint", "--schema", str(p), "--fix")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(p.read_text())
+    assert out["properties"]["a"] == {"const": 1}
+    assert out["properties"]["b"] == {"allOf": [{"type": "string"}]}
+    assert out["allOf"] == [{"minProperties": 0}]
+    # idempotent: second lint reports nothing fixable
+    r = run_cli("lint", "--schema", str(p))
+    assert "fixable" not in r.stderr
