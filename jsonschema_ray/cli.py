@@ -444,8 +444,25 @@ def cmd_upgrade(args) -> int:
     """Migrate a legacy plan document to the current version (the
     dialect-upgrade analog, ``/root/reference/src/command_upgrade.cc:29-47``:
     chained rule-set rewrites). Version-0 rules used ``assert`` for the
-    predicate and allowed a bare ``{name: predicate}`` map form."""
+    predicate and allowed a bare ``{name: predicate}`` map form.
+    With ``--schema``: upgrade a JSON Schema DOCUMENT to 2020-12
+    (alterschema ``upgrade/`` chain: id→$id, boolean exclusive bounds,
+    definitions→$defs + pointer rewrite, dependencies split,
+    array items→prefixItems)."""
     from jsonschema_ray.spec.plan import PLAN_VERSION, CheckPlan, Rule
+
+    if getattr(args, "schema", False):
+        from jsonschema_ray.spec.alterschema import upgrade_schema
+        from jsonschema_ray.spec.format import prettify_schema
+
+        doc = _load_schema_doc(args.plan)
+        text = prettify_schema(upgrade_schema(doc))
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        else:
+            sys.stdout.write(text)
+        return EXIT_OK
 
     with open(args.plan) as f:
         doc = json.load(f)
@@ -1301,6 +1318,9 @@ def build_parser() -> argparse.ArgumentParser:
     u = sub.add_parser("upgrade")
     u.add_argument("plan")
     u.add_argument("-o", "--output")
+    u.add_argument("--schema", action="store_true",
+                   help="treat the file as a JSON Schema document and "
+                        "upgrade it to the 2020-12 dialect")
     u.set_defaults(fn=cmd_upgrade)
 
     f = sub.add_parser("fmt")

@@ -338,3 +338,78 @@ def lint_fixable(schema: Any) -> list[tuple[str, str, str]]:
     WOULD fire — the report side of ``lint --fix``."""
     _, applied = canonicalize(schema)
     return [("warning", ptr, f"fixable: {name}") for name, ptr in applied]
+
+
+# ---------------------------------------------------------------------------
+# dialect upgrade (the `upgrade` verb on schema documents)
+# ---------------------------------------------------------------------------
+
+_DIALECT_2020_12 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def _upgrade_node(n: dict) -> dict:
+    """Mechanical keyword migrations to 2020-12 at one schema object
+    (upgrade_draft_4_to_draft_6.h:77-120 id/exclusive-bounds,
+    draft-7→2019-09 definitions/dependencies, 2019-09→2020-12 items
+    array form). ``$recursiveRef``/``$recursiveAnchor`` are left alone —
+    the evaluator understands them natively, and the reference's rename
+    requires anchor-name generation + global ref rewrites."""
+    m = dict(n)
+    if isinstance(m.get("id"), str) and "$id" not in m:
+        m["$id"] = m.pop("id")
+    # draft-04 boolean exclusive bounds → numeric form
+    if isinstance(m.get("exclusiveMinimum"), bool):
+        if m.pop("exclusiveMinimum") and "minimum" in m:
+            m["exclusiveMinimum"] = m.pop("minimum")
+    if isinstance(m.get("exclusiveMaximum"), bool):
+        if m.pop("exclusiveMaximum") and "maximum" in m:
+            m["exclusiveMaximum"] = m.pop("maximum")
+    if "definitions" in m and "$defs" not in m:
+        m["$defs"] = m.pop("definitions")
+    # dependencies → dependentRequired / dependentSchemas
+    dep = m.pop("dependencies", None)
+    if isinstance(dep, dict):
+        dreq = {k: v for k, v in dep.items() if isinstance(v, list)}
+        dsch = {k: v for k, v in dep.items() if not isinstance(v, list)}
+        if dreq:
+            m.setdefault("dependentRequired", {}).update(dreq)
+        if dsch:
+            m.setdefault("dependentSchemas", {}).update(dsch)
+    elif dep is not None:
+        m["dependencies"] = dep  # malformed: keep as-is
+    # array-form items → prefixItems (+ additionalItems → items)
+    if isinstance(m.get("items"), list):
+        m["prefixItems"] = m.pop("items")
+        if "additionalItems" in m:
+            m["items"] = m.pop("additionalItems")
+    elif "additionalItems" in m:
+        del m["additionalItems"]  # ignored without array-form items
+    return m
+
+
+def upgrade_schema(schema: Any) -> Any:
+    """Upgrade a schema document to the 2020-12 dialect: mechanical
+    keyword migrations applied recursively, ``#/definitions/`` JSON
+    Pointers rewritten to ``#/$defs/``, and ``$schema`` stamped."""
+    upgraded = _walk(schema, lambda node, ptr: _upgrade_node(node))
+
+    def fix_refs(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("$ref", "$recursiveRef", "$dynamicRef") \
+                        and isinstance(v, str) \
+                        and v.startswith("#/definitions/"):
+                    out[k] = "#/$defs/" + v[len("#/definitions/"):]
+                else:
+                    out[k] = fix_refs(v)
+            return out
+        if isinstance(node, list):
+            return [fix_refs(x) for x in node]
+        return node
+
+    upgraded = fix_refs(upgraded)
+    if isinstance(upgraded, dict):
+        upgraded = {"$schema": _DIALECT_2020_12,
+                    **{k: v for k, v in upgraded.items() if k != "$schema"}}
+    return upgraded

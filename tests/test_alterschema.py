@@ -110,3 +110,63 @@ def test_canonicalize_preserves_semantics(s, w, v):
     assert compile_schema(fixed).is_valid(v) == \
         compile_schema(schema).is_valid(v)
     assert _canon(fixed, v) == _canon(schema, v)
+
+
+# ---- dialect upgrade ----
+
+_D4_SCHEMAS = st.one_of(
+    st.builds(lambda lo, ex: {"minimum": lo, "exclusiveMinimum": ex},
+              st.integers(-10, 10), st.booleans()),
+    st.builds(lambda hi, ex: {"maximum": hi, "exclusiveMaximum": ex},
+              st.integers(-10, 10), st.booleans()),
+    st.builds(lambda d: {"dependencies": d},
+              st.dictionaries(st.sampled_from(["a", "b"]),
+                              st.one_of(st.lists(st.sampled_from(["x", "y"]),
+                                                 max_size=2, unique=True),
+                                        st.builds(lambda t: {"type": t},
+                                                  st.sampled_from(
+                                                      ["string",
+                                                       "integer"]))),
+                              min_size=1, max_size=2)),
+    st.builds(lambda xs, extra: {"items": xs, "additionalItems": extra},
+              st.lists(st.builds(lambda t: {"type": t},
+                                 st.sampled_from(["integer", "string"])),
+                       min_size=1, max_size=3),
+              st.one_of(st.booleans(),
+                        st.builds(lambda t: {"type": t},
+                                  st.sampled_from(["integer", "string"])))),
+    st.builds(lambda s: {"definitions": {"d": s},
+                         "properties": {"a": {"$ref": "#/definitions/d"}}},
+              st.builds(lambda t: {"type": t},
+                        st.sampled_from(["integer", "string"]))),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=_D4_SCHEMAS, v=_json)
+def test_upgrade_schema_cross_validator(s, v):
+    """Draft-7 semantics of the ORIGINAL == 2020-12 semantics of the
+    UPGRADED document, judged by the canonical implementation's two
+    dialect validators."""
+    from jsonschema_ray.spec.alterschema import upgrade_schema
+
+    up = upgrade_schema(s)
+    assert up["$schema"].endswith("2020-12/schema")
+    before = _js.Draft7Validator(s).is_valid(v)
+    after = _js.Draft202012Validator(up).is_valid(v)
+    assert before == after, (s, up, v)
+
+
+def test_upgrade_schema_draft4_bool_bounds():
+    from jsonschema_ray.spec.alterschema import upgrade_schema
+
+    up = upgrade_schema({"id": "https://x.example/s",
+                         "minimum": 3, "exclusiveMinimum": True,
+                         "maximum": 9, "exclusiveMaximum": False})
+    assert up["$id"] == "https://x.example/s" and "id" not in up
+    assert up["exclusiveMinimum"] == 3 and "minimum" not in up
+    assert up["maximum"] == 9 and "exclusiveMaximum" not in up
+    # ref pointers follow the definitions rename
+    up2 = upgrade_schema({"definitions": {"d": {"type": "integer"}},
+                          "$ref": "#/definitions/d"})
+    assert up2["$ref"] == "#/$defs/d" and "$defs" in up2

@@ -462,3 +462,25 @@ def test_lint_schema_fix_canonicalizes(tmp_path):
     # idempotent: second lint reports nothing fixable
     r = run_cli("lint", "--schema", str(p))
     assert "fixable" not in r.stderr
+
+
+def test_upgrade_schema_verb(tmp_path):
+    p = tmp_path / "old.json"
+    p.write_text(json.dumps({
+        "id": "https://x.example/old",
+        "definitions": {"d": {"type": "integer"}},
+        "properties": {"a": {"$ref": "#/definitions/d"}},
+        "items": [{"type": "string"}], "additionalItems": False,
+        "dependencies": {"a": ["b"], "c": {"type": "object"}},
+    }))
+    r = run_cli("upgrade", "--schema", str(p), "-o",
+                str(tmp_path / "new.json"))
+    assert r.returncode == 0, r.stderr
+    out = json.loads((tmp_path / "new.json").read_text())
+    assert out["$schema"].endswith("2020-12/schema")
+    assert out["$id"] == "https://x.example/old"
+    assert out["prefixItems"] == [{"type": "string"}]
+    assert out["items"] is False
+    assert out["dependentRequired"] == {"a": ["b"]}
+    assert out["dependentSchemas"] == {"c": {"type": "object"}}
+    assert out["properties"]["a"]["$ref"] == "#/$defs/d"
