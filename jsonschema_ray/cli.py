@@ -899,8 +899,23 @@ if __name__ == "__main__":
 def cmd_codegen(args) -> int:
     """Emit a standalone pure-Python validator module from a plan (the
     ``jsonschema codegen`` analog, ``src/command_codegen.cc``: compile
-    the schema artifact to a self-contained program)."""
+    the schema artifact to a self-contained program). With
+    ``--target typescript`` (+ ``--schema``): emit ``export type``
+    declarations from a schema document, the reference's only codegen
+    target (``command_codegen.cc:35-38``)."""
     from jsonschema_ray.functions.formats import REGEX_FORMATS
+
+    if getattr(args, "target", "python") == "typescript":
+        from jsonschema_ray.spec.codegen_ts import schema_to_typescript
+
+        code = schema_to_typescript(_load_schema_doc(args.plan),
+                                    name=getattr(args, "name", "Schema"))
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(code)
+        else:
+            print(code, end="")
+        return EXIT_OK
 
     plan = _load_plan(args.plan)
     row_local = {"predicate", "monotonic", "contains", "unique_items"}
@@ -1355,6 +1370,15 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("codegen")
     g.add_argument("plan")
     g.add_argument("-o", "--output")
+    g.add_argument("--schema", action="store_true",
+                   help="input is a JSON Schema document")
+    g.add_argument("--target", default="python",
+                   choices=["python", "typescript"],
+                   help="python: standalone validator from a plan; "
+                        "typescript: export type declarations from a "
+                        "schema (reference --target typescript)")
+    g.add_argument("--name", default="Schema",
+                   help="root type name for --target typescript")
     g.set_defaults(fn=cmd_codegen)
     return p
 
