@@ -81,15 +81,25 @@ def _input_source(inputs: list[str]):
     return ParquetSource(inputs)
 
 
-def _load_schema_doc(path: str):
+def _load_schema_doc(path: str, *, configured: bool = True):
     """Schema documents may be JSON or YAML (the reference accepts both
-    via --yaml; README.markdown input handling)."""
+    via --yaml; README.markdown input handling). Unless disabled, a
+    ``jsonschema.json`` project config discovered by ancestor walk from
+    the schema's directory is applied: ``defaultDialect`` stamps
+    ``$schema`` when absent, and ``resolve`` mappings are mounted so
+    absolute-URI ``$ref``s work (``docs/configuration.markdown``)."""
     with open(path) as f:
         if path.lower().endswith((".yaml", ".yml")):
             import yaml
 
-            return yaml.safe_load(f)
-        return json.load(f)
+            doc = yaml.safe_load(f)
+        else:
+            doc = json.load(f)
+    if configured:
+        from jsonschema_ray.state.config import apply_to_schema, discover
+
+        doc = apply_to_schema(doc, discover(path))
+    return doc
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
@@ -165,7 +175,7 @@ def cmd_validate(args) -> int:
 
             loop = max(1, int(getattr(args, "loop", 1) or 1))
             for path in args.instance:
-                inst = _load_schema_doc(path)
+                inst = _load_schema_doc(path, configured=False)
                 empty = 0.0
                 for _ in range(loop):
                     t0 = _time.perf_counter_ns()
@@ -190,7 +200,7 @@ def cmd_validate(args) -> int:
                     rc = EXIT_VALIDATION
             return rc
         for path in args.instance:
-            inst = _load_schema_doc(path)  # JSON or YAML instance
+            inst = _load_schema_doc(path, configured=False)  # JSON or YAML instance
             errs = cs.validate(inst)
             if errs:
                 rc = EXIT_VALIDATION
@@ -455,7 +465,7 @@ def cmd_upgrade(args) -> int:
         from jsonschema_ray.spec.alterschema import upgrade_schema
         from jsonschema_ray.spec.format import prettify_schema
 
-        doc = _load_schema_doc(args.plan)
+        doc = _load_schema_doc(args.plan, configured=False)
         text = prettify_schema(upgrade_schema(doc))
         if args.output:
             with open(args.output, "w") as f:
@@ -556,7 +566,7 @@ def cmd_lint(args) -> int:
         from jsonschema_ray.spec.alterschema import canonicalize, lint_fixable
         from jsonschema_ray.spec.jschema import lint_schema
 
-        doc = _load_schema_doc(args.schema)
+        doc = _load_schema_doc(args.schema, configured=False)
         findings = lint_schema(doc)
         if getattr(args, "fix", False):
             fixed, applied = canonicalize(doc)
@@ -908,7 +918,7 @@ def cmd_codegen(args) -> int:
     if getattr(args, "target", "python") == "typescript":
         from jsonschema_ray.spec.codegen_ts import schema_to_typescript
 
-        code = schema_to_typescript(_load_schema_doc(args.plan),
+        code = schema_to_typescript(_load_schema_doc(args.plan, configured=False),
                                     name=getattr(args, "name", "Schema"))
         if args.output:
             with open(args.output, "w") as f:
@@ -1194,7 +1204,7 @@ def cmd_rdf(args) -> int:
         return EXIT_OK
     rc = EXIT_OK
     for path in args.instances:
-        inst = _load_schema_doc(path)
+        inst = _load_schema_doc(path, configured=False)
         try:
             print(json.dumps(promote(schema, inst), indent=2,
                              sort_keys=True))

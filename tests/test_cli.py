@@ -484,3 +484,36 @@ def test_upgrade_schema_verb(tmp_path):
     assert out["dependentRequired"] == {"a": ["b"]}
     assert out["dependentSchemas"] == {"c": {"type": "object"}}
     assert out["properties"]["a"]["$ref"] == "#/$defs/d"
+
+
+def test_jsonschema_json_config_discovery(tmp_path):
+    """jsonschema.json ancestor discovery: defaultDialect stamps
+    $schema, resolve mappings make absolute-URI $refs work."""
+    proj = tmp_path / "proj"
+    (proj / "schemas").mkdir(parents=True)
+    (proj / "jsonschema.json").write_text(json.dumps({
+        "title": "proj",
+        "defaultDialect": "https://json-schema.org/draft/2020-12/schema",
+        "resolve": {"https://example.com/user": "./schemas/user.json"},
+    }))
+    (proj / "schemas" / "user.json").write_text(json.dumps({
+        "type": "object", "properties": {"name": {"type": "string"}},
+        "required": ["name"]}))
+    (proj / "main.json").write_text(json.dumps({
+        "$ref": "https://example.com/user"}))
+    good = proj / "ok.json"
+    good.write_text('{"name": "x"}')
+    bad = proj / "bad.json"
+    bad.write_text('{"name": 7}')
+    r = run_cli("validate", "--schema", str(proj / "main.json"),
+                "--instance", str(good))
+    assert r.returncode == 0, r.stderr
+    r = run_cli("validate", "--schema", str(proj / "main.json"),
+                "--instance", str(bad))
+    assert r.returncode == 2, r.stderr
+    # discovery from a NESTED directory walks up to the project root
+    nested = proj / "schemas" / "nested.json"
+    nested.write_text(json.dumps({"$ref": "https://example.com/user"}))
+    r = run_cli("validate", "--schema", str(nested),
+                "--instance", str(good))
+    assert r.returncode == 0, r.stderr
