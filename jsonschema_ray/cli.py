@@ -225,14 +225,22 @@ def cmd_validate(args) -> int:
         cat = pq.read_table(args.catalog).column(
             args.catalog_key).combine_chunks()
     inputs = args.inputs
-    if getattr(args, "extension", None) or getattr(args, "ignore", None):
+    ext, ign = getattr(args, "extension", None), getattr(args, "ignore", None)
+    if not ext and not ign and inputs:
+        # flags absent: fall back to a discovered jsonschema.json
+        # project config's extension/ignore (configuration.markdown)
+        from jsonschema_ray.state.config import discover
+
+        cfg = discover(inputs[0])
+        if cfg and (cfg.get("extension") or cfg.get("ignore")):
+            ext, ign = cfg.get("extension"), cfg.get("ignore")
+    if ext or ign:
         # reference traversal filters (src/input.h parse_extensions /
         # parse_ignore); without the flags, directories pass through so
         # parquet directory reads keep working
         from jsonschema_ray.state.manifest import scan_inputs
 
-        inputs = scan_inputs(inputs, extensions=args.extension,
-                             ignore=args.ignore)
+        inputs = scan_inputs(inputs, extensions=ext, ignore=ign)
         if not inputs:
             print("validate: no inputs left after extension/ignore "
                   "filters", file=sys.stderr)
@@ -1158,6 +1166,14 @@ def cmd_install(args) -> int:
 
     store = SchemaStore(args.to)
     uris = args.uris or (store.uris() if args.frozen else [])
+    if not uris:
+        # no URIs on the command line: fall back to the project
+        # config's `dependencies` map (configuration.markdown;
+        # command_install.cc reads jsonschema.json the same way)
+        from jsonschema_ray.state.config import discover
+
+        cfg = discover(".")
+        uris = sorted((cfg or {}).get("dependencies") or {})
     if not uris:
         print("install: no URIs given and lock is empty", file=sys.stderr)
         return EXIT_ERROR

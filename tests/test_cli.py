@@ -517,3 +517,26 @@ def test_jsonschema_json_config_discovery(tmp_path):
     r = run_cli("validate", "--schema", str(nested),
                 "--instance", str(good))
     assert r.returncode == 0, r.stderr
+
+
+def test_config_extension_ignore_defaults(tmp_path):
+    """validate picks up extension/ignore from jsonschema.json when the
+    flags are absent (configuration.markdown traversal defaults)."""
+    proj = tmp_path / "p"
+    (proj / "data").mkdir(parents=True)
+    (proj / "drafts").mkdir()
+    (proj / "jsonschema.json").write_text(json.dumps({
+        "extension": ["jsonl"], "ignore": ["./drafts"]}))
+    (proj / "data" / "good.jsonl").write_text('{"doc_id": 1}\n')
+    (proj / "data" / "skip.txt").write_text("not json\n")
+    (proj / "drafts" / "bad.jsonl").write_text('{"doc_id": "broken"\n')
+    plan = proj / "plan.json"
+    plan.write_text(json.dumps({"mode": "exhaustive", "rules": [
+        {"rule_id": "nonneg", "scope": "doc",
+         "check": {"field": "doc_id", "op": "ge", "value": 0}}]}))
+    # --checked would die on drafts/bad.jsonl if ignore weren't applied
+    r = run_cli("validate", str(proj / "data"), "--checked",
+                "--plan", str(plan), "--num-cpus", "2", timeout=240)
+    assert r.returncode == 0, r.stderr
+    assert "bad.jsonl" not in r.stderr
+    assert json.loads(r.stdout)["violations"] == 0
