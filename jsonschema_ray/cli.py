@@ -56,7 +56,9 @@ def _plan_from_args(args):
     if getattr(args, "schema", None):
         from jsonschema_ray.spec.jschema import schema_to_plan
 
-        return schema_to_plan(_load_schema_doc(args.schema))
+        return schema_to_plan(
+            _load_schema_doc(args.schema),
+            assert_formats=bool(getattr(args, "format_assertion", False)))
     return _load_plan(args.plan)
 
 
@@ -163,8 +165,11 @@ def cmd_validate(args) -> int:
             return EXIT_ERROR
         from jsonschema_ray.spec.jschema import compile_schema
 
-        cs = compile_schema(_load_schema_doc(args.schema),
-                            entrypoint=getattr(args, "entrypoint", "") or "")
+        cs = compile_schema(
+            _load_schema_doc(args.schema),
+            assert_formats=True if getattr(args, "format_assertion", False)
+            else None,
+            entrypoint=getattr(args, "entrypoint", "") or "")
         rc = EXIT_OK
         if getattr(args, "benchmark", False):
             # per-instance latency harness, overhead-compensated —
@@ -1255,6 +1260,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--instance", nargs="+",
                    help="single-instance mode: validate JSON/YAML "
                         "document file(s) against --schema driver-side")
+    v.add_argument("-F", "--format-assertion", action="store_true",
+                   help="force every `format` to assert (default: "
+                        "annotation unless x-format-assertion: true)")
     v.add_argument("--entrypoint", default="",
                    help="JSON pointer into --schema to use as the "
                         "validation root (single-instance mode)")

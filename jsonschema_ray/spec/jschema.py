@@ -42,9 +42,10 @@ is the Ray-side analog, split in two layers:
 Semantics follow the published 2020-12 spec: assertions apply only to
 instances of their type (``minLength`` on a number is valid);
 ``properties`` apply only to present members; ``type: "integer"``
-matches floats with zero fraction; format assertion is opt-in
-(``assert_formats``, default True to mirror the reference's
-``--default-dialect``-style strictness). Draft-07 compat: array-form
+matches floats with zero fraction; format is an ANNOTATION by default,
+asserting only where ``x-format-assertion: true`` is a sibling or the
+``--format-assertion`` flag forces it (reference
+``docs/validate.markdown:53-61``). Draft-07 compat: array-form
 ``items`` is treated as ``prefixItems`` and ``additionalItems`` as
 2020-12 ``items``; ``definitions`` as ``$defs``.
 """
@@ -224,12 +225,19 @@ class CompiledSchema:
     instance — matches the engine's usage (one instance at a time per
     validator actor / per driver call)."""
 
-    def __init__(self, schema: Any, *, assert_formats: bool = True,
+    def __init__(self, schema: Any, *, assert_formats: bool | None = None,
                  entrypoint: str = ""):
         """``entrypoint``: JSON pointer into the document to compile as
         the validation root (the reference's ``--entrypoint``/IdentifyA
         flow, ``test/validate/fail_entrypoint_*.sh``) — ``$ref``s still
-        resolve against the WHOLE document."""
+        resolve against the WHOLE document.
+
+        ``assert_formats`` mirrors the reference's format handling
+        (``docs/validate.markdown:53-61``): ``None`` (default) treats
+        ``format`` as annotation EXCEPT where a sibling
+        ``x-format-assertion: true`` opts that location in; ``True``
+        forces every format to assert (the ``--format-assertion``/-F
+        flag); ``False`` never asserts."""
         self.schema = schema
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
@@ -494,7 +502,10 @@ class CompiledSchema:
                     errs.append((path, "pattern",
                                  f"does not match {rx.pattern!r}"))
             checks.append(c_pat)
-        if "format" in sch and self._assert_formats:
+        if "format" in sch and (
+                self._assert_formats is True
+                or (self._assert_formats is None
+                    and sch.get("x-format-assertion") is True)):
             from jsonschema_ray.functions.formats import (
                 PYTHON_FORMATS, REGEX_FORMATS, check_format_value)
             fmt = sch["format"]
@@ -755,7 +766,7 @@ class CompiledSchema:
         return fn
 
 
-def compile_schema(schema: Any, *, assert_formats: bool = True,
+def compile_schema(schema: Any, *, assert_formats: bool | None = None,
                    entrypoint: str = "") -> CompiledSchema:
     """Compile a JSON Schema document once; returns the reusable validator."""
     if isinstance(schema, str):
@@ -794,7 +805,8 @@ METASCHEMA: dict = {
                     "exclusiveMaximum": {"type": ["number", "boolean"]},
                     "minLength": {"type": "integer", "minimum": 0},
                     "maxLength": {"type": "integer", "minimum": 0},
-                    "pattern": {"type": "string", "format": "regex"},
+                    "pattern": {"type": "string", "format": "regex",
+                                "x-format-assertion": True},
                     "format": {"type": "string"},
                     "required": {"type": "array", "items": {"type": "string"},
                                  "uniqueItems": True},
@@ -808,7 +820,8 @@ METASCHEMA: dict = {
                                    "additionalProperties": _SCHEMA_OR_BOOL},
                     "patternProperties": {
                         "type": "object",
-                        "propertyNames": {"format": "regex"},
+                        "propertyNames": {"format": "regex",
+                                          "x-format-assertion": True},
                         "additionalProperties": _SCHEMA_OR_BOOL},
                     "additionalProperties": _SCHEMA_OR_BOOL,
                     "propertyNames": _SCHEMA_OR_BOOL,
@@ -866,6 +879,7 @@ METASCHEMA: dict = {
 _KNOWN_KEYWORDS = set(METASCHEMA["$defs"]["schema"]["then"]["properties"]) | {
     "$comment", "default", "examples", "deprecated", "readOnly", "writeOnly",
     "$vocabulary", "$dynamicAnchor", "$recursiveAnchor", "contentEncoding",
+    "x-format-assertion",
 }
 
 _BOUND_PAIRS = [("minimum", "maximum"), ("minLength", "maxLength"),
@@ -951,6 +965,9 @@ def check_metaschema(schema: Any) -> list[Err]:
 # ---------------------------------------------------------------------------
 
 _SCALAR_FORMATS_OK = None  # populated lazily from functions.formats
+# set (with try/finally) by schema_to_plan(assert_formats=True) — the
+# columnar analog of the --format-assertion flag
+_FORCE_FORMAT_ASSERTION = False
 
 
 def _scalar_spec(sub: Any) -> dict | None:
@@ -1008,7 +1025,10 @@ def _scalar_spec(sub: Any) -> dict | None:
         parts.append({"op": "lt", "field": None, "value": sub["exclusiveMaximum"]})
     if "multipleOf" in sub:
         parts.append({"op": "divisible", "field": None, "by": sub["multipleOf"]})
-    if "format" in sub:
+    if "format" in sub and (_FORCE_FORMAT_ASSERTION
+                            or sub.get("x-format-assertion") is True):
+        # same gating as the dynamic evaluator: format is an annotation
+        # unless opted in per-location or forced (--format-assertion)
         from jsonschema_ray.functions.formats import PYTHON_FORMATS
         if sub["format"] in REGEX_FORMATS or sub["format"] in PYTHON_FORMATS:
             parts.append({"op": "format", "field": None,
@@ -1069,7 +1089,23 @@ def _object_span_pred(sub: Any) -> dict:
 
 
 def schema_to_plan(schema: Any, *, mode: str = "exhaustive",
-                   spans_col: str = "spans") -> "CheckPlan":
+                   spans_col: str = "spans",
+                   assert_formats: bool = False) -> "CheckPlan":
+    """``_schema_to_plan_inner`` with the format-assertion force flag
+    scoped around it (``assert_formats=True`` = the --format-assertion
+    flag; otherwise only ``x-format-assertion: true`` locations
+    assert)."""
+    global _FORCE_FORMAT_ASSERTION
+    prev = _FORCE_FORMAT_ASSERTION
+    _FORCE_FORMAT_ASSERTION = bool(assert_formats)
+    try:
+        return _schema_to_plan_inner(schema, mode=mode, spans_col=spans_col)
+    finally:
+        _FORCE_FORMAT_ASSERTION = prev
+
+
+def _schema_to_plan_inner(schema: Any, *, mode: str = "exhaustive",
+                          spans_col: str = "spans") -> "CheckPlan":
     """Compile a JSON Schema describing the ROW shape of a structured
     dataset into a vectorized CheckPlan (the ``jsonschema validate
     schema.json`` front door, re-expressed columnar).

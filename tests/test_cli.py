@@ -540,3 +540,26 @@ def test_config_extension_ignore_defaults(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "bad.jsonl" not in r.stderr
     assert json.loads(r.stdout)["violations"] == 0
+
+
+def test_format_assertion_modes(tmp_path):
+    """format is annotation by default; x-format-assertion: true or
+    -F makes it assert (reference docs/validate.markdown:53-61,
+    test/validate/fail_2020_12_x_format_assertion.sh)."""
+    inst = tmp_path / "i.json"
+    inst.write_text('{"email": "not-an-email"}')
+    plain = tmp_path / "s1.json"
+    plain.write_text(json.dumps({
+        "type": "object",
+        "properties": {"email": {"type": "string", "format": "email"}}}))
+    opted = tmp_path / "s2.json"
+    opted.write_text(json.dumps({
+        "type": "object",
+        "properties": {"email": {"type": "string", "format": "email",
+                                 "x-format-assertion": True}}}))
+    assert run_cli("validate", "--schema", str(plain),
+                   "--instance", str(inst)).returncode == 0
+    assert run_cli("validate", "--schema", str(plain), "-F",
+                   "--instance", str(inst)).returncode == 2
+    assert run_cli("validate", "--schema", str(opted),
+                   "--instance", str(inst)).returncode == 2

@@ -40,7 +40,10 @@ CASES = [
     # string
     ({"minLength": 2, "maxLength": 3}, ["ab", "abc", 5], ["a", "abcd"]),
     ({"pattern": "b+c"}, ["abcd", "bc", 7], ["b", "ac"]),
-    ({"format": "ipv4"}, ["1.2.3.4", 9], ["1.2.3.256", "a.b.c.d"]),
+    ({"format": "ipv4", "x-format-assertion": True},
+     ["1.2.3.4", 9], ["1.2.3.256", "a.b.c.d"]),
+    # format WITHOUT the assertion opt-in is an annotation: all pass
+    ({"format": "ipv4"}, ["1.2.3.4", "not-an-ip", 9], []),
     # object
     ({"required": ["a"]}, [{"a": 1}, {"a": None}, 3], [{}, {"b": 1}]),
     ({"properties": {"a": {"type": "integer"}}}, [{"a": 1}, {}, {"b": "x"}],
@@ -256,7 +259,8 @@ ROW_SCHEMA = {
                       "properties": {
                           "kind": {"enum": ["text", "image"]},
                           "offset": {"type": "integer", "minimum": 0},
-                          "media_ref": {"format": "media-ref"}}},
+                          "media_ref": {"format": "media-ref",
+                                        "x-format-assertion": True}}},
             "contains": {"properties": {"kind": {"const": "text"}},
                          "minContains": 1},
         },
