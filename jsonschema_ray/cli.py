@@ -204,15 +204,44 @@ def cmd_validate(args) -> int:
                 if not ok:
                     rc = EXIT_VALIDATION
             return rc
+        def report(label: str, errs) -> None:
+            print(f"fail: {label}", file=sys.stderr)
+            for p, kw, msg in errs:
+                print(f"  {msg}\n    at instance location \"{p}\"\n"
+                      f"    at keyword \"{kw}\"", file=sys.stderr)
+
+        keep_going = bool(getattr(args, "cont", False))
         for path in args.instance:
-            inst = _load_schema_doc(path, configured=False)  # JSON or YAML instance
+            stem = path[:-3] if path.endswith(".gz") else path
+            if stem.endswith((".jsonl", ".ndjson")):
+                # per-ENTRY validation, reference JSONL semantics
+                # (src/command_validate.cc:192-196, fail_jsonl_one.sh):
+                # stop at the first failing entry unless --continue
+                import gzip
+
+                opener = gzip.open if path.endswith(".gz") else open
+                entry = 0
+                with opener(path, "rt", encoding="utf-8") as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        entry += 1
+                        errs = cs.validate(json.loads(line))
+                        if errs:
+                            rc = EXIT_VALIDATION
+                            report(f"{path} (entry #{entry})", errs)
+                            if not keep_going:
+                                return rc
+                if rc == EXIT_OK:
+                    print(f"ok: {path} ({entry} entries)", file=sys.stderr)
+                continue
+            inst = _load_schema_doc(path, configured=False)  # JSON or YAML
             errs = cs.validate(inst)
             if errs:
                 rc = EXIT_VALIDATION
-                print(f"fail: {path}", file=sys.stderr)
-                for p, kw, msg in errs:
-                    print(f"  {msg}\n    at instance location \"{p}\"\n"
-                          f"    at keyword \"{kw}\"", file=sys.stderr)
+                report(path, errs)
+                if not keep_going:
+                    return rc
             else:
                 print(f"ok: {path}", file=sys.stderr)
         return rc
@@ -1260,6 +1289,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--instance", nargs="+",
                    help="single-instance mode: validate JSON/YAML "
                         "document file(s) against --schema driver-side")
+    v.add_argument("--continue", dest="cont", action="store_true",
+                   help="instance mode: report every failing "
+                        "entry/file instead of stopping at the first "
+                        "(reference --continue)")
     v.add_argument("-F", "--format-assertion", action="store_true",
                    help="force every `format` to assert (default: "
                         "annotation unless x-format-assertion: true)")

@@ -563,3 +563,25 @@ def test_format_assertion_modes(tmp_path):
                    "--instance", str(inst)).returncode == 2
     assert run_cli("validate", "--schema", str(opted),
                    "--instance", str(inst)).returncode == 2
+
+
+def test_jsonl_instance_entry_semantics(tmp_path):
+    """Instance-mode JSONL: per-entry validation, stop at the first
+    failing entry with `(entry #N)` unless --continue
+    (reference fail_jsonl_one.sh / fail_jsonl_all_continue.sh)."""
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps({"type": "object"}))
+    data = tmp_path / "i.jsonl"
+    data.write_text('{ "foo": 1 }\n[ { "foo": 2 } ]\n"nope"\n{ "x": 3 }\n')
+    r = run_cli("validate", "--schema", str(schema), "--instance",
+                str(data))
+    assert r.returncode == 2
+    assert "(entry #2)" in r.stderr and "(entry #3)" not in r.stderr
+    r = run_cli("validate", "--schema", str(schema), "--instance",
+                str(data), "--continue")
+    assert r.returncode == 2
+    assert "(entry #2)" in r.stderr and "(entry #3)" in r.stderr
+    ok = tmp_path / "ok.jsonl"
+    ok.write_text('{ "a": 1 }\n{ "b": 2 }\n')
+    r = run_cli("validate", "--schema", str(schema), "--instance", str(ok))
+    assert r.returncode == 0 and "(2 entries)" in r.stderr
