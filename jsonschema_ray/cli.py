@@ -39,6 +39,10 @@ EXIT_ERROR = 1
 EXIT_VALIDATION = 2
 EXIT_EMPTY_SUITE = 6
 
+import re as _re_mod  # noqa: E402
+
+_RE_ERROR = _re_mod.error
+
 
 def _load_plan(path: str):
     from jsonschema_ray.spec.plan import CheckPlan, default_plan
@@ -1466,6 +1470,19 @@ def main(argv: list[str] | None = None) -> int:
         return args.fn(args)
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
+        return EXIT_ERROR
+    except json.JSONDecodeError as e:
+        # malformed schema/instance/config input (fail_instance_invalid_json)
+        print(f"error: invalid JSON: {e}", file=sys.stderr)
+        return EXIT_ERROR
+    except _RE_ERROR as e:
+        print(f"error: invalid regular expression: {e}", file=sys.stderr)
+        return EXIT_ERROR
+    except (KeyError, ValueError) as e:
+        # schema compile errors: unresolvable $ref, bad entrypoint
+        # pointer, unsupported constructs (reference exits 1 with a
+        # one-line diagnostic, e.g. fail_invalid_ref.sh)
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
         return EXIT_ERROR
 
 

@@ -585,3 +585,27 @@ def test_jsonl_instance_entry_semantics(tmp_path):
     ok.write_text('{ "a": 1 }\n{ "b": 2 }\n')
     r = run_cli("validate", "--schema", str(schema), "--instance", str(ok))
     assert r.returncode == 0 and "(2 entries)" in r.stderr
+
+
+def test_schema_error_diagnostics_exit_one(tmp_path):
+    """Bad schema/instance inputs exit 1 with a one-line `error:`
+    diagnostic, never a traceback (fail_invalid_regex.sh,
+    fail_invalid_ref.sh, fail_instance_invalid_json.sh)."""
+    inst = tmp_path / "i.json"
+    inst.write_text("{}")
+    for content, needle in (
+            ('{"pattern": "a["}', "invalid regular expression"),
+            ('{"$ref": "#/nope"}', "unresolvable $ref"),
+    ):
+        s = tmp_path / "s.json"
+        s.write_text(content)
+        r = run_cli("validate", "--schema", str(s), "--instance",
+                    str(inst))
+        assert r.returncode == 1 and needle in r.stderr, r.stderr
+        assert "Traceback" not in r.stderr
+    bad = tmp_path / "bad.json"
+    bad.write_text("{ nope")
+    s = tmp_path / "s.json"
+    s.write_text('{"type": "object"}')
+    r = run_cli("validate", "--schema", str(s), "--instance", str(bad))
+    assert r.returncode == 1 and "invalid JSON" in r.stderr
