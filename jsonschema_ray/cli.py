@@ -13,14 +13,29 @@ driver-side, SURVEY.md §2.11).
         (inputs: parquet | jsonl[.gz] | yaml | "-" for stdin JSONL;
          --checked = position-tracked parse, errors as path:line:col)
     python -m jsonschema_ray validate --schema S.json --instance DOC.json...
+        [-F/--format-assertion] [--continue]  (JSONL instances validate
+        per entry: fail-fast with `(entry #N)` unless --continue)
     python -m jsonschema_ray bundle SCHEMA.json [-o OUT.json]
         [--store DIR] [--http]
-    python -m jsonschema_ray install URI... [--to DIR] [--force | --frozen]
+    python -m jsonschema_ray install [URI...] [--to DIR] [--force | --frozen]
+        (no URIs: the project config's `dependencies` map)
     python -m jsonschema_ray metaschema PLAN.json
     python -m jsonschema_ray fmt PLAN.json [--check]
+    python -m jsonschema_ray fmt --schema SCHEMA.json [--check]
+        [--indentation N] [--keep-ordering]  (canonical keyword order)
     python -m jsonschema_ray lint PLAN.json [--fix]
+    python -m jsonschema_ray lint --schema SCHEMA.json [--fix]
+        (alterschema canonicalizer to fixpoint)
+    python -m jsonschema_ray upgrade PLAN.json | --schema OLD.json
+    python -m jsonschema_ray codegen PLAN.json | --schema S.json
+        --target typescript [--name T]
     python -m jsonschema_ray test SUITE.json --plan PLAN.json
     python -m jsonschema_ray inspect [PLAN.json | --schema SCHEMA.json]
+    python -m jsonschema_ray version
+
+A `jsonschema.json` project config (ancestor-discovered) supplies
+defaultDialect / resolve remaps / extension / ignore / dependencies
+(docs/configuration.markdown analog).
 
 Exit codes mirror ``/root/reference/src/exit_code.h:6-11``: 0 success,
 1 usage/other error, 2 validation (or fmt --check / lint) failure,
@@ -560,10 +575,12 @@ def cmd_fmt(args) -> int:
         from jsonschema_ray.spec.format import prettify_schema
 
         doc = json.loads(raw)
+        ind = int(getattr(args, "indentation", 2) or 2)
         if getattr(args, "keep_ordering", False):
-            canonical = json.dumps(doc, indent=2, ensure_ascii=False) + "\n"
+            canonical = json.dumps(doc, indent=ind,
+                                   ensure_ascii=False) + "\n"
         else:
-            canonical = prettify_schema(doc)
+            canonical = prettify_schema(doc, indent=ind)
         if args.check:
             if raw != canonical:
                 print(f"{args.plan}: not canonically formatted",
@@ -1416,6 +1433,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="treat the file as a JSON Schema document and "
                         "apply the reference's canonical keyword "
                         "ordering (blaze format.cc rank table)")
+    f.add_argument("--indentation", type=int, default=2,
+                   help="spaces per level for --schema output "
+                        "(reference fmt --indentation)")
     f.add_argument("--keep-ordering", action="store_true",
                    help="with --schema: prettify only, keep key order")
     f.set_defaults(fn=cmd_fmt)

@@ -145,14 +145,15 @@ _D4_SCHEMAS = st.one_of(
 @settings(max_examples=300, deadline=None)
 @given(s=_D4_SCHEMAS, v=_json)
 def test_upgrade_schema_cross_validator(s, v):
-    """Draft-7 semantics of the ORIGINAL == 2020-12 semantics of the
+    """Draft-4 semantics of the ORIGINAL == 2020-12 semantics of the
     UPGRADED document, judged by the canonical implementation's two
-    dialect validators."""
+    dialect validators (draft-4 is where boolean exclusive bounds and
+    array-form items live)."""
     from jsonschema_ray.spec.alterschema import upgrade_schema
 
     up = upgrade_schema(s)
     assert up["$schema"].endswith("2020-12/schema")
-    before = _js.Draft7Validator(s).is_valid(v)
+    before = _js.Draft4Validator(s).is_valid(v)
     after = _js.Draft202012Validator(up).is_valid(v)
     assert before == after, (s, up, v)
 
