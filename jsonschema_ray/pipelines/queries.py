@@ -1235,6 +1235,19 @@ def q_token_topk(sf_dir: str):
     return token_topk(ParquetSource(_pq(sf_dir, "documents")), k=20)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context chunking: split documents into 32-token windows
+    (disjoint; RAG/embedding preprocessing). Fully vectorized — one
+    flat fancy-index gather + ListArray binary_join per batch.
+    SQL-oracled exactly (token subscripts → floor-div grouping →
+    ordered string_agg)."""
+    from jsonschema_ray.pipelines.textops import chunk_documents
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return chunk_documents(ParquetSource(_pq(sf_dir, "documents")),
+                           "doc_id", chunk_tokens=32)
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split (80/10/10 by md5 bucket of
     doc_id) — reproducible across runs/cluster sizes by construction,
@@ -1516,6 +1529,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
+    "chunk_documents": q_chunk_documents,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1686,6 +1700,22 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+    "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS r,
+         tok
+  FROM (SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+              FROM documents))
+  WHERE tok <> ''
+)
+SELECT doc_id, CAST(r // 32 AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY r) AS chunk
+FROM toks GROUP BY doc_id, r // 32
 """,
     "split_assign": """
 SELECT doc_id, bucket,

@@ -473,3 +473,36 @@ def test_token_topk_misra_gries_guarantee(ray_session):
     for tok, est in got.items():
         assert est <= cnt[tok]                      # lower bound
         assert cnt[tok] - est <= n_total / (32 + 1)  # MG error bound
+
+
+def test_chunk_documents_reconstruction(ray_session):
+    """Chunking invariants: disjoint chunks concatenate back to the
+    tokenized document; overlap windows share exactly `overlap` tokens;
+    n_tokens sums correctly; short/empty docs behave."""
+    from jsonschema_ray.pipelines.textops import chunk_documents
+
+    rng = np.random.default_rng(2)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(0, 40)))
+             for _ in range(50)]
+    texts[0], texts[1] = "", "single"
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": texts})
+    df = chunk_documents(t, "doc_id", chunk_tokens=7).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"])
+    for did, g in df.groupby("doc_id"):
+        toks = texts[did].split()
+        assert " ".join(g["chunk"]) == " ".join(toks)
+        assert g["n_tokens"].sum() == len(toks)
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+    assert set(df["doc_id"]) == {i for i in range(50) if texts[i].strip()}
+
+    ov = chunk_documents(t, "doc_id", chunk_tokens=7, overlap=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for did, g in ov.groupby("doc_id"):
+        rows = list(g["chunk"])
+        for a, b in zip(rows, rows[1:]):
+            assert a.split()[-2:] == b.split()[:2] or len(b.split()) < 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(t, "doc_id", chunk_tokens=4, overlap=4)
