@@ -1375,6 +1375,32 @@ def q_near_dup_embeddings(sf_dir: str):
 # flagship (north-rule interleaved validate, synthetic)
 # ---------------------------------------------------------------------------
 
+def q_media_features_real(sf_dir: str):
+    """* rows-only: REAL multimodal decode — PCM WAV (RIFF parse, DSP
+    features: duration/rms/peak/zcr) and binary PPM (pixel stats +
+    nearest-neighbor thumbnail) over a deterministic generated corpus,
+    as actor-pool ``map_batches`` stages. No SQL oracle (payload bytes
+    aren't a DuckDB view); round-trip + stdlib cross-checks live in
+    ``tests/test_multimodal.py``. Codec-bound formats (png/jpeg/mp4)
+    remain explicitly stubbed."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.multimodal import (real_media_table,
+                                                     wav_features)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    n = max(64, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+            // 4)
+    src = DatasetSource(rd.from_arrow(real_media_table(n)).repartition(8))
+    out = wav_features(src, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.filter(t.column("decode_ok")), batch_format="pyarrow") \
+        .select_columns(["media_ref", "sample_rate", "duration_s", "rms",
+                         "zcr"])
+
+
 def q_profile_interleaved(sf_dir: str):
     """* rows-only: mergeable-sketch column profile (count / nulls /
     HLL distinct / t-digest quantiles) over the synthetic interleaved
@@ -1535,6 +1561,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "near_dup_embeddings": q_near_dup_embeddings,
     "profile_interleaved": q_profile_interleaved,
+    "media_features_real": q_media_features_real,
     "flagship_validate": q_flagship_validate,
 }
 
