@@ -1235,6 +1235,29 @@ def q_token_topk(sf_dir: str):
     return token_topk(ParquetSource(_pq(sf_dir, "documents")), k=20)
 
 
+def q_redact_text(sf_dir: str):
+    """PII/noise scrubbing: email/URL/IPv4 literals → placeholder
+    tokens via vectorized RE2 replace — and DuckDB executes the SAME
+    RE2 patterns, so the scrubbed text is SQL-oracled byte-exactly."""
+    from jsonschema_ray.pipelines.textops import redact_text
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return redact_text(ParquetSource(_pq(sf_dir, "documents")), "doc_id")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Language-balanced deterministic resample: per-lang keep rates
+    (en 0.5, fr 1.0, others 0.25) by md5 bucket of doc_id — the
+    corpus-balancing op, reproducible by construction and SQL-oracled
+    bit-exactly."""
+    from jsonschema_ray.pipelines.sampling import stratified_hash_sample
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return stratified_hash_sample(
+        ParquetSource(_pq(sf_dir, "documents")), "doc_id", "lang",
+        rates={"en": 0.5, "fr": 1.0}, default_rate=0.25)
+
+
 def q_chunk_documents(sf_dir: str):
     """Context chunking: split documents into 32-token windows
     (disjoint; RAG/embedding preprocessing). Fully vectorized — one
@@ -1556,6 +1579,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
     "chunk_documents": q_chunk_documents,
+    "redact_text": q_redact_text,
+    "stratified_sample": q_stratified_sample,
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ann_topk": q_ann_topk,
@@ -1728,6 +1753,35 @@ FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
 """,
+    # counts are taken on the PROGRESSIVELY scrubbed text (email on the
+    # original, url after email redaction, ip after url redaction) —
+    # mirroring redact_text's sequential passes; DuckDB and Arrow both
+    # run RE2, so the patterns behave identically
+    "redact_text": r"""
+WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS t,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1
+       FROM s0),
+s2 AS (SELECT doc_id, regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t,
+              c1, len(regexp_extract_all(t, 'https?://[^\s]+')) AS c2
+       FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+                AS t,
+              c1, c2,
+              len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c3
+       FROM s2)
+SELECT doc_id, t AS text, CAST(c1 + c2 + c3 AS BIGINT) AS n_redacted
+FROM s3
+""",
+    "stratified_sample":
+        "SELECT doc_id, lang FROM documents "
+        "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 < "
+        "CASE WHEN lang = 'en' THEN 500000 "
+        "     WHEN lang = 'fr' THEN 1000000 ELSE 250000 END",
     "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id,

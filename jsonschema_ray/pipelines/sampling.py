@@ -85,3 +85,35 @@ def hash_sample(source: Any, key_col: str, rate: float,
     cols = list(columns) if columns else None
     return src.dataset(columns=cols).map_batches(
         pick, batch_format="pyarrow")
+
+
+def stratified_hash_sample(source: Any, key_col: str, strata_col: str,
+                           rates: dict, default_rate: float = 0.0,
+                           n_buckets: int = 1_000_000,
+                           hash_fn: str = "md5",
+                           columns: Sequence[str] | None = None):
+    """Per-stratum deterministic sampling: keep a row iff
+    hash(key) mod n_buckets < rate[stratum] * n_buckets — the
+    language-/source-balancing resample of a training corpus, without
+    a shuffle (pure per-batch filter) and reproducible by construction.
+    Unknown strata fall back to ``default_rate``."""
+    cuts = {k: int(v * n_buckets) for k, v in rates.items()}
+    dflt = int(default_rate * n_buckets)
+    src = as_source(source)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        b = _bucket_of(keys, n_buckets, hash_fn)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False)
+        # rate lookup bounded by DISTINCT strata (languages/sources),
+        # scattered back vectorized — never a per-row dict probe
+        uniq, inv = np.unique(strata.astype(object), return_inverse=True)
+        cut = np.array([cuts.get(u, dflt) for u in uniq],
+                       dtype=np.int64)[inv]
+        return t.filter(pa.array(b < cut))
+
+    cols = sorted({key_col, strata_col} | set(columns or []))
+    return src.dataset(columns=cols).map_batches(
+        pick, batch_format="pyarrow")

@@ -302,3 +302,44 @@ def chunk_documents(source, key_col: str, text_col: str = "text",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         chunks, batch_format="pyarrow")
+
+
+REDACTION_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (RE2 pattern, replacement token). Both Arrow and DuckDB
+    # execute RE2, so the SAME pattern string behaves identically in
+    # the engine and the SQL oracle.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_text(source, key_col: str, text_col: str = "text",
+                patterns=("email", "url", "ipv4")):
+    """PII/noise scrubbing: replace emails / URLs / IPv4 literals with
+    placeholder tokens — one vectorized ``replace_substring_regex``
+    pass per pattern (RE2 in Arrow == RE2 in DuckDB, so the oracle
+    runs the same regexes). → Dataset (key, text, n_redacted) where
+    ``n_redacted`` counts replaced matches across all patterns."""
+    from jsonschema_ray.sources.readers import as_source
+
+    pats = [REDACTION_PATTERNS[p] if isinstance(p, str) else tuple(p)
+            for p in patterns]
+    src = as_source(source)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        total = np.zeros(len(col), np.int64)
+        for pat, repl in pats:
+            total += pc.count_substring_regex(col, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            col = pc.replace_substring_regex(col, pat, repl)
+        return pa.table({key_col: t.column(key_col), text_col: col,
+                         "n_redacted": pa.array(total)})
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow")

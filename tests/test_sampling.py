@@ -60,3 +60,23 @@ def test_hash_sample_rate_and_determinism(ray_session):
     # monotone: a 10% sample is a subset of the 20% sample
     s3 = hash_sample(_tbl(5000), "doc_id", rate=0.1).to_pandas()
     assert set(s3["doc_id"]) <= set(s1["doc_id"])
+
+
+def test_stratified_hash_sample(ray_session):
+    from jsonschema_ray.pipelines.sampling import (hash_sample,
+                                                   stratified_hash_sample)
+
+    langs = ["en", "fr", "de"]
+    t = pa.table({"doc_id": pa.array(range(3000), pa.int64()),
+                  "lang": [langs[i % 3] for i in range(3000)]})
+    out = stratified_hash_sample(t, "doc_id", "lang",
+                                 rates={"en": 0.5, "fr": 1.0},
+                                 default_rate=0.1).to_pandas()
+    counts = out["lang"].value_counts()
+    assert counts["fr"] == 1000                 # rate 1.0 keeps all
+    assert 400 < counts["en"] < 600             # ~0.5
+    assert 50 < counts.get("de", 0) < 170       # default 0.1
+    # per-stratum subset consistency with the flat sampler
+    flat = hash_sample(t, "doc_id", rate=0.5).to_pandas()
+    en = set(out.loc[out["lang"] == "en", "doc_id"])
+    assert en == {d for d in flat["doc_id"] if d % 3 == 0}

@@ -506,3 +506,19 @@ def test_chunk_documents_reconstruction(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(t, "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_redact_text(ray_session):
+    from jsonschema_ray.pipelines.textops import redact_text
+
+    texts = ["mail me at bob@example.com or visit https://x.io/a?b=1 now",
+             "server 10.0.0.1 and 8.8.8.8 up",
+             "clean text only", ""]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": texts})
+    df = redact_text(t, "doc_id").to_pandas().sort_values("doc_id")
+    assert df["text"].tolist() == [
+        "mail me at <EMAIL> or visit <URL> now",
+        "server <IP> and <IP> up",
+        "clean text only", ""]
+    assert df["n_redacted"].tolist() == [2, 2, 0, 0]
