@@ -1335,6 +1335,26 @@ FROM sel
 """
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pairs (threshold 0.5), root = min doc_id of the component
+    (the canonical dedup survivor). SQL-oracled against a recursive-CTE
+    transitive closure over the exact all-pairs Jaccard edge set — so a
+    green row certifies pair recall AND the union-find."""
+    from jsonschema_ray.pipelines.dedup import (dup_clusters,
+                                                minhash_verified_pairs)
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    pairs = minhash_verified_pairs(
+        ParquetSource(_pq(sf_dir, "documents")), "doc_id", threshold=0.5)
+    clusters = dup_clusters(zip(pairs.column("key_a").to_pylist(),
+                                pairs.column("key_b").to_pylist()))
+    keys = sorted(clusters)
+    return pa.table({"doc_id": pa.array(keys, pa.int64()),
+                     "root": pa.array([int(clusters[k]) for k in keys],
+                                      pa.int64())})
+
+
 def q_simhash(sf_dir: str):
     """64-bit simhash fingerprints, SQL-oracled: token hash is
     ``md5_hash64`` (bit-identical to DuckDB ``md5_number_lower``,
@@ -1573,6 +1593,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
     "ngram_jaccard": q_ngram_jaccard,
+    "near_dup_clusters": q_near_dup_clusters,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1901,6 +1922,46 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = key_a
 JOIN sizes sb ON sb.doc_id = key_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+    # Connected components over the exact all-pairs Jaccard>=0.5 edges
+    # via recursive-CTE transitive closure; root = min reachable key.
+    # Oracles pair recall AND the engine's union-find clustering.
+    "near_dup_clusters": r"""
+WITH RECURSIVE tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM (SELECT * FROM tp WHERE tok <> '')
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sets AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_pairs AS (
+  SELECT key_a, key_b FROM inter
+  JOIN sizes sa ON sa.doc_id = key_a
+  JOIN sizes sb ON sb.doc_id = key_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM dup_pairs
+  UNION
+  SELECT key_b, key_a FROM dup_pairs
+), reach AS (
+  SELECT a AS k, a AS r FROM edges
+  UNION
+  SELECT e.b AS k, reach.r FROM reach JOIN edges e ON e.a = reach.k
+)
+SELECT k AS doc_id, CAST(MIN(r) AS BIGINT) AS root
+FROM reach GROUP BY k
 """,
     # Same exact all-pairs shingle join, threshold 0.4, with the
     # intersection size exposed — oracles the engine's inverted-index
