@@ -1069,6 +1069,76 @@ def _langid_sql() -> str:
             f"SELECT doc_id, CASE {case}END AS lang_pred FROM s")
 
 
+def _lsh_plane_lists(bits: int = 8, dim: int = 64, seed: int = 11) -> list[str]:
+    """The SAME seeded hyperplanes as ``similarity.lsh_bucketed``
+    (``np.random.default_rng(seed).normal(size=(bits, dim))``), each as
+    a DuckDB DOUBLE[] literal (repr round-trips float64 exactly)."""
+    planes = np.random.default_rng(seed).normal(size=(bits, dim))
+    return ["[" + ", ".join(repr(float(w)) for w in row) + "]"
+            for row in planes]
+
+
+def _lsh_bucket_sql(expr: str, bits: int = 8, dim: int = 64,
+                    seed: int = 11) -> str:
+    """SQL for the hyperplane sign bucket of DOUBLE[] expression
+    ``expr``. The engine signs the NORMALIZED embedding; dividing by a
+    positive norm cannot flip an IEEE sign, so signing the raw vector
+    is equivalent (``similarity.hyperplane_signatures``)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({expr}, {lit}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, lit in enumerate(_lsh_plane_lists(bits, dim, seed))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_sql(k: int = 10, bits: int = 8, dim: int = 64,
+             seed: int = 11) -> str:
+    """Oracle for q_ann_topk: the LSH probe set (query bucket ± one
+    bit) and the within-bucket exact cosine top-k, fully in SQL — the
+    plane constants are inlined from the same seeded generator, so the
+    approximate result is deterministic and SQL-checkable."""
+    bucket = _lsh_bucket_sql("e", bits, dim, seed)
+    probes = ", ".join(["q.qb"] + [f"xor(q.qb, {1 << b})"
+                                   for b in range(bits)])
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sig AS (
+  SELECT vec_id, e, {bucket} AS bucket FROM emb
+), q AS (
+  SELECT e AS qe, bucket AS qb FROM sig WHERE vec_id = 0
+)
+SELECT s.vec_id,
+       ROUND(list_cosine_similarity(s.e, q.qe), 3) AS cos_sim
+FROM sig s, q
+WHERE s.bucket IN ({probes})
+ORDER BY cos_sim DESC, s.vec_id LIMIT {k}
+"""
+
+
+def _near_dup_emb_sql(threshold: float = 0.4, bits: int = 8,
+                      dim: int = 64, seed: int = 11) -> str:
+    """Oracle for q_near_dup_embeddings: same-bucket pair join +
+    exact cosine threshold (engine thresholds UNROUNDED, rounds to 4
+    for output). n_dropped is 0 whenever no bucket exceeds the
+    engine's max_bucket=4096 — true for the sf corpora; a truncated
+    bucket would mismatch loudly."""
+    bucket = _lsh_bucket_sql("e", bits, dim, seed)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sig AS (
+  SELECT vec_id, e, {bucket} AS bucket FROM emb
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -1397,7 +1467,10 @@ def q_similarity_topk(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    """* rows-only: LSH-bucketed approximate top-10 (scale path)."""
+    """LSH-bucketed approximate top-10 (scale path). SQL-oracled: the
+    seeded hyperplanes are inlined into DuckDB (``_ann_sql``), so the
+    probe-set pruning + within-bucket exact cosine is reproduced
+    bit-for-bit — an executable spec of the approximation."""
     from jsonschema_ray.pipelines.similarity import ann_topk
     from jsonschema_ray.sources.readers import ParquetSource
 
@@ -1406,7 +1479,9 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_near_dup_embeddings(sf_dir: str):
-    """* rows-only: embedding near-dup pairs (cos ≥ 0.9) within LSH buckets."""
+    """Embedding near-dup pairs (cos ≥ 0.4) within LSH buckets.
+    SQL-oracled via ``_near_dup_emb_sql`` (same inlined hyperplanes +
+    same-bucket pair join + exact cosine threshold)."""
     from jsonschema_ray.pipelines.similarity import near_dup_pairs
     from jsonschema_ray.sources.readers import ParquetSource
 
@@ -1864,6 +1939,8 @@ GROUP BY 1
 """,
     "langid": _langid_sql(),
     "minhash_pairs": _minhash_sql(),
+    "ann_topk": _ann_sql(),
+    "near_dup_embeddings": _near_dup_emb_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is
     # md5_hash64 == DuckDB md5_number_lower (verified bit-identical), so
     # the per-bit ±1 vote and the strict acc>0 threshold reproduce the
