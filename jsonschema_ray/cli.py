@@ -1042,8 +1042,18 @@ def cmd_inspect(args) -> int:
         rows.append({"rule_id": r.rule_id, "kind": r.kind, "scope": r.scope,
                      "fields": sorted(fields), "strategy": strategy,
                      "enabled": r.enabled, "severity": r.severity})
-    print(json.dumps({"version": plan.version, "mode": plan.mode,
-                      "plan_hash": plan.plan_hash(), "rules": rows}, indent=2))
+    out = {"version": plan.version, "mode": plan.mode,
+           "plan_hash": plan.plan_hash(), "rules": rows}
+    if getattr(args, "schema", None):
+        # compile-time unevaluated* dependency analysis (the Blaze
+        # unevaluated.cc pass): which occurrences are statically
+        # lowerable to additional* vs need runtime annotation tracking
+        from jsonschema_ray.spec.unevaluated import analyze
+
+        entries = analyze(_load_schema_doc(args.schema))
+        if entries:
+            out["unevaluated"] = [e.to_json() for e in entries]
+    print(json.dumps(out, indent=2))
     return EXIT_OK
 
 

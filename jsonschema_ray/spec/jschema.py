@@ -216,6 +216,36 @@ class _DocIndex:
         return out[::-1]
 
 
+def resolve_ref_target(idx: _DocIndex, ref: str, from_ptr: str = "") -> str:
+    """Resolve a ``$ref`` URI-reference to a DOCUMENT pointer:
+    against the referrer's base URI (innermost enclosing ``$id``
+    resource), with pointer fragments relative to the target
+    RESOURCE root and plain fragments looked up in that resource's
+    anchor namespace (2020-12 §8.2; reference frame registry)."""
+    uri_part, _, frag = ref.partition("#")
+    base = idx.enclosing(from_ptr)
+    if uri_part:
+        from urllib.parse import urljoin
+
+        target = urljoin(base or "", uri_part)
+        if target not in idx.resources:
+            raise ValueError(
+                f"external $ref not supported (no network): {ref!r}")
+        res_uri, res_ptr = target, idx.resources[target]
+    else:
+        res_uri, res_ptr = base, idx.resources.get(base, "")
+    if frag == "":
+        return res_ptr
+    if frag.startswith("/"):
+        return res_ptr + frag
+    ptr = idx.anchors.get((res_uri, frag))
+    if ptr is None:  # legacy fallback: anchor from any resource
+        ptr = idx.any_anchor.get(frag)
+    if ptr is None:
+        raise ValueError(f"unresolvable $ref anchor: {ref!r}")
+    return ptr
+
+
 class CompiledSchema:
     """A schema compiled to closures. Build once (driver or actor
     ``__init__``); ``validate``/``is_valid`` are the per-row hot path.
@@ -286,33 +316,7 @@ class CompiledSchema:
 
     # -- compilation ----------------------------------------------------
     def _ref_target(self, ref: str, from_ptr: str = "") -> str:
-        """Resolve a ``$ref`` URI-reference to a DOCUMENT pointer:
-        against the referrer's base URI (innermost enclosing ``$id``
-        resource), with pointer fragments relative to the target
-        RESOURCE root and plain fragments looked up in that resource's
-        anchor namespace (2020-12 §8.2; reference frame registry)."""
-        uri_part, _, frag = ref.partition("#")
-        base = self._idx.enclosing(from_ptr)
-        if uri_part:
-            from urllib.parse import urljoin
-
-            target = urljoin(base or "", uri_part)
-            if target not in self._idx.resources:
-                raise ValueError(
-                    f"external $ref not supported (no network): {ref!r}")
-            res_uri, res_ptr = target, self._idx.resources[target]
-        else:
-            res_uri, res_ptr = base, self._idx.resources.get(base, "")
-        if frag == "":
-            return res_ptr
-        if frag.startswith("/"):
-            return res_ptr + frag
-        ptr = self._idx.anchors.get((res_uri, frag))
-        if ptr is None:  # legacy fallback: anchor from any resource
-            ptr = self._idx.any_anchor.get(frag)
-        if ptr is None:
-            raise ValueError(f"unresolvable $ref anchor: {ref!r}")
-        return ptr
+        return resolve_ref_target(self._idx, ref, from_ptr)
 
     def _fn_for_ptr(self, ptr: str) -> _Fn:
         """Late-bound compile by canonical pointer — a self-referential
@@ -767,10 +771,22 @@ class CompiledSchema:
 
 
 def compile_schema(schema: Any, *, assert_formats: bool | None = None,
-                   entrypoint: str = "") -> CompiledSchema:
-    """Compile a JSON Schema document once; returns the reusable validator."""
+                   entrypoint: str = "",
+                   static_unevaluated: bool = False) -> CompiledSchema:
+    """Compile a JSON Schema document once; returns the reusable validator.
+
+    ``static_unevaluated=True`` first runs the compile-time analysis of
+    ``spec/unevaluated.py`` (the Blaze ``unevaluated.cc`` pass) and
+    rewrites every statically-analyzable ``unevaluated*`` occurrence to
+    its ``additional*`` equivalent — verdict-identical, skips the
+    annotation bookkeeping on the hot path. Opt-in because error ROWS
+    on already-failing instances can differ (see that module's doc)."""
     if isinstance(schema, str):
         schema = json.loads(schema)
+    if static_unevaluated and isinstance(schema, dict):
+        from jsonschema_ray.spec.unevaluated import lower_static
+
+        schema, _ = lower_static(schema)
     return CompiledSchema(schema, assert_formats=assert_formats,
                           entrypoint=entrypoint)
 
