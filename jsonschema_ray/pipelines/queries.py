@@ -973,6 +973,25 @@ def q_quality_counts(sf_dir: str):
         counts, batch_format="pyarrow")
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style word-2-gram repetition signals (integer outputs →
+    dtype-exact DuckDB oracle: per-doc gram counts re-derived with a
+    self-join over ordered tokens)."""
+    from jsonschema_ray.pipelines.textops import repetition_signals
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return repetition_signals(ParquetSource(_pq(sf_dir, "documents")))
+
+
+def q_unigram_lm(sf_dir: str):
+    """Unigram-LM surprisal score (corpus-trained, quantized integer
+    sum → order-independent, ln == libm on both engines)."""
+    from jsonschema_ray.pipelines.textops import unigram_lm_scores
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return unigram_lm_scores(ParquetSource(_pq(sf_dir, "documents")))
+
+
 def q_langid(sf_dir: str):
     """Stopword-profile language ID (SQL-oracled: the same per-profile
     regex counts + first-max argmax, re-stated in DuckDB)."""
@@ -1661,6 +1680,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_clicks": q_asof_clicks,
     "interval_windows": q_interval_windows,
     "token_count": q_token_count,
+    "repetition_signals": q_repetition_signals,
+    "unigram_lm": q_unigram_lm,
     "quality_counts": q_quality_counts,
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
@@ -1832,6 +1853,72 @@ ORACLE: dict[str, str] = {
         r"len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
         r"len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop "
         "FROM documents",
+    # word-2-gram repetition signals: ordered tokens re-derived via
+    # row_number, grams via the r+1 self-join, integer char totals —
+    # same tie-break (count DESC, gram ASC) as the engine kernel
+    "repetition_signals": r"""
+WITH tok AS (
+  SELECT doc_id, i, t FROM (
+    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+          FROM documents))
+  WHERE t <> ''
+), seq AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r, t
+  FROM tok
+), gram AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS g
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.r = a.r + 1
+), gc AS (
+  SELECT doc_id, g, count(*) AS n FROM gram GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g, n FROM (
+    SELECT doc_id, g, n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, g) AS rk
+    FROM gc) WHERE rk = 1
+), dup AS (
+  SELECT doc_id, SUM(n * length(g)) AS dup_chars
+  FROM gc WHERE n >= 2 GROUP BY doc_id
+), ntok AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents d
+)
+SELECT ntok.doc_id, ntok.n_tokens, top.g AS top_2gram,
+       CAST(COALESCE(top.n, 0) AS BIGINT) AS top_2gram_count,
+       CAST(COALESCE(top.n * length(top.g), 0) AS BIGINT) AS top_2gram_chars,
+       CAST(COALESCE(dup.dup_chars, 0) AS BIGINT) AS dup_2gram_chars
+FROM ntok
+LEFT JOIN top ON top.doc_id = ntok.doc_id
+LEFT JOIN dup ON dup.doc_id = ntok.doc_id
+""",
+    # unigram-LM surprisal: same corpus-trained counts, same quantized
+    # per-token score floor(1e6*ln(N/c)+0.5) (DuckDB ln == libm log ==
+    # the engine's math.log), integer sums are order-independent
+    "unigram_lm": r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+), vocab AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(floor(1e6 * ln(CAST(tot.n AS DOUBLE) / vocab.c) + 0.5)
+              AS BIGINT) AS q
+  FROM tok JOIN vocab USING (t) CROSS JOIN tot
+)
+SELECT d.doc_id,
+       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.lm, 0) AS BIGINT) AS lm_score
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(q) AS lm FROM scored GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+""",
     "dedup_exact_summary":
         "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique, "
         "(SELECT count(*) FROM (SELECT text FROM documents "

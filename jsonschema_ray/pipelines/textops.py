@@ -343,3 +343,144 @@ def redact_text(source, key_col: str, text_col: str = "text",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def repetition_signals(source, key_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021, §A1.1 repetition heuristics), adapted to word 2-grams
+    for single-line corpora: the most frequent 2-gram and the
+    characters covered by it, plus characters covered by ALL 2-grams
+    occurring ≥ 2 times (the simple non-overlap-adjusted variant —
+    each occurrence counts its full gram length).
+
+    Outputs are INTEGER counts/char totals, not float ratios, so the
+    DuckDB oracle comparison is dtype- and rounding-exact (the ratio a
+    filter needs is one division away). Per-batch local — no shuffle;
+    tokenization is the shared Arrow kernel (``dedup._tokenize_flat``,
+    == ``regexp_split_to_array(text, '\\s+')`` + drop empties in SQL).
+    Top-gram ties break lexicographically (ASCII == DuckDB binary
+    collation). → (key, n_tokens, top_2gram, top_2gram_count,
+    top_2gram_chars, dup_2gram_chars)."""
+    import pandas as pd
+
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+
+    def kern(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counts, flat = _tokenize_flat(t.column(text_col))
+        parent = np.repeat(np.arange(len(counts)), counts)
+        n_docs = len(counts)
+        top_g = np.full(n_docs, None, dtype=object)
+        top_n = np.zeros(n_docs, np.int64)
+        top_ch = np.zeros(n_docs, np.int64)
+        dup_ch = np.zeros(n_docs, np.int64)
+        if len(parent) > 1:
+            adj = np.flatnonzero(parent[1:] == parent[:-1])
+            if len(adj):
+                grams = pc.binary_join_element_wise(
+                    pa.array(flat[adj], type=pa.string()),
+                    pa.array(flat[adj + 1], type=pa.string()), " ")
+                cc = pd.DataFrame(
+                    {"p": parent[adj],
+                     "g": grams.to_numpy(zero_copy_only=False)}) \
+                    .groupby(["p", "g"], sort=False).size() \
+                    .reset_index(name="n")
+                cc["chars"] = cc["n"] * cc["g"].str.len()
+                top = cc.sort_values(["p", "n", "g"],
+                                     ascending=[True, False, True]) \
+                    .drop_duplicates("p")
+                top_g[top["p"].to_numpy()] = top["g"].to_numpy()
+                top_n[top["p"].to_numpy()] = top["n"].to_numpy()
+                top_ch[top["p"].to_numpy()] = top["chars"].to_numpy()
+                dup = cc[cc["n"] >= 2].groupby("p")["chars"].sum()
+                dup_ch[dup.index.to_numpy()] = dup.to_numpy()
+        return pa.table({
+            key_col: keys,
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "top_2gram": pa.array(top_g, type=pa.string()),
+            "top_2gram_count": pa.array(top_n),
+            "top_2gram_chars": pa.array(top_ch),
+            "dup_2gram_chars": pa.array(dup_ch),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        kern, batch_format="pyarrow")
+
+
+def unigram_lm_scores(source, key_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Unigram-LM quality score per document (the CCNet-style LM
+    filtering signal, computed from the corpus itself): two passes —
+
+    1. global token counts: per-block collapsed (token, n) partials,
+       merged on the driver (bounded by VOCABULARY size, not corpus;
+       for open vocabularies swap in the ``token_topk`` Misra-Gries
+       path + an OOV bucket);
+    2. broadcast the quantized per-token surprisal table
+       ``q(tok) = floor(1e6·ln(N_total/count) + 0.5)`` (libm ``log``
+       == DuckDB ``ln``), score each doc as the INTEGER sum of its
+       tokens' q — integer arithmetic makes the result independent of
+       summation order, so the oracle hash is exact.
+
+    → (key, n_tokens, lm_score); higher = more surprising/rarer
+    tokens. The per-token table ships once via ``ray.put``."""
+    import math
+
+    import ray
+
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, flat = _tokenize_flat(t.column(text_col))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pa.array(flat, type=pa.string()).value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    import pandas as pd
+
+    parts = [b.to_pandas() for b in
+             src.dataset(columns=[text_col]).map_batches(
+                 partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    vocab = pd.concat(parts).groupby("token")["n"].sum() if parts \
+        else pd.Series(dtype=np.int64)
+    total = int(vocab.sum())
+    toks_sorted = np.sort(vocab.index.to_numpy().astype(object))
+    cnt_sorted = vocab.loc[toks_sorted].to_numpy().astype(np.int64)
+    q = np.array([math.floor(1e6 * math.log(total / int(c)) + 0.5)
+                  for c in cnt_sorted], dtype=np.int64)
+    table_ref = ray.put((toks_sorted, q))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, qv = ray.get(table_ref)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counts, fl = _tokenize_flat(t.column(text_col))
+        parent = np.repeat(np.arange(len(counts)), counts)
+        scores = np.zeros(len(counts), np.int64)
+        if len(fl):
+            idx = np.searchsorted(toks, fl)
+            idx = np.clip(idx, 0, len(toks) - 1)
+            hit = toks[idx] == fl       # guard: unseen token scores 0
+            np.add.at(scores, parent[hit], qv[idx[hit]])
+        return pa.table({
+            key_col: keys,
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "lm_score": pa.array(scores),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -522,3 +522,65 @@ def test_redact_text(ray_session):
         "server <IP> and <IP> up",
         "clean text only", ""]
     assert df["n_redacted"].tolist() == [2, 2, 0, 0]
+
+
+def test_repetition_signals():
+    """Gopher-style 2-gram repetition: planted repeated gram dominates;
+    short/empty docs emit null top gram and zero counts."""
+    import math
+
+    from jsonschema_ray.pipelines.textops import repetition_signals
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    t = _docs_table([
+        (1, "spam ham spam ham spam ham eggs"),     # "spam ham" ×3, "ham spam" ×2
+        (2, "all words are unique here now"),
+        (3, "solo"),
+        (4, ""),
+    ])
+    out = repetition_signals(DatasetSource(rd.from_arrow(t))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [7, 6, 1, 0]
+    assert out.loc[0, "top_2gram"] == "spam ham"
+    assert out.loc[0, "top_2gram_count"] == 3
+    assert out.loc[0, "top_2gram_chars"] == 3 * len("spam ham")
+    # dup chars = "spam ham"*3 + "ham spam"*2
+    assert out.loc[0, "dup_2gram_chars"] == 3 * 8 + 2 * 8
+    # unique doc: every gram count 1 → dup 0, top count 1, tie → lexic. min
+    assert out.loc[1, "top_2gram_count"] == 1
+    assert out.loc[1, "dup_2gram_chars"] == 0
+    assert out.loc[1, "top_2gram"] == min(
+        "all words,words are,are unique,unique here,here now".split(","))
+    # <2 tokens → no grams
+    assert out.loc[2, "top_2gram"] is None or math.isnan(
+        out.loc[2, "top_2gram_count"]) is False
+    assert out.loc[2, "top_2gram_count"] == 0
+    assert out.loc[3, "n_tokens"] == 0
+
+
+def test_unigram_lm_scores():
+    """Rarer tokens score higher; score is the exact quantized integer
+    sum (independently recomputed here)."""
+    import math
+
+    from jsonschema_ray.pipelines.textops import unigram_lm_scores
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    t = _docs_table([
+        (1, "common common common common"),
+        (2, "common rare"),
+        (3, ""),
+    ])
+    out = unigram_lm_scores(DatasetSource(rd.from_arrow(t))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    N = 6  # total tokens
+    q_common = math.floor(1e6 * math.log(N / 5) + 0.5)
+    q_rare = math.floor(1e6 * math.log(N / 1) + 0.5)
+    assert out["lm_score"].tolist() == [4 * q_common, q_common + q_rare, 0]
+    assert out["n_tokens"].tolist() == [4, 2, 0]
+    # the rare-token doc is more "surprising" per token
+    assert out.loc[1, "lm_score"] / 2 > out.loc[0, "lm_score"] / 4
