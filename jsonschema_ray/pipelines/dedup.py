@@ -806,3 +806,56 @@ def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
                                    token_hash=token_hash).materialize()
     return _verify_candidate_pairs(source, key_col, text_col, cand,
                                    shingle_k, threshold, with_counts=True)
+
+
+def decontaminate(source: Any, benchmark_texts, key_col: str = "doc_id",
+                  text_col: str = "text", shingle_k: int = 5,
+                  token_hash=hash64):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-``shingle_k``-gram with a benchmark/test set — the standard
+    train/test-overlap scrub in large-scale pipeline curation (exact
+    n-gram variant; the shingle hash chain is the same FNV rolling
+    combine as MinHash, so with ``token_hash=md5_hash64`` the whole
+    operator re-derives bit-exactly in DuckDB).
+
+    The benchmark is SMALL by definition (a test set): its distinct
+    shingle hashes are computed driver-side and broadcast ONCE via
+    ``ray.put`` (sorted array → ``searchsorted`` per batch); the corpus
+    streams through ``map_batches`` — no shuffle, no pairwise join.
+
+    → Dataset (key, n_contaminated) for flagged documents only, where
+    ``n_contaminated`` counts the doc's shingle INSTANCES that hit the
+    benchmark set."""
+    import ray
+
+    texts = np.asarray(benchmark_texts, dtype=object)
+    _, bh = _shingle_hashes(texts, shingle_k, token_hash=token_hash)
+    bench = np.unique(bh)
+    bench_ref = ray.put(bench)
+
+    src = as_source(source)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if not len(h) or not len(bs):
+            return pa.table({key_col: keys.slice(0, 0),
+                             "n_contaminated": pa.array([], pa.int64())})
+        idx = np.searchsorted(bs, h)
+        hit = (idx < len(bs)) & (bs[np.minimum(idx, len(bs) - 1)] == h)
+        n = np.bincount(d[hit], minlength=t.num_rows)
+        sel = np.flatnonzero(n > 0)
+        return pa.table({
+            key_col: keys.take(pa.array(sel)),
+            "n_contaminated": pa.array(n[sel].astype(np.int64)),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -1158,6 +1158,64 @@ WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
 """
 
 
+def _decontam_sql(k: int = 5, bench_lt: int = 20) -> str:
+    """Oracle for q_decontaminate: the SAME FNV rolling k-shingle
+    chain as ``_minhash_sql`` (md5_number_lower token hash, uint64
+    wraparound emulated via HUGEINT % 2^64), generalized to k tokens;
+    benchmark = distinct shingles of docs with doc_id < ``bench_lt``,
+    contamination = corpus shingle instances hitting that set."""
+    F, TWO64 = 1099511628211, 1 << 64
+    joins = "\n  ".join(
+        f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+        for j in range(1, k))
+    fold = "CAST(t0.h AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, {fold} AS s
+  FROM th t0
+  {joins}
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < {bench_lt}
+)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id >= {bench_lt}
+GROUP BY sh.doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs (doc_id ≥ 20) sharing any word
+    5-gram with the 'benchmark' slice (doc_id < 20); broadcast shingle
+    set + streaming scan, bit-exactly SQL-oracled via the md5/FNV
+    shingle chain."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import decontaminate
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    bench = t.filter(pc.less(t.column("doc_id"), 20)).column("text") \
+        .to_pylist()
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("doc_id"), 20)),
+            batch_format="pyarrow")
+    return decontaminate(DatasetSource(corpus), bench, shingle_k=5,
+                         token_hash=md5_hash64)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -1685,6 +1743,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_counts": q_quality_counts,
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
+    "decontaminate": q_decontaminate,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
@@ -2026,6 +2085,7 @@ GROUP BY 1
 """,
     "langid": _langid_sql(),
     "minhash_pairs": _minhash_sql(),
+    "decontaminate": _decontam_sql(),
     "ann_topk": _ann_sql(),
     "near_dup_embeddings": _near_dup_emb_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is

@@ -584,3 +584,28 @@ def test_unigram_lm_scores():
     assert out["n_tokens"].tolist() == [4, 2, 0]
     # the rare-token doc is more "surprising" per token
     assert out.loc[1, "lm_score"] / 2 > out.loc[0, "lm_score"] / 4
+
+
+def test_decontaminate_planted():
+    """Planted benchmark overlap: only docs sharing a full word
+    5-gram with the benchmark are flagged; counts are shingle-instance
+    exact; shorter overlaps (4 tokens) don't trigger."""
+    from jsonschema_ray.pipelines.dedup import decontaminate
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    bench = ["alpha beta gamma delta epsilon zeta"]
+    t = _docs_table([
+        (1, "intro alpha beta gamma delta epsilon outro"),   # one 5-gram hit
+        (2, "alpha beta gamma delta outro words here"),      # only 4 shared
+        (3, "totally unrelated text with no overlap at all"),
+        (4, "alpha beta gamma delta epsilon zeta tail"),     # two hits
+    ])
+    out = decontaminate(DatasetSource(rd.from_arrow(t)), bench,
+                        shingle_k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out.loc[0, "n_contaminated"] == 1
+    # doc 4 contains "a b g d e" and "b g d e z" → 2 instances
+    assert out.loc[1, "n_contaminated"] == 2
