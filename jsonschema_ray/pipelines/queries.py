@@ -1574,9 +1574,10 @@ def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode — PCM WAV (RIFF parse, DSP
     features: duration/rms/peak/zcr) and binary PPM (pixel stats +
     nearest-neighbor thumbnail) over a deterministic generated corpus,
-    as actor-pool ``map_batches`` stages. No SQL oracle (payload bytes
+    as actor-pool ``map_batches`` stages. PNG also decodes for real
+    (stdlib zlib + scanline unfiltering). No SQL oracle (payload bytes
     aren't a DuckDB view); round-trip + stdlib cross-checks live in
-    ``tests/test_multimodal.py``. Codec-bound formats (png/jpeg/mp4)
+    ``tests/test_multimodal.py``. Codec-bound formats (jpeg/mp4)
     remain explicitly stubbed."""
     import pyarrow.parquet as pq
 

@@ -138,7 +138,91 @@ def test_real_media_actor_pipelines(ray_session):
     img = image_features(src, concurrency=(1, 2)).to_pandas()
     i = img[img["decode_ok"]]
     assert set(img.loc[img["decode_ok"], "mime"]) == \
-        {"image/x-portable-pixmap"}
+        {"image/x-portable-pixmap", "image/png"}
     assert (i["width"] >= 8).all() and (i["channels"] == 3).all()
     assert (i["thumb"].str.len() == 64).all()  # 8x8 gray bytes
     assert (i["pix_std"] > 0).all()
+
+
+def _grad_img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8) \
+        if c != 3 else np.stack(
+            [rng.integers(0, 256, (h, w)) for _ in range(3)],
+            axis=-1).astype(np.uint8)
+
+
+def test_real_png_decode_all_filters_and_colortypes():
+    """REAL PNG decode (stdlib zlib only): encode⇄decode is the
+    identity for every scanline filter type (0..4) and every 8-bit
+    color type (gray / gray+alpha / RGB / RGBA) — the encoder applies
+    the PNG filter definitions independently, so a round-trip proves
+    the unfilter paths, not just consistency with itself."""
+    from jsonschema_ray.pipelines.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for f in range(5):
+            out = decode_png(encode_png(img, filters=f))
+            assert out is not None and (out == img).all(), (c, f)
+        # mixed filters per row
+        ft = rng.integers(0, 5, size=13).astype(np.uint8)
+        out = decode_png(encode_png(img, filters=ft))
+        assert (out == img).all()
+
+
+def test_real_png_decode_rejects_bad_inputs():
+    from jsonschema_ray.pipelines.multimodal import (decode_png, encode_png,
+                                                     synth_png_bytes)
+
+    b = synth_png_bytes(seed=3)
+    img = decode_png(b)
+    assert img is not None and img.shape[2] == 3
+    # CRC corruption (flip a byte inside IDAT body) → None, not garbage
+    bad = bytearray(b)
+    bad[60] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+    assert decode_png(b"\x89PNG\r\n\x1a\nshort") is None
+    assert decode_png(b"not a png at all, just bytes") is None
+    assert decode_png(None) is None
+    # interlaced flag → honest None (Adam7 unsupported)
+    raw = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    # IHDR body is bytes 16..29; interlace is last IHDR byte (offset 28)
+    import struct
+    import zlib
+    raw[28] = 1
+    crc = zlib.crc32(bytes(raw[12:29])) & 0xFFFFFFFF
+    raw[29:33] = struct.pack(">I", crc)
+    assert decode_png(bytes(raw)) is None
+
+
+def test_real_png_palette():
+    """Palette (color type 3) decode: hand-built PLTE + index plane."""
+    import struct
+    import zlib
+
+    from jsonschema_ray.pipelines.multimodal import (_png_chunk, _PNG_SIG,
+                                                     decode_png)
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(scan))
+           + _png_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 4, 3)
+    assert (out == pal[idx]).all()
+    # out-of-range palette index → None
+    idx_bad = np.full((2, 4), 200, np.uint8)
+    scan = b"".join(b"\x00" + idx_bad[y].tobytes() for y in range(h))
+    png_bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(scan))
+               + _png_chunk(b"IEND", b""))
+    assert decode_png(png_bad) is None
