@@ -1710,11 +1710,31 @@ def q_flagship_validate(sf_dir: str):
     return res.violations.map_batches(finish, batch_format="pyarrow")
 
 
+def q_exact_quantiles(sf_dir: str):
+    """Exact distributed order statistics WITHOUT a global sort:
+    iterative histogram narrowing (``stats.exact_quantiles``) over
+    ``orders.o_totalprice`` — ~3 streaming passes moving only thin
+    (interval, bucket, count) rows, vs ``Dataset.sort``'s all-to-all
+    exchange at 10^12 rows. Returns the actual element at rank
+    ``max(ceil(q·n)−1, 0)``, so the values are bit-exact comparable
+    with DuckDB ``quantile_disc`` (no interpolation arithmetic on
+    either side)."""
+    from jsonschema_ray.pipelines.stats import exact_quantiles
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return exact_quantiles(ParquetSource(_pq(sf_dir, "orders")),
+                           "o_totalprice", _QUANTILE_QS)
+
+
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "exact_quantiles": q_exact_quantiles,
     "val_lang_enum": q_val_lang_enum,
     "val_nchars_range": q_val_nchars_range,
     "val_unique_user": q_val_unique_user,
@@ -1768,6 +1788,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "exact_quantiles":
+        f"SELECT CAST(q AS DOUBLE) AS q, value FROM ("
+        f"SELECT unnest({_QUANTILE_QS!r}) AS q, "
+        f"unnest(quantile_disc(o_totalprice, {_QUANTILE_QS!r})) AS value "
+        f"FROM orders) ORDER BY q",
     "val_lang_enum":
         "SELECT doc_id, lang FROM documents "
         f"WHERE lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",

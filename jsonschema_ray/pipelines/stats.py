@@ -271,3 +271,204 @@ def check_drift(profile_out: dict[str, dict], baseline: dict[str, dict],
                 "message": f"quantile drift {d:.4f} > tolerance {tolerance}",
             })
     return violations
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles — selection WITHOUT a global sort.
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(
+    source: Any,
+    column: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 4096,
+    collect_cap: int = 1 << 16,
+    batch_size: int = 64 * 1024,
+    max_iters: int = 64,
+) -> pa.Table:
+    """Exact order statistics over a numeric column via iterative
+    histogram narrowing (the classic distributed-selection algorithm):
+
+      pass 0  — per-batch (count, min, max) partials;
+      iterate — ONE streaming pass per round computes a ``bins``-bucket
+                histogram for every still-unresolved quantile's
+                candidate interval simultaneously (thin nonzero
+                (interval, bucket, count) rows move, never data);
+                the driver (holding only a J×bins count matrix)
+                narrows each interval to the bucket containing its
+                target rank;
+      finish  — when an interval holds ≤ ``collect_cap`` values, one
+                bounded collect pass gathers exactly those values and
+                ``np.partition`` selects the element.
+
+    For uniform-ish data one histogram round cuts the candidate count
+    by ``bins``×, so a 10^12-row column resolves in ~3-4 streaming
+    passes total — vs ``Dataset.sort`` moving every block through an
+    all-to-all exchange.  All quantiles share every pass.
+
+    Semantics match DuckDB ``quantile_disc``: the returned value IS an
+    element of the column — the one at 0-based sorted index
+    ``max(ceil(q·n)−1, 0)`` among non-null values — so results are
+    bit-exact comparable cross-engine (no interpolation arithmetic).
+    NaNs are excluded like nulls.  Values are bucketed through float64
+    (exact for doubles and for integers < 2^53; wider ints may stall
+    narrowing and fall back to the bounded collect).
+
+    Returns a pyarrow Table (q: float64, value: float64) ordered by q.
+    """
+    qs = [float(q) for q in qs]
+    src = as_source(source)
+    ds = src.dataset(columns=[column.split(".", 1)[0]])
+
+    def _values(batch: pa.Table) -> np.ndarray:
+        arr = batch.column(column)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        return v[~np.isnan(v)] if v.dtype.kind == "f" else v
+
+    def _cmm(batch: pa.Table) -> pa.Table:
+        v = _values(batch)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    parts = ds.map_batches(_cmm, batch_format="pyarrow",
+                           batch_size=batch_size).take_all()
+    n = int(sum(p["n"] for p in parts))
+    if n == 0:
+        return pa.table({"q": pa.array(sorted(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    glo = min(p["lo"] for p in parts if p["lo"] is not None)
+    ghi = max(p["hi"] for p in parts if p["hi"] is not None)
+
+    J = len(qs)
+    # 0-based target rank, DuckDB quantile_disc semantics
+    rank = np.clip(np.ceil(np.array(qs) * n).astype(np.int64) - 1, 0, n - 1)
+    lo = np.full(J, glo)
+    hi = np.full(J, ghi)
+    cnt = np.full(J, n, dtype=np.int64)
+    val = np.full(J, np.nan)
+    done = np.zeros(J, dtype=bool)
+
+    for _ in range(max_iters):
+        # resolve degenerate intervals outright
+        for j in np.flatnonzero(~done):
+            if lo[j] >= hi[j]:
+                val[j], done[j] = lo[j], True
+        if done.all():
+            break
+
+        small = np.flatnonzero(~done & (cnt <= collect_cap))
+        if len(small):
+            ivs = [(int(j), float(lo[j]), float(hi[j])) for j in small]
+
+            def _collect(batch: pa.Table, _ivs=ivs) -> pa.Table:
+                v = _values(batch)
+                iv_out, val_out = [], []
+                for j, l, h in _ivs:
+                    m = v[(v >= l) & (v <= h)]
+                    if len(m):
+                        iv_out.append(np.full(len(m), j, np.int32))
+                        val_out.append(m)
+                if not iv_out:
+                    return pa.table({"iv": pa.array([], pa.int32()),
+                                     "v": pa.array([], pa.float64())})
+                return pa.table({"iv": pa.array(np.concatenate(iv_out)),
+                                 "v": pa.array(np.concatenate(val_out))})
+
+            rows = ds.map_batches(_collect, batch_format="pyarrow",
+                                  batch_size=batch_size).take_all()
+            by_iv: dict[int, list] = {int(j): [] for j in small}
+            for r in rows:
+                by_iv[int(r["iv"])].append(r["v"])
+            for j in small:
+                vals = np.asarray(by_iv[int(j)])
+                if len(vals) != cnt[j]:   # pragma: no cover - invariant
+                    raise RuntimeError(
+                        f"quantile collect mismatch: {len(vals)} != {cnt[j]}")
+                r = int(rank[j])
+                val[j] = float(np.partition(vals, r)[r])
+                done[j] = True
+
+        big = np.flatnonzero(~done)
+        if not len(big):
+            continue
+        edges = {int(j): np.linspace(lo[j], hi[j], bins + 1) for j in big}
+
+        def _hist(batch: pa.Table, _edges=edges) -> pa.Table:
+            v = _values(batch)
+            iv_out, b_out, c_out = [], [], []
+            for j, e in _edges.items():
+                m = v[(v >= e[0]) & (v <= e[-1])]
+                if not len(m):
+                    continue
+                idx = np.searchsorted(e[1:-1], m, side="right")
+                bc = np.bincount(idx, minlength=bins)
+                nz = np.flatnonzero(bc)
+                iv_out.append(np.full(len(nz), j, np.int32))
+                b_out.append(nz.astype(np.int32))
+                c_out.append(bc[nz])
+            if not iv_out:
+                return pa.table({"iv": pa.array([], pa.int32()),
+                                 "b": pa.array([], pa.int32()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"iv": pa.array(np.concatenate(iv_out)),
+                             "b": pa.array(np.concatenate(b_out)),
+                             "c": pa.array(np.concatenate(c_out))})
+
+        def _sum_block(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "iv" not in t.column_names:
+                return pa.table({"iv": pa.array([], pa.int32()),
+                                 "b": pa.array([], pa.int32()),
+                                 "c": pa.array([], pa.int64())})
+            key = (t.column("iv").to_numpy().astype(np.int64) * (bins + 1)
+                   + t.column("b").to_numpy())
+            c = t.column("c").to_numpy()
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.bincount(inv, weights=c).astype(np.int64)
+            return pa.table({"iv": pa.array((uk // (bins + 1)).astype(np.int32)),
+                             "b": pa.array((uk % (bins + 1)).astype(np.int32)),
+                             "c": pa.array(sums)})
+
+        # thin partial rows → coalesce without a barrier → driver holds
+        # only the J×bins matrix, never data
+        hrows = (ds.map_batches(_hist, batch_format="pyarrow",
+                                batch_size=batch_size)
+                 .repartition(target_num_rows_per_block=64 * 1024)
+                 .map_batches(_sum_block, batch_format="pyarrow",
+                              batch_size=None)
+                 .take_all())
+        mat = {int(j): np.zeros(bins, dtype=np.int64) for j in big}
+        for r in hrows:
+            mat[int(r["iv"])][int(r["b"])] += int(r["c"])
+        for j in big:
+            counts = mat[int(j)]
+            if int(counts.sum()) != cnt[j]:   # pragma: no cover - invariant
+                raise RuntimeError(
+                    f"quantile histogram mismatch: {counts.sum()} != {cnt[j]}")
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank[j], side="right"))
+            below = int(cum[b - 1]) if b else 0
+            e = edges[int(j)]
+            nlo = float(e[b])
+            nhi = float(hi[j]) if b == bins - 1 \
+                else float(np.nextafter(e[b + 1], -np.inf))
+            rank[j] -= below
+            cnt[j] = int(counts[b])
+            if nhi <= nlo:
+                val[j], done[j] = nlo, True
+            else:
+                lo[j], hi[j] = nlo, nhi
+    else:   # pragma: no cover - 4096^64 dynamic range is unreachable
+        raise RuntimeError("exact_quantiles failed to converge")
+
+    order = np.argsort(qs, kind="stable")
+    return pa.table({"q": pa.array(np.asarray(qs)[order], pa.float64()),
+                     "value": pa.array(val[order], pa.float64())})

@@ -143,3 +143,64 @@ def test_hll_md5_registers_block_invariant(ray_session):
     local.add_hashes(md5_hash64(np.array(vals, dtype=object)))
     assert np.array_equal(regs[0], regs[1])
     assert np.array_equal(regs[0], local.registers)
+
+
+def _disc_rank(q, n):
+    return min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+
+
+def test_exact_quantiles_matches_duckdb_and_numpy(ray_session):
+    """Distributed histogram-narrowing selection returns the SAME
+    element DuckDB quantile_disc and driver-side numpy selection
+    return — bit-exact, across dup-heavy / constant / int / null /
+    tiny inputs, and regardless of block split."""
+    import duckdb
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import exact_quantiles
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(17)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    cases = {
+        "uniform": rng.uniform(-1e6, 1e6, 30011),
+        "dup_heavy": rng.choice([1.5, 2.5, 2.5, 9.0, -3.25], 20000),
+        "constant": np.full(5000, 42.0),
+        "two_adjacent_floats": rng.choice(
+            [1.0, np.nextafter(1.0, 2.0)], 9999),
+        "ints": rng.integers(-50, 50, 7001).astype(np.int64),
+        "tiny": np.array([3.0]),
+        "with_nulls": None,
+    }
+    for name, data in cases.items():
+        if name == "with_nulls":
+            col = pa.array([1.0, None, 5.0, None, 2.0, 4.0, 3.0])
+            clean = np.array([1.0, 5.0, 2.0, 4.0, 3.0])
+        else:
+            col = pa.array(data)
+            clean = np.asarray(data, dtype=np.float64)
+        t = pa.table({"x": col})
+        src = DatasetSource(rd.from_arrow(t).repartition(6))
+        # small caps force the histogram rounds to actually iterate
+        out = exact_quantiles(src, "x", qs, bins=16, collect_cap=64)
+        got = dict(zip(out.column("q").to_pylist(),
+                       out.column("value").to_pylist()))
+        s = np.sort(clean)
+        for q in qs:
+            want = float(s[_disc_rank(q, len(s))])
+            assert got[q] == want, (name, q, got[q], want)
+        ora = duckdb.sql(
+            f"SELECT unnest(quantile_disc(x, {qs!r})) FROM t").fetchall()
+        for q, (v,) in zip(qs, ora):
+            assert got[q] == float(v), (name, "duckdb", q)
+
+
+def test_exact_quantiles_empty(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import exact_quantiles
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t = pa.table({"x": pa.array([], pa.float64())})
+    out = exact_quantiles(DatasetSource(rd.from_arrow(t)), "x", [0.5])
+    assert out.column("value").to_pylist() == [None]
