@@ -1729,12 +1729,31 @@ def q_exact_quantiles(sf_dir: str):
 _QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles (``GROUP BY source`` +
+    ``quantile_disc`` semantics) with the same histogram-narrowing
+    engine — every streaming pass serves ALL (group, q) intervals at
+    once, so pass count stays ~3-4 regardless of group count; no sort,
+    no shuffle, driver holds only O(groups × quantiles) scalars.
+    ``n_chars`` is integer (< 2^53), so float64 bucketing is exact and
+    the values hash-match DuckDB after a DOUBLE cast on both sides."""
+    from jsonschema_ray.pipelines.stats import exact_quantiles_by
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return exact_quantiles_by(ParquetSource(_pq(sf_dir, "documents")),
+                              "source", "n_chars", _GROUPQ_QS)
+
+
+_GROUPQ_QS = [0.1, 0.5, 0.9]
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_quantiles": q_exact_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "val_lang_enum": q_val_lang_enum,
     "val_nchars_range": q_val_nchars_range,
     "val_unique_user": q_val_unique_user,
@@ -1793,6 +1812,12 @@ ORACLE: dict[str, str] = {
         f"SELECT unnest({_QUANTILE_QS!r}) AS q, "
         f"unnest(quantile_disc(o_totalprice, {_QUANTILE_QS!r})) AS value "
         f"FROM orders) ORDER BY q",
+    "grouped_quantiles":
+        f"SELECT source, CAST(q AS DOUBLE) AS q, "
+        f"CAST(value AS DOUBLE) AS value FROM ("
+        f"SELECT source, unnest({_GROUPQ_QS!r}) AS q, "
+        f"unnest(quantile_disc(n_chars, {_GROUPQ_QS!r})) AS value "
+        f"FROM documents GROUP BY source) ORDER BY source, q",
     "val_lang_enum":
         "SELECT doc_id, lang FROM documents "
         f"WHERE lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",

@@ -277,88 +277,113 @@ def check_drift(profile_out: dict[str, dict], baseline: dict[str, dict],
 # Exact distributed quantiles — selection WITHOUT a global sort.
 # ---------------------------------------------------------------------------
 
-def exact_quantiles(
-    source: Any,
+def _quantile_select(
+    ds,
     column: str,
+    key_col: str | None,
     qs: Sequence[float],
     *,
-    bins: int = 4096,
-    collect_cap: int = 1 << 16,
-    batch_size: int = 64 * 1024,
-    max_iters: int = 64,
-) -> pa.Table:
-    """Exact order statistics over a numeric column via iterative
-    histogram narrowing (the classic distributed-selection algorithm):
+    bins: int,
+    collect_cap: int,
+    batch_size: int,
+    max_iters: int,
+    max_groups: int,
+):
+    """Shared engine for ``exact_quantiles`` / ``exact_quantiles_by``:
+    iterative histogram narrowing (distributed selection).
 
-      pass 0  — per-batch (count, min, max) partials;
+      pass 0  — per-batch, per-group (count, min, max) partials;
       iterate — ONE streaming pass per round computes a ``bins``-bucket
-                histogram for every still-unresolved quantile's
-                candidate interval simultaneously (thin nonzero
-                (interval, bucket, count) rows move, never data);
-                the driver (holding only a J×bins count matrix)
-                narrows each interval to the bucket containing its
-                target rank;
-      finish  — when an interval holds ≤ ``collect_cap`` values, one
-                bounded collect pass gathers exactly those values and
-                ``np.partition`` selects the element.
+                histogram for EVERY still-unresolved (group, quantile)
+                interval simultaneously; only thin nonzero
+                (interval, bucket, count) rows move, never data; the
+                driver holds a J×bins count matrix and narrows each
+                interval to the bucket containing its target rank;
+      finish  — intervals holding ≤ ``collect_cap`` values resolve via
+                one bounded collect pass + ``np.partition``.
 
-    For uniform-ish data one histogram round cuts the candidate count
-    by ``bins``×, so a 10^12-row column resolves in ~3-4 streaming
-    passes total — vs ``Dataset.sort`` moving every block through an
-    all-to-all exchange.  All quantiles share every pass.
-
-    Semantics match DuckDB ``quantile_disc``: the returned value IS an
-    element of the column — the one at 0-based sorted index
-    ``max(ceil(q·n)−1, 0)`` among non-null values — so results are
-    bit-exact comparable cross-engine (no interpolation arithmetic).
-    NaNs are excluded like nulls.  Values are bucketed through float64
-    (exact for doubles and for integers < 2^53; wider ints may stall
-    narrowing and fall back to the bounded collect).
-
-    Returns a pyarrow Table (q: float64, value: float64) ordered by q.
+    Rank semantics match DuckDB ``quantile_disc``: the answer IS the
+    column element at 0-based sorted index ``max(ceil(q·n)−1, 0)``
+    among the group's non-null values — bit-exact cross-engine, no
+    interpolation arithmetic on either side.  NaNs are excluded like
+    nulls.  Values are bucketed through float64 (exact for doubles and
+    integers < 2^53).  Returns {group_key: [(q, value|None), ...]};
+    the global variant uses the single group key ``None``.
     """
     qs = [float(q) for q in qs]
-    src = as_source(source)
-    ds = src.dataset(columns=[column.split(".", 1)[0]])
 
-    def _values(batch: pa.Table) -> np.ndarray:
+    def _group_values(batch: pa.Table):
+        """[(key, float64 values)] for groups present in the batch —
+        one np.unique factorize, no per-row Python."""
         arr = batch.column(column)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        v = arr.drop_null().to_numpy(zero_copy_only=False) \
-            .astype(np.float64, copy=False)
-        return v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        ok = ~np.isnan(v)
+        if arr.null_count:
+            ok &= arr.is_valid().to_numpy(zero_copy_only=False)
+        if key_col is None:
+            return [(None, v[ok])]
+        k = batch.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        if k.null_count:
+            ok &= k.is_valid().to_numpy(zero_copy_only=False)
+        kv, v = kv[ok], v[ok]
+        uk, inv = np.unique(kv, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uk) + 1))
+        sv = v[order]
+        return [(uk[g], sv[bounds[g]:bounds[g + 1]])
+                for g in range(len(uk))]
 
     def _cmm(batch: pa.Table) -> pa.Table:
-        v = _values(batch)
-        if len(v) == 0:
-            return pa.table({"n": pa.array([0], pa.int64()),
-                             "lo": pa.array([None], pa.float64()),
-                             "hi": pa.array([None], pa.float64())})
-        return pa.table({"n": pa.array([len(v)], pa.int64()),
-                         "lo": pa.array([float(v.min())], pa.float64()),
-                         "hi": pa.array([float(v.max())], pa.float64())})
+        ks, ns, los, his = [], [], [], []
+        for k, v in _group_values(batch):
+            ks.append("" if k is None else str(k))
+            ns.append(len(v))
+            los.append(float(v.min()) if len(v) else None)
+            his.append(float(v.max()) if len(v) else None)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "lo": pa.array(los, pa.float64()),
+                         "hi": pa.array(his, pa.float64())})
 
-    parts = ds.map_batches(_cmm, batch_format="pyarrow",
-                           batch_size=batch_size).take_all()
-    n = int(sum(p["n"] for p in parts))
-    if n == 0:
-        return pa.table({"q": pa.array(sorted(qs), pa.float64()),
-                         "value": pa.array([None] * len(qs), pa.float64())})
-    glo = min(p["lo"] for p in parts if p["lo"] is not None)
-    ghi = max(p["hi"] for p in parts if p["hi"] is not None)
+    gstat: dict[str, list] = {}
+    for p in ds.map_batches(_cmm, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        s = gstat.setdefault(p["k"], [0, np.inf, -np.inf])
+        s[0] += p["n"]
+        if p["lo"] is not None:
+            s[1] = min(s[1], p["lo"])
+            s[2] = max(s[2], p["hi"])
+    gstat = {k: s for k, s in gstat.items() if s[0] > 0}
+    if len(gstat) > max_groups:
+        raise ValueError(
+            f"exact quantiles: {len(gstat)} groups exceeds max_groups="
+            f"{max_groups}; driver state is O(groups × quantiles) — "
+            "use a t-digest profile for high-cardinality keys")
+    groups = sorted(gstat)
 
-    J = len(qs)
-    # 0-based target rank, DuckDB quantile_disc semantics
-    rank = np.clip(np.ceil(np.array(qs) * n).astype(np.int64) - 1, 0, n - 1)
-    lo = np.full(J, glo)
-    hi = np.full(J, ghi)
-    cnt = np.full(J, n, dtype=np.int64)
+    # flat interval state: J = groups × quantiles
+    J = len(groups) * len(qs)
+    g_of = np.repeat(np.arange(len(groups)), len(qs))
+    q_of = np.tile(np.arange(len(qs)), len(groups))
+    rank = np.empty(J, dtype=np.int64)
+    lo = np.empty(J)
+    hi = np.empty(J)
+    cnt = np.empty(J, dtype=np.int64)
+    for i in range(J):
+        n, glo, ghi = gstat[groups[g_of[i]]]
+        rank[i] = min(max(int(np.ceil(qs[q_of[i]] * n)) - 1, 0), n - 1)
+        lo[i], hi[i], cnt[i] = glo, ghi, n
     val = np.full(J, np.nan)
     done = np.zeros(J, dtype=bool)
 
+    key_str = (lambda k: "" if k is None else str(k))
+
     for _ in range(max_iters):
-        # resolve degenerate intervals outright
         for j in np.flatnonzero(~done):
             if lo[j] >= hi[j]:
                 val[j], done[j] = lo[j], True
@@ -367,26 +392,29 @@ def exact_quantiles(
 
         small = np.flatnonzero(~done & (cnt <= collect_cap))
         if len(small):
-            ivs = [(int(j), float(lo[j]), float(hi[j])) for j in small]
+            # group key → [(interval id, lo, hi)]
+            per_g: dict[str, list] = {}
+            for j in small:
+                per_g.setdefault(groups[g_of[j]], []).append(
+                    (int(j), float(lo[j]), float(hi[j])))
 
-            def _collect(batch: pa.Table, _ivs=ivs) -> pa.Table:
-                v = _values(batch)
+            def _collect(batch: pa.Table, _per_g=per_g) -> pa.Table:
                 iv_out, val_out = [], []
-                for j, l, h in _ivs:
-                    m = v[(v >= l) & (v <= h)]
-                    if len(m):
-                        iv_out.append(np.full(len(m), j, np.int32))
-                        val_out.append(m)
+                for k, v in _group_values(batch):
+                    for j, l, h in _per_g.get(key_str(k), ()):
+                        m = v[(v >= l) & (v <= h)]
+                        if len(m):
+                            iv_out.append(np.full(len(m), j, np.int32))
+                            val_out.append(m)
                 if not iv_out:
                     return pa.table({"iv": pa.array([], pa.int32()),
                                      "v": pa.array([], pa.float64())})
                 return pa.table({"iv": pa.array(np.concatenate(iv_out)),
                                  "v": pa.array(np.concatenate(val_out))})
 
-            rows = ds.map_batches(_collect, batch_format="pyarrow",
-                                  batch_size=batch_size).take_all()
             by_iv: dict[int, list] = {int(j): [] for j in small}
-            for r in rows:
+            for r in ds.map_batches(_collect, batch_format="pyarrow",
+                                    batch_size=batch_size).take_all():
                 by_iv[int(r["iv"])].append(r["v"])
             for j in small:
                 vals = np.asarray(by_iv[int(j)])
@@ -401,20 +429,24 @@ def exact_quantiles(
         if not len(big):
             continue
         edges = {int(j): np.linspace(lo[j], hi[j], bins + 1) for j in big}
+        hist_g: dict[str, list] = {}
+        for j in big:
+            hist_g.setdefault(groups[g_of[j]], []).append(int(j))
 
-        def _hist(batch: pa.Table, _edges=edges) -> pa.Table:
-            v = _values(batch)
+        def _hist(batch: pa.Table, _hg=hist_g, _edges=edges) -> pa.Table:
             iv_out, b_out, c_out = [], [], []
-            for j, e in _edges.items():
-                m = v[(v >= e[0]) & (v <= e[-1])]
-                if not len(m):
-                    continue
-                idx = np.searchsorted(e[1:-1], m, side="right")
-                bc = np.bincount(idx, minlength=bins)
-                nz = np.flatnonzero(bc)
-                iv_out.append(np.full(len(nz), j, np.int32))
-                b_out.append(nz.astype(np.int32))
-                c_out.append(bc[nz])
+            for k, v in _group_values(batch):
+                for j in _hg.get(key_str(k), ()):
+                    e = _edges[j]
+                    m = v[(v >= e[0]) & (v <= e[-1])]
+                    if not len(m):
+                        continue
+                    idx = np.searchsorted(e[1:-1], m, side="right")
+                    bc = np.bincount(idx, minlength=bins)
+                    nz = np.flatnonzero(bc)
+                    iv_out.append(np.full(len(nz), j, np.int32))
+                    b_out.append(nz.astype(np.int32))
+                    c_out.append(bc[nz])
             if not iv_out:
                 return pa.table({"iv": pa.array([], pa.int32()),
                                  "b": pa.array([], pa.int32()),
@@ -433,9 +465,10 @@ def exact_quantiles(
             c = t.column("c").to_numpy()
             uk, inv = np.unique(key, return_inverse=True)
             sums = np.bincount(inv, weights=c).astype(np.int64)
-            return pa.table({"iv": pa.array((uk // (bins + 1)).astype(np.int32)),
-                             "b": pa.array((uk % (bins + 1)).astype(np.int32)),
-                             "c": pa.array(sums)})
+            return pa.table(
+                {"iv": pa.array((uk // (bins + 1)).astype(np.int32)),
+                 "b": pa.array((uk % (bins + 1)).astype(np.int32)),
+                 "c": pa.array(sums)})
 
         # thin partial rows → coalesce without a barrier → driver holds
         # only the J×bins matrix, never data
@@ -467,8 +500,82 @@ def exact_quantiles(
             else:
                 lo[j], hi[j] = nlo, nhi
     else:   # pragma: no cover - 4096^64 dynamic range is unreachable
-        raise RuntimeError("exact_quantiles failed to converge")
+        raise RuntimeError("exact quantiles failed to converge")
 
-    order = np.argsort(qs, kind="stable")
-    return pa.table({"q": pa.array(np.asarray(qs)[order], pa.float64()),
-                     "value": pa.array(val[order], pa.float64())})
+    out: dict[str, list] = {g: [] for g in groups}
+    for i in range(J):
+        out[groups[g_of[i]]].append((qs[q_of[i]], float(val[i])))
+    return out
+
+
+def exact_quantiles(
+    source: Any,
+    column: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 4096,
+    collect_cap: int = 1 << 16,
+    batch_size: int = 64 * 1024,
+    max_iters: int = 64,
+) -> pa.Table:
+    """Exact order statistics over a numeric column WITHOUT a global
+    sort — see ``_quantile_select``.  For uniform-ish data one
+    histogram round cuts the candidate count by ``bins``×, so a
+    10^12-row column resolves in ~3-4 streaming passes total, vs
+    ``Dataset.sort`` moving every block through an all-to-all
+    exchange.  All quantiles share every pass.
+
+    Returns a pyarrow Table (q: float64, value: float64) ordered by q.
+    """
+    src = as_source(source)
+    ds = src.dataset(columns=[column.split(".", 1)[0]])
+    res = _quantile_select(ds, column, None, qs, bins=bins,
+                           collect_cap=collect_cap, batch_size=batch_size,
+                           max_iters=max_iters, max_groups=1)
+    qs_sorted = sorted(float(q) for q in qs)
+    if not res:    # empty input
+        return pa.table({"q": pa.array(qs_sorted, pa.float64()),
+                         "value": pa.array([None] * len(qs_sorted),
+                                           pa.float64())})
+    pairs = sorted(res[""])
+    return pa.table({"q": pa.array([p[0] for p in pairs], pa.float64()),
+                     "value": pa.array([p[1] for p in pairs], pa.float64())})
+
+
+def exact_quantiles_by(
+    source: Any,
+    key: str,
+    column: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 4096,
+    collect_cap: int = 1 << 16,
+    batch_size: int = 64 * 1024,
+    max_iters: int = 64,
+    max_groups: int = 100_000,
+) -> pa.Table:
+    """Per-group exact quantiles (GROUP BY + quantile_disc semantics)
+    WITHOUT sorting or shuffling the data: every streaming pass serves
+    ALL (group, quantile) intervals at once, so the pass count stays
+    ~3-4 regardless of group count.  Driver state is
+    O(groups × quantiles) scalars — bounded by ``max_groups`` (use the
+    t-digest profile for high-cardinality keys instead).
+
+    Returns a pyarrow Table (key: string, q: float64, value: float64)
+    ordered by (key, q).
+    """
+    src = as_source(source)
+    cols = sorted({key.split(".", 1)[0], column.split(".", 1)[0]})
+    ds = src.dataset(columns=cols)
+    res = _quantile_select(ds, column, key, qs, bins=bins,
+                           collect_cap=collect_cap, batch_size=batch_size,
+                           max_iters=max_iters, max_groups=max_groups)
+    ks, qv, vv = [], [], []
+    for g in sorted(res):
+        for q, v in sorted(res[g]):
+            ks.append(g)
+            qv.append(q)
+            vv.append(v)
+    return pa.table({key: pa.array(ks, pa.string()),
+                     "q": pa.array(qv, pa.float64()),
+                     "value": pa.array(vv, pa.float64())})

@@ -204,3 +204,37 @@ def test_exact_quantiles_empty(ray_session):
     t = pa.table({"x": pa.array([], pa.float64())})
     out = exact_quantiles(DatasetSource(rd.from_arrow(t)), "x", [0.5])
     assert out.column("value").to_pylist() == [None]
+
+
+def test_exact_quantiles_by_group_matches_duckdb(ray_session):
+    """Per-group selection: same machinery, intervals keyed by
+    (group, q); matches DuckDB quantile_disc ... GROUP BY bit-exactly
+    including single-row groups and a group with nulls only."""
+    import duckdb
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import exact_quantiles_by
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(5)
+    n = 12000
+    keys = rng.choice(["a", "b", "c", "dd"], n).tolist() + ["solo", "nullg"]
+    vals = rng.normal(0, 1000, n).tolist() + [77.5, None]
+    t = pa.table({"g": pa.array(keys), "x": pa.array(vals, pa.float64())})
+    qs = [0.1, 0.5, 0.9]
+    out = exact_quantiles_by(
+        DatasetSource(rd.from_arrow(t).repartition(5)), "g", "x", qs,
+        bins=32, collect_cap=128)
+    got = {(k, q): v for k, q, v in zip(out.column("g").to_pylist(),
+                                        out.column("q").to_pylist(),
+                                        out.column("value").to_pylist())}
+    ora = duckdb.sql(
+        f"SELECT g, unnest({qs!r}) AS q, "
+        f"unnest(quantile_disc(x, {qs!r})) AS v FROM t "
+        "WHERE x IS NOT NULL GROUP BY g").fetchall()
+    assert len(got) == len(ora)          # nullg absent on both sides
+    for g, q, v in ora:
+        assert got[(g, float(q))] == float(v), (g, q)
+    with pytest.raises(ValueError):
+        exact_quantiles_by(DatasetSource(rd.from_arrow(t)), "g", "x", qs,
+                           max_groups=2)
