@@ -1746,6 +1746,22 @@ def q_grouped_quantiles(sf_dir: str):
 
 _GROUPQ_QS = [0.1, 0.5, 0.9]
 
+_WSAMPLE_CUT = (1 << 64) // 5000   # rate_per_unit = 1/5000 per n_chars unit
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic sample (token-budget corpus
+    subsampling): keep iff ``md5(doc_id) // n_chars < 2^64/5000`` —
+    inclusion probability exactly ``n_chars/5000``, pure uint64
+    arithmetic (no float ``u^(1/w)`` whose libm rounding could differ
+    cross-engine), zero shuffle, resharding-stable."""
+    from jsonschema_ray.pipelines.sampling import weighted_hash_sample
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return weighted_hash_sample(
+        ParquetSource(_pq(sf_dir, "documents")), "doc_id", "n_chars",
+        rate_per_unit=1 / 5000).select_columns(["doc_id", "n_chars"])
+
 
 # ---------------------------------------------------------------------------
 # catalogs
@@ -1754,6 +1770,7 @@ _GROUPQ_QS = [0.1, 0.5, 0.9]
 QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "weighted_sample": q_weighted_sample,
     "val_lang_enum": q_val_lang_enum,
     "val_nchars_range": q_val_nchars_range,
     "val_unique_user": q_val_unique_user,
@@ -1818,6 +1835,11 @@ ORACLE: dict[str, str] = {
         f"SELECT source, unnest({_GROUPQ_QS!r}) AS q, "
         f"unnest(quantile_disc(n_chars, {_GROUPQ_QS!r})) AS value "
         f"FROM documents GROUP BY source) ORDER BY source, q",
+    "weighted_sample":
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars > 0 AND "
+        "(md5_number_lower(CAST(doc_id AS VARCHAR)) "
+        f"// CAST(n_chars AS UBIGINT)) < CAST({_WSAMPLE_CUT} AS UBIGINT)",
     "val_lang_enum":
         "SELECT doc_id, lang FROM documents "
         f"WHERE lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",

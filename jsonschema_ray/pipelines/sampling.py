@@ -117,3 +117,50 @@ def stratified_hash_sample(source: Any, key_col: str, strata_col: str,
     cols = sorted({key_col, strata_col} | set(columns or []))
     return src.dataset(columns=cols).map_batches(
         pick, batch_format="pyarrow")
+
+
+def weighted_hash_sample(source: Any, key_col: str, weight_col: str,
+                         rate_per_unit: float, hash_fn: str = "md5",
+                         columns: Sequence[str] | None = None):
+    """Weight-proportional deterministic Bernoulli sample: keep a row
+    iff ``hash(key) // weight < C`` with ``C = floor(rate_per_unit ·
+    2^64)`` — pure uint64 arithmetic, so for positive integer weights
+    the inclusion probability is EXACTLY ``min(1, weight · C / 2^64)``
+    ≈ ``weight · rate_per_unit`` (longer documents proportionally more
+    likely, the standard token-budget corpus subsample), while staying
+    a pure function of the key: reproducible across re-runs, block
+    layouts, and cluster sizes, with zero shuffle (per-batch filter).
+
+    Rows with ``weight <= 0`` or null are never kept.  With the
+    default ``hash_fn="md5"`` the decision is bit-exactly re-derivable
+    in DuckDB (``md5_number_lower(key) // CAST(w AS UBIGINT) < C``) —
+    no floating-point ``u^(1/w)`` key whose libm rounding could
+    diverge cross-engine."""
+    if not (0.0 < rate_per_unit <= 1.0):
+        raise ValueError("rate_per_unit must be in (0, 1]")
+    cut = np.uint64(int(rate_per_unit * (1 << 64)))
+    src = as_source(source)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = keys.to_numpy(zero_copy_only=False)
+        hf = md5_hash64 if hash_fn == "md5" else hash64
+        h = hf(vals.astype(object) if vals.dtype == object else vals)
+        warr = t.column(weight_col)
+        if isinstance(warr, pa.ChunkedArray):
+            warr = warr.combine_chunks()
+        w = warr.to_numpy(zero_copy_only=False)
+        ok = np.ones(len(w), dtype=bool)
+        if warr.null_count:
+            ok &= warr.is_valid().to_numpy(zero_copy_only=False)
+            w = np.where(ok, w, 1)
+        ok &= w > 0
+        wq = np.where(ok, w, 1).astype(np.uint64)
+        keep = ok & ((h // wq) < cut)
+        return t.filter(pa.array(keep))
+
+    cols = sorted({key_col, weight_col} | set(columns or []))
+    return src.dataset(columns=cols).map_batches(
+        pick, batch_format="pyarrow")

@@ -80,3 +80,42 @@ def test_stratified_hash_sample(ray_session):
     flat = hash_sample(t, "doc_id", rate=0.5).to_pandas()
     en = set(out.loc[out["lang"] == "en", "doc_id"])
     assert en == {d for d in flat["doc_id"] if d % 3 == 0}
+
+
+def test_weighted_hash_sample_proportional_and_stable(ray_session):
+    """Inclusion is a pure function of (key, weight): identical across
+    block layouts, never keeps weight<=0/null rows, and the kept
+    fraction grows ∝ weight (heavy rows ~9-11× the light rows at
+    9:1 weight ratio over a large population)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.sampling import weighted_hash_sample
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = 40000
+    w = np.where(np.arange(n) % 2 == 0, 100, 900).astype(np.int64)
+    w[0], w[2] = 0, -5
+    wn = pa.array(
+        [None if i == 4 else int(x) for i, x in enumerate(w)], pa.int64())
+    t = pa.table({"k": pa.array([f"d{i}" for i in range(n)]), "w": wn})
+
+    kept = {}
+    for blocks in (1, 9):
+        src = DatasetSource(rd.from_arrow(t).repartition(blocks))
+        out = weighted_hash_sample(src, "k", "w", rate_per_unit=1 / 3000) \
+            .to_pandas()
+        kept[blocks] = set(out["k"])
+    assert kept[1] == kept[9]
+    out = kept[1]
+    assert not ({"d0", "d2", "d4"} & out)
+    light = sum(1 for k in out if int(k[1:]) % 2 == 0)
+    heavy = len(out) - light
+    # E[light] ≈ 20000/30 ≈ 667, E[heavy] ≈ 20000·0.3 = 6000
+    assert 450 < light < 900 and 5400 < heavy < 6600
+    ratio = (heavy / 20000) / (light / 20000)
+    assert 7.0 < ratio < 11.5
+
+    with pytest.raises(ValueError):
+        weighted_hash_sample(DatasetSource(rd.from_arrow(t)), "k", "w",
+                             rate_per_unit=0.0)
