@@ -3,10 +3,12 @@
 Media payloads are ``binary`` columns with typed metadata — decode /
 feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages (model/codec state loads once per actor in
-``__init__``). Formats that need no external codec are decoded for
-REAL: PCM WAV (RIFF parse), binary netpbm, and PNG (stdlib zlib +
-scanline unfiltering — ``decode_png``). Only genuinely codec-bound
-formats (jpeg/mp4: DCT+Huffman / H.264) are STUBBED: with
+``__init__``). Formats implementable without external libraries are
+decoded for REAL: PCM WAV (RIFF parse), binary netpbm, PNG (stdlib
+zlib + scanline unfiltering — ``decode_png``), and baseline JPEG
+(full T.81 Huffman + IDCT decode, ``functions/jpeg.py``). Only
+genuinely codec-bound formats (mp4/H.264, progressive JPEG) are
+STUBBED: with
 ``allow_fake=True`` (default) a deterministic fake decoder parses the
 synthetic payload header; with ``allow_fake=False`` the stage raises
 ``NotImplementedError`` at construction, making the dependency
@@ -206,10 +208,11 @@ def frame_sample_offsets(n_frames: np.ndarray, k: int, seed: int = 3
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders for container-free formats (no codec libraries needed):
-# WAV (RIFF/PCM — pure header+frame parsing), binary netpbm P5/P6
-# images, and PNG (stdlib zlib inflate + per-scanline unfiltering).
-# Codec-bound formats (jpeg/mp4) stay behind the stub above.
+# REAL decoders needing no codec libraries: WAV (RIFF/PCM — pure
+# header+frame parsing), binary netpbm P5/P6 images, PNG (stdlib zlib
+# inflate + per-scanline unfiltering), and baseline JPEG (full T.81
+# entropy decode + IDCT, functions/jpeg.py). Only mp4/H.264 and
+# progressive JPEG stay behind the stub above.
 # ---------------------------------------------------------------------------
 
 def synth_wav_bytes(seed: int, sr: int = 8000, max_ms: int = 200) -> bytes:
@@ -539,6 +542,8 @@ class DecodeImageFeatures:
     THUMB = 8
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions.jpeg import decode_jpeg
+
         payloads = batch.column("payload").to_pylist()
         n = len(payloads)
         wd = np.zeros(n, np.int32)
@@ -551,6 +556,8 @@ class DecodeImageFeatures:
         for i, p in enumerate(payloads):
             if p is not None and p[:8] == _PNG_SIG:
                 img = decode_png(p)
+            elif p is not None and p[:2] == b"\xFF\xD8":
+                img = decode_jpeg(p)
             else:
                 img = decode_netpbm(p)
             if img is None:
@@ -573,21 +580,41 @@ class DecodeImageFeatures:
                 .append_column("thumb", pa.array(thumbs, pa.binary())))
 
 
+def synth_jpeg_bytes(seed: int, max_dim: int = 48) -> bytes:
+    """Deterministic REAL baseline JPEG payload (4:2:0, quality 85):
+    seeded gradient image through ``functions/jpeg.encode_jpeg``."""
+    from jsonschema_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    w = 16 + int(rng.integers(0, max_dim - 16))
+    h = 16 + int(rng.integers(0, max_dim - 16))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // max(1, w - 1)),
+                    (yy * 255 // max(1, h - 1)),
+                    ((xx + 2 * yy + int(rng.integers(0, 256))) % 256)],
+                   axis=-1).astype(np.uint8)
+    return encode_jpeg(img, quality=85, subsample=True)
+
+
 def real_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic REAL media corpus: rotating PCM WAV, binary PPM
-    and PNG payloads (decodable with zero external codecs)."""
+    """Deterministic REAL media corpus: rotating PCM WAV, binary PPM,
+    PNG and baseline JPEG payloads (all decodable with zero external
+    codec libraries)."""
     refs, mimes, payloads = [], [], []
     for i in range(n):
         refs.append(f"media://{i:016x}")
-        if i % 3 == 0:
+        if i % 4 == 0:
             mimes.append("audio/wav")
             payloads.append(synth_wav_bytes(seed * 100003 + i))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             mimes.append("image/x-portable-pixmap")
             payloads.append(synth_ppm_bytes(seed * 100003 + i))
-        else:
+        elif i % 4 == 2:
             mimes.append("image/png")
             payloads.append(synth_png_bytes(seed * 100003 + i))
+        else:
+            mimes.append("image/jpeg")
+            payloads.append(synth_jpeg_bytes(seed * 100003 + i))
     return pa.Table.from_arrays(
         [pa.array(refs, pa.string()), pa.array(mimes, pa.string()),
          pa.array(payloads, pa.binary())], schema=MEDIA_SCHEMA)

@@ -138,7 +138,7 @@ def test_real_media_actor_pipelines(ray_session):
     img = image_features(src, concurrency=(1, 2)).to_pandas()
     i = img[img["decode_ok"]]
     assert set(img.loc[img["decode_ok"], "mime"]) == \
-        {"image/x-portable-pixmap", "image/png"}
+        {"image/x-portable-pixmap", "image/png", "image/jpeg"}
     assert (i["width"] >= 8).all() and (i["channels"] == 3).all()
     assert (i["thumb"].str.len() == 64).all()  # 8x8 gray bytes
     assert (i["pix_std"] > 0).all()
