@@ -635,3 +635,164 @@ def image_features(source: Any, *, concurrency=(1, 8), batch_size: int = 256):
     return src.dataset().map_batches(
         DecodeImageFeatures, concurrency=concurrency,
         batch_size=batch_size, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container parsing (metadata level — REAL, no codec).
+# Box structure per ISO/IEC 14496-12: length-prefixed fourcc tree.
+# Frame PIXEL decode (H.264/H.265 bitstreams inside mdat) remains
+# codec territory and stays stubbed; duration / track layout / codec
+# id / dimensions — what a 100 TB video-catalog stage actually needs —
+# is pure struct parsing.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def synth_mp4_bytes(seed: int) -> bytes:
+    """Deterministic minimal-but-valid ISO-BMFF tree: ftyp + moov
+    (mvhd + one video trak with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd
+    holding an avc1 sample entry) + a tiny mdat. Byte-level layout
+    follows ISO/IEC 14496-12 §8; parseable by any mp4 tool."""
+    rng = np.random.default_rng(seed)
+    w = int(160 + 8 * rng.integers(0, 20))
+    h = int(120 + 8 * rng.integers(0, 20))
+    timescale = 1000
+    duration = int(rng.integers(1000, 120_000))   # 1s .. 2min
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x5I", 7, 0, 0, 1, 0, duration)
+               + b"\x00" * 52
+               + struct.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, timescale,
+                                    duration, 0x55C4, 0))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"V\x00")
+    avc1 = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+               + struct.pack(">HH", w, h) + b"\x00" * 50)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    payload = np.frombuffer(
+        (np.arange(64, dtype=np.uint64) * np.uint64(seed * 2 + 1)),
+        dtype=np.uint8).tobytes()
+    mdat = box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def parse_mp4(payload: bytes):
+    """REAL ISO-BMFF metadata parse → dict(duration_s, timescale,
+    n_tracks, video_codec, width, height, has_mdat) or None if the
+    byte stream is not a plausible MP4 box tree. Walks the
+    length-prefixed box hierarchy iteratively; never touches codec
+    bitstreams."""
+    if payload is None or len(payload) < 16:
+        return None
+    out = {"duration_s": 0.0, "timescale": 0, "n_tracks": 0,
+           "video_codec": "", "width": 0, "height": 0,
+           "has_mdat": False}
+    seen_ftyp = False
+    # (start, end) scan ranges; containers push their body
+    stack = [(0, len(payload))]
+    guard = 0
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            guard += 1
+            if guard > 10_000:
+                return None
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4: pos + 8]
+            if size == 1:   # 64-bit largesize
+                if pos + 16 > end:
+                    return None
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > end:
+                return None
+            if typ == b"ftyp":
+                seen_ftyp = True
+            elif typ == b"mdat":
+                out["has_mdat"] = True
+            elif typ in _MP4_CONTAINERS:
+                stack.append((body, pos + size))
+                if typ == b"trak":
+                    out["n_tracks"] += 1
+            elif typ == b"mvhd" and body + 20 <= end:
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 12)
+                out["timescale"] = ts
+                out["duration_s"] = round(dur / ts, 3) if ts else 0.0
+            elif typ == b"stsd" and body + 24 <= end:
+                entry = body + 8        # version/flags + entry_count
+                (esize,) = struct.unpack_from(">I", payload, entry)
+                fourcc = payload[entry + 4: entry + 8]
+                if esize >= 86 and fourcc in (b"avc1", b"hvc1", b"hev1",
+                                              b"mp4v", b"vp09", b"av01"):
+                    out["video_codec"] = fourcc.decode("ascii")
+                    ww, hh = struct.unpack_from(">HH", payload, entry + 32)
+                    out["width"], out["height"] = ww, hh
+            pos += size
+    return out if seen_ftyp and out["n_tracks"] else None
+
+
+class DecodeVideoMeta:
+    """Actor stage: REAL container-metadata decode for video payloads
+    (duration, track count, codec fourcc, dimensions) + deterministic
+    frame-sample offsets at a target fps. Pixel-level frame decode
+    needs an H.264 codec — explicitly out of scope (stub above)."""
+
+    def __init__(self, sample_k: int = 4):
+        self.sample_k = sample_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        ok = np.zeros(n, bool)
+        dur = np.zeros(n, np.float64)
+        trk = np.zeros(n, np.int32)
+        wd = np.zeros(n, np.int32)
+        ht = np.zeros(n, np.int32)
+        codec: list = [""] * n
+        for i, p in enumerate(payloads):
+            m = parse_mp4(p)
+            if m is None:
+                continue
+            ok[i] = True
+            dur[i] = m["duration_s"]
+            trk[i] = m["n_tracks"]
+            wd[i], ht[i] = m["width"], m["height"]
+            codec[i] = m["video_codec"]
+        # deterministic frame sampling at a nominal 25 fps
+        frames = np.maximum((dur * 25).astype(np.int64), 0)
+        offs = frame_sample_offsets(frames, self.sample_k)
+        return (batch.drop_columns(["payload"])
+                .append_column("decode_ok", pa.array(ok))
+                .append_column("duration_s", pa.array(dur))
+                .append_column("n_tracks", pa.array(trk))
+                .append_column("video_codec", pa.array(codec, pa.string()))
+                .append_column("width", pa.array(wd))
+                .append_column("height", pa.array(ht))
+                .append_column("frame_samples",
+                               pa.array(offs, pa.list_(pa.int64()))))
+
+
+def video_meta(source: Any, *, concurrency=(1, 8), batch_size: int = 256,
+               sample_k: int = 4):
+    """Actor-pool REAL video container-metadata pipeline."""
+    return as_source(source).dataset().map_batches(
+        DecodeVideoMeta, fn_constructor_kwargs={"sample_k": sample_k},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -226,3 +226,60 @@ def test_real_png_palette():
                + _png_chunk(b"IDAT", zlib.compress(scan))
                + _png_chunk(b"IEND", b""))
     assert decode_png(png_bad) is None
+
+
+def test_mp4_box_parse_real():
+    """REAL ISO-BMFF metadata parse: the synthesized box tree is
+    byte-level ISO/IEC 14496-12 (ftyp/moov/mvhd/trak/.../stsd/avc1),
+    and parse_mp4 recovers duration, track count, codec and dims.
+    Corrupt/truncated/non-mp4 bytes → None, never garbage."""
+    from jsonschema_ray.pipelines.multimodal import parse_mp4, synth_mp4_bytes
+
+    b = synth_mp4_bytes(seed=12)
+    m = parse_mp4(b)
+    assert m is not None
+    assert m["n_tracks"] == 1 and m["video_codec"] == "avc1"
+    assert m["timescale"] == 1000 and 1.0 <= m["duration_s"] <= 120.0
+    assert m["width"] >= 160 and m["height"] >= 120 and m["has_mdat"]
+    assert parse_mp4(b) == m                    # deterministic
+    assert parse_mp4(b[: len(b) // 2]) is None  # truncated box tree
+    assert parse_mp4(b"\x00\x00\x00\x08free" * 3) is None  # no ftyp/trak
+    assert parse_mp4(b"garbage bytes here!!") is None
+    assert parse_mp4(None) is None
+    # size-field corruption (overruns parent) → None
+    bad = bytearray(b)
+    bad[0] = 0xFF
+    assert parse_mp4(bytes(bad)) is None
+
+
+def test_video_meta_stage(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (MEDIA_SCHEMA,
+                                                     synth_mp4_bytes,
+                                                     synth_wav_bytes,
+                                                     video_meta)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rows = []
+    for i in range(24):
+        if i % 3 == 0:   # non-video payload must come back decode_ok=false
+            rows.append(("media://%032x" % i, "audio/wav",
+                         synth_wav_bytes(i)))
+        else:
+            rows.append(("media://%032x" % i, "video/mp4",
+                         synth_mp4_bytes(i)))
+    t = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows]), pa.array([r[1] for r in rows]),
+         pa.array([r[2] for r in rows], pa.binary())], schema=MEDIA_SCHEMA)
+    out = video_meta(DatasetSource(rd.from_arrow(t).repartition(3)),
+                     concurrency=(1, 2), sample_k=4).to_pandas()
+    vid = out[out["mime"] == "video/mp4"]
+    assert vid["decode_ok"].all() and (vid["video_codec"] == "avc1").all()
+    assert (vid["duration_s"] > 0).all()
+    assert not out[out["mime"] == "audio/wav"]["decode_ok"].any()
+    # frame samples: ≤ k ascending in-range offsets at nominal 25 fps
+    for _, r in vid.iterrows():
+        fs = list(r["frame_samples"])
+        assert 1 <= len(fs) <= 4
+        assert all(0 <= x < int(r["duration_s"] * 25) + 1 for x in fs)
