@@ -273,3 +273,73 @@ class MisraGries:
         d = _json.loads(b.decode())
         return MisraGries(d["capacity"], dict(map(tuple, d["counters"])),
                           d["shed"])
+
+
+class BloomFilter:
+    """Mergeable Bloom filter for the catalog-membership SCALE path:
+    when the referential catalog outgrows the broadcast
+    ``CatalogIndex`` (functions/catalog.py), build per-block partial
+    filters inside ``map_batches`` (no shuffle — OR-merge is
+    associative/commutative like the HLL), ``ray.put`` the merged
+    bits once, and probe inside the validation pass. Membership has
+    NO false negatives: a ref that IS in the catalog always probes
+    true, so every row the probe flags as missing is a CERTAIN
+    violation (zero false accusations); conversely ≈``fpp`` of the
+    true violations collide into "probably present" and slip the
+    pre-filter — the documented trade for dropping the exact path's
+    memory/shuffle cost. k hash probes are derived from two
+    independent 64-bit hashes (Kirsch–Mitzenmacher double hashing) —
+    fully vectorized."""
+
+    def __init__(self, n_bits: int, k: int):
+        if n_bits <= 0 or k <= 0:
+            raise ValueError("n_bits and k must be positive")
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def for_capacity(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+        """Standard sizing: m = -n·ln(p)/ln(2)², k = m/n·ln(2)."""
+        n_items = max(1, int(n_items))
+        m = int(np.ceil(-n_items * np.log(fpp) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / n_items * np.log(2))))
+        return cls(m, k)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h1 = hash64(values, seed=0)
+        h2 = hash64(values, seed=1) | np.uint64(1)    # odd → full cycle
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.n_bits))             # (k, n)
+
+    def add(self, values: np.ndarray) -> "BloomFilter":
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return self
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if other.n_bits != self.n_bits or other.k != self.k:
+            raise ValueError("bloom shape mismatch")
+        self.bits |= other.bits
+        return self
+
+    def serialize(self) -> bytes:
+        head = np.array([self.n_bits, self.k], dtype=np.int64).tobytes()
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes) -> "BloomFilter":
+        n_bits, k = np.frombuffer(raw, np.int64, 2)
+        bf = cls(int(n_bits), int(k))
+        bf.bits = np.frombuffer(raw, np.uint64, offset=16).copy()
+        return bf

@@ -484,3 +484,28 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def add_compression_ratio(batch: pa.Table, text_col: str = "text",
+                          level: int = 6) -> pa.Table:
+    """Gopher/RedPajama-style repetitiveness signal: deflate size /
+    raw size per document (low ratio ⇒ highly repetitive / templated
+    text; ~1 ⇒ high-entropy). zlib is C-speed per row — the per-row
+    loop is a C call over the already-materialized utf8 buffer, not
+    Python string work — and the stage is embarrassingly parallel
+    (pure map_batches, no shuffle). No SQL oracle (DuckDB has no
+    deflate); pinned by construction tests instead."""
+    import zlib
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.ones(n, np.float64)
+    buf = col.to_pylist()
+    for i, s in enumerate(buf):
+        if s:
+            raw = s.encode("utf-8", "surrogatepass")
+            out[i] = len(zlib.compress(raw, level)) / len(raw)
+    return batch.append_column("compression_ratio",
+                               pa.array(np.round(out, 6)))

@@ -545,3 +545,122 @@ def fast_validate(
             dup_keys += dups.count()
     return {"docs": docs, "failed_docs": failed, "dup_keys": dup_keys,
             "passed": failed == 0 and dup_keys == 0}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter referential pre-check — the catalog-membership SCALE
+# path. The broadcast CatalogIndex (exact) tops out when the key set
+# itself no longer fits a worker heap; a Bloom filter at 1% fpp is
+# ~1.2 bytes/key (10^9 keys ≈ 1.2 GB vs ~25+ GB of raw refs).
+# Semantics are one-sided: every flagged row is a CERTAIN violation
+# (a catalog member always probes true, so no false accusations),
+# while ≈fpp of true violations collide into "probably present" and
+# slip through — the documented trade for replacing the exact
+# anti-join's shuffle with a zero-shuffle streaming probe. Where
+# exactness is required, the exact paths above remain the answer;
+# the bloom is the triage tier at 10^12 rows.
+# ---------------------------------------------------------------------------
+
+def build_catalog_bloom(catalog_source: Any, col: str, *,
+                        fpp: float = 0.01,
+                        batch_size: int = 1 << 16):
+    """Distributed Bloom build: per-batch partial filters (identical
+    shape, sized once from the catalog row count) OR-merge
+    associatively — no shuffle, one pre-merge level bounds what the
+    driver reads (the profile() tree-merge pattern). Returns the
+    merged BloomFilter."""
+    import pyarrow as pa
+
+    from jsonschema_ray.functions.sketches import BloomFilter
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(catalog_source)
+    ds = src.dataset(columns=[col])
+    n = ds.count()
+    proto = BloomFilter.for_capacity(n, fpp)
+    n_bits, k = proto.n_bits, proto.k
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+        if len(vals):
+            bf.add(vals.astype(object) if vals.dtype == object else vals)
+        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bloom" not in t.column_names:
+            return pa.table({"bloom": pa.array([], pa.binary())})
+        acc = None
+        for raw in t.column("bloom").to_pylist():
+            other = BloomFilter.deserialize(raw)
+            acc = other if acc is None else acc.merge(other)
+        return pa.table({"bloom": pa.array([acc.serialize()], pa.binary())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .repartition(target_num_rows_per_block=8)
+            .map_batches(merge_block, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all())
+    out = BloomFilter(n_bits, k)
+    for r in rows:
+        out.merge(BloomFilter.deserialize(r["bloom"]))
+    return out
+
+
+class _BloomProbe:
+    """Actor stage: keep rows whose ref is NOT (probably) in the
+    catalog — i.e. definite-or-probable violations. Deserializes the
+    broadcast filter once per actor."""
+
+    def __init__(self, bloom_ref: Any, col: str, invert: bool = False):
+        from jsonschema_ray.functions.sketches import BloomFilter
+        from jsonschema_ray.stages.validator import _resolve_ref
+
+        raw = _resolve_ref(bloom_ref)
+        self.bf = raw if isinstance(raw, BloomFilter) \
+            else BloomFilter.deserialize(raw)
+        self.col = col
+        self.invert = invert
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        arr = t.column(self.col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False)
+        hit = self.bf.contains(
+            vals.astype(object) if vals.dtype == object else vals)
+        if arr.null_count:    # null refs never match the catalog
+            hit &= arr.is_valid().to_numpy(zero_copy_only=False)
+        keep = hit if self.invert else ~hit
+        return t.filter(pa.array(keep))
+
+
+def bloom_ref_check(source: Any, col: str, bloom, *,
+                    columns=None, concurrency=(1, 8),
+                    batch_size: int = DEFAULT_BATCH_SIZE,
+                    invert: bool = False):
+    """Probe stage: stream the big side once, emit only rows whose
+    ``col`` misses the catalog Bloom filter — each one a certain
+    violation; ≈fpp of true violations slip through (see module
+    section comment). ``invert=True`` keeps probable members instead.
+    The filter ships via one ``ray.put``; each actor deserializes
+    once in ``__init__``."""
+    import ray
+
+    from jsonschema_ray.sources.readers import as_source
+
+    raw = bloom.serialize()
+    ref = ray.put(raw) if ray.is_initialized() else raw
+    cols = sorted({col} | set(columns or []))
+    return as_source(source).dataset(columns=cols).map_batches(
+        _BloomProbe,
+        fn_constructor_kwargs={"bloom_ref": ref, "col": col,
+                               "invert": invert},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -609,3 +609,22 @@ def test_decontaminate_planted():
     assert out.loc[0, "n_contaminated"] == 1
     # doc 4 contains "a b g d e" and "b g d e z" → 2 instances
     assert out.loc[1, "n_contaminated"] == 2
+
+
+def test_compression_ratio_signal():
+    """Deflate-ratio quality signal: repetitive/templated text scores
+    far lower than high-entropy text; empty/null-safe; deterministic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonschema_ray.pipelines.textops import add_compression_ratio
+
+    rng = np.random.default_rng(2)
+    rep = "lorem ipsum " * 200
+    rnd = "".join(chr(32 + int(c)) for c in rng.integers(0, 94, 2400))
+    t = pa.table({"text": pa.array([rep, rnd, "", None, "short"])})
+    out = add_compression_ratio(t)
+    r = out.column("compression_ratio").to_pylist()
+    assert r[0] < 0.05 < 0.7 < r[1]       # templated ≪ random
+    assert r[2] == 1.0 and r[3] == 1.0    # empty/null → neutral
+    assert out.equals(add_compression_ratio(t))

@@ -331,3 +331,55 @@ def test_ref_join_flat_table(ray_session):
     assert sorted(out["doc_id"].tolist()) == ["2"]
     assert out["span_index"].tolist() == [-1]
     assert out["rule_id"].tolist() == ["ref_flat"]
+
+
+def test_bloom_ref_check_one_sided_guarantee(ray_session):
+    """Bloom referential scale path: catalog members NEVER probe
+    false, so every flagged row is a certain violation (zero false
+    accusations); ≈fpp of true violations slip through — bounded
+    here. The distributed OR-merge equals a single-pass build, and
+    serialize/deserialize round-trips."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.functions.sketches import BloomFilter
+    from jsonschema_ray.pipelines.validate import (bloom_ref_check,
+                                                   build_catalog_bloom)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    catalog = np.array([f"media://{i:016x}" for i in range(200_000)],
+                       dtype=object)
+    cat_src = DatasetSource(
+        rd.from_arrow(pa.table({"media_ref": catalog})).repartition(8))
+    bf = build_catalog_bloom(cat_src, "media_ref", fpp=0.01,
+                             batch_size=32_768)
+
+    # distributed build ≡ local single-pass build (OR-merge exactness)
+    local = BloomFilter(bf.n_bits, bf.k).add(catalog)
+    assert np.array_equal(bf.bits, local.bits)
+    rt = BloomFilter.deserialize(bf.serialize())
+    assert rt.n_bits == bf.n_bits and np.array_equal(rt.bits, bf.bits)
+
+    missing = np.array([f"media://BAD{i:013x}" for i in range(5_000)],
+                       dtype=object)
+    present = catalog[:: 40]                      # 5 000 known members
+    probe = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(missing)
+                                                   + len(present))]),
+        "media_ref": pa.array(np.concatenate([missing, present])),
+    })
+    out = bloom_ref_check(
+        DatasetSource(rd.from_arrow(probe).repartition(4)),
+        "media_ref", bf, columns=["doc_id"]).to_pandas()
+    flagged = set(out["media_ref"])
+    assert flagged <= set(missing)     # zero false accusations, ever
+    leaked = len(missing) - len(flagged)
+    assert leaked / len(missing) < 0.03    # ≈ fpp=0.01, slack 3×
+    assert len(flagged) > 0.97 * len(missing)
+    # invert=True keeps probable members — exactly the complement
+    kept = bloom_ref_check(
+        DatasetSource(rd.from_arrow(probe).repartition(4)),
+        "media_ref", bf, columns=["doc_id"], invert=True).to_pandas()
+    assert len(kept) + len(out) == probe.num_rows
+    assert set(present) <= set(kept["media_ref"])
