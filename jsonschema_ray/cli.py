@@ -169,6 +169,26 @@ def cmd_compile(args) -> int:
     return EXIT_OK
 
 
+def _load_resolve_docs(paths, schema_path: str) -> dict | None:
+    """``--resolve FILE`` pre-imports (reference ``src/resolver.h``):
+    each file registers under its declared ``$id``/legacy ``id`` (via
+    the compile-time mount) AND under its path relative to the
+    schema's directory, so identifier-less relative ``$ref``s resolve
+    (``test/validate/pass_no_identifier_ref.sh``)."""
+    if not paths:
+        return None
+    import os
+
+    base = os.path.dirname(os.path.abspath(schema_path))
+    out: dict = {}
+    for p in paths:
+        doc = _load_schema_doc(p, configured=False)
+        rel = os.path.relpath(os.path.abspath(p), base)
+        out[rel] = doc
+        out["./" + rel] = doc
+    return out
+
+
 def cmd_validate(args) -> int:
     import pyarrow.parquet as pq
 
@@ -188,7 +208,9 @@ def cmd_validate(args) -> int:
             _load_schema_doc(args.schema),
             assert_formats=True if getattr(args, "format_assertion", False)
             else None,
-            entrypoint=getattr(args, "entrypoint", "") or "")
+            entrypoint=getattr(args, "entrypoint", "") or "",
+            resources=_load_resolve_docs(
+                getattr(args, "resolve", None), args.schema))
         rc = EXIT_OK
         if getattr(args, "benchmark", False):
             # per-instance latency harness, overhead-compensated —
@@ -1330,6 +1352,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--entrypoint", default="",
                    help="JSON pointer into --schema to use as the "
                         "validation root (single-instance mode)")
+    v.add_argument("-r", "--resolve", action="append", default=[],
+                   help="pre-import a schema file into the resolver "
+                        "(repeatable): registers its $id/id and its "
+                        "path relative to --schema (reference -r)")
     v.add_argument("--plan", default="default")
     v.add_argument("--schema")
     v.add_argument("--catalog")

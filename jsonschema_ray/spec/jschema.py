@@ -157,7 +157,7 @@ class _DocIndex:
     __slots__ = ("resources", "resource_roots", "anchors", "dyn_anchors",
                  "rec_roots", "any_anchor", "_res_ptrs")
 
-    def __init__(self, schema: Any):
+    def __init__(self, schema: Any, legacy_id: bool = False):
         from urllib.parse import urljoin
 
         self.resources: dict[str, str] = {}      # uri -> document ptr
@@ -167,23 +167,60 @@ class _DocIndex:
         self.rec_roots: set[str] = set()          # $recursiveAnchor: true
         self.any_anchor: dict[str, str] = {}      # legacy fallback
 
+        def ident_of(node: dict) -> Any:
+            """Resource identifier: ``$id``; legacy drafts (3/4) used
+            ``id`` (reference resolver accepts both per dialect)."""
+            nid = node.get("$id")
+            if nid is None and legacy_id:
+                nid = node.get("id")
+            return nid
+
         root_base = ""
-        if isinstance(schema, dict) and isinstance(schema.get("$id"), str):
-            root_base = schema["$id"].split("#", 1)[0]
+        if isinstance(schema, dict):
+            rid = ident_of(schema)
+            if isinstance(rid, str):
+                if any(c.isspace() for c in rid):
+                    raise ValueError(f"invalid $id (not a URI): {rid!r}")
+                root_base = rid.split("#", 1)[0]
+            elif rid is not None and not isinstance(rid, (dict, list)):
+                raise ValueError(f"invalid $id (must be a string): {rid!r}")
         self.resources[root_base] = ""
         self.resource_roots[""] = root_base
 
         def walk(node: Any, ptr: str, base: str) -> None:
             if isinstance(node, dict):
-                nid = node.get("$id")
+                nid = ident_of(node)
                 if ptr and isinstance(nid, str):
+                    if any(c.isspace() for c in nid):
+                        raise ValueError(
+                            f"invalid $id (not a URI) at {ptr!r}: {nid!r}")
                     uri = urljoin(base or "", nid.split("#", 1)[0])
                     self.resources.setdefault(uri, ptr)
                     self.resource_roots.setdefault(ptr, uri)
                     base = uri
+                elif ptr and nid is not None \
+                        and not isinstance(nid, (dict, list)):
+                    # dict/list values are properties-map entries named
+                    # "$id", not the keyword; scalars are plain invalid
+                    raise ValueError(
+                        f"invalid $id (must be a string) at {ptr!r}: {nid!r}")
+                rr = node.get("$recursiveRef")
+                if isinstance(rr, str) and rr != "#":
+                    # 2019-09 §8.2.4.2: the only legal value is "#"
+                    # (reference rejects at frame time, exit 4)
+                    raise ValueError(
+                        f"invalid $recursiveRef (must be \"#\") at {ptr!r}: "
+                        f"{rr!r}")
                 for key in ("$anchor", "$dynamicAnchor"):
                     a = node.get(key)
                     if isinstance(a, str):
+                        prev = self.anchors.get((base, a))
+                        if prev is not None and prev != ptr:
+                            # same anchor declared twice in ONE resource
+                            # (fail_anchor_collision.sh semantics)
+                            raise ValueError(
+                                f"anchor collision: {a!r} declared at both "
+                                f"{prev!r} and {ptr!r} in resource {base!r}")
                         self.anchors.setdefault((base, a), ptr)
                         self.any_anchor.setdefault(a, ptr)
                         if key == "$dynamicAnchor":
@@ -246,6 +283,54 @@ def resolve_ref_target(idx: _DocIndex, ref: str, from_ptr: str = "") -> str:
     return ptr
 
 
+def _is_legacy_dialect(schema: Any) -> bool:
+    """draft-03/04 declared resources with ``id`` rather than ``$id``."""
+    if not isinstance(schema, dict):
+        return False
+    ds = schema.get("$schema")
+    return isinstance(ds, str) and ("draft-04" in ds or "draft-03" in ds)
+
+
+def _check_dialect(schema: dict, resources: dict,
+                   idx: "_DocIndex | None" = None,
+                   root: Any = None) -> None:
+    """``$schema`` sanity (reference exit-4 semantics,
+    ``fail_schema_unknown_dialect.sh`` / ``fail_invalid_schema_uri.sh`` /
+    ``fail_resolve_missing_core_vocabulary.sh``): must be an absolute
+    URI; either a known standard dialect, or a custom metaschema found
+    in ``resources`` / embedded in the compiled document (``idx``)
+    that declares the core vocabulary."""
+    ds = schema.get("$schema")
+    if ds is None:
+        return
+    if not isinstance(ds, str) or "://" not in ds:
+        raise ValueError(f"invalid $schema (must be an absolute URI): {ds!r}")
+    norm = ds.rstrip("#").rstrip("/")
+    if norm in CompiledSchema.KNOWN_DIALECTS:
+        return
+    meta = resources.get(ds) or resources.get(norm)
+    if meta is None:
+        for doc in resources.values():
+            if isinstance(doc, dict):
+                did = doc.get("$id") or doc.get("id")
+                if isinstance(did, str) and did.rstrip("#") == norm:
+                    meta = doc
+                    break
+    if meta is None and idx is not None and root is not None:
+        ptr = idx.resources.get(norm)
+        if ptr is not None:
+            meta = _resolve_pointer(root, ptr)
+    if meta is None:
+        raise ValueError(f"unknown $schema dialect: {ds!r}")
+    vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
+    if isinstance(vocab, dict):
+        core = [u for u in vocab
+                if u.rstrip("#").endswith("/vocab/core")]
+        if not core:
+            raise ValueError(
+                f"metaschema {ds!r} does not declare the core vocabulary")
+
+
 class CompiledSchema:
     """A schema compiled to closures. Build once (driver or actor
     ``__init__``); ``validate``/``is_valid`` are the per-row hot path.
@@ -255,8 +340,24 @@ class CompiledSchema:
     instance — matches the engine's usage (one instance at a time per
     validator actor / per driver call)."""
 
+    #: dialect URIs this engine compiles (sans trailing "#")
+    KNOWN_DIALECTS = frozenset({
+        "https://json-schema.org/draft/2020-12/schema",
+        "http://json-schema.org/draft/2020-12/schema",
+        "https://json-schema.org/draft/2019-09/schema",
+        "http://json-schema.org/draft/2019-09/schema",
+        "http://json-schema.org/draft-07/schema",
+        "https://json-schema.org/draft-07/schema",
+        "http://json-schema.org/draft-06/schema",
+        "https://json-schema.org/draft-06/schema",
+        "http://json-schema.org/draft-04/schema",
+        "https://json-schema.org/draft-04/schema",
+        "http://json-schema.org/draft-03/schema",
+        "https://json-schema.org/draft-03/schema",
+    })
+
     def __init__(self, schema: Any, *, assert_formats: bool | None = None,
-                 entrypoint: str = ""):
+                 entrypoint: str = "", resources: dict | None = None):
         """``entrypoint``: JSON pointer into the document to compile as
         the validation root (the reference's ``--entrypoint``/IdentifyA
         flow, ``test/validate/fail_entrypoint_*.sh``) — ``$ref``s still
@@ -267,12 +368,53 @@ class CompiledSchema:
         ``format`` as annotation EXCEPT where a sibling
         ``x-format-assertion: true`` opts that location in; ``True``
         forces every format to assert (the ``--format-assertion``/-F
-        flag); ``False`` never asserts."""
+        flag); ``False`` never asserts.
+
+        ``resources``: external schema registry (the reference's
+        ``--resolve`` pre-import, ``src/resolver.h``): {uri-or-path:
+        schema doc}. Each resource is mounted under ``$defs`` so its
+        declared ``$id``/legacy ``id`` registers as a resource base,
+        and the supplied key itself resolves verbatim (path-style
+        ``$ref`` without identifiers, ``pass_no_identifier_ref.sh``)."""
+        ext_keys: dict[str, str] = {}
+        legacy = _is_legacy_dialect(schema)
+        if resources and isinstance(schema, dict):
+            mounted = dict(schema)
+            defs = dict(mounted.get("$defs") or {})
+            seen: list[tuple[int, str]] = []   # (id(doc), mount ptr)
+            for i, (key, doc) in enumerate(resources.items()):
+                dup = next((p for oid, p in seen if oid == id(doc)), None)
+                if dup is not None:    # same doc under an alias key:
+                    ext_keys[key] = dup  # one mount, several names
+                    continue
+                name = f"__external_{i}"
+                defs[name] = doc
+                ext_keys[key] = f"/$defs/{name}"
+                seen.append((id(doc), f"/$defs/{name}"))
+                legacy = legacy or _is_legacy_dialect(doc)
+            mounted["$defs"] = defs
+            schema = mounted
         self.schema = schema
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
-        self._idx = _DocIndex(schema)
-        root_ptr = entrypoint.lstrip("#") if entrypoint else ""
+        self._idx = _DocIndex(schema, legacy_id=legacy)
+        for key, ptr in ext_keys.items():
+            self._idx.resources.setdefault(key, ptr)
+        if isinstance(schema, dict):
+            _check_dialect(schema, resources or {}, self._idx, schema)
+            # the reference validates every pre-imported schema's own
+            # dialect chain eagerly (fail_resolve_unknown_dialect.sh,
+            # fail_resolve_missing_core_vocabulary.sh)
+            for doc in (resources or {}).values():
+                if isinstance(doc, dict):
+                    _check_dialect(doc, resources or {}, self._idx, schema)
+        if entrypoint and not (entrypoint.startswith("#")
+                               or entrypoint.startswith("/")):
+            # URI-form entrypoint (pass_entrypoint_uri.sh): resolve it
+            # like a $ref against the document's resource registry
+            root_ptr = resolve_ref_target(self._idx, entrypoint)
+        else:
+            root_ptr = entrypoint.lstrip("#") if entrypoint else ""
         # dynamic scope: resources enclosing the compile root, outermost
         # first, EXCLUDING the root node itself when it is a resource
         # root (its own boundary wrapper pushes it at eval time)
@@ -771,7 +913,7 @@ class CompiledSchema:
 
 
 def compile_schema(schema: Any, *, assert_formats: bool | None = None,
-                   entrypoint: str = "",
+                   entrypoint: str = "", resources: dict | None = None,
                    static_unevaluated: bool = False) -> CompiledSchema:
     """Compile a JSON Schema document once; returns the reusable validator.
 
@@ -788,7 +930,7 @@ def compile_schema(schema: Any, *, assert_formats: bool | None = None,
 
         schema, _ = lower_static(schema)
     return CompiledSchema(schema, assert_formats=assert_formats,
-                          entrypoint=entrypoint)
+                          entrypoint=entrypoint, resources=resources)
 
 
 # ---------------------------------------------------------------------------

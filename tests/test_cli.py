@@ -609,3 +609,31 @@ def test_schema_error_diagnostics_exit_one(tmp_path):
     s.write_text('{"type": "object"}')
     r = run_cli("validate", "--schema", str(s), "--instance", str(bad))
     assert r.returncode == 1 and "invalid JSON" in r.stderr
+
+
+def test_validate_resolve_preimport(tmp_path):
+    """-r/--resolve pre-imports external schemas (reference resolver):
+    by declared $id and by path relative to the schema file."""
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "properties": {"a": {"$ref": "https://example.com/other"},
+                       "b": {"$ref": "./sub/leaf.json"}}}))
+    (tmp_path / "other.json").write_text(json.dumps({
+        "$id": "https://example.com/other", "type": "integer"}))
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "leaf.json").write_text(json.dumps({"type": "string"}))
+    good = tmp_path / "good.json"
+    good.write_text('{"a": 1, "b": "x"}')
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"a": "no", "b": 2}')
+    base = ["validate", "--schema", str(tmp_path / "schema.json"),
+            "-r", str(tmp_path / "other.json"),
+            "-r", str(sub / "leaf.json")]
+    assert run_cli(*base, "--instance", str(good)).returncode == 0
+    r = run_cli(*base, "--instance", str(bad))
+    assert r.returncode == 2
+    # without the pre-import the external ref must be a clean error
+    r2 = run_cli("validate", "--schema", str(tmp_path / "schema.json"),
+                 "--instance", str(good))
+    assert r2.returncode == 1
