@@ -648,11 +648,14 @@ def cmd_lint(args) -> int:
         # enums, constant-false branches, double negation) + the
         # alterschema transform registry (spec/alterschema.py); --fix
         # canonicalizes the document in place (transformer.cc fixpoint)
-        from jsonschema_ray.spec.alterschema import canonicalize, lint_fixable
+        from jsonschema_ray.spec.alterschema import (canonicalize,
+                                                     filter_excluded,
+                                                     lint_exclusions,
+                                                     lint_fixable)
         from jsonschema_ray.spec.jschema import lint_schema
 
         doc = _load_schema_doc(args.schema, configured=False)
-        findings = lint_schema(doc)
+        findings = lint_schema(doc, top_level=True)
         if getattr(args, "fix", False):
             fixed, applied = canonicalize(doc)
             if applied:
@@ -664,11 +667,21 @@ def cmd_lint(args) -> int:
                     print(f"fixed: {ptr}: {name}", file=sys.stderr)
         else:
             findings = findings + lint_fixable(doc)
+        excl = set((getattr(args, "exclude_rules", None) or []))
+        only = getattr(args, "only_rules", None) or None
+        findings = filter_excluded(findings, lint_exclusions(doc),
+                                   global_exclude=excl,
+                                   only=set(only) if only else None)
         for sev, ptr, msg in findings:
             print(f"{sev}: {ptr or '/'}: {msg}", file=sys.stderr)
         n_err = sum(1 for sev, _, _ in findings if sev == "error")
         print(json.dumps({"findings": len(findings), "errors": n_err}))
-        return EXIT_VALIDATION if n_err else EXIT_OK
+        if getattr(args, "fix", False):
+            # fixes applied; exit red only if unfixable ERRORS remain
+            return EXIT_VALIDATION if n_err else EXIT_OK
+        # reference semantics: ANY finding is a lint violation (exit 2,
+        # test/lint/fail_lint.sh) — warnings included
+        return EXIT_VALIDATION if findings else EXIT_OK
 
     plan = _load_plan(args.plan)
     findings: list[tuple[str, str, str]] = []  # (severity, rule_id, message)
@@ -1480,6 +1493,13 @@ def build_parser() -> argparse.ArgumentParser:
     li.add_argument("plan", nargs="?", default="default")
     li.add_argument("--schema")
     li.add_argument("--fix", action="store_true")
+    li.add_argument("-x", "--exclude-rules", action="append", default=[],
+                    metavar="RULE",
+                    help="disable a lint rule by name (repeatable; the "
+                         "reference's --exclude/-x)")
+    li.add_argument("-o", "--only-rules", action="append", default=[],
+                    metavar="RULE",
+                    help="run ONLY these rules (repeatable; --only/-o)")
     li.set_defaults(fn=cmd_lint)
 
     t = sub.add_parser("test")

@@ -262,6 +262,140 @@ def _jeq(a, b) -> bool:
     return a == b
 
 
+def _type_matches(v: Any, t: str, *, int_matches_integral: bool) -> bool:
+    if t == "string":
+        return isinstance(v, str)
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t == "null":
+        return v is None
+    if t == "integer":
+        if isinstance(v, bool):
+            return False
+        return isinstance(v, int) or (
+            int_matches_integral and isinstance(v, float)
+            and v == int(v))
+    if t == "number":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if t == "array":
+        return isinstance(v, list)
+    if t == "object":
+        return isinstance(v, dict)
+    return False
+
+
+def _enum_with_type(n: dict, ver: int = 2020):
+    # common/enum_with_type.h: `type` alongside `enum` is an
+    # anti-pattern; droppable ONLY when every enum member already
+    # conforms to the declared type (exactly the reference condition,
+    # so the rewrite is semantics-preserving; draft-6/7 let `integer`
+    # admit integral reals)
+    t = n.get("type")
+    e = n.get("enum")
+    if t is None or not isinstance(e, list) or not e:
+        return False, n
+    types = [t] if isinstance(t, str) else t
+    if not isinstance(types, list) or \
+            not all(isinstance(x, str) for x in types):
+        return False, n
+    imi = ver in (6, 7)
+    if all(any(_type_matches(v, tt, int_matches_integral=imi)
+               for tt in types) for v in e):
+        m = dict(n)
+        del m["type"]
+        return True, m
+    return False, n
+
+
+def _const_with_type(n: dict, ver: int = 2020):
+    # common/const_with_type.h: same reasoning for `const`
+    t = n.get("type")
+    if t is None or "const" not in n:
+        return False, n
+    types = [t] if isinstance(t, str) else t
+    if not isinstance(types, list) or \
+            not all(isinstance(x, str) for x in types):
+        return False, n
+    imi = ver in (6, 7)
+    if any(_type_matches(n["const"], tt, int_matches_integral=imi)
+           for tt in types):
+        m = dict(n)
+        del m["type"]
+        return True, m
+    return False, n
+
+
+def _content_media_type_without_encoding(n: dict):
+    # common/content_media_type_without_encoding.h: contentMediaType is
+    # meaningless without contentEncoding
+    if "contentMediaType" in n and "contentEncoding" not in n:
+        m = dict(n)
+        del m["contentMediaType"]
+        return True, m
+    return False, n
+
+
+def _duplicate_examples(n: dict):
+    # linter/duplicate_examples.h
+    e = n.get("examples")
+    if isinstance(e, list):
+        seen, out = set(), []
+        for v in e:
+            k = json.dumps(v, sort_keys=True)
+            if k not in seen:
+                seen.add(k)
+                out.append(v)
+        if len(out) != len(e):
+            m = dict(n)
+            m["examples"] = out
+            return True, m
+    return False, n
+
+
+# The reference's "keyword present with its no-op default" family
+# (linter/properties_default.h, pattern_properties_default.h,
+# dependent_required_default.h, multiple_of_default.h,
+# items_schema_default.h, property_names_default.h,
+# content_schema_default.h, unevaluated_properties_default.h,
+# unevaluated_items_default.h, …): each keyword set to the value the
+# spec already assumes is droppable.  (rule name, keyword,
+# no-op values, min dialect version)
+_DEFAULTS_FAMILY: list[tuple[str, str, tuple, int]] = [
+    ("properties_default", "properties", ({},), 0),
+    ("pattern_properties_default", "patternProperties", ({},), 0),
+    ("dependencies_default", "dependencies", ({},), 0),
+    ("dependent_required_default", "dependentRequired", ({},), 2019),
+    ("multiple_of_default", "multipleOf", (1, 1.0), 0),
+    ("min_items_default", "minItems", (0,), 0),
+    ("min_length_default", "minLength", (0,), 0),
+    ("min_properties_default", "minProperties", (0,), 0),
+    ("unique_items_default", "uniqueItems", (False,), 0),
+    ("items_schema_default", "items", (True, {}), 0),
+    ("property_names_default", "propertyNames", (True, {}), 6),
+    ("property_names_type_default", "propertyNames",
+     ({"type": "string"},), 6),
+    ("content_schema_default", "contentSchema", (True, {}), 2019),
+    ("unevaluated_properties_default", "unevaluatedProperties",
+     (True,), 2019),
+    ("unevaluated_items_default", "unevaluatedItems", (True,), 2019),
+]
+
+
+def _make_default_rule(keyword: str, noop_values: tuple):
+    def rule(n: dict):
+        if keyword in n and any(
+                _jeq(n[keyword], v) for v in noop_values):
+            m = dict(n)
+            del m[keyword]
+            return True, m
+        return False, n
+    return rule
+
+
+#: rule name -> (fn, min dialect version: 0 = all, 6/7 = draft-6/7+,
+#: 2019/2020 = modern only).  Gating matters BOTH ways: draft-4 has no
+#: `const`, so enum_to_const would change semantics there
+#: (pass_lint_json.sh: single-member enum is CLEAN under draft-4).
 RULES: dict[str, Callable[[dict], tuple[bool, dict]]] = {
     "enum_to_const": _enum_to_const,
     "const_in_enum": _const_in_enum,
@@ -279,7 +413,43 @@ RULES: dict[str, Callable[[dict], tuple[bool, dict]]] = {
     "exclusive_and_inclusive_bounds": _exclusive_and_inclusive_bounds,
     "equal_numeric_bounds_to_enum": _equal_numeric_bounds_to_enum,
     "title_description_trim": _title_description_trim,
+    "enum_with_type": _enum_with_type,
+    "const_with_type": _const_with_type,
+    "content_media_type_without_encoding":
+        _content_media_type_without_encoding,
+    "duplicate_examples": _duplicate_examples,
 }
+for _name, _kw, _vals, _mv in _DEFAULTS_FAMILY:
+    RULES[_name] = _make_default_rule(_kw, _vals)
+
+#: minimum dialect version per rule; absent = applies everywhere.
+RULE_MIN_VER: dict[str, int] = {
+    "enum_to_const": 6,              # draft-4 has no `const`
+    "const_in_enum": 6,
+    "const_with_type": 6,
+    "definitions_to_defs": 2019,     # `$defs` is 2019-09+
+    "else_without_if": 7,
+    "then_else_empty": 7,
+    "exclusive_and_inclusive_bounds": 6,   # draft-4 exclusive* is bool
+    "content_media_type_without_encoding": 7,
+    "duplicate_examples": 6,
+}
+RULE_MIN_VER.update({name: mv for name, _, _, mv in _DEFAULTS_FAMILY})
+
+#: rules that take the dialect version as a second argument
+_VER_AWARE = {"enum_with_type", "const_with_type"}
+
+
+def dialect_version(schema: Any) -> int:
+    """0 = unknown/none (treated as latest), else 3/4/6/7/2019/2020."""
+    ds = schema.get("$schema") if isinstance(schema, dict) else None
+    if not isinstance(ds, str):
+        return 2020
+    for tag, v in (("2020-12", 2020), ("2019-09", 2019), ("draft-07", 7),
+                   ("draft-06", 6), ("draft-04", 4), ("draft-03", 3)):
+        if tag in ds:
+            return v
+    return 2020
 
 
 def _walk(node: Any, fn: Callable[[dict, str], dict], ptr: str = "") -> Any:
@@ -309,16 +479,42 @@ def _walk(node: Any, fn: Callable[[dict, str], dict], ptr: str = "") -> Any:
     return fn(out, ptr)
 
 
-def canonicalize(schema: Any, max_passes: int = 32
+def canonicalize(schema: Any, max_passes: int = 32,
+                 disabled: frozenset | set = frozenset(),
+                 only: frozenset | set | None = None,
                  ) -> tuple[Any, list[tuple[str, str]]]:
     """Apply all transforms to a FIXPOINT (the reference transformer
     loops until no rule fires). Returns (new_schema, [(rule, pointer)]
-    in application order)."""
+    in application order). Rules are gated by the document's declared
+    dialect (RULE_MIN_VER): e.g. ``enum_to_const`` never fires under
+    draft-4, where `const` does not exist.  ``x-lint-exclude`` scopes
+    are honored at APPLICATION time (not post-filtered), so excluding
+    a rule also prevents chained rules from firing on its intermediate
+    output (``test/lint/pass_lint_exclude_array.sh``); ``disabled`` /
+    ``only`` are the --exclude / --only flags."""
     applied: list[tuple[str, str]] = []
+    ver = dialect_version(schema)
+    scopes = lint_exclusions(schema)
+
+    def _excluded(name: str, ptr: str) -> bool:
+        if name in disabled:
+            return True
+        if only is not None and name not in only:
+            return True
+        return any((ptr == scope or ptr.startswith(scope + "/")
+                    or scope == "") and name in names
+                   for scope, names in scopes)
 
     def apply_rules(node: dict, ptr: str) -> dict:
         for name, rule in RULES.items():
-            changed, node2 = rule(node)
+            if RULE_MIN_VER.get(name, 0) > ver:
+                continue
+            if _excluded(name, ptr):
+                continue
+            if name in _VER_AWARE:
+                changed, node2 = rule(node, ver)
+            else:
+                changed, node2 = rule(node)
             if changed:
                 applied.append((name, ptr or "/"))
                 node = node2
@@ -333,10 +529,12 @@ def canonicalize(schema: Any, max_passes: int = 32
     return cur, applied
 
 
-def lint_fixable(schema: Any) -> list[tuple[str, str, str]]:
+def lint_fixable(schema: Any, disabled: frozenset | set = frozenset(),
+                 only: frozenset | set | None = None,
+                 ) -> list[tuple[str, str, str]]:
     """(severity, pointer, message) findings for every transform that
     WOULD fire — the report side of ``lint --fix``."""
-    _, applied = canonicalize(schema)
+    _, applied = canonicalize(schema, disabled=disabled, only=only)
     return [("warning", ptr, f"fixable: {name}") for name, ptr in applied]
 
 
@@ -413,3 +611,68 @@ def upgrade_schema(schema: Any) -> Any:
         upgraded = {"$schema": _DIALECT_2020_12,
                     **{k: v for k, v in upgraded.items() if k != "$schema"}}
     return upgraded
+
+
+# ---------------------------------------------------------------------------
+# x-lint-exclude scopes (docs/lint.markdown:57-99): a subschema may
+# disable named rules for itself and everything below it.
+# ---------------------------------------------------------------------------
+
+def lint_exclusions(schema: Any) -> list[tuple[str, frozenset]]:
+    """Collect (pointer-prefix, excluded-rule-names) scopes from every
+    ``x-lint-exclude`` keyword (string or array of strings)."""
+    out: list[tuple[str, frozenset]] = []
+
+    def walk(node: Any, ptr: str) -> None:
+        if isinstance(node, dict):
+            x = node.get("x-lint-exclude")
+            if isinstance(x, str):
+                out.append((ptr, frozenset([x])))
+            elif isinstance(x, list) and all(isinstance(s, str) for s in x):
+                out.append((ptr, frozenset(x)))
+            for k, v in node.items():
+                esc = k.replace("~", "~0").replace("/", "~1")
+                walk(v, f"{ptr}/{esc}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{ptr}/{i}")
+
+    walk(schema, "")
+    return out
+
+
+_RULE_TAG = __import__("re").compile(r"\(([a-z0-9_]+)\)\s*$")
+
+
+def finding_rule_name(msg: str) -> str | None:
+    """Rule name of a lint finding: trailing ``(rule_name)`` tag or the
+    ``fixable: <name>`` form emitted by lint_fixable."""
+    if msg.startswith("fixable: "):
+        return msg[9:].strip()
+    m = _RULE_TAG.search(msg)
+    return m.group(1) if m else None
+
+
+def filter_excluded(findings: list[tuple[str, str, str]],
+                    exclusions: list[tuple[str, frozenset]],
+                    global_exclude: frozenset | set = frozenset(),
+                    only: frozenset | set | None = None,
+                    ) -> list[tuple[str, str, str]]:
+    """Drop findings disabled by scope (``x-lint-exclude``), the
+    ``--exclude`` flag, or not selected by ``--only``."""
+    kept = []
+    for sev, ptr, msg in findings:
+        rule = finding_rule_name(msg)
+        if rule is not None:
+            if rule in global_exclude:
+                continue
+            if only is not None and rule not in only:
+                continue
+            if any((ptr == scope or ptr.startswith(scope + "/") or
+                    scope == "")
+                   and rule in names for scope, names in exclusions):
+                continue
+        elif only is not None:
+            continue
+        kept.append((sev, ptr, msg))
+    return kept

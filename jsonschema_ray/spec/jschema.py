@@ -157,7 +157,15 @@ class _DocIndex:
     __slots__ = ("resources", "resource_roots", "anchors", "dyn_anchors",
                  "rec_roots", "any_anchor", "_res_ptrs")
 
-    def __init__(self, schema: Any, legacy_id: bool = False):
+    #: 2019-09+ anchor name production (§8.2.2)
+    _ANCHOR_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
+
+    def __init__(self, schema: Any, legacy_id: bool = False,
+                 ver: int = 2020):
+        """``ver`` is the most permissive dialect version in play
+        (root + pre-imported resources): modern-only strictness
+        ($id fragments are illegal 2019-09+, but draft-6/7 spell
+        anchors as ``$id: "#name"``) gates on it."""
         from urllib.parse import urljoin
 
         self.resources: dict[str, str] = {}      # uri -> document ptr
@@ -181,6 +189,9 @@ class _DocIndex:
             if isinstance(rid, str):
                 if any(c.isspace() for c in rid):
                     raise ValueError(f"invalid $id (not a URI): {rid!r}")
+                if ver >= 2019 and "#" in rid and rid.split("#", 1)[1]:
+                    raise ValueError(
+                        f"$id must not contain a fragment: {rid!r}")
                 root_base = rid.split("#", 1)[0]
             elif rid is not None and not isinstance(rid, (dict, list)):
                 raise ValueError(f"invalid $id (must be a string): {rid!r}")
@@ -194,7 +205,20 @@ class _DocIndex:
                     if any(c.isspace() for c in nid):
                         raise ValueError(
                             f"invalid $id (not a URI) at {ptr!r}: {nid!r}")
+                    if ver >= 2019 and "#" in nid \
+                            and nid.split("#", 1)[1] != "":
+                        # 2019-09 §8.2.1: $id must not contain a
+                        # non-empty fragment (draft-6/7 anchors spelled
+                        # as $id:"#name" are gated out by ver)
+                        raise ValueError(
+                            f"$id must not contain a fragment at "
+                            f"{ptr!r}: {nid!r}")
                     uri = urljoin(base or "", nid.split("#", 1)[0])
+                    prev_r = self.resources.get(uri)
+                    if prev_r is not None and prev_r != ptr:
+                        raise ValueError(
+                            f"duplicate schema resource id {uri!r} at "
+                            f"{prev_r!r} and {ptr!r}")
                     self.resources.setdefault(uri, ptr)
                     self.resource_roots.setdefault(ptr, uri)
                     base = uri
@@ -204,6 +228,12 @@ class _DocIndex:
                     # "$id", not the keyword; scalars are plain invalid
                     raise ValueError(
                         f"invalid $id (must be a string) at {ptr!r}: {nid!r}")
+                ds_ = node.get("$schema")
+                if ds_ is not None and not isinstance(ds_, (str, dict,
+                                                            list)):
+                    raise ValueError(
+                        f"invalid $schema (must be a string) at {ptr!r}: "
+                        f"{ds_!r}")
                 rr = node.get("$recursiveRef")
                 if isinstance(rr, str) and rr != "#":
                     # 2019-09 §8.2.4.2: the only legal value is "#"
@@ -211,9 +241,20 @@ class _DocIndex:
                     raise ValueError(
                         f"invalid $recursiveRef (must be \"#\") at {ptr!r}: "
                         f"{rr!r}")
+                if rr is not None and not isinstance(rr, (str, dict, list)):
+                    raise ValueError(
+                        f"invalid $recursiveRef type at {ptr!r}: {rr!r}")
+                ra = node.get("$recursiveAnchor")
+                if ra is not None and not isinstance(ra, (bool, dict, list)):
+                    raise ValueError(
+                        f"invalid $recursiveAnchor (must be boolean) at "
+                        f"{ptr!r}: {ra!r}")
                 for key in ("$anchor", "$dynamicAnchor"):
                     a = node.get(key)
                     if isinstance(a, str):
+                        if not _DocIndex._ANCHOR_RE.match(a):
+                            raise ValueError(
+                                f"invalid {key} name at {ptr!r}: {a!r}")
                         prev = self.anchors.get((base, a))
                         if prev is not None and prev != ptr:
                             # same anchor declared twice in ONE resource
@@ -291,6 +332,18 @@ def _is_legacy_dialect(schema: Any) -> bool:
     return isinstance(ds, str) and ("draft-04" in ds or "draft-03" in ds)
 
 
+def _dialect_ver(schema: Any) -> int:
+    """3/4/6/7/2019/2020 from ``$schema`` (2020 when undeclared)."""
+    ds = schema.get("$schema") if isinstance(schema, dict) else None
+    if not isinstance(ds, str):
+        return 2020
+    for tag, v in (("2020-12", 2020), ("2019-09", 2019), ("draft-07", 7),
+                   ("draft-06", 6), ("draft-04", 4), ("draft-03", 3)):
+        if tag in ds:
+            return v
+    return 2020
+
+
 def _check_dialect(schema: dict, resources: dict,
                    idx: "_DocIndex | None" = None,
                    root: Any = None) -> None:
@@ -308,6 +361,8 @@ def _check_dialect(schema: dict, resources: dict,
     norm = ds.rstrip("#").rstrip("/")
     if norm in CompiledSchema.KNOWN_DIALECTS:
         return
+    if norm.startswith("https://spec.openapis.org/oas/"):
+        return   # OpenAPI 3.1+ dialects (2020-12 + OAS vocabulary)
     meta = resources.get(ds) or resources.get(norm)
     if meta is None:
         for doc in resources.values():
@@ -378,6 +433,9 @@ class CompiledSchema:
         ``$ref`` without identifiers, ``pass_no_identifier_ref.sh``)."""
         ext_keys: dict[str, str] = {}
         legacy = _is_legacy_dialect(schema)
+        ver = _dialect_ver(schema)
+        for _doc in (resources or {}).values():
+            ver = min(ver, _dialect_ver(_doc))
         if resources and isinstance(schema, dict):
             mounted = dict(schema)
             defs = dict(mounted.get("$defs") or {})
@@ -397,7 +455,7 @@ class CompiledSchema:
         self.schema = schema
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
-        self._idx = _DocIndex(schema, legacy_id=legacy)
+        self._idx = _DocIndex(schema, legacy_id=legacy, ver=ver)
         for key, ptr in ext_keys.items():
             self._idx.resources.setdefault(key, ptr)
         if isinstance(schema, dict):
@@ -1037,35 +1095,89 @@ METASCHEMA: dict = {
 _KNOWN_KEYWORDS = set(METASCHEMA["$defs"]["schema"]["then"]["properties"]) | {
     "$comment", "default", "examples", "deprecated", "readOnly", "writeOnly",
     "$vocabulary", "$dynamicAnchor", "$recursiveAnchor", "contentEncoding",
-    "x-format-assertion",
+    "x-format-assertion", "x-lint-exclude",
 }
+
+# official dialect URIs by scheme era (lint rules
+# modern_official_dialect_with_http / draft_official_dialect_with_https,
+# vendor/blaze/src/alterschema/common)
+_MODERN_DIALECT_HTTP = ("http://json-schema.org/draft/2019-09/schema",
+                        "http://json-schema.org/draft/2020-12/schema")
+_DRAFT_DIALECT_HTTPS = tuple(
+    f"https://json-schema.org/draft-0{d}/schema" for d in (3, 4, 6, 7))
 
 _BOUND_PAIRS = [("minimum", "maximum"), ("minLength", "maxLength"),
                 ("minItems", "maxItems"), ("minProperties", "maxProperties"),
                 ("minContains", "maxContains")]
 
 
-def lint_schema(schema: Any) -> list[tuple[str, str, str]]:
+def lint_schema(schema: Any,
+                top_level: bool = False) -> list[tuple[str, str, str]]:
     """Static analysis of a schema document — the alterschema-style
     lint surface (``vendor/blaze/src/alterschema``) applied to schemas:
     (severity, json_pointer, message) findings for unknown keywords
     (typo detection), unsatisfiable bounds, empty enums, constant-false
-    applicator members, and double-negation — on top of full
-    metaschema validation."""
+    applicator members, double-negation, invalid ``default``/
+    ``examples`` values, and ignored non-resource metaschemas — on top
+    of full metaschema validation.
+
+    ``top_level=True`` (the CLI ``lint`` verb) adds the reference's
+    document-level style rules: top_level_title / top_level_description
+    and the official-dialect scheme rules
+    (modern_official_dialect_with_http /
+    draft_official_dialect_with_https) — off by default so embedded /
+    programmatic schemas aren't nagged about titles."""
     findings: list[tuple[str, str, str]] = []
     for p, kw, msg in check_metaschema(schema):
         findings.append(("error", p, f"{kw}: {msg}"))
+
+    # unknown-keyword typo detection only makes sense when we know the
+    # dialect's full keyword set; custom / OpenAPI dialects bring their
+    # own vocabularies (test/lint/pass_openapi_3_1.sh: `externalDocs`)
+    _ds0 = schema.get("$schema") if isinstance(schema, dict) else None
+    known_vocab = not isinstance(_ds0, str) or \
+        _ds0.rstrip("#") in CompiledSchema.KNOWN_DIALECTS
+
+    if top_level and isinstance(schema, dict):
+        ds = schema.get("$schema")
+        if isinstance(ds, str):
+            norm = ds.rstrip("#")
+            if norm in _MODERN_DIALECT_HTTP:
+                findings.append((
+                    "warning", "/$schema",
+                    "use the https:// form of the official dialect URI "
+                    "(modern_official_dialect_with_http)"))
+            if norm in _DRAFT_DIALECT_HTTPS:
+                findings.append((
+                    "warning", "/$schema",
+                    "classic drafts are published under http:// "
+                    "(draft_official_dialect_with_https)"))
+        # vocabulary gating approximation: the reference's style rules
+        # require the meta-data vocabulary; custom metaschemas that
+        # don't declare it (pass_bundled_metaschema.sh) are exempt
+        std = not isinstance(ds, str) or \
+            ds.rstrip("#") in CompiledSchema.KNOWN_DIALECTS
+        if std:
+            for kw_, rule in (("title", "top_level_title"),
+                              ("description", "top_level_description")):
+                v = schema.get(kw_)
+                if not (isinstance(v, str) and v.strip()):
+                    findings.append((
+                        "warning", f"/{kw_}",
+                        f"set a concise non-empty {kw_} at the top level "
+                        f"({rule})"))
 
     def walk(node: Any, ptr: str, in_schema_pos: bool):
         if isinstance(node, bool):
             return
         if isinstance(node, dict) and in_schema_pos:
-            for k in node:
-                if k not in _KNOWN_KEYWORDS:
-                    findings.append(
-                        ("warning", f"{ptr}/{k}",
-                         f"unknown keyword {k!r} (typo?) — ignored by "
-                         "evaluation"))
+            if known_vocab:
+                for k in node:
+                    if k not in _KNOWN_KEYWORDS:
+                        findings.append(
+                            ("warning", f"{ptr}/{k}",
+                             f"unknown keyword {k!r} (typo?) — ignored by "
+                             "evaluation"))
             for lo, hi in _BOUND_PAIRS:
                 if lo in node and hi in node and \
                         isinstance(node[lo], (int, float)) and \
@@ -1088,6 +1200,34 @@ def lint_schema(schema: Any) -> list[tuple[str, str, str]]:
                     "not" in node["not"] and len(node["not"]) == 1:
                 findings.append(("warning", f"{ptr}/not",
                                  "double negation — inline the inner schema"))
+            if ptr and "$schema" in node and "$id" not in node \
+                    and "id" not in node:
+                findings.append((
+                    "warning", f"{ptr}/$schema",
+                    "$schema on a subschema that is not a resource root "
+                    "is ignored (ignored_metaschema)"))
+            # valid_default / valid_examples (linter/valid_default.h):
+            # declared sample values must conform to their own schema
+            if "$ref" not in node:
+                for dkw, rule in (("default", "valid_default"),
+                                  ("examples", "valid_examples")):
+                    if dkw not in node:
+                        continue
+                    vals = node[dkw] if dkw == "examples" else [node[dkw]]
+                    if not isinstance(vals, list):
+                        continue
+                    try:
+                        sub = CompiledSchema(schema, entrypoint=ptr)
+                    except Exception:   # broken subtree reported elsewhere
+                        continue
+                    for i, v in enumerate(vals):
+                        if not sub.is_valid(v):
+                            loc = f"{ptr}/{dkw}" if dkw == "default" \
+                                else f"{ptr}/{dkw}/{i}"
+                            findings.append((
+                                "warning", loc,
+                                f"value does not validate against its "
+                                f"own schema ({rule})"))
             # recurse into schema-valued positions
             for k, v in node.items():
                 esc = k.replace("~", "~0").replace("/", "~1")

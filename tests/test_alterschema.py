@@ -47,9 +47,9 @@ def test_rule_units():
          {"if": {"type": "string"}}),
         ({"exclusiveMaximum": 3, "maximum": 5}, {"exclusiveMaximum": 3}),
         ({"exclusiveMinimum": 3, "minimum": 2}, {"exclusiveMinimum": 3}),
-        # bounds → enum [4] → (fixpoint) → const 4
+        # bounds → enum [4] → const 4 → const_with_type drops the type
         ({"type": "integer", "minimum": 4, "maximum": 4},
-         {"type": "integer", "const": 4}),
+         {"const": 4}),
         ({"title": "  x ", "description": "y  "},
          {"title": "x", "description": "y"}),
     ]

@@ -452,16 +452,23 @@ def test_lint_schema_fix_canonicalizes(tmp_path):
         "allOf": [{"allOf": [{"minProperties": 0}]}, True],
     }))
     r = run_cli("lint", "--schema", str(p))
-    assert r.returncode == 0 and "fixable: enum_to_const" in r.stderr
+    # reference semantics: findings (warnings included) exit 2
+    assert r.returncode == 2 and "fixable: enum_to_const" in r.stderr
+    assert "top_level_title" in r.stderr    # document-level style rule
     r = run_cli("lint", "--schema", str(p), "--fix")
     assert r.returncode == 0, r.stderr
     out = json.loads(p.read_text())
     assert out["properties"]["a"] == {"const": 1}
     assert out["properties"]["b"] == {"allOf": [{"type": "string"}]}
-    assert out["allOf"] == [{"minProperties": 0}]
+    # minProperties: 0 is a spec default → dropped, emptying the allOf
+    assert "allOf" not in out
     # idempotent: second lint reports nothing fixable
     r = run_cli("lint", "--schema", str(p))
     assert "fixable" not in r.stderr
+    # --exclude silences a named rule; --only selects
+    r = run_cli("lint", "--schema", str(p), "-x", "top_level_title",
+                "-x", "top_level_description")
+    assert "top_level_title" not in r.stderr
 
 
 def test_upgrade_schema_verb(tmp_path):

@@ -369,3 +369,135 @@ def test_reference_metaschema_corpus_parity():
         f"{sorted(healed)}"
     assert len(matches) >= META_MIN_MATCHES, (
         f"{len(matches)} < {META_MIN_MATCHES}; skips={skips}")
+
+
+# ---------------------------------------------------------------------------
+# lint verb corpus: findings-vs-clean verdicts through lint_schema +
+# the alterschema transform registry (with x-lint-exclude scopes).
+# ---------------------------------------------------------------------------
+
+LINT_EXPECTED_DIVERGENT = {
+    # dialect-aware ref-target framing (same family as validate corpus)
+    "fail_draft4_x_keyword_ref_target.sh",
+    "fail_draft7_defs_ref_target.sh",
+    # per-resource dialect rules inside embedded resources (the
+    # reference frames each embedded resource under ITS dialect and
+    # lints it there; our registry applies the root dialect)
+    "fail_lint_invalid_embedded_resource.sh",
+    # reference exit-5 rule-name validation for --only/--exclude
+    # combinations (CLI arg protocol, not lint semantics)
+    "fail_lint_only_unknown.sh",
+    "fail_lint_only_unknown_verbose.sh",
+    "fail_lint_only_with_exclude.sh",
+}
+
+LINT_MIN_MATCHES = 46
+
+
+def test_reference_lint_corpus_parity():
+    from jsonschema_ray.spec.alterschema import (filter_excluded,
+                                                 lint_exclusions,
+                                                 lint_fixable)
+    from jsonschema_ray.spec.jschema import lint_schema
+
+    scripts = sorted(glob.glob(f"{CORPUS.rsplit('/', 1)[0]}/lint/*.sh"))
+    assert len(scripts) > 180
+    matches, skips, divergent = [], {}, {}
+    for path in scripts:
+        name = path.rsplit("/", 1)[1]
+        if "config" in name:
+            skips[name] = "project-config flow"
+            continue
+        files, _ = _parse(path)
+        src = open(path).read()
+        joined, buf = [], ""
+        for ln in src.split("\n"):
+            if ln.rstrip().endswith("\\"):
+                buf += ln.rstrip()[:-1] + " "
+            else:
+                joined.append(buf + ln)
+                buf = ""
+        res = None
+        for i, ln in enumerate(joined):
+            if '"$1"' not in ln or " lint" not in ln:
+                continue
+            exp = 0
+            for la in joined[i:i + 4]:
+                m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
+                if m:
+                    exp = int(m.group(1))
+                    break
+            inv = re.split(r"\s(?:&&|\|\|)\s", ln.strip())[0]
+            inv = re.sub(r"\s[12]?>>?\s*\S+", "", inv)
+            try:
+                toks = shlex.split(inv)
+            except ValueError:
+                res = ("skip", "shell plumbing")
+                break
+            if toks[0] != "$1":
+                res = ("skip", "piped invocation")
+                break
+            excl, only, pos = [], [], []
+            j, flag_skip = 2, None
+            while j < len(toks):
+                t = toks[j]
+                if t.startswith("-"):
+                    if t in ("-j", "--json", "-v", "--verbose"):
+                        j += 1
+                    elif t in ("-x", "--exclude"):
+                        excl.append(toks[j + 1])
+                        j += 2
+                    elif t in ("-o", "--only"):
+                        only.append(toks[j + 1])
+                        j += 2
+                    else:
+                        flag_skip = t
+                        break
+                else:
+                    pos.append(t)
+                    j += 1
+            if flag_skip:
+                res = ("skip", f"flag {flag_skip}")
+                break
+            key = next((t[5:] for t in pos
+                        if t.startswith("$TMP/") and t[5:] in files), None)
+            if key is None:
+                res = ("skip", "no heredoc target")
+                break
+            try:
+                doc = _load_doc(files, key)[0]
+            except Exception:
+                res = ("agree" if exp not in (0, 2) else "div", (exp, "parse"))
+                break
+            if isinstance(doc, dict) and "$schema" not in doc:
+                got = 1      # lint requires a dialect (exit 4/6 family)
+            else:
+                try:
+                    compile_schema(doc)
+                    f = lint_schema(doc, top_level=True) + lint_fixable(doc)
+                    f = filter_excluded(f, lint_exclusions(doc),
+                                        global_exclude=set(excl),
+                                        only=set(only) if only else None)
+                    got = 2 if f else 0
+                except Exception:
+                    got = 1
+            agree = (exp == got) or (exp not in (0, 2) and got == 1)
+            res = ("agree", None) if agree else ("div", (exp, got))
+            break
+        if res is None:
+            skips[name] = "no invocation"
+        elif res[0] == "agree":
+            matches.append(name)
+        elif res[0] == "skip":
+            skips[name] = res[1]
+        else:
+            divergent[name] = res[1]
+
+    unexpected = set(divergent) - LINT_EXPECTED_DIVERGENT
+    healed = LINT_EXPECTED_DIVERGENT - set(divergent) - set(skips)
+    assert not unexpected, f"new lint divergences: " \
+        f"{ {k: divergent[k] for k in sorted(unexpected)} }"
+    assert not healed, f"now agreeing — update LINT_EXPECTED_DIVERGENT: " \
+        f"{sorted(healed)}"
+    assert len(matches) >= LINT_MIN_MATCHES, (
+        f"{len(matches)} < {LINT_MIN_MATCHES}")
