@@ -548,8 +548,13 @@ def cmd_upgrade(args) -> int:
         from jsonschema_ray.spec.alterschema import upgrade_schema
         from jsonschema_ray.spec.format import prettify_schema
 
+        if getattr(args, "to", "2020-12") not in ("2020-12",):
+            print(f"upgrade: unsupported target dialect {args.to!r} "
+                  "(only 2020-12)", file=sys.stderr)
+            return EXIT_ERROR
         doc = _load_schema_doc(args.plan, configured=False)
-        text = prettify_schema(upgrade_schema(doc))
+        text = prettify_schema(upgrade_schema(
+            doc, meta=getattr(args, "meta", False), strict=True))
         if args.output:
             with open(args.output, "w") as f:
                 f.write(text)
@@ -1473,6 +1478,11 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--schema", action="store_true",
                    help="treat the file as a JSON Schema document and "
                         "upgrade it to the 2020-12 dialect")
+    u.add_argument("--to", default="2020-12",
+                   help="target dialect (only 2020-12 supported)")
+    u.add_argument("--meta", action="store_true",
+                   help="metaschema mode: inject/migrate $vocabulary "
+                        "(reference upgrade --meta)")
     u.set_defaults(fn=cmd_upgrade)
 
     f = sub.add_parser("fmt")

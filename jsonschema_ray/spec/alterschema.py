@@ -545,16 +545,54 @@ def lint_fixable(schema: Any, disabled: frozenset | set = frozenset(),
 _DIALECT_2020_12 = "https://json-schema.org/draft/2020-12/schema"
 
 
-def _upgrade_node(n: dict) -> dict:
+def _upgrade_node(n: dict, from3: bool = False) -> dict:
     """Mechanical keyword migrations to 2020-12 at one schema object
     (upgrade_draft_4_to_draft_6.h:77-120 id/exclusive-bounds,
     draft-7→2019-09 definitions/dependencies, 2019-09→2020-12 items
-    array form). ``$recursiveRef``/``$recursiveAnchor`` are left alone —
+    array form; draft-3 divisibleBy/disallow/extends/required-bool when
+    ``from3``). ``$recursiveRef``/``$recursiveAnchor`` are left alone —
     the evaluator understands them natively, and the reference's rename
     requires anchor-name generation + global ref rewrites."""
     m = dict(n)
     if isinstance(m.get("id"), str) and "$id" not in m:
         m["$id"] = m.pop("id")
+    if from3:
+        if "divisibleBy" in m and "multipleOf" not in m:
+            m["multipleOf"] = m.pop("divisibleBy")
+        dis = m.pop("disallow", None)
+        if isinstance(dis, str):
+            m.setdefault("not", {"type": dis})
+        elif isinstance(dis, list) and dis:
+            simple = [t for t in dis if isinstance(t, str)]
+            if len(simple) == len(dis):
+                m.setdefault("not", {"type": simple[0]} if len(simple) == 1
+                             else {"anyOf": [{"type": t} for t in simple]})
+        ext = m.pop("extends", None)
+        if isinstance(ext, dict):
+            m["allOf"] = list(m.get("allOf", [])) + [ext]
+        elif isinstance(ext, list):
+            m["allOf"] = list(m.get("allOf", [])) + ext
+        # per-property boolean `required` → parent-level required list
+        props = m.get("properties")
+        if isinstance(props, dict):
+            req = [k for k, v in props.items()
+                   if isinstance(v, dict) and v.get("required") is True]
+            if req or any(isinstance(v, dict)
+                          and isinstance(v.get("required"), bool)
+                          for v in props.values()):
+                m["properties"] = {
+                    k: ({kk: vv for kk, vv in v.items() if kk != "required"}
+                        if isinstance(v, dict)
+                        and isinstance(v.get("required"), bool) else v)
+                    for k, v in props.items()}
+                if req:
+                    m["required"] = list(dict.fromkeys(
+                        list(m.get("required", []) or []) + req)) \
+                        if isinstance(m.get("required"), list) else req
+    # embedded resources carry their own dialect: upgrade it with the
+    # document (test/upgrade/pass_embedded_resources.sh)
+    if isinstance(m.get("$schema"), str):
+        m["$schema"] = _DIALECT_2020_12
     # draft-04 boolean exclusive bounds → numeric form
     if isinstance(m.get("exclusiveMinimum"), bool):
         if m.pop("exclusiveMinimum") and "minimum" in m:
@@ -585,11 +623,82 @@ def _upgrade_node(n: dict) -> dict:
     return m
 
 
-def upgrade_schema(schema: Any) -> Any:
+_VOCAB_2019_TO_2020 = {
+    "https://json-schema.org/draft/2019-09/vocab/core":
+        "https://json-schema.org/draft/2020-12/vocab/core",
+    "https://json-schema.org/draft/2019-09/vocab/applicator":
+        "https://json-schema.org/draft/2020-12/vocab/applicator",
+    "https://json-schema.org/draft/2019-09/vocab/validation":
+        "https://json-schema.org/draft/2020-12/vocab/validation",
+    "https://json-schema.org/draft/2019-09/vocab/meta-data":
+        "https://json-schema.org/draft/2020-12/vocab/meta-data",
+    "https://json-schema.org/draft/2019-09/vocab/format":
+        "https://json-schema.org/draft/2020-12/vocab/format-annotation",
+    "https://json-schema.org/draft/2019-09/vocab/content":
+        "https://json-schema.org/draft/2020-12/vocab/content",
+}
+_VOCAB_2020_STD = {
+    "https://json-schema.org/draft/2020-12/vocab/core": True,
+    "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+    "https://json-schema.org/draft/2020-12/vocab/unevaluated": True,
+    "https://json-schema.org/draft/2020-12/vocab/validation": True,
+    "https://json-schema.org/draft/2020-12/vocab/meta-data": True,
+    "https://json-schema.org/draft/2020-12/vocab/format-annotation": False,
+    "https://json-schema.org/draft/2020-12/vocab/content": True,
+}
+
+
+def upgrade_schema(schema: Any, *, meta: bool = False,
+                   strict: bool = False) -> Any:
     """Upgrade a schema document to the 2020-12 dialect: mechanical
-    keyword migrations applied recursively, ``#/definitions/`` JSON
-    Pointers rewritten to ``#/$defs/``, and ``$schema`` stamped."""
-    upgraded = _walk(schema, lambda node, ptr: _upgrade_node(node))
+    keyword migrations applied recursively (draft-3 divisibleBy /
+    disallow / extends / boolean-required included), embedded-resource
+    ``$schema``s rewritten, ``#/definitions/`` JSON Pointers rewritten
+    to ``#/$defs/``, and the root ``$schema`` stamped.
+
+    A document that declares ``$vocabulary`` always gets its vocabulary
+    URIs migrated (2019-09 names → 2020-12; ``format`` →
+    ``format-annotation`` keeping its boolean; ``unevaluated: true``
+    added). ``meta=True`` (the reference's ``upgrade --meta``)
+    additionally INJECTS the standard 2020-12 vocabulary set (with
+    ``format-annotation: false``) into pre-2019 metaschemas that have
+    none — on documents already carrying ``$vocabulary`` the flag is a
+    no-op (``pass_2019_09_metaschema_to_2020_12_meta_noop.sh`` asserts
+    meta and plain outputs are identical).
+
+    ``strict=True`` applies the reference's input gating: the document
+    must declare a known ``$schema`` dialect (exit-4 family), and
+    draft-1/2 sources are unsupported (exit 3)."""
+    if strict:
+        ds = schema.get("$schema") if isinstance(schema, dict) else None
+        if not isinstance(ds, str) or "://" not in ds:
+            raise ValueError(
+                "cannot determine the dialect: no $schema declared")
+        known = ("2020-12", "2019-09", "draft-07", "draft-06",
+                 "draft-04", "draft-03")
+        if not any(tag in ds for tag in known):
+            # custom metaschema / draft-1/2: reference exits 3/4
+            raise ValueError(f"unsupported source dialect: {ds!r}")
+
+        def _chk(node):   # nested custom dialects can't be migrated
+            if isinstance(node, dict):
+                nds = node.get("$schema")
+                if isinstance(nds, str) and \
+                        not any(tag in nds for tag in known):
+                    raise ValueError(
+                        f"unsupported embedded dialect: {nds!r}")
+                for v in node.values():
+                    _chk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    _chk(v)
+        _chk(schema)
+    had_vocab = isinstance(schema, dict) and \
+        isinstance(schema.get("$vocabulary"), dict)
+    from3 = isinstance(schema, dict) \
+        and isinstance(schema.get("$schema"), str) \
+        and "draft-03" in schema["$schema"]
+    upgraded = _walk(schema, lambda node, ptr: _upgrade_node(node, from3))
 
     def fix_refs(node):
         if isinstance(node, dict):
@@ -610,6 +719,22 @@ def upgrade_schema(schema: Any) -> Any:
     if isinstance(upgraded, dict):
         upgraded = {"$schema": _DIALECT_2020_12,
                     **{k: v for k, v in upgraded.items() if k != "$schema"}}
+        if had_vocab or meta:
+            if had_vocab:
+                vocab = {}
+                for uri, req in schema["$vocabulary"].items():
+                    vocab[_VOCAB_2019_TO_2020.get(uri, uri)] = req
+                vocab.setdefault(
+                    "https://json-schema.org/draft/2020-12/vocab/"
+                    "unevaluated", True)
+            else:
+                vocab = dict(_VOCAB_2020_STD)
+            rest = {k: v for k, v in upgraded.items()
+                    if k not in ("$schema", "$id", "$vocabulary")}
+            head = {"$schema": upgraded["$schema"]}
+            if "$id" in upgraded:
+                head["$id"] = upgraded["$id"]
+            upgraded = {**head, "$vocabulary": vocab, **rest}
     return upgraded
 
 

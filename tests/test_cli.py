@@ -474,6 +474,7 @@ def test_lint_schema_fix_canonicalizes(tmp_path):
 def test_upgrade_schema_verb(tmp_path):
     p = tmp_path / "old.json"
     p.write_text(json.dumps({
+        "$schema": "http://json-schema.org/draft-04/schema#",
         "id": "https://x.example/old",
         "definitions": {"d": {"type": "integer"}},
         "properties": {"a": {"$ref": "#/definitions/d"}},

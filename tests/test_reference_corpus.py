@@ -501,3 +501,69 @@ def test_reference_lint_corpus_parity():
         f"{sorted(healed)}"
     assert len(matches) >= LINT_MIN_MATCHES, (
         f"{len(matches)} < {LINT_MIN_MATCHES}")
+
+
+# ---------------------------------------------------------------------------
+# upgrade verb corpus: STRUCTURAL output comparison (the fixtures carry
+# expected.json, so this is byte-semantics, not just verdicts).
+# ---------------------------------------------------------------------------
+
+UPGRADE_MIN_MATCHES = 20
+
+
+def test_reference_upgrade_corpus_parity():
+    from jsonschema_ray.spec.alterschema import upgrade_schema
+
+    scripts = sorted(glob.glob(f"{CORPUS.rsplit('/', 1)[0]}/upgrade/*.sh"))
+    assert len(scripts) >= 40
+    matches, skips, divergent = [], {}, {}
+    for path in scripts:
+        name = path.rsplit("/", 1)[1]
+        files, _ = _parse(path)
+        src = open(path).read()
+        inv = next((ln for ln in src.split("\n")
+                    if '"$1"' in ln and " upgrade" in ln), None)
+        if inv is None or "schema.json" not in files:
+            skips[name] = "no invocation/schema heredoc"
+            continue
+        meta = "--meta" in inv
+        mdd = re.search(r'--default-dialect\s+"?([^"\s\\]+)', inv)
+        mto = re.search(r"--to\s+(\S+)", inv)
+        if mto and mto.group(1).strip('"') != "2020-12":
+            skips[name] = f"target {mto.group(1)} (only 2020-12)"
+            continue
+        exp_rc = re.search(r'test "\$EXIT_CODE" = "(\d+)"', src)
+        try:
+            doc = json.loads(files["schema.json"])
+        except Exception:
+            if exp_rc:
+                matches.append(name)       # bad JSON rejected both sides
+            else:
+                divergent[name] = "fixture parse"
+            continue
+        if mdd and isinstance(doc, dict):
+            doc.setdefault("$schema", mdd.group(1))
+        if exp_rc:      # failure script: we must reject too
+            try:
+                upgrade_schema(doc, meta=meta, strict=True)
+                divergent[name] = f"expected rc={exp_rc.group(1)}, upgraded"
+            except Exception:
+                matches.append(name)
+            continue
+        if "expected.json" not in files:
+            skips[name] = "no expected.json (output-chain script)"
+            continue
+        want = json.loads(files["expected.json"])
+        try:
+            got = upgrade_schema(doc, meta=meta, strict=True)
+        except Exception as e:
+            divergent[name] = f"raised {type(e).__name__}"
+            continue
+        if got == want:
+            matches.append(name)
+        else:
+            divergent[name] = "structural diff"
+
+    assert not divergent, f"upgrade divergences: {divergent}"
+    assert len(matches) >= UPGRADE_MIN_MATCHES, (
+        f"{len(matches)} < {UPGRADE_MIN_MATCHES}; skips={skips}")
