@@ -324,6 +324,100 @@ def resolve_ref_target(idx: _DocIndex, ref: str, from_ptr: str = "") -> str:
     return ptr
 
 
+# Keyword → (shape, min_ver, max_ver): which keyword VALUES are schema
+# positions per dialect, mirroring the reference's per-vocabulary walker
+# (vendor/blaze/src/foundation/known_walker.cc — e.g. handle_dollar_defs
+# is 2019-09+/2020-12-only, handle_definitions spans every draft).
+# Shapes: "schema" value is a subschema; "list" array of subschemas;
+# "map" object whose member values are subschemas; "items" schema-or-
+# array-of-schemas (array form removed in 2020-12).
+_SUBSCHEMA_KW: dict[str, tuple[str, int, int]] = {
+    "properties": ("map", 3, 9999),
+    "patternProperties": ("map", 3, 9999),
+    "definitions": ("map", 3, 9999),
+    "$defs": ("map", 2019, 9999),
+    "dependentSchemas": ("map", 2019, 9999),
+    "dependencies": ("map", 3, 7),
+    "additionalProperties": ("schema", 3, 9999),
+    "additionalItems": ("schema", 3, 2019),
+    "not": ("schema", 4, 9999),
+    "propertyNames": ("schema", 6, 9999),
+    "contains": ("schema", 6, 9999),
+    "if": ("schema", 7, 9999),
+    "then": ("schema", 7, 9999),
+    "else": ("schema", 7, 9999),
+    "unevaluatedProperties": ("schema", 2019, 9999),
+    "unevaluatedItems": ("schema", 2019, 9999),
+    "contentSchema": ("schema", 2019, 9999),
+    "items": ("items", 3, 9999),
+    "prefixItems": ("list", 2020, 9999),
+    "allOf": ("list", 4, 9999),
+    "anyOf": ("list", 4, 9999),
+    "oneOf": ("list", 4, 9999),
+    "extends": ("items", 3, 3),
+    "disallow": ("list", 3, 3),
+}
+
+
+def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
+                         default_ver: int) -> None:
+    """Dialect-aware ``$ref``-target framing: a JSON-pointer fragment
+    must traverse only schema positions under the target resource's
+    dialect, else the ref target "is not considered to be a valid
+    subschema" (reference CompilerReferenceTargetNotSchemaError,
+    vendor/blaze/src/compiler/compile.cc:428-449 — e.g. ``#/$defs/x``
+    is invalid under draft-7, refs through unknown keywords are
+    invalid everywhere)."""
+    node = _resolve_pointer(doc_root, res_ptr)
+    ver = default_ver
+    if isinstance(node, dict) and isinstance(node.get("$schema"), str):
+        ver = _dialect_ver(node)
+    toks = [t.replace("~1", "/").replace("~0", "~")
+            for t in frag.lstrip("/").split("/")]
+    i = 0
+    while i < len(toks):
+        if not isinstance(node, dict):
+            raise ValueError(
+                f"$ref pointer {frag!r} traverses a non-schema position "
+                f"at {toks[i]!r}")
+        kw = toks[i]
+        spec = _SUBSCHEMA_KW.get(kw)
+        if spec is None or not (spec[1] <= ver <= spec[2]):
+            raise ValueError(
+                f"$ref target is not a valid subschema under this "
+                f"dialect: {kw!r} in {frag!r} (dialect {ver})")
+        shape = spec[0]
+        val = node.get(kw)
+        if shape == "items":
+            shape = "list" if isinstance(val, list) and ver < 2020 \
+                else "schema"
+        if shape == "schema":
+            node = val
+            i += 1
+        else:           # "list" / "map": one more token selects the member
+            if i + 1 >= len(toks):
+                raise ValueError(
+                    f"$ref pointer {frag!r} stops at the {kw!r} container, "
+                    f"not a subschema")
+            sel = toks[i + 1]
+            if isinstance(val, list):
+                node = val[int(sel)] if sel.isdigit() \
+                    and int(sel) < len(val) else None
+            elif isinstance(val, dict):
+                node = val.get(sel)
+            else:
+                node = None
+            i += 2
+        if node is None:
+            raise KeyError(f"unresolvable $ref pointer: {frag!r}")
+        # crossing into an embedded resource re-frames the dialect
+        if isinstance(node, dict) and isinstance(node.get("$schema"), str):
+            ver = _dialect_ver(node)
+    if not isinstance(node, (dict, bool)):
+        raise ValueError(
+            f"$ref pointer {frag!r} resolves to a non-schema value")
+
+
 def _is_legacy_dialect(schema: Any) -> bool:
     """draft-03/04 declared resources with ``id`` rather than ``$id``."""
     if not isinstance(schema, dict):
@@ -433,7 +527,17 @@ class CompiledSchema:
         ``$ref`` without identifiers, ``pass_no_identifier_ref.sh``)."""
         ext_keys: dict[str, str] = {}
         legacy = _is_legacy_dialect(schema)
-        ver = _dialect_ver(schema)
+        ver = self._root_ver = _dialect_ver(schema)
+        # Draft ≤7: a top-level `$ref` makes the document a "reference
+        # object" whose siblings (identifiers, $schema, definitions) are
+        # all ignored — the reference refuses to identify/bundle such a
+        # root (SchemaReferenceObjectResourceError,
+        # vendor/blaze/src/foundation/foundation.cc:229, exit 4)
+        if isinstance(schema, dict) and "$ref" in schema and ver <= 7 \
+                and isinstance(schema.get("$schema"), str):
+            raise ValueError(
+                "a top-level $ref in Draft 7 and older ignores every "
+                "sibling keyword; the document cannot be identified")
         for _doc in (resources or {}).values():
             ver = min(ver, _dialect_ver(_doc))
         if resources and isinstance(schema, dict):
@@ -516,7 +620,15 @@ class CompiledSchema:
 
     # -- compilation ----------------------------------------------------
     def _ref_target(self, ref: str, from_ptr: str = "") -> str:
-        return resolve_ref_target(self._idx, ref, from_ptr)
+        ptr = resolve_ref_target(self._idx, ref, from_ptr)
+        frag = ref.partition("#")[2]
+        if frag.startswith("/"):
+            # resolve_ref_target returns resource_ptr + frag; strip the
+            # fragment back off to find the resource root to walk from
+            res_ptr = ptr[:len(ptr) - len(frag)]
+            check_pointer_frames(self.schema, res_ptr, frag,
+                                 self._root_ver)
+        return ptr
 
     def _fn_for_ptr(self, ptr: str) -> _Fn:
         """Late-bound compile by canonical pointer — a self-referential

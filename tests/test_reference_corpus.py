@@ -49,16 +49,9 @@ EXPECTED_DIVERGENT = {
     "fail_default_dialect_config_invalid_uri.sh",
     "fail_invalid_config.sh",
     "pass_config_ignore.sh",
-    # dialect-aware $ref-target framing: the reference rejects refs
-    # whose target is not a schema location under that draft's rules
-    # (x-keyword in draft-4, $defs under draft-7, top-level $ref
-    # placement); we resolve leniently and judge the instance instead
-    "fail_draft4_x_keyword_ref_target.sh",
-    "fail_draft7_defs_ref_target.sh",
-    "fail_draft7_top_level_ref.sh",
 }
 
-MIN_MATCHES = 128   # ratchet: raise when coverage grows
+MIN_MATCHES = 133   # ratchet: raise when coverage grows
 
 
 class Skip(Exception):
@@ -377,9 +370,6 @@ def test_reference_metaschema_corpus_parity():
 # ---------------------------------------------------------------------------
 
 LINT_EXPECTED_DIVERGENT = {
-    # dialect-aware ref-target framing (same family as validate corpus)
-    "fail_draft4_x_keyword_ref_target.sh",
-    "fail_draft7_defs_ref_target.sh",
     # per-resource dialect rules inside embedded resources (the
     # reference frames each embedded resource under ITS dialect and
     # lints it there; our registry applies the root dialect)
