@@ -599,15 +599,39 @@ def cmd_fmt(args) -> int:
     with open(args.plan) as f:
         raw = f.read()
     if getattr(args, "schema", False):
-        from jsonschema_ray.spec.format import prettify_schema
+        from jsonschema_ray.spec.format import (looks_like_test_document,
+                                                prettify_schema)
 
         doc = json.loads(raw)
         ind = int(getattr(args, "indentation", 2) or 2)
+        dd = getattr(args, "default_dialect", None)
         if getattr(args, "keep_ordering", False):
+            # prettify only: no reorder, so no dialect needed
+            # (src/command_fmt.cc:57-63)
             canonical = json.dumps(doc, indent=ind,
                                    ensure_ascii=False) + "\n"
         else:
-            canonical = prettify_schema(doc, indent=ind)
+            if looks_like_test_document(doc):
+                # root-only reorder under the 2020-12 walker
+                # (src/command_fmt.cc:42-48)
+                print(f"Interpreting as a test file: {args.plan}",
+                      file=sys.stderr)
+                dd = dd or "https://json-schema.org/draft/2020-12/schema"
+            elif isinstance(doc, dict) and "$schema" not in doc and not dd:
+                raise ValueError(
+                    "could not determine the base dialect of the schema; "
+                    "declare $schema or pass --default-dialect")
+            else:
+                # frame strictness first: anchor collisions, invalid
+                # $id/$schema, unknown metaschema reject before any
+                # formatting (reference exit-4 family)
+                from jsonschema_ray.spec.jschema import compile_schema
+
+                compile_schema(dict(doc, **({"$schema": dd} if dd and
+                               "$schema" not in doc else {}))
+                               if isinstance(doc, dict) else doc)
+            canonical = prettify_schema(doc, indent=ind,
+                                        default_dialect=dd)
         if args.check:
             if raw != canonical:
                 print(f"{args.plan}: not canonically formatted",
@@ -1497,6 +1521,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference fmt --indentation)")
     f.add_argument("--keep-ordering", action="store_true",
                    help="with --schema: prettify only, keep key order")
+    f.add_argument("-d", "--default-dialect",
+                   help="dialect to assume when the document does not "
+                        "declare $schema (reference --default-dialect)")
     f.set_defaults(fn=cmd_fmt)
 
     li = sub.add_parser("lint")

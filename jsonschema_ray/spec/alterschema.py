@@ -18,8 +18,16 @@ from __future__ import annotations
 import json
 from typing import Any, Callable
 
-from jsonschema_ray.spec.format import (_SUBSCHEMA, _SUBSCHEMA_LIST,
-                                        _SUBSCHEMA_MAP)
+# version-agnostic subschema shape sets for the transform walk (the
+# dialect-gated table lives in spec/jschema._SUBSCHEMA_KW; transforms
+# run on already-dialect-checked documents so the union is safe here)
+_SUBSCHEMA = {"items", "additionalItems", "unevaluatedItems", "contains",
+              "not", "if", "then", "else", "propertyNames",
+              "additionalProperties", "unevaluatedProperties",
+              "contentSchema"}
+_SUBSCHEMA_LIST = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_SUBSCHEMA_MAP = {"properties", "patternProperties", "dependentSchemas",
+                  "$defs", "definitions"}
 
 # each rule: name -> fn(node_dict) -> (changed: bool, new_node)
 # rules see a SCHEMA OBJECT (dict) and return a replacement

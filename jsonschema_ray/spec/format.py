@@ -52,17 +52,6 @@ _RANK: dict[str, int] = {
 
 _DEFAULT = 1 << 62
 
-# keywords whose value is a single subschema
-_SUBSCHEMA = {"items", "additionalItems", "unevaluatedItems", "contains",
-              "not", "if", "then", "else", "propertyNames",
-              "additionalProperties", "unevaluatedProperties",
-              "contentSchema"}
-# keywords whose value is a list of subschemas
-_SUBSCHEMA_LIST = {"allOf", "anyOf", "oneOf", "prefixItems"}
-# keywords whose value is a map of name -> subschema (keys are data)
-_SUBSCHEMA_MAP = {"properties", "patternProperties", "dependentSchemas",
-                  "$defs", "definitions"}
-
 
 def _rank(keyword: str) -> int:
     if keyword.startswith("x-"):
@@ -74,33 +63,66 @@ def _key(keyword: str) -> tuple[int, str]:
     return (_rank(keyword), keyword)
 
 
-def format_schema(schema):
-    """Return the schema with every schema object's members reordered
-    by the canonical keyword ranking (recursively; pure, no mutation)."""
+def format_schema(schema, ver: int | None = None):
+    """Return the schema with every SUBSCHEMA POSITION's members
+    reordered by the canonical keyword ranking (pure, no mutation).
+
+    Recursion is dialect-aware, mirroring the reference's frame-based
+    reorder (``vendor/blaze/src/format/format.cc:140-169``: only
+    frame-identified subschema locations are reordered) — e.g. a
+    draft-7 document's ``$defs`` values or any unknown keyword's
+    contents keep their user ordering, and a test document (no known
+    applicators at the root) gets a root-only reorder."""
     if isinstance(schema, bool) or not isinstance(schema, dict):
         return schema
+    from jsonschema_ray.spec.jschema import _SUBSCHEMA_KW, _dialect_ver
+
+    if ver is None or isinstance(schema.get("$schema"), str):
+        ver = _dialect_ver(schema)
     out = {}
     for k in sorted(schema, key=_key):
         v = schema[k]
-        if k in _SUBSCHEMA:
-            out[k] = format_schema(v)
-        elif k in _SUBSCHEMA_LIST and isinstance(v, list):
-            out[k] = [format_schema(x) for x in v]
-        elif k in _SUBSCHEMA_MAP and isinstance(v, dict):
-            out[k] = {name: format_schema(sub) for name, sub in v.items()}
-        elif k == "dependencies" and isinstance(v, dict):
-            # schema-or-stringlist per member (draft-07 and earlier)
-            out[k] = {name: format_schema(sub) if isinstance(sub, (dict, bool))
-                      else sub for name, sub in v.items()}
+        spec = _SUBSCHEMA_KW.get(k)
+        if not spec or not (spec[1] <= ver <= spec[2]):
+            out[k] = v
+            continue
+        shape = spec[0]
+        if shape == "items":
+            shape = "list" if isinstance(v, list) and ver < 2020 \
+                else "schema"
+        if shape == "schema":
+            out[k] = format_schema(v, ver)
+        elif shape == "list" and isinstance(v, list):
+            out[k] = [format_schema(x, ver) for x in v]
+        elif shape == "map" and isinstance(v, dict):
+            out[k] = {name: format_schema(sub, ver)
+                      for name, sub in v.items()}
         else:
             out[k] = v
     return out
 
 
-def prettify_schema(schema, indent: int = 2) -> str:
+def looks_like_test_document(doc) -> bool:
+    """Reference test-file detection (``src/utils.h:105-110``): an
+    object without ``$schema`` with a string ``target`` and an array
+    ``tests`` is a schema TEST document (formatted root-only under the
+    2020-12 walker, no dialect requirement)."""
+    return (isinstance(doc, dict) and "$schema" not in doc
+            and isinstance(doc.get("target"), str)
+            and isinstance(doc.get("tests"), list))
+
+
+def prettify_schema(schema, indent: int = 2,
+                    default_dialect: str | None = None) -> str:
     """Canonical text form: ranked keyword order + ``indent``-space
     indentation + trailing newline (the reference's prettify output)."""
     import json
 
-    return json.dumps(format_schema(schema), indent=indent,
+    ver = None
+    if default_dialect and isinstance(schema, dict) \
+            and "$schema" not in schema:
+        from jsonschema_ray.spec.jschema import _dialect_ver
+
+        ver = _dialect_ver({"$schema": default_dialect})
+    return json.dumps(format_schema(schema, ver), indent=indent,
                       ensure_ascii=False) + "\n"

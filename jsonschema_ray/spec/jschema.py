@@ -381,6 +381,8 @@ def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
                 f"$ref pointer {frag!r} traverses a non-schema position "
                 f"at {toks[i]!r}")
         kw = toks[i]
+        if kw not in node:
+            raise KeyError(f"unresolvable $ref pointer: {frag!r}")
         spec = _SUBSCHEMA_KW.get(kw)
         if spec is None or not (spec[1] <= ver <= spec[2]):
             raise ValueError(

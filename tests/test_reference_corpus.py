@@ -494,6 +494,155 @@ def test_reference_lint_corpus_parity():
 
 
 # ---------------------------------------------------------------------------
+# fmt verb corpus: BYTE-exact comparison where the fixture carries an
+# expected.json (canonical keyword reordering + 2-space prettify), and
+# --check verdict parity elsewhere. In-place rewrites are tracked so a
+# later --check in the same script sees the formatted file.
+# ---------------------------------------------------------------------------
+
+FMT_MIN_MATCHES = 38
+FMT_EXPECTED_DIVERGENT: set[str] = set()
+
+
+def _fmt_render(doc, indent: int, keep: bool, dd: str | None):
+    """(canonical text, exit-family) for one fmt invocation —
+    mirrors cmd_fmt's --schema path (src/command_fmt.cc semantics)."""
+    from jsonschema_ray.spec.format import (looks_like_test_document,
+                                            prettify_schema)
+
+    if keep:
+        return json.dumps(doc, indent=indent, ensure_ascii=False) + "\n", 0
+    if looks_like_test_document(doc):
+        return prettify_schema(
+            doc, indent=indent,
+            default_dialect="https://json-schema.org/draft/2020-12/schema"), 0
+    if isinstance(doc, dict) and "$schema" not in doc and not dd:
+        return None, 1
+    try:
+        compile_schema(dict(doc, **({"$schema": dd} if dd and
+                       "$schema" not in doc else {}))
+                       if isinstance(doc, dict) else doc)
+    except Exception:
+        return None, 1
+    return prettify_schema(doc, indent=indent, default_dialect=dd), 0
+
+
+def test_reference_fmt_corpus_parity():
+    scripts = sorted(glob.glob(f"{CORPUS.rsplit('/', 1)[0]}/format/*.sh"))
+    assert len(scripts) >= 60
+    matches, skips, divergent = [], {}, {}
+    for path in scripts:
+        name = path.rsplit("/", 1)[1]
+        src = open(path).read()
+        files = {m.group(1): m.group(2) for m in HEREDOC.finditer(src)}
+        if "config" in name:
+            skips[name] = "project-config flow"
+            continue
+        joined, buf = [], ""
+        for ln in src.split("\n"):
+            if ln.rstrip().endswith("\\"):
+                buf += ln.rstrip()[:-1] + " "
+            else:
+                joined.append(buf + ln)
+                buf = ""
+        invs = []
+        for i, ln in enumerate(joined):
+            if '"$1"' in ln and " fmt" in ln:
+                exp = 0
+                for la in joined[i:i + 4]:
+                    m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
+                    if m:
+                        exp = int(m.group(1))
+                        break
+                invs.append((ln.strip(), exp))
+        if not invs:
+            skips[name] = "no invocation"
+            continue
+        verdict = None
+        for inv, exp in invs:
+            if "|" in inv.split('"$1"')[0] \
+                    or not inv.lstrip().startswith('"$1"'):
+                verdict = ("skip", "stdin/pipe")
+                break
+            inv2 = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
+            inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
+            try:
+                toks = shlex.split(inv2)
+            except ValueError:
+                verdict = ("skip", "plumbing")
+                break
+            check = "--check" in toks or "-c" in toks
+            keep = "--keep-ordering" in toks or "-k" in toks
+            indent, dd = 2, None
+            for flag in ("--indentation", "-i"):
+                if flag in toks:
+                    indent = int(toks[toks.index(flag) + 1])
+            for flag in ("--default-dialect", "-d"):
+                if flag in toks:
+                    dd = toks[toks.index(flag) + 1]
+            pos, j = [], 2
+            while j < len(toks):
+                t = toks[j]
+                if t in ("--indentation", "-i", "--default-dialect", "-d",
+                         "--ignore", "--extension", "-e"):
+                    j += 2
+                elif t.startswith("-") and t != "-":
+                    j += 1
+                else:
+                    pos.append(t)
+                    j += 1
+            tgt = next((t for t in pos if t.startswith("$TMP/")), None)
+            if tgt is None:
+                verdict = ("skip", "dir or stdin target")
+                break
+            key = tgt[5:]
+            if key not in files:
+                verdict = ("skip", "target not heredoc")
+                break
+            body = files[key] + "\n"
+            got, out = None, None
+            if key.endswith((".yaml", ".yml")):
+                got = 1      # fmt does not support YAML input
+            else:
+                try:
+                    doc = json.loads(body)
+                except Exception:
+                    got = 1
+            if got is None:
+                out, got = _fmt_render(doc, indent, keep, dd)
+            if got == 0:
+                if check:
+                    got = 0 if out == body else 2
+                else:
+                    files[key] = out[:-1]     # in-place rewrite
+            agree = (got == exp) or (exp not in (0, 2) and got == 1)
+            if not agree:
+                verdict = ("div", (exp, got))
+                break
+            if got == 0 and not check and "expected.json" in files \
+                    and f'diff "$TMP/{key}"' in src:
+                want = files["expected.json"] + "\n"
+                if out != want:
+                    verdict = ("div", ("bytes", out[:160], want[:160]))
+                    break
+        if verdict is None:
+            matches.append(name)
+        elif verdict[0] == "skip":
+            skips[name] = verdict[1]
+        else:
+            divergent[name] = verdict[1]
+
+    unexpected = set(divergent) - FMT_EXPECTED_DIVERGENT
+    healed = FMT_EXPECTED_DIVERGENT - set(divergent) - set(skips)
+    assert not unexpected, f"new fmt divergences: " \
+        f"{ {k: divergent[k] for k in sorted(unexpected)} }"
+    assert not healed, f"now agreeing — update FMT_EXPECTED_DIVERGENT: " \
+        f"{sorted(healed)}"
+    assert len(matches) >= FMT_MIN_MATCHES, (
+        f"{len(matches)} < {FMT_MIN_MATCHES}; skips={skips}")
+
+
+# ---------------------------------------------------------------------------
 # upgrade verb corpus: STRUCTURAL output comparison (the fixtures carry
 # expected.json, so this is byte-semantics, not just verdicts).
 # ---------------------------------------------------------------------------
