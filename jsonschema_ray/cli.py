@@ -1159,128 +1159,100 @@ def cmd_decode(args) -> int:
 
 
 def cmd_bundle(args) -> int:
-    """Inline every file-based ``$ref`` of a JSON Schema document into
-    ``$defs``, emitting a self-contained schema (the ``jsonschema
-    bundle`` verb, ``/root/reference/src/command_bundle.cc:56-81`` —
-    there it inlines registry/HTTP refs; this sandbox has no network,
-    so the supported external-ref form is a relative file path,
-    JSON or YAML).
+    """Emit a self-contained schema: every reference whose base URI
+    resolves outside the document is embedded under the dialect's
+    definitions container, keyed by its canonical URI, with $id/$schema
+    made explicit (the ``jsonschema bundle`` verb,
+    ``/root/reference/src/command_bundle.cc:56-83`` →
+    ``vendor/blaze/src/bundle/bundle.cc``; see spec/bundle.py).
 
-    Each referenced file is mounted at ``#/$defs/<key>`` and its
-    internal fragment refs are pointer-rewritten under that mount
-    (correct for JSON-pointer refs; ``$anchor`` collisions across
-    bundled files are reported as errors rather than silently merged).
-    """
+    Resolution order for an external URI: ``--resolve`` pre-imports
+    (files or directories; declared ``$id`` and file path both
+    register), project-config ``resolve`` remaps, ``file://`` reads,
+    ``--store`` (from `install`), then live ``--http`` fetch."""
     import os
+
+    from jsonschema_ray.spec.bundle import bundle_schema
+    from jsonschema_ray.spec.format import prettify_schema
 
     root_path = os.path.abspath(args.schema)
     root = _load_schema_doc(root_path)
-    defs = root.setdefault("$defs", {})
-    loaded: dict[str, str] = {}  # abs path or URI -> $defs key
-    errors: list[str] = []
     store = None
     if getattr(args, "store", None):
         from jsonschema_ray.sources.fetch import SchemaStore
 
         store = SchemaStore(args.store)
 
-    def key_for(path: str) -> str:
-        base = os.path.basename(path)
-        key = base.rsplit(".", 1)[0]
-        i = 1
-        while key in defs and loaded.get(path) != key:
-            key = f"{base.rsplit('.', 1)[0]}_{i}"
-            i += 1
-        return key
+    registry: dict = {}
+    seen_ids: dict = {}
+    for r in getattr(args, "resolve", None) or []:
+        paths = []
+        if os.path.isdir(r):
+            for dirpath, _dirs, names in os.walk(r):
+                paths.extend(os.path.join(dirpath, n) for n in sorted(names)
+                             if n.endswith((".json", ".yaml", ".yml")))
+        else:
+            paths.append(r)
+        for p in sorted(paths):
+            doc = _load_schema_doc(os.path.abspath(p))
+            registry[f"file://{os.path.abspath(p)}"] = doc
+            if isinstance(doc, dict):
+                did = doc.get("$id") or doc.get("id")
+                if isinstance(did, str):
+                    if did in seen_ids and seen_ids[did] != doc:
+                        raise ValueError(
+                            f"duplicate --resolve identifier: {did!r}")
+                    seen_ids[did] = doc
+                    registry.setdefault(did, doc)
+    # project-config resolve remaps (jsonschema.json next to the schema)
+    from jsonschema_ray.state.config import discover
 
-    def rewrite_fragments(node, mount: str):
-        """Shift a bundled doc's internal '#...'-refs under its mount."""
-        if isinstance(node, dict):
-            for k, v in node.items():
-                if k in ("$ref", "$dynamicRef") and isinstance(v, str) \
-                        and v.startswith("#"):
-                    frag = v[1:]
-                    node[k] = f"#{mount}{frag}" if frag.startswith("/") \
-                        else (f"#{mount}" if frag == "" else v)
-                    if frag and not frag.startswith("/"):
-                        errors.append(
-                            f"anchor ref {v!r} inside bundled file cannot "
-                            "be relocated (unsupported)")
-                else:
-                    rewrite_fragments(v, mount)
-        elif isinstance(node, list):
-            for v in node:
-                rewrite_fragments(v, mount)
+    cfg = discover(os.path.dirname(root_path))
+    for s_uri, d_uri in ((cfg or {}).get("resolve") or {}).items():
+        tgt = next((d for d in registry.values() if isinstance(d, dict)
+                    and (d.get("$id") or d.get("id")) == d_uri), None)
+        if tgt is None and (d_uri.startswith("file://")
+                            or os.path.exists(d_uri)):
+            try:
+                tgt = _load_schema_doc(d_uri.replace("file://", "", 1))
+            except OSError:
+                tgt = None
+        if tgt is not None:
+            registry[s_uri] = tgt
 
-    def bundle_refs(node, base: str, remote: bool = False):
-        """``base`` is a filesystem dir (remote=False) or the URI of the
-        containing document (remote=True): relative refs inside a
-        fetched remote schema resolve against its URI, not the local
-        tree (reference resolver semantics, ``src/resolver.h:262+``)."""
-        if isinstance(node, dict):
-            for k, v in list(node.items()):
-                if k == "$ref" and isinstance(v, str) and not v.startswith("#"):
-                    if remote or "://" in v:
-                        from urllib.parse import urljoin
+    def resolver(uri: str):
+        doc = registry.get(uri)
+        if doc is not None:
+            return doc
+        if uri.startswith("file://"):
+            try:
+                return _load_schema_doc(uri[len("file://"):])
+            except OSError:
+                return None
+        if store is not None:
+            doc = store.resolve(uri)
+            if doc is not None:
+                return doc
+        if getattr(args, "http", False):
+            from jsonschema_ray.sources.fetch import fetch_schema
 
-                        uri, _, frag = v.partition("#")
-                        if "://" not in uri:
-                            uri = urljoin(base, uri)
-                        sub = store.resolve(uri) if store else None
-                        if sub is None and getattr(args, "http", False):
-                            from jsonschema_ray.sources.fetch import (
-                                fetch_schema)
+            try:
+                return fetch_schema(uri)
+            except Exception:  # noqa: BLE001 — unresolvable is the signal
+                return None
+        return None
 
-                            try:
-                                sub = fetch_schema(uri)
-                            except Exception as e:  # noqa: BLE001
-                                errors.append(
-                                    f"cannot fetch $ref {v!r}: {e}")
-                                continue
-                        if sub is None:
-                            errors.append(
-                                f"unresolved external $ref {v!r} (install "
-                                "it to --store, or pass --http)")
-                            continue
-                        if uri not in loaded:
-                            key = key_for(uri)
-                            loaded[uri] = key
-                            defs[key] = sub  # mount first: cycles terminate
-                            rewrite_fragments(sub, f"/$defs/{key}")
-                            bundle_refs(sub, uri, remote=True)
-                        node[k] = f"#/$defs/{loaded[uri]}{frag}"
-                        continue
-                    path, _, frag = v.partition("#")
-                    apath = os.path.abspath(os.path.join(base, path))
-                    if apath not in loaded:
-                        try:
-                            sub = _load_schema_doc(apath)
-                        except OSError as e:
-                            errors.append(f"cannot load $ref {v!r}: {e}")
-                            continue
-                        key = key_for(apath)
-                        loaded[apath] = key
-                        defs[key] = sub  # mount first: cycles terminate
-                        rewrite_fragments(sub, f"/$defs/{key}")
-                        bundle_refs(sub, os.path.dirname(apath))
-                    node[k] = f"#/$defs/{loaded[apath]}{frag}"
-                else:
-                    bundle_refs(v, base, remote)
-        elif isinstance(node, list):
-            for v in node:
-                bundle_refs(v, base, remote)
-
-    bundle_refs(root, os.path.dirname(root_path))
-    if errors:
-        for e in errors:
-            print(f"bundle: {e}", file=sys.stderr)
-        return EXIT_ERROR
-    out = json.dumps(root, indent=2, sort_keys=True)
+    bundled = bundle_schema(
+        root, resolver,
+        default_dialect=getattr(args, "default_dialect", None),
+        default_id=f"file://{root_path}")
+    out = prettify_schema(
+        bundled, default_dialect=getattr(args, "default_dialect", None))
     if args.output:
         with open(args.output, "w") as f:
-            f.write(out + "\n")
+            f.write(out)
     else:
-        print(out)
+        sys.stdout.write(out)
     return EXIT_OK
 
 
@@ -1459,6 +1431,13 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bundle")
     b.add_argument("schema")
     b.add_argument("-o", "--output")
+    b.add_argument("-r", "--resolve", action="append",
+                   help="pre-import a schema file or directory into the "
+                        "resolver (repeatable; registers declared $id and "
+                        "file path)")
+    b.add_argument("-d", "--default-dialect",
+                   help="dialect to assume when a document does not "
+                        "declare $schema")
     b.add_argument("--store",
                    help="schema store directory (from `install`) for "
                         "resolving remote $refs offline")

@@ -183,15 +183,19 @@ def test_bundle_inlines_file_refs(tmp_path):
     import subprocess
     import sys
 
+    dialect = "https://json-schema.org/draft/2020-12/schema"
     (tmp_path / "node.yaml").write_text(
+        f"$schema: '{dialect}'\n"
         "type: object\nrequired: [v]\nproperties:\n  v: {type: integer}\n"
         "  next: {$ref: 'node.yaml'}\n")  # self-recursive file ref
     (tmp_path / "root.json").write_text(_json.dumps({
+        "$schema": dialect,
         "type": "object",
         "properties": {"head": {"$ref": "node.yaml"},
                        "tag": {"$ref": "tag.json#/$defs/t"}}}))
     (tmp_path / "tag.json").write_text(_json.dumps(
-        {"$defs": {"t": {"type": "string", "minLength": 2}}}))
+        {"$schema": dialect,
+         "$defs": {"t": {"type": "string", "minLength": 2}}}))
 
     p = subprocess.run(
         [sys.executable, "-m", "jsonschema_ray", "bundle",
@@ -199,12 +203,16 @@ def test_bundle_inlines_file_refs(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert p.returncode == 0, p.stderr
     bundled = _json.loads(p.stdout)
-    assert set(bundled["$defs"]) == {"node", "tag"}
-    assert bundled["properties"]["head"]["$ref"] == "#/$defs/node"
-    assert bundled["properties"]["tag"]["$ref"] == "#/$defs/tag/$defs/t"
-    # recursive file-ref now points at its own mount
-    assert bundled["$defs"]["node"]["properties"]["next"]["$ref"] \
-        == "#/$defs/node"
+    # reference shape (bundle.cc): resources embedded under $defs keyed
+    # by canonical URI, refs untouched, identifiers made explicit
+    assert set(bundled["$defs"]) == {f"file://{tmp_path}/node.yaml",
+                                     f"file://{tmp_path}/tag.json"}
+    assert bundled["$id"] == f"file://{tmp_path}/root.json"
+    assert bundled["properties"]["head"]["$ref"] == "node.yaml"
+    assert bundled["properties"]["tag"]["$ref"] == "tag.json#/$defs/t"
+    node = bundled["$defs"][f"file://{tmp_path}/node.yaml"]
+    assert node["$id"] == f"file://{tmp_path}/node.yaml"
+    assert node["properties"]["next"]["$ref"] == "node.yaml"
 
     from jsonschema_ray.spec.jschema import compile_schema
     cs = compile_schema(bundled)
@@ -219,13 +227,14 @@ def test_bundle_rejects_network_refs(tmp_path):
     import sys
 
     (tmp_path / "net.json").write_text(_json.dumps(
-        {"$ref": "https://example.com/schema.json"}))
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "$ref": "https://example.com/schema.json"}))
     p = subprocess.run(
         [sys.executable, "-m", "jsonschema_ray", "bundle",
          str(tmp_path / "net.json")],
         capture_output=True, text=True, cwd="/root/repo")
     assert p.returncode == 1
-    assert "unresolved external $ref" in p.stderr
+    assert "could not resolve" in p.stderr
 
 
 def test_validate_trace_outputs_annotation_rows(ray_session, tmp_path):

@@ -86,11 +86,14 @@ def test_bundle_remote_refs_http_and_store(server, tmp_path):
     # live HTTP: transitive relative ref name.json resolves remotely
     assert main(["bundle", str(root), "--http", "-o", str(out)]) == 0
     bundled = json.loads(out.read_text())
-    assert bundled["$ref"].startswith("#/$defs/")
-    texts = json.dumps(bundled)
-    assert "minLength" in texts          # name.json got inlined
-    assert "http://" not in texts.replace(  # no remote refs remain
-        "https://json-schema.org", "")
+    # reference shape: $ref untouched, resources embedded by their URI
+    assert bundled["$ref"] == f"{server}/person.json"
+    assert set(bundled["$defs"]) == {f"{server}/person.json",
+                                     f"{server}/name.json"}
+    person = bundled["$defs"][f"{server}/person.json"]
+    assert person["$id"] == f"{server}/person.json"
+    assert person["properties"]["name"]["$ref"] == "name.json"
+    assert bundled["$defs"][f"{server}/name.json"]["minLength"] == 1
 
     # the bundled schema actually validates
     from jsonschema_ray.spec.jschema import compile_schema
