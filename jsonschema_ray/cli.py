@@ -795,6 +795,75 @@ def cmd_lint(args) -> int:
     return EXIT_VALIDATION if bad_rules else EXIT_OK
 
 
+def _run_schema_test_document(args, suite) -> int:
+    """Reference test-document runner: compile the `target` schema once
+    (relative path against the test file, or a URI via --resolve) and
+    check every case's verdict, plus expanded-JSON-LD equality for
+    cases carrying `rdf` (src/command_test.cc:83-300)."""
+    import os
+
+    from jsonschema_ray.spec.jschema import compile_schema
+    from jsonschema_ray.spec.testdoc import (TestDocumentError,
+                                             run_test_document)
+
+    base_dir = os.path.dirname(os.path.abspath(args.suite))
+    resources: dict = {}
+    for r in getattr(args, "resolve", None) or []:
+        paths = [r]
+        if os.path.isdir(r):
+            paths = sorted(
+                os.path.join(dp, n) for dp, _d, ns in os.walk(r)
+                for n in ns if n.endswith((".json", ".yaml", ".yml")))
+        for p in paths:
+            doc = _load_schema_doc(os.path.abspath(p))
+            resources[f"file://{os.path.abspath(p)}"] = doc
+            resources[os.path.abspath(p)] = doc
+            if isinstance(doc, dict):
+                did = doc.get("$id") or doc.get("id")
+                if isinstance(did, str):
+                    resources.setdefault(did, doc)
+    target_doc: list = [None]
+
+    def compile_target(target: str):
+        if "://" in target:
+            doc = resources.get(target)
+            if doc is None:
+                raise ValueError(
+                    f"could not resolve the test target: {target!r}")
+        else:
+            doc = _load_schema_doc(
+                os.path.normpath(os.path.join(base_dir, target)))
+        target_doc[0] = doc
+        return compile_schema(doc, resources=resources or None)
+
+    def load_data_path(p: str):
+        with open(os.path.normpath(os.path.join(base_dir, p))) as f:
+            return json.load(f)
+
+    try:
+        res = run_test_document(
+            suite, compile_target=compile_target,
+            load_data_path=load_data_path,
+            schema_for_rdf=None)
+    except TestDocumentError as e:
+        print(f"{args.suite}:\nerror: {e}", file=sys.stderr)
+        return EXIT_EMPTY_SUITE
+    # rdf expectations need the raw schema doc; rerun the rdf-bearing
+    # cases through run_test_document only if any case asks for it
+    if any("rdf" in c for c in suite["tests"] if isinstance(c, dict)):
+        res = run_test_document(
+            suite, compile_target=compile_target,
+            load_data_path=load_data_path, schema_for_rdf=target_doc[0])
+    if res["failures"]:
+        for idx, desc, reason in res["failures"]:
+            print(f"  {idx}/{res['total']} FAIL {desc} ({reason})",
+                  file=sys.stderr)
+        print(f"{args.suite}: FAIL {res['passed']}/{res['total']}")
+        return EXIT_VALIDATION
+    print(f"{args.suite}: PASS {res['passed']}/{res['total']}")
+    return EXIT_OK
+
+
 def cmd_test(args) -> int:
     """Schema unit-test runner (the ``jsonschema test`` verb, SURVEY.md
     §3.2): each case supplies docs inline plus the expected verdict
@@ -808,6 +877,12 @@ def cmd_test(args) -> int:
 
     with open(args.suite) as f:
         suite = json.load(f)
+    if not isinstance(suite, dict) or "target" in suite or not (
+            isinstance(suite.get("tests"), list)
+            and suite["tests"] and "docs" in suite["tests"][0]):
+        # reference schema test document: {target, tests:[{valid,
+        # data|dataPath, rdf?}]} (src/command_test.cc:83-300)
+        return _run_schema_test_document(args, suite)
     cases = suite.get("tests", [])
     if not cases:
         print("test: empty suite", file=sys.stderr)
@@ -1522,6 +1597,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("suite")
     t.add_argument("--plan", default="default")
     t.add_argument("--report")
+    t.add_argument("-r", "--resolve", action="append",
+                   help="pre-import a schema file or directory for "
+                        "resolving URI test targets (reference -r)")
     t.add_argument("--num-cpus", type=int, default=None)
     t.set_defaults(fn=cmd_test)
 

@@ -547,6 +547,12 @@ class CompiledSchema:
             defs = dict(mounted.get("$defs") or {})
             seen: list[tuple[int, str]] = []   # (id(doc), mount ptr)
             for i, (key, doc) in enumerate(resources.items()):
+                if doc is schema or doc == schema:
+                    # the root itself pre-imported (test/bundle flows
+                    # resolve the entry schema by its own URI): no
+                    # mount — it would duplicate the root resource $id
+                    ext_keys[key] = ""
+                    continue
                 dup = next((p for oid, p in seen if oid == id(doc)), None)
                 if dup is not None:    # same doc under an alias key:
                     ext_keys[key] = dup  # one mount, several names
@@ -559,6 +565,26 @@ class CompiledSchema:
             mounted["$defs"] = defs
             schema = mounted
         self.schema = schema
+        if assert_formats is None and isinstance(schema, dict) \
+                and isinstance(schema.get("$schema"), str):
+            # a custom metaschema declaring the format-assertion
+            # vocabulary opts the whole schema into asserting formats
+            # (2020-12 §7.2; reference pass_format_assertion.sh)
+            ds0 = schema["$schema"].rstrip("#")
+            meta = None
+            for key, doc in (resources or {}).items():
+                if not isinstance(doc, dict):
+                    continue
+                did = doc.get("$id") or doc.get("id")
+                if key.rstrip("#") == ds0 or (isinstance(did, str)
+                                              and did.rstrip("#") == ds0):
+                    meta = doc
+                    break
+            vocab = (meta or {}).get("$vocabulary")
+            if isinstance(vocab, dict) and any(
+                    u.rstrip("#").endswith("/vocab/format-assertion")
+                    and on for u, on in vocab.items()):
+                assert_formats = True
         self._assert_formats = assert_formats
         self._cache: dict[str, _Fn] = {}
         self._idx = _DocIndex(schema, legacy_id=legacy, ver=ver)
