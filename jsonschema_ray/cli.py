@@ -1192,6 +1192,16 @@ def cmd_inspect(args) -> int:
         entries = analyze(_load_schema_doc(args.schema))
         if entries:
             out["unevaluated"] = [e.to_json() for e in entries]
+        # frame-location dump (the reference inspect verb's output,
+        # src/command_inspect.cc): resources / subschemas / pointers /
+        # anchors / reference edges
+        import os
+
+        from jsonschema_ray.spec.inspectframe import frame_entries
+
+        doc = _load_schema_doc(args.schema)
+        out["frame"] = frame_entries(
+            doc, default_id=f"file://{os.path.abspath(args.schema)}")
     print(json.dumps(out, indent=2))
     return EXIT_OK
 
