@@ -1118,10 +1118,39 @@ def cmd_codegen(args) -> int:
     from jsonschema_ray.functions.formats import REGEX_FORMATS
 
     if getattr(args, "target", "python") == "typescript":
+        import os
+
         from jsonschema_ray.spec.codegen_ts import schema_to_typescript
 
-        code = schema_to_typescript(_load_schema_doc(args.plan, configured=False),
-                                    name=getattr(args, "name", "Schema"))
+        registry: dict = {}
+        for r in getattr(args, "resolve", None) or []:
+            paths = [r]
+            if os.path.isdir(r):
+                paths = sorted(
+                    os.path.join(dp, n) for dp, _d, ns in os.walk(r)
+                    for n in ns if n.endswith((".json", ".yaml", ".yml")))
+            for p in paths:
+                rdoc = _load_schema_doc(os.path.abspath(p))
+                registry[f"file://{os.path.abspath(p)}"] = rdoc
+                if isinstance(rdoc, dict):
+                    did = rdoc.get("$id") or rdoc.get("id")
+                    if isinstance(did, str):
+                        registry.setdefault(did, rdoc)
+
+        def _ts_resolver(uri: str):
+            doc = registry.get(uri)
+            if doc is None and uri.startswith("file://"):
+                try:
+                    return _load_schema_doc(uri[len("file://"):])
+                except OSError:
+                    return None
+            return doc
+
+        code = schema_to_typescript(
+            _load_schema_doc(args.plan, configured=False),
+            name=getattr(args, "name", None) or "Schema",
+            resolver=_ts_resolver,
+            default_id=f"file://{os.path.abspath(args.plan)}")
         if args.output:
             with open(args.output, "w") as f:
                 f.write(code)
@@ -1628,6 +1657,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="python: standalone validator from a plan; "
                         "typescript: export type declarations from a "
                         "schema (reference --target typescript)")
+    g.add_argument("-r", "--resolve", action="append",
+                   help="pre-import a schema file or directory for "
+                        "resolving remote $refs (reference -r)")
     g.add_argument("--name", default="Schema",
                    help="root type name for --target typescript")
     g.set_defaults(fn=cmd_codegen)

@@ -148,7 +148,8 @@ def _elevate_embedded(remote: dict, container: dict, bundled: dict) -> None:
 
 def bundle_schema(schema: Any, resolver: Resolver, *,
                   default_dialect: str | None = None,
-                  default_id: str = "") -> Any:
+                  default_id: str = "",
+                  mode: str = "metaschemas") -> Any:
     """Return a self-contained copy of ``schema`` with every external
     dependency embedded (``blaze::bundle``, mode
     NonOfficialMetaschemas). ``resolver(uri)`` returns the schema for
@@ -205,6 +206,10 @@ def bundle_schema(schema: Any, resolver: Resolver, *,
         deferred = []
         for ptr, target, base_uri, frag in refs:
             if is_official_schema(base_uri):
+                continue
+            if mode == "references" and ptr.endswith("/$schema"):
+                # References mode skips metaschema dependencies
+                # (BundleMode::References, bundle.cc:19-31)
                 continue
             mapped = bundled.get(base_uri)
             if mapped is not None:
