@@ -608,8 +608,9 @@ def cmd_fmt(args) -> int:
         if getattr(args, "keep_ordering", False):
             # prettify only: no reorder, so no dialect needed
             # (src/command_fmt.cc:57-63)
-            canonical = json.dumps(doc, indent=ind,
-                                   ensure_ascii=False) + "\n"
+            from jsonschema_ray.spec.format import prettify_json
+
+            canonical = prettify_json(doc, ind) + "\n"
         else:
             if looks_like_test_document(doc):
                 # root-only reorder under the 2020-12 walker
@@ -1437,8 +1438,9 @@ def cmd_rdf(args) -> int:
     for path in args.instances:
         inst = _load_schema_doc(path, configured=False)
         try:
-            print(json.dumps(promote(schema, inst), indent=2,
-                             sort_keys=True))
+            from jsonschema_ray.spec.format import prettify_json
+
+            print(prettify_json(promote(schema, inst)))
             print(f"ok: {path}", file=sys.stderr)
         except ResolutionError as e:
             print(f"rdf: {path}: {e}", file=sys.stderr)

@@ -112,17 +112,75 @@ def looks_like_test_document(doc) -> bool:
             and isinstance(doc.get("tests"), list))
 
 
-def prettify_schema(schema, indent: int = 2,
-                    default_dialect: str | None = None) -> str:
-    """Canonical text form: ranked keyword order + ``indent``-space
-    indentation + trailing newline (the reference's prettify output)."""
+_LINE_WIDTH = 80
+
+
+def prettify_json(doc, indent_by: int = 2) -> str:
+    """The reference's JSON prettifier, byte-exact
+    (``vendor/core/src/core/json/stringify.h:446-545``): objects always
+    multiline; arrays inline as ``[ a, b ]`` when every element is a
+    scalar AND the one-line form fits the 80-column budget (current
+    indentation + the ``"key": `` prefix length counted in)."""
     import json
 
+    def scalar(v) -> str:
+        return json.dumps(v, ensure_ascii=False)
+
+    def pretty(v, indentation: int, property_size: int = 0) -> str:
+        if isinstance(v, dict):
+            if not v:
+                return "{}"
+            parts = ["{"]
+            items = list(v.items())
+            pad = " " * ((indentation + 1) * indent_by)
+            for i, (k, val) in enumerate(items):
+                keyenc = json.dumps(k, ensure_ascii=False) + ": "
+                rendered = pretty(val, indentation + 1, len(keyenc))
+                tail = "," if i < len(items) - 1 else (
+                    "\n" + " " * (indentation * indent_by))
+                parts.append("\n" + pad + keyenc + rendered + tail)
+            parts.append("}")
+            return "".join(parts)
+        if isinstance(v, list):
+            effective = indentation * indent_by + property_size
+            if effective < _LINE_WIDTH:
+                inplace = "["
+                fits = True
+                for i, el in enumerate(v):
+                    if isinstance(el, (dict, list)):
+                        fits = False
+                        break
+                    inplace += " " + scalar(el)
+                    inplace += " " if i == len(v) - 1 else ","
+                    if len(inplace) + effective >= _LINE_WIDTH:
+                        fits = False
+                        break
+                if fits:
+                    return inplace + "]"
+            if not v:
+                return "[]"
+            pad = " " * ((indentation + 1) * indent_by)
+            parts = ["["]
+            for i, el in enumerate(v):
+                rendered = pretty(el, indentation + 1)
+                tail = "," if i < len(v) - 1 else (
+                    "\n" + " " * (indentation * indent_by))
+                parts.append("\n" + pad + rendered + tail)
+            parts.append("]")
+            return "".join(parts)
+        return scalar(v)
+
+    return pretty(doc, 0)
+
+
+def prettify_schema(schema, indent: int = 2,
+                    default_dialect: str | None = None) -> str:
+    """Canonical text form: ranked keyword order + reference prettify
+    + trailing newline (the reference's fmt/bundle output)."""
     ver = None
     if default_dialect and isinstance(schema, dict) \
             and "$schema" not in schema:
         from jsonschema_ray.spec.jschema import _dialect_ver
 
         ver = _dialect_ver({"$schema": default_dialect})
-    return json.dumps(format_schema(schema, ver), indent=indent,
-                      ensure_ascii=False) + "\n"
+    return prettify_json(format_schema(schema, ver), indent) + "\n"

@@ -1,24 +1,28 @@
 """JSON Schema → JSON-LD promotion (the ``rdf`` verb).
 
-The reference's ``jsonschema rdf`` (``/root/reference/src/command_rdf.cc:
-100-220``, semantics in ``/root/reference/docs/rdf.markdown``) evaluates
-an instance against a 2019-09/2020-12 schema annotated with
-``x-jsonld-*`` keywords and, if valid, prints the instance promoted to
-expanded-form JSON-LD.  This is a from-scratch re-implementation of the
-documented annotation vocabulary subset:
+The reference's ``jsonschema rdf`` (``/root/reference/src/command_rdf.cc``,
+semantics in ``/root/reference/docs/rdf.markdown``) evaluates an
+instance against a 2019-09/2020-12 schema annotated with ``x-jsonld-*``
+keywords and, if valid, prints the instance promoted to expanded-form
+JSON-LD. This implements the full documented annotation vocabulary:
 
-    x-jsonld-id, x-jsonld-type, x-jsonld-datatype, x-jsonld-language,
-    x-jsonld-container (@list/@set), x-jsonld-self (URI template with
-    verbatim property variables, or the `mailto`/`acct` schemes),
-    x-jsonld-value, x-jsonld-constants, x-jsonld-json, x-jsonld-reverse
+    x-jsonld-id, x-jsonld-type, x-jsonld-reverse, x-jsonld-datatype,
+    x-jsonld-language (canonical BCP 47), x-jsonld-direction,
+    x-jsonld-json, x-jsonld-graph, x-jsonld-container
+    (@list/@set/@language/@index), x-jsonld-self (URI template or
+    mailto/acct scheme identity), x-jsonld-override, x-jsonld-value,
+    x-jsonld-constants
 
-Unsupported keywords (``x-jsonld-graph``, ``@language``/``@index``
-containers, ``x-jsonld-direction``, ``x-jsonld-override``) raise
-:class:`ResolutionError` naming the schema location, mirroring the
-reference's resolution-error contract (every error cites the offending
-annotation).  The guarantee is the same syntactic one the reference
-makes: if promotion succeeds, the output is well-formed expanded
-JSON-LD.
+Annotation COMPOSITION follows JSON Schema evaluation: values flow
+from every applied subschema — ``$ref`` targets (including external
+resources), ``allOf`` members, the ``anyOf``/``oneOf`` branches that
+VALIDATE the value, and the taken ``then``/``else`` branch. Single-
+value keywords reject conflicting assignments unless the outer object
+declares ``x-jsonld-override: true``; ``x-jsonld-type`` values union
+(sorted); referenced schemas on pre-2019 dialects validate as usual but
+their annotations are ignored (docs/rdf.markdown notes). Nodes reached
+through UNPREDICATED properties are hoisted to the top level of the
+expanded document; an annotation-free document expands to ``[]``.
 
 Dataset-scale path: :class:`PromoteBatch` is an actor-pool
 ``map_batches`` stage that compiles the schema ONCE per actor and
@@ -34,14 +38,14 @@ import re
 import urllib.parse
 from typing import Any
 
-_DIALECTS = ("https://json-schema.org/draft/2020-12/schema",
-             "https://json-schema.org/draft/2019-09/schema")
+_OLD_DIALECTS = ("draft-07", "draft-06", "draft-04", "draft-03")
 
-_KEYWORDS = {"x-jsonld-id", "x-jsonld-type", "x-jsonld-reverse",
-             "x-jsonld-datatype", "x-jsonld-language", "x-jsonld-json",
-             "x-jsonld-container", "x-jsonld-self", "x-jsonld-value",
-             "x-jsonld-constants", "x-jsonld-graph", "x-jsonld-direction",
-             "x-jsonld-override"}
+_SINGLE = ("x-jsonld-id", "x-jsonld-reverse", "x-jsonld-datatype",
+           "x-jsonld-language", "x-jsonld-direction", "x-jsonld-json",
+           "x-jsonld-graph", "x-jsonld-container", "x-jsonld-self",
+           "x-jsonld-value")
+
+_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S+$")
 
 
 class ResolutionError(ValueError):
@@ -53,30 +57,29 @@ class ResolutionError(ValueError):
         self.schema_location = schema_location
 
 
-def _resolve_pointer(root: Any, pointer: str) -> Any:
-    node = root
-    if pointer in ("", "#"):
-        return node
-    for part in pointer.lstrip("#").lstrip("/").split("/"):
-        part = part.replace("~1", "/").replace("~0", "~")
-        node = node[int(part)] if isinstance(node, list) else node[part]
-    return node
-
-
-def _effective(root: Any, sch: Any, ptr: str, depth: int = 0) -> dict:
-    """Merge the subschema with its ``$ref`` target and ``allOf``
-    members so annotations reachable through references participate
-    (inline keys win over referenced ones)."""
-    if not isinstance(sch, dict) or depth > 16:
-        return {}
-    out: dict = {}
-    if isinstance(sch.get("$ref"), str) and sch["$ref"].startswith("#"):
-        out.update(_effective(root, _resolve_pointer(root, sch["$ref"]),
-                              sch["$ref"], depth + 1))
-    for member in sch.get("allOf", []) or []:
-        out.update(_effective(root, member, ptr + "/allOf", depth + 1))
-    out.update(sch)
-    return out
+def _canonical_bcp47(tag: Any) -> bool:
+    """Canonical BCP 47 only (docs/rdf.markdown: `en-US` yes, `en-us`
+    no): language lowercase, script Titlecase, region uppercase."""
+    if not isinstance(tag, str) or not tag:
+        return False
+    parts = tag.split("-")
+    if not (2 <= len(parts[0]) <= 8 and parts[0].isascii()
+            and parts[0].isalpha() and parts[0].islower()):
+        return False
+    for sub in parts[1:]:
+        if not sub or len(sub) > 8 or not sub.isascii() \
+                or not sub.isalnum():
+            return False
+        if sub.isalpha():
+            if len(sub) == 4:           # script: Titlecase
+                if sub != sub[0].upper() + sub[1:].lower():
+                    return False
+            elif len(sub) == 2:         # region: UPPERCASE
+                if not sub.isupper():
+                    return False
+            elif not sub.islower():     # variants/extensions: lowercase
+                return False
+    return True
 
 
 def _self_id(template: str, value: Any, siblings: dict, ptr: str) -> str:
@@ -105,7 +108,7 @@ def _self_id(template: str, value: Any, siblings: dict, ptr: str) -> str:
         name = expr.lstrip("+")
         if name == "this":
             v = value
-        elif name in siblings:
+        elif isinstance(siblings, dict) and name in siblings:
             v = siblings[name]
         else:
             raise ResolutionError(
@@ -117,127 +120,381 @@ def _self_id(template: str, value: Any, siblings: dict, ptr: str) -> str:
     return re.sub(r"\{([^}]+)\}", sub, template)
 
 
-def _expand_constants(constants: Any, ptr: str) -> dict:
-    """``x-jsonld-constants`` is an expanded-form node-object fragment:
-    scalar values are wrapped as literals, expanded structures pass
-    through."""
-    if not isinstance(constants, dict):
-        raise ResolutionError("x-jsonld-constants must be an object", ptr)
-    out = {}
-    for k, v in constants.items():
-        if isinstance(v, list):
-            out[k] = v
-        elif isinstance(v, dict):
-            out[k] = [v]
-        else:
-            out[k] = [{"@value": v}]
-    return out
+class _Expander:
+    """Document-pointer-driven expansion over a compiled schema: the
+    compiled document carries mounted external resources, and per-
+    pointer validators decide which anyOf/oneOf/if branches apply."""
 
+    def __init__(self, cs):
+        self.cs = cs
+        self.doc = cs.schema
+        self.hoisted: list = []
 
-def _scalar_literal(sch: dict, v: Any, ptr: str) -> dict:
-    if sch.get("x-jsonld-json"):
-        return {"@value": v, "@type": "@json"}
-    dt = sch.get("x-jsonld-datatype")
-    lang = sch.get("x-jsonld-language")
-    if dt is not None and lang is not None:
-        raise ResolutionError(
-            "x-jsonld-datatype and x-jsonld-language are mutually "
-            "exclusive", ptr)
-    if dt is not None:
-        return {"@value": v, "@type": dt}
-    if lang is not None:
-        if not isinstance(v, str):
-            raise ResolutionError(
-                "x-jsonld-language applies to string values only", ptr)
-        out = {"@value": v, "@language": lang}
+    # -- document access -----------------------------------------------
+    def node(self, ptr: str) -> Any:
+        from jsonschema_ray.spec.jschema import _resolve_pointer
+
+        return _resolve_pointer(self.doc, ptr)
+
+    def validates(self, ptr: str, value: Any) -> bool:
+        try:
+            return not self.cs._fn_for_ptr(ptr)(value, "")[0]
+        except Exception:  # noqa: BLE001 — non-compilable branch ≠ match
+            return False
+
+    def _ver(self, ptr: str) -> int:
+        """Effective dialect version at ptr (nearest $schema above)."""
+        from jsonschema_ray.spec.jschema import _dialect_ver
+
+        node = self.doc
+        ver = _dialect_ver(node) if isinstance(node, dict) else 2020
+        if ptr:
+            for tok in ptr.lstrip("/").split("/"):
+                tok = tok.replace("~1", "/").replace("~0", "~")
+                node = node[int(tok)] if isinstance(node, list) \
+                    else node.get(tok)
+                if isinstance(node, dict) \
+                        and isinstance(node.get("$schema"), str):
+                    ver = _dialect_ver(node)
+        return ver
+
+    # -- annotation gathering -------------------------------------------
+    def sources(self, ptr: str, value: Any, seen: frozenset = frozenset()
+                ) -> list[str]:
+        """Every schema-node pointer applied IN PLACE at this instance
+        location: the node itself, $ref targets, allOf members,
+        validating anyOf/oneOf branches, the taken then/else branch."""
+        if ptr in seen:
+            return []
+        seen = seen | {ptr}
+        node = self.node(ptr)
+        if not isinstance(node, dict):
+            return [ptr] if isinstance(node, bool) else []
+        out = [ptr]
+        ref = node.get("$ref")
+        if isinstance(ref, str):
+            try:
+                tgt = self.cs._ref_target(ref, ptr)
+            except Exception as e:  # noqa: BLE001
+                raise ResolutionError(str(e), ptr) from None
+            out.extend(self.sources(tgt, value, seen))
+        for kw in ("allOf",):
+            if isinstance(node.get(kw), list):
+                for i in range(len(node[kw])):
+                    out.extend(self.sources(f"{ptr}/{kw}/{i}", value, seen))
+        for kw in ("anyOf", "oneOf"):
+            if isinstance(node.get(kw), list):
+                for i in range(len(node[kw])):
+                    bp = f"{ptr}/{kw}/{i}"
+                    if self.validates(bp, value):
+                        out.extend(self.sources(bp, value, seen))
+        if "if" in node and isinstance(node["if"], (dict, bool)):
+            branch = "then" if self.validates(f"{ptr}/if", value) else "else"
+            if branch in node:
+                out.extend(self.sources(f"{ptr}/{branch}", value, seen))
         return out
-    return {"@value": v}
 
-
-def _expand(root: Any, sch: Any, value: Any, ptr: str,
-            siblings: dict | None = None) -> Any:
-    """Expand one instance value under its (effective) subschema into an
-    expanded-form JSON-LD entity."""
-    eff = _effective(root, sch, ptr)
-    for unsupported in ("x-jsonld-graph", "x-jsonld-direction",
-                        "x-jsonld-override"):
-        if unsupported in eff:
+    def gather(self, ptr: str, value: Any) -> tuple[dict, list[str]]:
+        """Merged x-jsonld-* annotations + contributing source ptrs."""
+        srcs = self.sources(ptr, value)
+        own = self.node(ptr) if srcs else None
+        own = own if isinstance(own, dict) else {}
+        if "x-jsonld-override" in own \
+                and not isinstance(own["x-jsonld-override"], bool):
             raise ResolutionError(
-                f"{unsupported} is not supported by this engine", ptr)
+                "The value of x-jsonld-override must be a boolean", ptr)
+        override = own.get("x-jsonld-override") is True
+        ann: dict[str, Any] = {}
+        types: list = []
+        constants: dict = {}
 
-    if eff.get("x-jsonld-json"):
-        # opaque @json literal regardless of value shape
-        return {"@value": value, "@type": "@json"}
+        def take(node: dict, nptr: str, is_own: bool) -> None:
+            if self._ver(nptr) <= 7:
+                return      # pre-2019 dialects don't emit annotations
+            t = node.get("x-jsonld-type")
+            if t is not None:
+                for tv in (t if isinstance(t, list) else [t]):
+                    if tv not in types:
+                        types.append(tv)
+            c = node.get("x-jsonld-constants")
+            if c is not None:
+                if not isinstance(c, dict):
+                    raise ResolutionError(
+                        "x-jsonld-constants must be an object", nptr)
+                for k, v in c.items():
+                    if v is None and not (is_own and override):
+                        raise ResolutionError(
+                            "A JSON-LD constants entry can only be null "
+                            "inside an overriding schema object", nptr)
+                    if k in constants and constants[k] != v:
+                        if not (override and not is_own):
+                            raise ResolutionError(
+                                "Conflicting JSON-LD constants", nptr)
+                    else:
+                        constants.setdefault(k, v)
+            for kw in _SINGLE:
+                if kw not in node:
+                    continue
+                v = node[kw]
+                if kw in ann and ann[kw] != v:
+                    if override and not is_own:
+                        pass        # the overriding outer value wins
+                    else:
+                        short = kw.replace("x-jsonld-", "")
+                        label = {"id": "predicate", "value":
+                                 "value predicate"}.get(short, short)
+                        raise ResolutionError(
+                            f"A JSON-LD {label} cannot be assigned more "
+                            "than one value", nptr)
+                else:
+                    ann.setdefault(kw, v)
 
-    if isinstance(value, dict):
-        node: dict = {}
-        t = eff.get("x-jsonld-type")
-        if t is not None:
-            node["@type"] = t if isinstance(t, list) else [t]
-        self_t = eff.get("x-jsonld-self")
-        if self_t is not None:
-            node["@id"] = _self_id(self_t, value, value, ptr)
-        props = eff.get("properties", {}) or {}
-        for name in sorted(value):
-            sub = _effective(root, props.get(name, {}),
-                             f"{ptr}/properties/{name}")
-            pid = sub.get("x-jsonld-id")
-            rev = sub.get("x-jsonld-reverse")
-            if pid is None and rev is None:
-                continue  # unannotated properties drop, like expansion
-            entity = _expand(root, sub, value[name],
-                             f"{ptr}/properties/{name}", value)
-            entities = entity if isinstance(entity, list) else [entity]
-            if rev is not None:
-                node.setdefault("@reverse", {}).setdefault(
-                    rev, []).extend(entities)
+        # the outer (own) node wins under override: process it FIRST so
+        # later conflicting values from beneath are only rejected when
+        # not overridden
+        ordered = srcs if not override else srcs
+        for i, sp in enumerate(ordered):
+            node = self.node(sp)
+            if isinstance(node, dict):
+                take(node, sp, is_own=(sp == ptr))
+        if types:
+            ann["x-jsonld-type"] = sorted(set(types))
+        if constants:
+            ann["x-jsonld-constants"] = constants
+
+        # keyword value grammar (the syntactic guarantee)
+        pid = ann.get("x-jsonld-id")
+        if pid is not None and (not isinstance(pid, str)
+                                or not _IRI.match(pid)):
+            raise ResolutionError(
+                "The value of x-jsonld-id must be an absolute IRI", ptr)
+        rev = ann.get("x-jsonld-reverse")
+        if rev is not None and (not isinstance(rev, str)
+                                or not _IRI.match(rev)):
+            raise ResolutionError(
+                "The value of x-jsonld-reverse must be an absolute IRI",
+                ptr)
+        dt = ann.get("x-jsonld-datatype")
+        if dt is not None:
+            if not isinstance(dt, str) or not _IRI.match(dt):
+                raise ResolutionError(
+                    "The value of x-jsonld-datatype must be an absolute "
+                    "IRI", ptr)
+            if dt == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString":
+                raise ResolutionError(
+                    "Use x-jsonld-language for language-tagged literals",
+                    ptr)
+        lang = ann.get("x-jsonld-language")
+        if lang is not None and not _canonical_bcp47(lang):
+            raise ResolutionError(
+                "The value of x-jsonld-language must be a canonical "
+                "BCP 47 language tag", ptr)
+        dirn = ann.get("x-jsonld-direction")
+        if dirn is not None and dirn not in ("ltr", "rtl"):
+            raise ResolutionError(
+                "The value of x-jsonld-direction must be ltr or rtl", ptr)
+        cont = ann.get("x-jsonld-container")
+        if cont is not None and cont not in ("@list", "@set", "@language",
+                                             "@index"):
+            raise ResolutionError(
+                "The value of x-jsonld-container must be @list, @set, "
+                "@language, or @index", ptr)
+        if dt is not None and lang is not None:
+            raise ResolutionError(
+                "x-jsonld-datatype and x-jsonld-language are mutually "
+                "exclusive", ptr)
+        return ann, srcs
+
+    # -- expansion -------------------------------------------------------
+    def literal(self, ann: dict, v: Any, ptr: str) -> dict:
+        if ann.get("x-jsonld-json"):
+            return {"@value": v, "@type": "@json"}
+        out = {"@value": v}
+        dt = ann.get("x-jsonld-datatype")
+        lang = ann.get("x-jsonld-language")
+        if dt is not None:
+            out["@type"] = dt
+        elif lang is not None:
+            if not isinstance(v, str):
+                raise ResolutionError(
+                    "x-jsonld-language applies to string values only", ptr)
+            out["@language"] = lang
+        if ann.get("x-jsonld-direction") is not None:
+            out["@direction"] = ann["x-jsonld-direction"]
+        return out
+
+    def constants_of(self, ann: dict, ptr: str) -> dict:
+        out = {}
+        for k, v in (ann.get("x-jsonld-constants") or {}).items():
+            if v is None:
+                continue        # overriding null removes the constant
+            if isinstance(v, list):
+                out[k] = v
+            elif isinstance(v, dict):
+                out[k] = [v]
             else:
-                node.setdefault(pid, []).extend(entities)
-        consts = eff.get("x-jsonld-constants")
-        if consts is not None:
-            for k, v in _expand_constants(consts, ptr).items():
-                node.setdefault(k, v)
-        return node
+                out[k] = [{"@value": v}]
+        return out
 
-    if isinstance(value, list):
-        container = eff.get("x-jsonld-container")
-        if container not in (None, "@list", "@set"):
+    def expand(self, ptr: str, value: Any,
+               siblings: dict | None = None) -> list:
+        """Expanded entities for one instance value (possibly several
+        for container semantics; may be empty when nothing is
+        annotated — such nodes drop from the output)."""
+        ann, srcs = self.gather(ptr, value)
+
+        if ann.get("x-jsonld-json"):
+            return [{"@value": value, "@type": "@json"}]
+
+        cont = ann.get("x-jsonld-container")
+        if cont == "@language" and isinstance(value, dict):
+            out = []
+            for k, v in value.items():
+                if not _canonical_bcp47(k):
+                    raise ResolutionError(
+                        "@language container keys must be canonical "
+                        "BCP 47 language tags", ptr)
+                out.append({"@value": v, "@language": k})
+            return out
+        if cont == "@index" and isinstance(value, dict):
+            return [{"@value": v, "@index": k} for k, v in value.items()]
+
+        if isinstance(value, dict):
+            if "x-jsonld-value" in ann:
+                raise ResolutionError(
+                    "A JSON-LD value predicate can only be assigned to a "
+                    "scalar value", ptr)
+            node: dict = {}
+            if "x-jsonld-self" in ann:
+                node["@id"] = _self_id(ann["x-jsonld-self"], value, value,
+                                       ptr)
+            if "x-jsonld-type" in ann:
+                node["@type"] = ann["x-jsonld-type"]
+            edges: dict = {}
+            reverse: dict = {}
+            # annotation-collection order: schema property declarations
+            # REVERSED, per declaring source (pass_expanded.sh expected
+            # output vs its schema order)
+            ordered: list[str] = []
+            for sp in srcs:
+                snode = self.node(sp)
+                if not isinstance(snode, dict) \
+                        or not isinstance(snode.get("properties"), dict):
+                    continue
+                for name in reversed(list(snode["properties"])):
+                    if name in value and name not in ordered:
+                        ordered.append(name)
+            for name in ordered:
+                pptrs = [f"{sp}/properties/"
+                         f"{name.replace('~', '~0').replace('/', '~1')}"
+                         for sp in srcs
+                         if isinstance(self.node(sp), dict)
+                         and isinstance(self.node(sp).get("properties"),
+                                        dict)
+                         and name in self.node(sp)["properties"]]
+                if not pptrs:
+                    continue
+                pann, _ = self.gather(pptrs[0], value[name])
+                # merge annotations across declaring sources
+                for extra in pptrs[1:]:
+                    ea, _ = self.gather(extra, value[name])
+                    for k, v in ea.items():
+                        if k == "x-jsonld-type":
+                            merged = sorted(set(
+                                (pann.get(k) or []) + v))
+                            pann[k] = merged
+                        elif k in pann and pann[k] != v:
+                            raise ResolutionError(
+                                "A JSON-LD annotation cannot be assigned "
+                                "more than one value", extra)
+                        else:
+                            pann.setdefault(k, v)
+                pid = pann.get("x-jsonld-id")
+                rev = pann.get("x-jsonld-reverse")
+                entities = self.expand(pptrs[0], value[name], value)
+                if pid is None and rev is None:
+                    # unpredicated: hoist full nodes to the top level
+                    for e in entities:
+                        if isinstance(e, dict) and e \
+                                and "@value" not in e:
+                            self.hoisted.append(e)
+                    continue
+                if not entities:
+                    continue
+                if rev is not None:
+                    reverse.setdefault(rev, []).extend(entities)
+                if pid is not None:
+                    edges.setdefault(pid, []).extend(entities)
+            for k, v in self.constants_of(ann, ptr).items():
+                edges.setdefault(k, v)
+            body = edges
+            if reverse:
+                body["@reverse"] = reverse
+            if ann.get("x-jsonld-graph") is True:
+                if body:
+                    node["@graph"] = [body]
+            else:
+                node.update(body)
+            return [node] if node else []
+
+        if isinstance(value, list):
+            item_entities: list = []
+            for i, v in enumerate(value):
+                iptrs = []
+                for sp in srcs:
+                    snode = self.node(sp)
+                    if not isinstance(snode, dict):
+                        continue
+                    if isinstance(snode.get("prefixItems"), list) \
+                            and i < len(snode["prefixItems"]):
+                        iptrs.append(f"{sp}/prefixItems/{i}")
+                    elif isinstance(snode.get("items"), (dict, bool)):
+                        iptrs.append(f"{sp}/items")
+                    elif isinstance(snode.get("items"), list):
+                        if i < len(snode["items"]):
+                            iptrs.append(f"{sp}/items/{i}")
+                        elif isinstance(snode.get("additionalItems"),
+                                        (dict, bool)):
+                            iptrs.append(f"{sp}/additionalItems")
+                if iptrs:
+                    item_entities.extend(self.expand(iptrs[0], v))
+                else:
+                    item_entities.append({"@value": v})
+            if cont == "@list":
+                return [{"@list": item_entities}]
+            if cont in ("@language", "@index"):
+                raise ResolutionError(
+                    f"container {cont} applies to object values", ptr)
+            return item_entities
+
+        # scalar
+        if "x-jsonld-self" in ann:
+            node = {"@id": _self_id(ann["x-jsonld-self"], value,
+                                    siblings or {}, ptr)}
+            if "x-jsonld-type" in ann:
+                node["@type"] = ann["x-jsonld-type"]
+            return [node]
+        if "x-jsonld-value" in ann:
+            node = {}
+            if "x-jsonld-type" in ann:
+                node["@type"] = ann["x-jsonld-type"]
+            lit_ann = {k: v for k, v in ann.items()
+                       if k not in ("x-jsonld-value", "x-jsonld-type")}
+            node[ann["x-jsonld-value"]] = [self.literal(lit_ann, value,
+                                                        ptr)]
+            for k, v in self.constants_of(ann, ptr).items():
+                node.setdefault(k, v)
+            return [node]
+        if "x-jsonld-type" in ann:
             raise ResolutionError(
-                f"x-jsonld-container {container!r} is not supported "
-                "(@list and @set only)", ptr)
-        items_sch = eff.get("items", {}) or {}
-        items = [_expand(root, items_sch, v, f"{ptr}/items")
-                 for v in value]
-        flat: list = []
-        for it in items:
-            flat.extend(it if isinstance(it, list) else [it])
-        if container == "@list":
-            return [{"@list": flat}]
-        return flat
-
-    # scalar
-    self_t = eff.get("x-jsonld-self")
-    if self_t is not None:
-        return {"@id": _self_id(self_t, value, siblings or {}, ptr)}
-    value_iri = eff.get("x-jsonld-value")
-    if value_iri is not None:
-        node = {}
-        t = eff.get("x-jsonld-type")
-        if t is not None:
-            node["@type"] = t if isinstance(t, list) else [t]
-        node[value_iri] = [_scalar_literal(
-            {k: v for k, v in eff.items()
-             if k not in ("x-jsonld-value", "x-jsonld-type")}, value, ptr)]
-        consts = eff.get("x-jsonld-constants")
-        if consts is not None:
-            for k, v in _expand_constants(consts, ptr).items():
-                node.setdefault(k, v)
-        return node
-    return _scalar_literal(eff, value, ptr)
+                "A JSON-LD type can only be assigned to an object value",
+                ptr)
+        return [self.literal(ann, value, ptr)]
 
 
 def promote(schema: Any, instance: Any, *,
-            validate: bool = True) -> list[Any]:
+            validate: bool = True, resources: dict | None = None,
+            assert_formats: bool | None = None) -> list[Any]:
     """Promote a (valid) instance to expanded-form JSON-LD.
 
     Returns the expanded document (a list of node objects, per the
@@ -245,22 +502,26 @@ def promote(schema: Any, instance: Any, *,
     annotation errors and ``ValueError`` on dialect/validation
     failures (the caller maps those to exit codes).
     """
+    from jsonschema_ray.spec.jschema import compile_schema
+
     dialect = schema.get("$schema") if isinstance(schema, dict) else None
-    if dialect is not None and dialect not in _DIALECTS:
+    if isinstance(dialect, str) and any(t in dialect
+                                        for t in _OLD_DIALECTS):
         raise ValueError(
             "rdf requires a 2019-09 or 2020-12 base dialect (annotation "
             f"collection); got {dialect!r} — run `upgrade` first")
+    cs = compile_schema(schema, resources=resources,
+                        assert_formats=assert_formats)
     if validate:
-        from jsonschema_ray.spec.jschema import compile_schema
-
-        errs = compile_schema(schema).validate(instance)
+        errs = cs.validate(instance)
         if errs:
             raise ValueError("instance does not match the schema: " +
                              "; ".join(e[2] for e in errs[:5]))
-    expanded = _expand(schema, schema, instance, "#")
-    if isinstance(expanded, list):
-        return expanded
-    return [expanded]
+    ex = _Expander(cs)
+    entities = ex.expand("", instance)
+    out = [e for e in entities
+           if isinstance(e, dict) and e and "@value" not in e]
+    return out + ex.hoisted
 
 
 class PromoteBatch:

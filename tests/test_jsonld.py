@@ -155,14 +155,29 @@ def test_annotations_through_ref_and_unsupported_keyword():
     out = promote(sch, {"n": "x"})
     assert out[0]["https://ex.org/name"] == [{"@value": "x"}]
 
-    bad = {
+    # @graph wrapping (pass_keyword_graph.sh semantics)
+    graph = {
         "$schema": "https://json-schema.org/draft/2020-12/schema",
         "type": "object",
         "x-jsonld-graph": True,
-        "properties": {},
+        "properties": {"m": {"type": "object",
+                             "x-jsonld-id": "https://ex.org/member",
+                             "x-jsonld-type": "https://ex.org/Person"}},
     }
-    with pytest.raises(ResolutionError, match="x-jsonld-graph"):
-        promote(bad, {})
+    out = promote(graph, {"m": {}})
+    assert out == [{"@graph": [{"https://ex.org/member":
+                                [{"@type": ["https://ex.org/Person"]}]}]}]
+    # conflicting single-value annotations without override reject
+    bad = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "properties": {"p": {
+            "x-jsonld-id": "https://ex.org/p",
+            "allOf": [{"x-jsonld-datatype": "https://ex.org/a"},
+                      {"x-jsonld-datatype": "https://ex.org/b"}]}},
+    }
+    with pytest.raises(ResolutionError, match="more than one value"):
+        promote(bad, {"p": 1})
 
 
 def test_rdf_cli_single_instance(tmp_path, capsys):

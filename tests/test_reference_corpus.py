@@ -1400,3 +1400,137 @@ def test_reference_codegen_corpus_parity():
     assert not healed, f"update CODEGEN_EXPECTED_DIVERGENT: {sorted(healed)}"
     assert len(match) >= CODEGEN_MIN_MATCHES, (
         f"{len(match)} < {CODEGEN_MIN_MATCHES}; skips={skip}")
+
+
+# ---------------------------------------------------------------------------
+# rdf verb corpus: BYTE-exact expanded JSON-LD (x-jsonld-* annotation
+# vocabulary with evaluation-driven composition), failure verdicts for
+# resolution strictness.
+# ---------------------------------------------------------------------------
+
+RDF_MIN_MATCHES = 60
+RDF_EXPECTED_DIVERGENT: set[str] = set()
+
+
+def test_reference_rdf_corpus_parity():
+    import difflib
+
+    from jsonschema_ray.spec.format import prettify_json
+    from jsonschema_ray.spec.jsonld import promote
+
+    RP = '$(realpath "$TMP")'
+    match, skip, div = [], {}, {}
+    for path in sorted(glob.glob("/root/reference/test/rdf/*.sh")):
+        name = path.rsplit("/",1)[1]
+        src = open(path).read()
+        if "config" in name: skip[name] = "project-config flow"; continue
+        files = {m.group(1): m.group(2).replace(RP, "/TMP").replace("\\$","$")
+                 for m in HEREDOC.finditer(src)}
+        joined, buf = [], ""
+        for ln in src.split("\n"):
+            if ln.rstrip().endswith("\\"): buf += ln.rstrip()[:-1] + " "
+            else: joined.append(buf + ln); buf = ""
+        invs = []
+        for i, ln in enumerate(joined):
+            if '"$1"' in ln and " rdf" in ln:
+                exp = 0
+                for la in joined[i:i+4]:
+                    m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
+                    if m: exp = int(m.group(1)); break
+                invs.append((ln.strip(), exp))
+        if not invs: skip[name] = "no invocation"; continue
+        verdict = None
+        for inv, exp in invs:
+            if "|" in inv.split('"$1"')[0] or not inv.lstrip().startswith('"$1"'):
+                verdict = ("skip", "stdin/pipe"); break
+            inv2 = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
+            out_redir = re.search(r'[^2]>\s*"\$TMP/([^"]+)"', inv2)
+            inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
+            try: toks = [t.replace("\\$","$") for t in shlex.split(inv2)]
+            except ValueError: verdict = ("skip","plumbing"); break
+            resolves, pos, compact, fassert = [], [], None, None
+            j = 2; flagskip = None
+            while j < len(toks):
+                t = toks[j]
+                if t in ("--resolve","-r"): resolves.append(toks[j+1]); j += 2
+                elif t in ("--compact","-c"):
+                    if j+1 >= len(toks) or toks[j+1].startswith("-"):
+                        compact = "MISSING"; j += 1
+                    else: compact = toks[j+1]; j += 2
+                elif t in ("--format-assertion","-F"): fassert = True; j += 1
+                elif t in ("--verbose","-v","--json","-j","--fast","-f"): j += 1
+                elif t.startswith("-") and t != "-": flagskip = t; break
+                else: pos.append(t); j += 1
+            if flagskip: verdict = ("skip", f"flag {flagskip}"); break
+            if compact is not None: verdict = ("skip","--compact"); break
+            if len(pos) < 2 or "-" in pos: verdict = ("skip","needs schema+instance/stdin"); break
+            if len(pos) > 2:
+                got = 1   # too many positionals: CLI arg error (exit 5)
+                agree = exp not in (0, 2)
+                if not agree: verdict = ("div", (exp, got))
+                if verdict: break
+                continue
+            def load(k):
+                body = files[k]
+                try: return json.loads(body)
+                except Exception:
+                    import yaml
+                    return yaml.safe_load(body)
+            got, out = None, None
+            if "jsonschema.json" in files:
+                pass  # remap handled after registry build
+            skey, ikey = pos[0][5:] if pos[0].startswith("$TMP/") else pos[0], pos[1][5:] if pos[1].startswith("$TMP/") else pos[1]
+            if skey not in files or ikey not in files:
+                got = 1  # enoent cases (reference exits nonzero)
+            reg = {}
+            if got is None:
+                for r in resolves:
+                    rk = r[5:] if r.startswith("$TMP/") else r
+                    sub = [k for k in files if k == rk or k.startswith(rk.rstrip("/")+"/")]
+                    if not sub: got = 1; break
+                    for k in sorted(sub):
+                        try: doc = load(k)
+                        except Exception: got = 1; break
+                        reg[k] = doc; reg["./"+k] = doc
+                        if isinstance(doc, dict):
+                            did = doc.get("$id") or doc.get("id")
+                            if isinstance(did, str): reg.setdefault(did, doc)
+                    if got: break
+            if got is None and "jsonschema.json" in files:
+                try: cfg = json.loads(files["jsonschema.json"])
+                except Exception: cfg = {}
+                for s_uri, d_uri in (cfg.get("resolve") or {}).items():
+                    tdoc = next((d for d in reg.values() if isinstance(d, dict)
+                                 and (d.get("$id") or d.get("id")) == d_uri), None)
+                    if tdoc is not None: reg[s_uri] = tdoc
+            if got is None:
+                try:
+                    schema = load(skey); inst = load(ikey)
+                except Exception: got = 1
+            if got is None:
+                try:
+                    res = promote(schema, inst, resources=reg or None,
+                                  assert_formats=fassert)
+                    out = prettify_json(res) + "\n"
+                    got = 0
+                except Exception as e:
+                    msg = str(e)
+                    got = 2 if "does not match the schema" in msg else 1
+            agree = (got == exp) or (exp not in (0,2) and got in (1,2))
+            if not agree: verdict = ("div", (exp, got)); break
+            if got == 0 and out_redir and "expected.json" in files:
+                want = files["expected.json"] + "\n"
+                if out != want:
+                    d = "".join(difflib.unified_diff(want.splitlines(True), out.splitlines(True)))[:500]
+                    verdict = ("div", ("bytes", d)); break
+        if verdict is None: match.append(name)
+        elif verdict[0]=="skip": skip[name]=verdict[1]
+        else: div[name]=verdict[1]
+    
+    unexpected = set(div) - RDF_EXPECTED_DIVERGENT
+    healed = RDF_EXPECTED_DIVERGENT - set(div) - set(skip)
+    assert not unexpected, f"new rdf divergences: " \
+        f"{ {k: div[k] for k in sorted(unexpected)} }"
+    assert not healed, f"update RDF_EXPECTED_DIVERGENT: {sorted(healed)}"
+    assert len(match) >= RDF_MIN_MATCHES, (
+        f"{len(match)} < {RDF_MIN_MATCHES}; skips={skip}")
