@@ -1434,13 +1434,40 @@ def cmd_rdf(args) -> int:
                     index=False):
                 print(getattr(row, "jsonld"))
         return EXIT_OK
+    import os
+
+    resources: dict = {}
+    for r in getattr(args, "resolve", None) or []:
+        paths = [r]
+        if os.path.isdir(r):
+            paths = sorted(
+                os.path.join(dp, n) for dp, _d, ns in os.walk(r)
+                for n in ns if n.endswith((".json", ".yaml", ".yml")))
+        for p in paths:
+            rdoc = _load_schema_doc(os.path.abspath(p))
+            resources[f"file://{os.path.abspath(p)}"] = rdoc
+            resources[os.path.abspath(p)] = rdoc
+            if isinstance(rdoc, dict):
+                did = rdoc.get("$id") or rdoc.get("id")
+                if isinstance(did, str):
+                    resources.setdefault(did, rdoc)
+    ctx_doc = None
+    if getattr(args, "compact", None):
+        ctx_doc = _load_schema_doc(args.compact, configured=False)
     rc = EXIT_OK
     for path in args.instances:
         inst = _load_schema_doc(path, configured=False)
         try:
             from jsonschema_ray.spec.format import prettify_json
+            from jsonschema_ray.spec.jsonld import compact as _compact
+            from jsonschema_ray.spec.jsonld import flatten as _flatten
 
-            print(prettify_json(promote(schema, inst)))
+            result = promote(schema, inst, resources=resources or None)
+            if getattr(args, "flatten", False):
+                result = _flatten(result)
+            if ctx_doc is not None:
+                result = _compact(result, ctx_doc)
+            print(prettify_json(result))
             print(f"ok: {path}", file=sys.stderr)
         except ResolutionError as e:
             print(f"rdf: {path}: {e}", file=sys.stderr)
@@ -1583,6 +1610,14 @@ def build_parser() -> argparse.ArgumentParser:
     rdf.add_argument("-o", "--output",
                      help="(table mode) write promoted parquet here")
     rdf.add_argument("--limit", type=int, default=20)
+    rdf.add_argument("-l", "--flatten", action="store_true",
+                     help="flatten the output: label every node, hoist "
+                          "nested nodes (reference --flatten)")
+    rdf.add_argument("-c", "--compact",
+                     help="compact the output against this JSON/YAML "
+                          "context file (reference --compact)")
+    rdf.add_argument("-r", "--resolve", action="append",
+                     help="pre-import a schema file or directory")
     rdf.add_argument("--num-cpus", type=int, default=None)
     rdf.set_defaults(fn=cmd_rdf)
 

@@ -524,6 +524,151 @@ def promote(schema: Any, instance: Any, *,
     return out + ex.hoisted
 
 
+def flatten(expanded: list) -> list:
+    """JSON-LD flattening: label every node object (blank nodes
+    ``_:b0``, ``_:b1``, … in depth-first encounter order), hoist nested
+    node objects to the top level and replace them with ``@id``
+    references (docs/rdf.markdown --flatten)."""
+    out: list = []
+    counter = [0]
+
+    def label(node: dict) -> str:
+        if "@id" not in node:
+            node["@id"] = f"_:b{counter[0]}"
+            counter[0] += 1
+        return node["@id"]
+
+    def walk(node: dict) -> dict:
+        nid = label(node)
+        flat = {"@id": nid}
+        for k, v in node.items():
+            if k == "@id":
+                continue
+            if k == "@type":
+                flat["@type"] = v
+                continue
+            if k == "@graph":
+                flat["@graph"] = [walk(g) for g in v]
+                continue
+            vals = []
+            for item in (v if isinstance(v, list) else [v]):
+                if isinstance(item, dict) and "@value" not in item \
+                        and "@list" not in item:
+                    ref = walk(item)
+                    vals.append({"@id": ref["@id"]})
+                else:
+                    vals.append(item)
+            flat[k] = vals
+        out.append(flat)
+        return flat
+
+    roots = []
+    for node in expanded:
+        walk(node)
+    # depth-first walk appends children after parents in encounter
+    # order; keep insertion order (parents first)
+    del roots
+    return out
+
+
+def compact(expanded: list, context_doc: Any) -> dict:
+    """JSON-LD compaction against a context document (either a raw
+    term map or wrapped in ``@context``): term substitution, ``@vocab``
+    shortening, type/@id/@list value collapsing; the supplied context
+    is appended verbatim as the trailing ``@context`` member."""
+    raw_ctx = context_doc.get("@context", context_doc) \
+        if isinstance(context_doc, dict) else None
+    if not isinstance(raw_ctx, dict):
+        raise ResolutionError("Invalid context document", "")
+    vocab = raw_ctx.get("@vocab") if isinstance(raw_ctx.get("@vocab"),
+                                                str) else None
+    terms: dict[str, dict] = {}
+    for name, df in raw_ctx.items():
+        if name.startswith("@"):
+            continue
+        if isinstance(df, str):
+            terms[name] = {"@id": df}
+        elif isinstance(df, dict) and isinstance(df.get("@id"), str):
+            terms[name] = dict(df)
+        else:
+            raise ResolutionError("Invalid term definition", f"/{name}")
+    # expand prefixed @type values in term definitions (xsd:date)
+    for df in terms.values():
+        t = df.get("@type")
+        if isinstance(t, str) and ":" in t and not _IRI.match(t):
+            pfx, _, suffix = t.partition(":")
+            if pfx in terms:
+                df["@type"] = terms[pfx]["@id"] + suffix
+
+    iri_to_term = {}
+    for name, df in terms.items():
+        iri_to_term.setdefault(df["@id"], name)
+
+    def compact_iri(iri: str) -> str:
+        if iri in iri_to_term:
+            return iri_to_term[iri]
+        if vocab and iri.startswith(vocab):
+            return iri[len(vocab):]
+        return iri
+
+    def term_def(iri: str) -> dict:
+        return terms.get(iri_to_term.get(iri, ""), {})
+
+    def compact_value(v: Any, df: dict) -> Any:
+        if isinstance(v, dict) and "@list" in v:
+            return [compact_value(x, df) for x in v["@list"]]
+        if isinstance(v, dict) and "@value" in v:
+            extra = {k for k in v if k != "@value"}
+            if not extra and "@type" not in df and "@language" not in df:
+                return v["@value"]
+            if v.get("@type") == df.get("@type") and extra == {"@type"}:
+                return v["@value"]
+            if v.get("@language") == df.get("@language") \
+                    and extra == {"@language"}:
+                return v["@value"]
+            return {k: (compact_iri(x) if k == "@type"
+                        and isinstance(x, str) else x)
+                    for k, x in v.items()}
+        if isinstance(v, dict) and set(v) == {"@id"}:
+            if df.get("@type") == "@id":
+                return compact_iri(v["@id"])
+            return {"@id": compact_iri(v["@id"])}
+        if isinstance(v, dict):
+            return compact_node(v)
+        return v
+
+    def compact_node(node: dict) -> dict:
+        out: dict = {}
+        for k, v in node.items():
+            if k == "@id":
+                out["@id"] = compact_iri(v)
+            elif k == "@type":
+                tv = [compact_iri(t) for t in
+                      (v if isinstance(v, list) else [v])]
+                out["@type"] = tv[0] if len(tv) == 1 else tv
+            elif k == "@graph":
+                out["@graph"] = [compact_node(g) for g in v]
+            else:
+                df = term_def(k)
+                vals = [compact_value(x, df)
+                        for x in (v if isinstance(v, list) else [v])]
+                if len(vals) == 1 and not isinstance(vals[0], list):
+                    vals = vals[0]
+                elif len(vals) == 1 and isinstance(vals[0], list):
+                    vals = vals[0]      # collapsed @list
+                out[compact_iri(k)] = vals
+        return out
+
+    if len(expanded) == 1:
+        result = compact_node(expanded[0])
+    elif not expanded:
+        result = {}
+    else:
+        result = {"@graph": [compact_node(n) for n in expanded]}
+    result["@context"] = raw_ctx
+    return result
+
+
 class PromoteBatch:
     """Actor-pool stage: promote a JSON payload column to expanded
     JSON-LD strings (schema compiled once per actor)."""

@@ -1403,12 +1403,12 @@ def test_reference_codegen_corpus_parity():
 
 
 # ---------------------------------------------------------------------------
-# rdf verb corpus: BYTE-exact expanded JSON-LD (x-jsonld-* annotation
-# vocabulary with evaluation-driven composition), failure verdicts for
-# resolution strictness.
+# rdf verb corpus: BYTE-exact expanded/flattened/compacted JSON-LD
+# (x-jsonld-* annotation vocabulary with evaluation-driven
+# composition), failure verdicts for resolution strictness.
 # ---------------------------------------------------------------------------
 
-RDF_MIN_MATCHES = 60
+RDF_MIN_MATCHES = 68
 RDF_EXPECTED_DIVERGENT: set[str] = set()
 
 
@@ -1448,7 +1448,7 @@ def test_reference_rdf_corpus_parity():
             inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
             try: toks = [t.replace("\\$","$") for t in shlex.split(inv2)]
             except ValueError: verdict = ("skip","plumbing"); break
-            resolves, pos, compact, fassert = [], [], None, None
+            resolves, pos, compact, fassert, flat = [], [], None, None, False
             j = 2; flagskip = None
             while j < len(toks):
                 t = toks[j]
@@ -1458,11 +1458,17 @@ def test_reference_rdf_corpus_parity():
                         compact = "MISSING"; j += 1
                     else: compact = toks[j+1]; j += 2
                 elif t in ("--format-assertion","-F"): fassert = True; j += 1
+                elif t in ("--flatten","-l"): flat = True; j += 1
                 elif t in ("--verbose","-v","--json","-j","--fast","-f"): j += 1
                 elif t.startswith("-") and t != "-": flagskip = t; break
                 else: pos.append(t); j += 1
             if flagskip: verdict = ("skip", f"flag {flagskip}"); break
-            if compact is not None: verdict = ("skip","--compact"); break
+            if compact == "MISSING":
+                got = 1
+                agree = exp not in (0, 2)
+                if not agree: verdict = ("div", (exp, got))
+                if verdict: break
+                continue
             if len(pos) < 2 or "-" in pos: verdict = ("skip","needs schema+instance/stdin"); break
             if len(pos) > 2:
                 got = 1   # too many positionals: CLI arg error (exit 5)
@@ -1511,6 +1517,14 @@ def test_reference_rdf_corpus_parity():
                 try:
                     res = promote(schema, inst, resources=reg or None,
                                   assert_formats=fassert)
+                    if flat:
+                        from jsonschema_ray.spec.jsonld import flatten
+                        res = flatten(res)
+                    if compact is not None:
+                        ck = compact[5:] if compact.startswith("$TMP/") else compact
+                        if ck not in files: raise FileNotFoundError(ck)
+                        from jsonschema_ray.spec.jsonld import compact as _c
+                        res = _c(res, load(ck))
                     out = prettify_json(res) + "\n"
                     got = 0
                 except Exception as e:
