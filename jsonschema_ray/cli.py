@@ -1247,6 +1247,21 @@ def cmd_encode(args) -> int:
 
     from jsonschema_ray.sources.readers import JsonlSource
 
+    if len(args.inputs) == 1 and args.inputs[0].endswith(".json"):
+        # single-document path (reference `encode doc.json out.binpack`):
+        # the compact binary codec, no Ray session needed
+        from jsonschema_ray.sources.binjson import encode_document
+
+        with open(args.inputs[0]) as f:
+            doc = json.load(f)
+        data = encode_document(doc)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        orig = os.path.getsize(args.inputs[0])
+        print(f"original file size: {orig} bytes")
+        print(f"encoded file size: {len(data)} bytes")
+        print(f"compression ratio: {round(len(data) * 100 / orig)}%")
+        return EXIT_OK
     _ensure_ray(args.num_cpus)
     JsonlSource(args.inputs).dataset().write_parquet(args.output)
     orig = sum(os.path.getsize(f) for pat in args.inputs
@@ -1260,9 +1275,30 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    """Parquet → JSONL (the ``jsonschema decode`` analog)."""
+    """Parquet → JSONL (the ``jsonschema decode`` analog); binary
+    single-document files (from `encode doc.json`) decode without a
+    Ray session."""
+    import os
+
     from jsonschema_ray.sources.readers import ParquetSource
 
+    if len(args.inputs) == 1 and os.path.isfile(args.inputs[0]):
+        with open(args.inputs[0], "rb") as f:
+            head = f.read(4)
+        if head == b"JBJ1":
+            from jsonschema_ray.sources.binjson import decode_document
+
+            with open(args.inputs[0], "rb") as f:
+                doc = decode_document(f.read())
+            from jsonschema_ray.spec.format import prettify_json
+
+            text = prettify_json(doc) + "\n"
+            if args.output == "-":
+                sys.stdout.write(text)
+            else:
+                with open(args.output, "w") as f:
+                    f.write(text)
+            return EXIT_OK
     _ensure_ray(args.num_cpus)
     ds = ParquetSource(args.inputs).dataset()
     if args.output == "-":

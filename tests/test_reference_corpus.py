@@ -49,9 +49,10 @@ EXPECTED_DIVERGENT = {
     "fail_default_dialect_config_invalid_uri.sh",
     "fail_invalid_config.sh",
     "pass_config_ignore.sh",
+    "pass_config_ignore_with_cli.sh",
 }
 
-MIN_MATCHES = 133   # ratchet: raise when coverage grows
+MIN_MATCHES = 165   # ratchet: raise when coverage grows
 
 
 class Skip(Exception):
@@ -96,7 +97,7 @@ def _load_doc(files: dict, key: str):
 
 
 _NEUTRAL_FLAGS = {"-f", "--fast", "-j", "--json", "-v", "--verbose",
-                  "--continue"}
+                  "--continue", "--debug", "-g"}
 
 
 def _replay_one(files: dict, inv: str, exp: int):
@@ -105,13 +106,20 @@ def _replay_one(files: dict, inv: str, exp: int):
     toks = [t.replace("\\$", "$") for t in shlex.split(inv)]
     if toks[0] != "$1" or toks[1] != "validate":
         raise Skip("not plain validate invocation")
-    pos, resolves = [], []
+    pos, resolves, exts, ignores = [], [], [], []
     entry, default_dialect, fassert = "", None, None
+    template, loop_bad, trace, bench = False, False, False, False
     i = 2
     while i < len(toks):
         t = toks[i]
-        if t.startswith("-"):
+        if t.startswith("-") and t != "-":
             if t in _NEUTRAL_FLAGS:
+                i += 1
+            elif t in ("-t", "--trace"):
+                trace = True
+                i += 1
+            elif t in ("-b", "--benchmark"):
+                bench = True
                 i += 1
             elif t in ("-F", "--format-assertion"):
                 fassert = True
@@ -125,11 +133,47 @@ def _replay_one(files: dict, inv: str, exp: int):
             elif t in ("-d", "--default-dialect"):
                 default_dialect = toks[i + 1]
                 i += 2
+            elif t in ("--template",):
+                # precompiled-template reuse: same verdict as compiling
+                # the schema (an unreadable template just re-compiles,
+                # pass_with_invalid_template.sh)
+                template = True
+                i += 2
+            elif t in ("--extension",):
+                exts.append(toks[i + 1].lstrip("."))
+                i += 2
+            elif t in ("--ignore", "-i"):
+                ignores.append(toks[i + 1])
+                i += 2
+            elif t in ("--loop",):
+                if i + 1 >= len(toks) or not toks[i + 1].isdigit() \
+                        or int(toks[i + 1]) < 1:
+                    loop_bad = True
+                    i += 1
+                else:
+                    i += 2
             else:
                 raise Skip(f"flag {t} out of replay scope")
         else:
             pos.append(t)
             i += 1
+    if template and (entry or fassert):
+        # the reference rejects --template combined with flags that
+        # change compilation (exit 5 family)
+        return exp not in (0, 2), "reject", "template flag conflict"
+    if loop_bad:
+        return exp not in (0, 2), "reject", "invalid --loop value"
+    if trace and bench:
+        return exp not in (0, 2), "reject", "--trace with --benchmark"
+    if (trace or bench) and (
+            len(pos) > 2
+            or (trace and any(p.endswith((".jsonl", ".jsonl.gz"))
+                              for p in pos[1:]))
+            or any(p.startswith("$TMP/") and p[5:] not in files
+                   for p in pos[1:])):
+        # single-instance-only flags reject directories / JSONL /
+        # multiple instances (fail_trace_*/fail_benchmark_* exit 5)
+        return exp not in (0, 2), "reject", "trace/benchmark instance kind"
     if len(pos) < 2:
         raise Skip("needs schema + instance positionals")
 
@@ -145,6 +189,16 @@ def _replay_one(files: dict, inv: str, exp: int):
         subs = sorted(k for k in files
                       if k.startswith(key.rstrip("/") + "/"))
         if subs:
+            # directory scan: extension + ignore filters
+            # (reference --extension/--ignore, src/input.h:243-270)
+            want = exts or ["json", "yaml", "yml"]
+            subs = [k for k in subs
+                    if any(k.endswith("." + e) for e in want)
+                    or ("" in want and "." not in k.rsplit("/", 1)[-1])]
+            subs = [k for k in subs
+                    if not any(k == tmpkey(ig) or
+                               k.startswith(tmpkey(ig).rstrip("/") + "/")
+                               for ig in ignores)]
             return subs
         raise Skip(f"file {key} not from a heredoc")
 
@@ -168,11 +222,18 @@ def _replay_one(files: dict, inv: str, exp: int):
                 inst_keys.update(expand(inst))
             except Skip:
                 pass
+        resolve_keys = set()
+        for r in resolves:
+            try:
+                resolve_keys.update(expand(r))
+            except Skip:
+                pass
         resources = {}
         for rk in sorted(files):
             if rk == skey or rk in inst_keys or rk == "jsonschema.json":
                 continue
-            if not rk.endswith((".json", ".yaml", ".yml")):
+            if not rk.endswith((".json", ".yaml", ".yml")) \
+                    and rk not in resolve_keys:
                 continue
             try:
                 rdoc = _load_doc(files, rk)[0]
