@@ -684,33 +684,76 @@ def cmd_lint(args) -> int:
                                                      lint_fixable)
         from jsonschema_ray.spec.jschema import lint_schema
 
-        doc = _load_schema_doc(args.schema, configured=False)
-        findings = lint_schema(doc, top_level=True)
-        if getattr(args, "fix", False):
-            fixed, applied = canonicalize(doc)
-            if applied:
-                from jsonschema_ray.spec.format import prettify_schema
+        import os
 
-                with open(args.schema, "w") as f:
-                    f.write(prettify_schema(fixed))
-                for name, ptr in applied:
-                    print(f"fixed: {ptr}: {name}", file=sys.stderr)
-        else:
-            findings = findings + lint_fixable(doc)
+        from jsonschema_ray.spec.jschema import custom_rule_findings
+
+        doc = _load_schema_doc(args.schema, configured=False)
         excl = set((getattr(args, "exclude_rules", None) or []))
         only = getattr(args, "only_rules", None) or None
-        findings = filter_excluded(findings, lint_exclusions(doc),
-                                   global_exclude=excl,
-                                   only=set(only) if only else None)
+
+        def _load_rules(paths):
+            out = []
+            for r in paths or []:
+                files = [r]
+                if os.path.isdir(r):
+                    files = sorted(
+                        os.path.join(dp, n) for dp, _d, ns in os.walk(r)
+                        for n in ns if n.endswith((".json", ".yaml",
+                                                   ".yml")))
+                out.extend(_load_schema_doc(p, configured=False)
+                           for p in files)
+            return out
+
+        rdocs = _load_rules(getattr(args, "rule", None))
+        tdocs = _load_rules(getattr(args, "top_level_rule", None))
+
+        def _custom(target):
+            scopes = lint_exclusions(target)
+            cf = custom_rule_findings(target, rdocs) + \
+                custom_rule_findings(target, tdocs, top_level_only=True)
+            if only:
+                cf = [x for x in cf if x[1] in only]
+            if excl:
+                cf = [x for x in cf if x[1] not in excl]
+            return [("warning", f"{p} ({n})", m) for p, n, m in cf
+                    if not any((p == sp or p.startswith(sp + "/")
+                                or sp == "") and n in names
+                               for sp, names in scopes)]
+
+        if getattr(args, "fix", False):
+            fixed, applied = canonicalize(
+                doc, disabled=excl, only=set(only) if only else None)
+            if applied:
+                # the reference rewrites WITHOUT reordering keywords
+                # (test/lint/pass_lint_fix.sh keeps the user's order;
+                # fmt is a separate verb)
+                from jsonschema_ray.spec.format import prettify_json
+
+                with open(args.schema, "w") as f:
+                    f.write(prettify_json(fixed) + "\n")
+                for name, ptr in applied:
+                    print(f"fixed: {ptr}: {name}", file=sys.stderr)
+            findings = lint_schema(fixed, top_level=True) \
+                + lint_fixable(fixed)
+            findings = filter_excluded(findings, lint_exclusions(fixed),
+                                       global_exclude=excl,
+                                       only=set(only) if only else None)
+            findings = findings + _custom(fixed)
+        else:
+            findings = lint_schema(doc, top_level=True) \
+                + lint_fixable(doc)
+            findings = filter_excluded(findings, lint_exclusions(doc),
+                                       global_exclude=excl,
+                                       only=set(only) if only else None)
+            findings = findings + _custom(doc)
         for sev, ptr, msg in findings:
             print(f"{sev}: {ptr or '/'}: {msg}", file=sys.stderr)
         n_err = sum(1 for sev, _, _ in findings if sev == "error")
         print(json.dumps({"findings": len(findings), "errors": n_err}))
-        if getattr(args, "fix", False):
-            # fixes applied; exit red only if unfixable ERRORS remain
-            return EXIT_VALIDATION if n_err else EXIT_OK
         # reference semantics: ANY finding is a lint violation (exit 2,
-        # test/lint/fail_lint.sh) — warnings included
+        # test/lint/fail_lint.sh; after --fix the UNFIXABLE remainder
+        # still reds — fail_lint_unfixable_autofix.sh)
         return EXIT_VALIDATION if findings else EXIT_OK
 
     plan = _load_plan(args.plan)
@@ -1703,6 +1746,14 @@ def build_parser() -> argparse.ArgumentParser:
     li.add_argument("-o", "--only-rules", action="append", default=[],
                     metavar="RULE",
                     help="run ONLY these rules (repeatable; --only/-o)")
+    li.add_argument("--rule", action="append", default=[],
+                    help="custom lint rule: a JSON Schema (title = rule "
+                         "name, description = message) every SUBSCHEMA "
+                         "of the document must match (file or directory, "
+                         "repeatable; reference --rule)")
+    li.add_argument("--top-level-rule", action="append", default=[],
+                    help="like --rule but applied to the document root "
+                         "only (reference --top-level-rule)")
     li.set_defaults(fn=cmd_lint)
 
     t = sub.add_parser("test")

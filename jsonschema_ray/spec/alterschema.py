@@ -404,6 +404,50 @@ def _make_default_rule(keyword: str, noop_values: tuple):
 #: 2019/2020 = modern only).  Gating matters BOTH ways: draft-4 has no
 #: `const`, so enum_to_const would change semantics there
 #: (pass_lint_json.sh: single-member enum is CLEAN under draft-4).
+def _self_validates(sch: dict, value: Any) -> bool | None:
+    """Validate a sample value against its OWN subschema in isolation;
+    None when the node doesn't compile standalone (refs out of scope)."""
+    try:
+        from jsonschema_ray.spec.jschema import compile_schema
+
+        probe = {k: v for k, v in sch.items()
+                 if k not in ("default", "examples", "$schema", "$id", "id")}
+        return compile_schema(probe).is_valid(value)
+    except Exception:  # noqa: BLE001 — non-standalone node: skip
+        return None
+
+
+def _valid_default(sch: dict) -> tuple[bool, dict]:
+    """Remove a `default` that does not validate against its own
+    subschema (reference linter valid_default autofix,
+    test/lint/pass_lint_default_fix.sh)."""
+    if "default" not in sch:
+        return False, sch
+    ok = _self_validates(sch, sch["default"])
+    if ok is False:
+        out = dict(sch)
+        del out["default"]
+        return True, out
+    return False, sch
+
+
+def _valid_examples(sch: dict) -> tuple[bool, dict]:
+    """Remove `examples` entries that do not validate against their
+    own subschema (reference linter valid_examples autofix)."""
+    ex = sch.get("examples")
+    if not isinstance(ex, list) or not ex:
+        return False, sch
+    keep = [v for v in ex if _self_validates(sch, v) is not False]
+    if len(keep) == len(ex):
+        return False, sch
+    out = dict(sch)
+    if keep:
+        out["examples"] = keep
+    else:
+        del out["examples"]
+    return True, out
+
+
 RULES: dict[str, Callable[[dict], tuple[bool, dict]]] = {
     "enum_to_const": _enum_to_const,
     "const_in_enum": _const_in_enum,
@@ -426,6 +470,8 @@ RULES: dict[str, Callable[[dict], tuple[bool, dict]]] = {
     "content_media_type_without_encoding":
         _content_media_type_without_encoding,
     "duplicate_examples": _duplicate_examples,
+    "valid_default": _valid_default,
+    "valid_examples": _valid_examples,
 }
 for _name, _kw, _vals, _mv in _DEFAULTS_FAMILY:
     RULES[_name] = _make_default_rule(_kw, _vals)

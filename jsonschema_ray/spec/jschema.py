@@ -1236,6 +1236,8 @@ _KNOWN_KEYWORDS = set(METASCHEMA["$defs"]["schema"]["then"]["properties"]) | {
     "$comment", "default", "examples", "deprecated", "readOnly", "writeOnly",
     "$vocabulary", "$dynamicAnchor", "$recursiveAnchor", "contentEncoding",
     "x-format-assertion", "x-lint-exclude",
+    "id",   # draft-04/03 resource identifier
+    "const", "dependencies",
 }
 
 # official dialect URIs by scheme era (lint rules
@@ -1388,6 +1390,71 @@ def lint_schema(schema: Any,
                     walk(v, f"{ptr}/{esc}", True)
 
     walk(schema, "", True)
+    return findings
+
+
+def subschema_positions(schema: Any) -> list[tuple[str, Any]]:
+    """(pointer, node) for every schema position of the document,
+    walker-gated per dialect (the frame locations custom lint rules
+    apply to)."""
+    out: list[tuple[str, Any]] = []
+    ver0 = _dialect_ver(schema) if isinstance(schema, dict) else 2020
+
+    def walk(node: Any, ptr: str, ver: int) -> None:
+        if isinstance(node, dict) and isinstance(node.get("$schema"), str):
+            ver = _dialect_ver(node)
+        out.append((ptr, node))
+        if not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            spec = _SUBSCHEMA_KW.get(k)
+            if not spec or not (spec[1] <= ver <= spec[2]):
+                continue
+            shape = spec[0]
+            if shape == "items":
+                shape = "list" if isinstance(v, list) and ver < 2020 \
+                    else "schema"
+            esc = k.replace("~", "~0").replace("/", "~1")
+            if shape == "schema" and isinstance(v, (dict, bool)):
+                walk(v, f"{ptr}/{esc}", ver)
+            elif shape == "list" and isinstance(v, list):
+                for i, x in enumerate(v):
+                    if isinstance(x, (dict, bool)):
+                        walk(x, f"{ptr}/{esc}/{i}", ver)
+            elif shape == "map" and isinstance(v, dict):
+                for nm, sub in v.items():
+                    if isinstance(sub, (dict, bool)):
+                        nesc = nm.replace("~", "~0").replace("/", "~1")
+                        walk(sub, f"{ptr}/{esc}/{nesc}", ver)
+
+    walk(schema, "", ver0)
+    return out
+
+
+def custom_rule_findings(schema: Any, rules: list[dict], *,
+                         top_level_only: bool = False,
+                         assert_formats: bool | None = None,
+                         resources: dict | None = None) -> list[Err]:
+    """Custom lint rules as data (the reference ``lint --rule`` /
+    ``--top-level-rule``, ``src/command_lint.cc``): each rule is a
+    JSON Schema whose ``title`` names the rule and whose
+    ``description`` is the finding message; every subschema position
+    of the linted document (or only the root, for top-level rules)
+    that FAILS the rule schema is a finding."""
+    findings: list[Err] = []
+    positions = [("", schema)] if top_level_only \
+        else subschema_positions(schema)
+    for rule in rules:
+        name = rule.get("title") if isinstance(rule, dict) else None
+        if not isinstance(name, str) or not name:
+            raise ValueError(
+                "a custom lint rule must declare a string title")
+        msg = rule.get("description") or name
+        cs = compile_schema(rule, assert_formats=assert_formats,
+                            resources=resources)
+        for ptr, node in positions:
+            if not cs.is_valid(node):
+                findings.append((ptr, name, msg))
     return findings
 
 
