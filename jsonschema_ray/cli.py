@@ -691,6 +691,28 @@ def cmd_lint(args) -> int:
         doc = _load_schema_doc(args.schema, configured=False)
         excl = set((getattr(args, "exclude_rules", None) or []))
         only = getattr(args, "only_rules", None) or None
+        # project config (jsonschema.json next to the schema or above):
+        # lint.exclude merges in (unless --only overrides), lint.rules
+        # register custom rules ({path, topLevel} or plain path)
+        from jsonschema_ray.state.config import discover as _discover
+
+        cfg = _discover(os.path.dirname(os.path.abspath(args.schema))) \
+            if os.path.isfile(args.schema) else None
+        cfg_lint = (cfg or {}).get("lint") or {}
+        cfg_rule_paths, cfg_top_paths = [], []
+        if isinstance(cfg_lint, dict):
+            if not only:
+                excl = excl | set(cfg_lint.get("exclude") or [])
+            base = (cfg or {}).get("_dir") or os.path.dirname(
+                os.path.abspath(args.schema))
+            for entry in cfg_lint.get("rules") or []:
+                tl = isinstance(entry, dict) \
+                    and entry.get("topLevel") is True
+                p = entry.get("path") if isinstance(entry, dict) \
+                    else entry
+                if isinstance(p, str):
+                    (cfg_top_paths if tl else cfg_rule_paths).append(
+                        os.path.normpath(os.path.join(base, p)))
 
         def _load_rules(paths):
             out = []
@@ -705,8 +727,10 @@ def cmd_lint(args) -> int:
                            for p in files)
             return out
 
-        rdocs = _load_rules(getattr(args, "rule", None))
-        tdocs = _load_rules(getattr(args, "top_level_rule", None))
+        rdocs = _load_rules(list(getattr(args, "rule", None) or [])
+                            + cfg_rule_paths)
+        tdocs = _load_rules(list(getattr(args, "top_level_rule", None)
+                                 or []) + cfg_top_paths)
 
         def _custom(target):
             scopes = lint_exclusions(target)

@@ -317,7 +317,7 @@ META_EXPECTED_DIVERGENT = {
     "pass_custom_config_resolve.sh",
 }
 
-META_MIN_MATCHES = 25
+META_MIN_MATCHES = 29
 
 
 def test_reference_metaschema_corpus_parity():
@@ -432,7 +432,7 @@ def test_reference_metaschema_corpus_parity():
 
 LINT_EXPECTED_DIVERGENT = {
     # the reference breaks internal references DURING fixing (removing
-    # draft-4 $ref siblings) and re-frames → exit 1; our transform
+    # draft-4 $ref siblings) and re-frames -> exit 1; our transform
     # registry does not implement ref-sibling removal
     "fail_lint_fix_broken_reference.sh",
     # per-resource dialect rules inside embedded resources (the
@@ -441,7 +441,7 @@ LINT_EXPECTED_DIVERGENT = {
     "fail_lint_invalid_embedded_resource.sh",
 }
 
-LINT_MIN_MATCHES = 109
+LINT_MIN_MATCHES = 146
 
 
 def test_reference_lint_corpus_parity():
@@ -459,7 +459,6 @@ def test_reference_lint_corpus_parity():
     match, skips, div = [], {}, {}
     for path in sorted(glob.glob("/root/reference/test/lint/*.sh")):
         name = path.rsplit("/", 1)[1]
-        if "config" in name: skips[name] = "project-config flow"; continue
         src = open(path).read()
         files = {m.group(1): m.group(2).replace(RP, "/TMP").replace("\\$","$")
                  for m in HEREDOC.finditer(src)}
@@ -468,6 +467,40 @@ def test_reference_lint_corpus_parity():
             if ln.rstrip().endswith("\\"): buf += ln.rstrip()[:-1] + " "
             else: joined.append(buf + ln); buf = ""
         res = None
+        def parse_cfg(cfg_key):
+            cfg_excl, cfg_rules, cfg_dd, cfg_bad = [], [], None, False
+            cdir = cfg_key.rsplit("/", 1)[0] + "/" if "/" in cfg_key else ""
+            try:
+                cfg = json.loads(files[cfg_key])
+                if not isinstance(cfg, dict): raise ValueError
+            except Exception:
+                cfg, cfg_bad = {}, True
+            lc = cfg.get("lint")
+            if lc is not None and not isinstance(lc, dict): cfg_bad = True
+            lc = lc if isinstance(lc, dict) else {}
+            ex = lc.get("exclude")
+            if ex is not None:
+                if not isinstance(ex, list) or not all(isinstance(x, str) for x in ex):
+                    cfg_bad = True
+                else:
+                    cfg_excl = list(ex)
+            for entry in (lc.get("rules") or []):
+                tl = False
+                if isinstance(entry, dict):
+                    tl = entry.get("topLevel", False)
+                    if not isinstance(tl, bool): cfg_bad = True
+                    entry2 = entry.get("path")
+                else:
+                    entry2 = entry
+                if isinstance(entry2, str):
+                    p = entry2[2:] if entry2.startswith("./") else entry2
+                    cfg_rules.append((cdir + p, tl is True))
+                else:
+                    cfg_bad = True
+            dd0 = cfg.get("defaultDialect")
+            if isinstance(dd0, str): cfg_dd = dd0
+            if cfg.get("resolve"): cfg_bad = None   # resolve flow: skip
+            return cfg_excl, cfg_rules, cfg_dd, cfg_bad
         for i, ln in enumerate(joined):
             if '"$1"' not in ln or " lint" not in ln: continue
             exp = 0
@@ -507,8 +540,33 @@ def test_reference_lint_corpus_parity():
                     import yaml
                     return yaml.safe_load(body)
             got = None
+            # nearest config: schema dir first, then ancestors
+            parts = key.split("/")[:-1]
+            cfg_key = None
+            for d in range(len(parts), -1, -1):
+                cand = "/".join(parts[:d] + ["jsonschema.json"])
+                if cand in files: cfg_key = cand; break
+            cfg_excl, cfg_rules, cfg_dd, cfg_bad = [], [], None, False
+            if cfg_key is not None:
+                cfg_excl, cfg_rules, cfg_dd, cfg_bad = parse_cfg(cfg_key)
+                if cfg_bad is None:
+                    res = ("skip", "config resolve flow"); break
+            if cfg_bad: got = 1
+            excl_cli = list(excl)
+            # CLI --only overrides config excludes entirely
+            excl = excl if only else excl + cfg_excl
+            if not dd: dd = cfg_dd
             # custom rule docs (file or dir)
             rdocs, tdocs = [], []
+            import posixpath
+            for rpath, top in cfg_rules:
+                rk = rpath[5:] if rpath.startswith("$TMP/") else rpath
+                rk = posixpath.normpath(rk)
+                if rk not in files: got = 1; continue
+                try:
+                    (tdocs if top else rdocs).append(load(rk))
+                except Exception:
+                    got = 1
             for coll, out in ((rules, rdocs), (toprules, tdocs)):
                 for r in coll:
                     rk = r[5:] if r.startswith("$TMP/") else r
@@ -541,7 +599,7 @@ def test_reference_lint_corpus_parity():
                     known = set(RULES) | {x[1] for x in
                                           lint_schema(doc, top_level=True)}                         | {r.get("title") for r in rdocs + tdocs
                                if isinstance(r, dict)}
-                    if only and excl:
+                    if only and excl_cli:
                         raise PermissionError("--only with --exclude")
                     for n0 in only:
                         if n0 not in known:
@@ -566,7 +624,7 @@ def test_reference_lint_corpus_parity():
                         if applied:
                             from jsonschema_ray.spec.format import prettify_json
                             files[key] = prettify_json(fixed)
-                        f = lint_schema(fixed, top_level=True) + lint_fixable(fixed)
+                        f = lint_schema(fixed, top_level=True) + lint_fixable(fixed, disabled=set(excl), only=set(only) if only else None)
                         f = filter_excluded(f, lint_exclusions(fixed),
                                             global_exclude=set(excl),
                                             only=set(only) if only else None)
@@ -578,7 +636,7 @@ def test_reference_lint_corpus_parity():
                         if excl: cf = [x for x in cf if x[1] not in excl]
                         got = 2 if (list(f) + cf) else 0
                     else:
-                        f = lint_schema(doc, top_level=True) + lint_fixable(doc)
+                        f = lint_schema(doc, top_level=True) + lint_fixable(doc, disabled=set(excl), only=set(only) if only else None)
                         f = filter_excluded(f, lint_exclusions(doc),
                                             global_exclude=set(excl),
                                             only=set(only) if only else None)
