@@ -40,19 +40,9 @@ HEREDOC = re.compile(r"cat << '?EOF'? > \"\$TMP/([^\"]+)\"\n(.*?)\nEOF\n",
 # Scripts whose verdict is KNOWN to diverge, with why. Kept small and
 # explicit — if one starts agreeing, this test fails so the list stays
 # honest.
-EXPECTED_DIVERGENT = {
-    # jsonschema.json project-config DISCOVERY inside the validate verb
-    # (our config flow is wired at the CLI layer and covered by
-    # test_cli.py::test_jsonschema_json_config_discovery; the replay
-    # harness calls the library directly, bypassing discovery)
-    "fail_default_dialect_config_extension_mismatch.sh",
-    "fail_default_dialect_config_invalid_uri.sh",
-    "fail_invalid_config.sh",
-    "pass_config_ignore.sh",
-    "pass_config_ignore_with_cli.sh",
-}
+EXPECTED_DIVERGENT: set[str] = set()
 
-MIN_MATCHES = 165   # ratchet: raise when coverage grows
+MIN_MATCHES = 171   # ratchet: raise when coverage grows
 
 
 class Skip(Exception):
@@ -177,6 +167,36 @@ def _replay_one(files: dict, inv: str, exp: int):
     if len(pos) < 2:
         raise Skip("needs schema + instance positionals")
 
+    # project config discovery (jsonschema.json next to the inputs):
+    # defaultDialect (string URI, gated by the configured extension
+    # list), ignore paths (reference src/configuration.h flows)
+    cfg_ext = None
+    if "jsonschema.json" in files:
+        try:
+            cfg = json.loads(files["jsonschema.json"])
+            if not isinstance(cfg, dict):
+                raise ValueError("config must be an object")
+            cdd = cfg.get("defaultDialect")
+            if cdd is not None:
+                if not isinstance(cdd, str) or "://" not in cdd:
+                    raise ValueError("invalid defaultDialect")
+            cext = cfg.get("extension")
+            if isinstance(cext, str):
+                cext = [cext]
+            if cext:
+                cfg_ext = [e.lstrip(".") for e in cext]
+            if cdd and default_dialect is None:
+                # dialect default applies only to files carrying the
+                # configured extension (extension-mismatch → no dialect)
+                skey0 = pos[0][5:] if pos[0].startswith("$TMP/") else ""
+                if not cfg_ext or any(skey0.endswith("." + e)
+                                      for e in cfg_ext):
+                    default_dialect = cdd
+            for ig in cfg.get("ignore") or []:
+                ignores.append("$TMP/" + ig.lstrip("./"))
+        except ValueError as e:
+            return exp not in (0, 2), "reject", f"config: {e}"
+
     def tmpkey(name: str) -> str:
         if not name.startswith("$TMP/"):
             raise Skip(f"non-tmp path {name}")
@@ -208,6 +228,10 @@ def _replay_one(files: dict, inv: str, exp: int):
         schema = _load_doc(files, skey)[0]
         if default_dialect and isinstance(schema, dict):
             schema.setdefault("$schema", default_dialect)
+        if isinstance(schema, dict) and "$schema" not in schema:
+            # the validate verb requires a determinable dialect
+            # (SchemaUnknownBaseDialectError, exit 4)
+            raise ValueError("could not determine the base dialect")
         # --resolve of a missing path: reference exits 6; we reject too
         for r in resolves:
             k = tmpkey(r)
