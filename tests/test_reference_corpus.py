@@ -712,7 +712,7 @@ def test_reference_lint_corpus_parity():
 # later --check in the same script sees the formatted file.
 # ---------------------------------------------------------------------------
 
-FMT_MIN_MATCHES = 38
+FMT_MIN_MATCHES = 39
 FMT_EXPECTED_DIVERGENT: set[str] = set()
 
 
@@ -747,9 +747,25 @@ def test_reference_fmt_corpus_parity():
         name = path.rsplit("/", 1)[1]
         src = open(path).read()
         files = {m.group(1): m.group(2) for m in HEREDOC.finditer(src)}
-        if "config" in name:
-            skips[name] = "project-config flow"
-            continue
+        cfg_dd = None
+        if "jsonschema.json" in files:
+            # project-config defaultDialect flow (string URI only;
+            # resolve/extension configs stay out of replay scope)
+            try:
+                _cfg = json.loads(files["jsonschema.json"])
+                if not isinstance(_cfg, dict):
+                    raise ValueError
+                _cdd = _cfg.get("defaultDialect")
+                if _cdd is not None and (not isinstance(_cdd, str)
+                                         or "://" not in _cdd):
+                    raise ValueError
+                if _cfg.get("resolve") or _cfg.get("extension"):
+                    skips[name] = "config resolve/extension flow"
+                    continue
+                cfg_dd = _cdd
+            except ValueError:
+                skips[name] = "invalid config"
+                continue
         joined, buf = [], ""
         for ln in src.split("\n"):
             if ln.rstrip().endswith("\\"):
@@ -792,6 +808,7 @@ def test_reference_fmt_corpus_parity():
             for flag in ("--default-dialect", "-d"):
                 if flag in toks:
                     dd = toks[toks.index(flag) + 1]
+            dd = dd or cfg_dd
             pos, j = [], 2
             while j < len(toks):
                 t = toks[j]
