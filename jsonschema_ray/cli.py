@@ -190,9 +190,31 @@ def _load_resolve_docs(paths, schema_path: str) -> dict | None:
 
 
 def cmd_validate(args) -> int:
+    import os
+
     import pyarrow.parquet as pq
 
     from jsonschema_ray.pipelines.validate import fast_validate, validate
+
+    # reference positional UX: `validate <schema.json> <instance...>`
+    # — when the first positional is a schema DOCUMENT file and no
+    # plan/dataset flags are in play, route to single-instance mode
+    if (len(args.inputs or []) >= 2 and not getattr(args, "schema", None)
+            and not getattr(args, "instance", None)
+            and getattr(args, "plan", "default") in (None, "default")
+            and not getattr(args, "catalog", None)
+            and args.inputs[0].endswith((".json", ".yaml", ".yml"))
+            and os.path.isfile(args.inputs[0])):
+        try:
+            head = _load_schema_doc(args.inputs[0], configured=False)
+        except Exception:  # noqa: BLE001 — not a schema doc: dataset mode
+            head = None
+        if isinstance(head, bool) or (
+                isinstance(head, dict)
+                and ("$schema" in head or "$id" in head or "id" in head)):
+            args.schema = args.inputs[0]
+            args.instance = args.inputs[1:]
+            args.inputs = []
 
     if getattr(args, "instance", None):
         # single-instance mode — the reference's flagship UX
@@ -1481,18 +1503,24 @@ def cmd_install(args) -> int:
     dependency fetch with ``jsonschema.lock.json``; ``--frozen``
     verifies the lock without refreshing).  With no URIs and
     ``--frozen``, every locked entry is verified."""
+    if not getattr(args, "to", None):
+        # reference project mode: jsonschema.json dependencies +
+        # jsonschema.lock.json (src/command_install.cc)
+        import os
+
+        from jsonschema_ray.state.install import run_install
+
+        return run_install(os.getcwd(), list(args.uris),
+                           frozen=args.frozen, force=args.force,
+                           json_mode=getattr(args, "as_json", False),
+                           verbose=getattr(args, "verbose", False),
+                           http=getattr(args, "http", False),
+                           headers=getattr(args, "header", None),
+                           debug=getattr(args, "debug", False))
     from jsonschema_ray.sources.fetch import SchemaStore
 
     store = SchemaStore(args.to)
     uris = args.uris or (store.uris() if args.frozen else [])
-    if not uris:
-        # no URIs on the command line: fall back to the project
-        # config's `dependencies` map (configuration.markdown;
-        # command_install.cc reads jsonschema.json the same way)
-        from jsonschema_ray.state.config import discover
-
-        cfg = discover(".")
-        uris = sorted((cfg or {}).get("dependencies") or {})
     if not uris:
         print("install: no URIs given and lock is empty", file=sys.stderr)
         return EXIT_ERROR
@@ -1694,8 +1722,17 @@ def build_parser() -> argparse.ArgumentParser:
     ins = sub.add_parser("install")
     ins.add_argument("uris", nargs="*", default=[],
                      help="schema URIs to install (http/https/file)")
-    ins.add_argument("--to", default="vendor/schemas",
-                     help="store directory (lock file lives here)")
+    ins.add_argument("--to", default=None,
+                     help="store directory mode (lock file lives "
+                          "there); default is the project-config mode "
+                          "(jsonschema.json dependencies)")
+    ins.add_argument("--json", "-j", action="store_true", dest="as_json")
+    ins.add_argument("--verbose", "-v", action="store_true")
+    ins.add_argument("--http", action="store_true",
+                     help="allow live http(s) fetches")
+    ins.add_argument("-H", "--header", action="append", default=[],
+                     help='HTTP header ("Name: Value", repeatable)')
+    ins.add_argument("--debug", "-g", action="store_true")
     ins.add_argument("--force", action="store_true",
                      help="re-fetch even if already installed")
     ins.add_argument("--frozen", action="store_true",

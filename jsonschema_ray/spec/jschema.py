@@ -676,7 +676,18 @@ class CompiledSchema:
         return thunk
 
     def _compile_ref(self, ref: str, from_ptr: str = "") -> _Fn:
-        return self._fn_for_ptr(self._ref_target(ref, from_ptr))
+        try:
+            return self._fn_for_ptr(self._ref_target(ref, from_ptr))
+        except ValueError:
+            # a $ref to an OFFICIAL dialect URI resolves to the built-in
+            # self-hosted metaschema (the reference ships the official
+            # metaschemas in its resolver; pass_resolver_official_schema)
+            base = ref.partition("#")[0].rstrip("/")
+            if base.startswith(("https://json-schema.org/",
+                                "http://json-schema.org/")):
+                meta = _official_metaschema_validator()
+                return lambda v, path: meta(v, path)
+            raise
 
     def _compile(self, sch: Any, ptr: str, _no_cache: bool = False) -> _Fn:
         if not _no_cache and ptr in self._cache:
@@ -1108,6 +1119,17 @@ class CompiledSchema:
             return errs, ann
 
         return fn
+
+
+_OFFICIAL_META_FN: list = []
+
+
+def _official_metaschema_validator() -> "_Fn":
+    """Compiled self-hosted metaschema, shared (official dialect URIs
+    referenced via $ref resolve to it)."""
+    if not _OFFICIAL_META_FN:
+        _OFFICIAL_META_FN.append(CompiledSchema(METASCHEMA)._fn)
+    return _OFFICIAL_META_FN[0]
 
 
 def compile_schema(schema: Any, *, assert_formats: bool | None = None,

@@ -4,7 +4,7 @@ the same instances, judged by BOTH the engine evaluator and the
 canonical ``jsonschema`` package)."""
 import warnings
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from jsonschema_ray.spec.alterschema import RULES, canonicalize, lint_fixable
@@ -150,6 +150,22 @@ def test_upgrade_schema_cross_validator(s, v):
     dialect validators (draft-4 is where boolean exclusive bounds and
     array-form items live)."""
     from jsonschema_ray.spec.alterschema import upgrade_schema
+
+    # draft-4 `type: integer` rejects integral floats (1.0) while
+    # 2020-12 accepts them — a dialect-semantics delta the upgrade
+    # cannot (and the reference does not) compensate for; keep such
+    # instances out of the comparison
+    def _no_integral_float(x):
+        if isinstance(x, bool):
+            return True
+        if isinstance(x, float):
+            return not x.is_integer()
+        if isinstance(x, list):
+            return all(_no_integral_float(e) for e in x)
+        if isinstance(x, dict):
+            return all(_no_integral_float(e) for e in x.values())
+        return True
+    assume(_no_integral_float(v))
 
     up = upgrade_schema(s)
     assert up["$schema"].endswith("2020-12/schema")

@@ -1777,3 +1777,43 @@ def test_reference_rdf_corpus_parity():
     assert not healed, f"update RDF_EXPECTED_DIVERGENT: {sorted(healed)}"
     assert len(match) >= RDF_MIN_MATCHES, (
         f"{len(match)} < {RDF_MIN_MATCHES}; skips={skip}")
+
+
+# ----------------------------------------------------------------- install
+
+INSTALL_CORPUS = "/root/reference/test/install"
+INSTALL_MIN_MATCHES = 79   # all fixtures; ratchet
+
+
+def test_reference_install_corpus_parity(tmp_path):
+    """Execute the reference's install fixtures VERBATIM (they are
+    self-contained POSIX sh scripts asserting byte-exact CLI output,
+    lock-file contents and vendored-schema bytes) against this
+    engine's CLI via a `$1` shim. Fixture source:
+    /root/reference/test/install/*.sh — PUBLIC CONTENT, executed for
+    expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob(f"{INSTALL_CORPUS}/*.sh"))
+    assert scripts, "install corpus missing"
+
+    def run(path):
+        r = subprocess.run(["sh", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=120)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert not failed, f"install fixture failures: {failed}"
+    assert len(results) - len(failed) >= INSTALL_MIN_MATCHES
