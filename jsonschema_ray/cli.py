@@ -52,6 +52,7 @@ from typing import Any
 EXIT_OK = 0
 EXIT_ERROR = 1
 EXIT_VALIDATION = 2
+EXIT_ARGS = 5
 EXIT_EMPTY_SUITE = 6
 
 import re as _re_mod  # noqa: E402
@@ -1325,32 +1326,70 @@ def cmd_inspect(args) -> int:
     return EXIT_OK
 
 
+def _positional_error(args, message: str, example: str) -> int:
+    """The reference's PositionalArgumentError contract (main.cc:1266):
+    exit 5, text to stderr with the example, or ``{"error": ...}`` to
+    stdout under ``--json``."""
+    if getattr(args, "as_json", False):
+        print(json.dumps({"error": message}, indent=2))
+    else:
+        print(f"error: {message}\n\nFor example: {example}",
+              file=sys.stderr)
+    return EXIT_ARGS
+
+
+def _jsonl_entries(path: str):
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                yield json.loads(line)
+
+
 def cmd_encode(args) -> int:
-    """JSONL → columnar parquet with the size ratio printed — the
-    distributed analog of ``jsonschema encode`` (JSON BinPack,
-    ``/root/reference/src/command_encode.cc:73-90`` prints
-    ``encoded*100/original %``): schema-aware columnar encodings play
-    the binary-serialization role at dataset scale (SURVEY §2.1)."""
+    """``jsonschema encode`` — JSON/JSONL → JSON BinPack v1 binary,
+    byte-exact with the reference (``src/command_encode.cc``; codec in
+    ``sources/binjson.py``). JSONL entries share one encoder stream so
+    repeated keys/strings back-reference. With ``-o`` instead of a
+    positional output, the dataset-scale analog runs: JSONL →
+    columnar parquet (schema-aware encodings play the binary role at
+    scale, SURVEY §2.1), printing the same compression-ratio metric."""
     import glob as _glob
     import os
 
+    if args.output is None:
+        # reference single-file mode: encode DOC OUT
+        if len(args.inputs) < 2:
+            return _positional_error(
+                args, "This command expects a path to a JSON document "
+                "and an output path",
+                "jsonschema encode path/to/document.json "
+                "path/to/output.binpack")
+        from jsonschema_ray.sources.binjson import Encoder
+
+        doc_path, out_path = args.inputs[0], args.inputs[1]
+        orig = os.path.getsize(doc_path)
+        print(f"original file size: {orig} bytes", file=sys.stderr)
+        enc = Encoder()
+        if doc_path.endswith(".jsonl"):
+            if args.verbose:
+                print("Interpreting input as JSONL: "
+                      f"{os.path.realpath(doc_path)}", file=sys.stderr)
+            for i, entry in enumerate(_jsonl_entries(doc_path)):
+                if args.verbose:
+                    print(f"Encoding entry #{i}", file=sys.stderr)
+                enc.write(entry)
+        else:
+            enc.write(_load_schema_doc(doc_path, configured=False))
+        with open(out_path, "wb") as f:
+            f.write(bytes(enc.buf))
+        total = len(enc.buf)
+        print(f"encoded file size: {total} bytes", file=sys.stderr)
+        print(f"compression ratio: {total * 100 // orig}%",
+              file=sys.stderr)
+        return EXIT_OK
+
     from jsonschema_ray.sources.readers import JsonlSource
 
-    if len(args.inputs) == 1 and args.inputs[0].endswith(".json"):
-        # single-document path (reference `encode doc.json out.binpack`):
-        # the compact binary codec, no Ray session needed
-        from jsonschema_ray.sources.binjson import encode_document
-
-        with open(args.inputs[0]) as f:
-            doc = json.load(f)
-        data = encode_document(doc)
-        with open(args.output, "wb") as f:
-            f.write(data)
-        orig = os.path.getsize(args.inputs[0])
-        print(f"original file size: {orig} bytes")
-        print(f"encoded file size: {len(data)} bytes")
-        print(f"compression ratio: {round(len(data) * 100 / orig)}%")
-        return EXIT_OK
     _ensure_ray(args.num_cpus)
     JsonlSource(args.inputs).dataset().write_parquet(args.output)
     orig = sum(os.path.getsize(f) for pat in args.inputs
@@ -1364,30 +1403,44 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    """Parquet → JSONL (the ``jsonschema decode`` analog); binary
-    single-document files (from `encode doc.json`) decode without a
-    Ray session."""
+    """``jsonschema decode`` — JSON BinPack v1 binary → prettified
+    JSON/JSONL, byte-exact with the reference
+    (``src/command_decode.cc``: a ``.jsonl`` output path selects the
+    multi-entry stream mode). With ``-o``, the dataset-scale analog:
+    parquet → JSONL."""
     import os
+
+    if args.output is None:
+        if len(args.inputs) < 2:
+            return _positional_error(
+                args, "This command expects a path to a binary file "
+                "and an output path",
+                "jsonschema decode path/to/output.binpack "
+                "path/to/document.json")
+        from jsonschema_ray.sources.binjson import (decode_document,
+                                                    decode_stream)
+        from jsonschema_ray.spec.format import prettify_json
+
+        in_path, out_path = args.inputs[0], args.inputs[1]
+        with open(in_path, "rb") as f:
+            data = f.read()
+        parts = []
+        if out_path.endswith(".jsonl"):
+            if args.verbose:
+                print("Interpreting input as JSONL: "
+                      f"{os.path.realpath(in_path)}", file=sys.stderr)
+            for i, doc in enumerate(decode_stream(data)):
+                if args.verbose:
+                    print(f"Decoding entry #{i}", file=sys.stderr)
+                parts.append(prettify_json(doc))
+        else:
+            parts.append(prettify_json(decode_document(data)))
+        with open(out_path, "w") as f:
+            f.write("\n".join(parts) + "\n")
+        return EXIT_OK
 
     from jsonschema_ray.sources.readers import ParquetSource
 
-    if len(args.inputs) == 1 and os.path.isfile(args.inputs[0]):
-        with open(args.inputs[0], "rb") as f:
-            head = f.read(4)
-        if head == b"JBJ1":
-            from jsonschema_ray.sources.binjson import decode_document
-
-            with open(args.inputs[0], "rb") as f:
-                doc = decode_document(f.read())
-            from jsonschema_ray.spec.format import prettify_json
-
-            text = prettify_json(doc) + "\n"
-            if args.output == "-":
-                sys.stdout.write(text)
-            else:
-                with open(args.output, "w") as f:
-                    f.write(text)
-            return EXIT_OK
     _ensure_ray(args.num_cpus)
     ds = ParquetSource(args.inputs).dataset()
     if args.output == "-":
@@ -1691,14 +1744,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("encode")
-    e.add_argument("inputs", nargs="+")
-    e.add_argument("-o", "--output", required=True)
+    e.add_argument("inputs", nargs="*", default=[])
+    e.add_argument("-o", "--output", default=None,
+                   help="parquet output dir (dataset mode); omit for "
+                        "the reference's positional DOC OUT form")
+    e.add_argument("--json", "-j", action="store_true", dest="as_json")
+    e.add_argument("--verbose", "-v", action="store_true")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_encode)
 
     dd = sub.add_parser("decode")
-    dd.add_argument("inputs", nargs="+")
-    dd.add_argument("-o", "--output", required=True)
+    dd.add_argument("inputs", nargs="*", default=[])
+    dd.add_argument("-o", "--output", default=None,
+                    help="JSONL output dir (dataset mode); omit for "
+                         "the reference's positional IN OUT form")
+    dd.add_argument("--json", "-j", action="store_true", dest="as_json")
+    dd.add_argument("--verbose", "-v", action="store_true")
     dd.add_argument("--num-cpus", type=int, default=None)
     dd.set_defaults(fn=cmd_decode)
 

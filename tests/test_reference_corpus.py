@@ -1817,3 +1817,43 @@ def test_reference_install_corpus_parity(tmp_path):
     failed = {n: out for n, rc, out in results if rc != 0}
     assert not failed, f"install fixture failures: {failed}"
     assert len(results) - len(failed) >= INSTALL_MIN_MATCHES
+
+
+# ----------------------------------------------------------- encode/decode
+
+CODEC_CORPORA = ["/root/reference/test/encode", "/root/reference/test/decode"]
+CODEC_MIN_MATCHES = 10   # all fixtures; ratchet
+
+
+def test_reference_encode_decode_corpus_parity(tmp_path):
+    """Execute the reference's encode/decode fixtures VERBATIM (they
+    assert byte-exact JSON BinPack v1 output via xxd plus the exact
+    size/ratio/verbose text) against this engine's CLI via a `$1`
+    shim. Fixture source: /root/reference/test/{encode,decode}/*.sh —
+    PUBLIC CONTENT, executed for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(s for d in CODEC_CORPORA
+                     for s in glob.glob(f"{d}/*.sh"))
+    assert scripts, "encode/decode corpus missing"
+
+    def run(path):
+        r = subprocess.run(["sh", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=120)
+        return (path.rsplit("/", 2)[-2] + "/" + path.rsplit("/", 1)[-1],
+                r.returncode, (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert not failed, f"encode/decode fixture failures: {failed}"
+    assert len(results) - len(failed) >= CODEC_MIN_MATCHES
