@@ -42,7 +42,7 @@ HEREDOC = re.compile(r"cat << '?EOF'? > \"\$TMP/([^\"]+)\"\n(.*?)\nEOF\n",
 # honest.
 EXPECTED_DIVERGENT: set[str] = set()
 
-MIN_MATCHES = 171   # ratchet: raise when coverage grows
+MIN_MATCHES = 223   # ratchet: the full corpus replays verdict-exact
 
 
 class Skip(Exception):
@@ -52,27 +52,119 @@ class Skip(Exception):
 def _parse(path: str):
     src = open(path).read()
     files = {m.group(1): m.group(2) for m in HEREDOC.finditer(src)}
-    joined, buf = [], ""
-    for ln in src.split("\n"):
+    # Pre-pass: lift stdin producers (`echo '..' |`, `printf '..' |`,
+    # `cat << 'EOF' |` + body) off the invocation lines, so `-`
+    # positionals can be replayed (reference src/input.h:197-226)
+    raw = src.split("\n")
+    lifted, stdin_at = [], {}
+    i = 0
+    while i < len(raw):
+        ln = raw[i]
+        m = re.match(r"\s*(echo|printf) '((?:[^'])*)' \| (.*\"\$1\".*)$",
+                     ln)
+        if m:
+            text = m.group(2)
+            text = (text + "\n") if m.group(1) == "echo" \
+                else text.replace("\\n", "\n")
+            stdin_at[len(lifted)] = text
+            lifted.append(m.group(3))
+            i += 1
+            continue
+        m = re.match(r"\s*(?:cat << 'EOF'|printf '((?:[^'])*)') \| "
+                     r"gzip > \"\$TMP/([^\"]+)\"\s*$", ln)
+        if m:
+            # gzip-piped heredoc/printf: the replay reads text, so the
+            # uncompressed body IS the file (Arrow/gzip transparency)
+            if m.group(1) is not None:
+                files[m.group(2)] = m.group(1).replace("\\n", "\n")
+                i += 1
+                continue
+            body, j = [], i + 1
+            while j < len(raw) and raw[j] != "EOF":
+                body.append(raw[j])
+                j += 1
+            files[m.group(2)] = "\n".join(body) + "\n"
+            i = j + 1
+            continue
+        m = re.match(r"\s*cat << 'EOF' \| (.*\"\$1\".*)$", ln)
+        if m:
+            stdin_idx = len(lifted)
+            lifted.append(m.group(1))
+            j = i
+            while raw[j].rstrip().endswith("\\"):
+                j += 1
+                lifted.append(raw[j])
+            body = []
+            j += 1
+            while j < len(raw) and raw[j] != "EOF":
+                body.append(raw[j])
+                j += 1
+            stdin_at[stdin_idx] = "\n".join(body) + "\n"
+            i = j + 1
+            continue
+        lifted.append(ln)
+        i += 1
+    joined, starts, buf, start = [], [], "", 0
+    for idx, ln in enumerate(lifted):
+        if buf == "":
+            start = idx
         if ln.rstrip().endswith("\\"):
             buf += ln.rstrip()[:-1] + " "
         else:
             joined.append(buf + ln)
+            starts.append(start)
             buf = ""
-    invs = []
+    shellvars = {m.group(1): m.group(2).replace('\\"', '"')
+                 for m in re.finditer(r'^\s*(\w+)="(.*)"\s*$', src, re.M)}
+    invs, cwd = [], ""
     for i, ln in enumerate(joined):
-        if '"$1"' in ln and " validate" in ln:
+        mcd = re.match(r'\s*cd "\$TMP/?([^"]*)"\s*$', ln)
+        if mcd:
+            cwd = mcd.group(1).rstrip("/")
+            cwd = cwd + "/" if cwd else ""
+            continue
+        if ('"$1"' in ln or '"$BIN"' in ln) and " validate" in ln:
+            ln = ln.replace('"$BIN"', '"$1"')
+            # process substitution <(echo "$VAR") → synthetic file
+            for mps in re.finditer(r'<\(echo "\$(\w+)"\)', ln):
+                name = mps.group(1)
+                files[f"__psub_{name}.json"] = shellvars.get(name, "")
+                ln = ln.replace(mps.group(0),
+                                f'"$TMP/__psub_{name}.json"')
             exp = 0
             for la in joined[i:i + 4]:
                 m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
                 if m:
                     exp = int(m.group(1))
                     break
-            invs.append((ln.strip(), exp))
-    return files, invs
+            invs.append((ln.strip(), exp, stdin_at.get(starts[i]), cwd))
+    # every $TMP path the script ever writes (redirect targets and
+    # heredoc targets): a referenced input outside this set is
+    # genuinely nonexistent → replayable as an input error, not a skip
+    created = set(re.findall(r'>\s*"\$TMP/([^"]+)"', src))
+    for touched in re.findall(r'touch "\$TMP/([^"]+)"', src):
+        files.setdefault(touched, "")        # empty file
+        created.add(touched)
+    created |= set(files)
+    return files, invs, created
 
 
 def _load_doc(files: dict, key: str):
+    if key == "-":
+        # stdin: JSON first, then YAML; blank input is an input error
+        # (reference src/input.h:197-226, fail_stdin_empty exit 6)
+        body = files.get("-")
+        if body is None or not body.strip():
+            raise ValueError("empty stdin")
+        try:
+            return [json.loads(body)]
+        except Exception:
+            import yaml
+
+            doc = yaml.safe_load(body)
+            if doc is None:
+                raise ValueError("empty stdin")
+            return [doc]
     body = files[key]
     if key.endswith(".jsonl") or key.endswith(".gz"):
         return [json.loads(ln) for ln in body.splitlines() if ln.strip()]
@@ -90,15 +182,19 @@ _NEUTRAL_FLAGS = {"-f", "--fast", "-j", "--json", "-v", "--verbose",
                   "--continue", "--debug", "-g"}
 
 
-def _replay_one(files: dict, inv: str, exp: int):
+def _replay_one(files: dict, inv: str, exp: int, stdin: str | None = None,
+                created: set | None = None, cwd: str = ""):
     inv = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
     inv = re.sub(r"\s[12]?>>?\s*\S+", "", inv)
     toks = [t.replace("\\$", "$") for t in shlex.split(inv)]
     if toks[0] != "$1" or toks[1] != "validate":
         raise Skip("not plain validate invocation")
+    if stdin is not None:
+        files = dict(files, **{"-": stdin})
     pos, resolves, exts, ignores = [], [], [], []
     entry, default_dialect, fassert = "", None, None
     template, loop_bad, trace, bench = False, False, False, False
+    header_bad = False
     i = 2
     while i < len(toks):
         t = toks[i]
@@ -135,6 +231,12 @@ def _replay_one(files: dict, inv: str, exp: int):
             elif t in ("--ignore", "-i"):
                 ignores.append(toks[i + 1])
                 i += 2
+            elif t in ("--header", "-H"):
+                if i + 1 >= len(toks) or ":" not in toks[i + 1]:
+                    header_bad = True
+                    i += 1
+                else:
+                    i += 2
             elif t in ("--loop",):
                 if i + 1 >= len(toks) or not toks[i + 1].isdigit() \
                         or int(toks[i + 1]) < 1:
@@ -153,6 +255,9 @@ def _replay_one(files: dict, inv: str, exp: int):
         return exp not in (0, 2), "reject", "template flag conflict"
     if loop_bad:
         return exp not in (0, 2), "reject", "invalid --loop value"
+    if header_bad:
+        # malformed "Name: Value" header (fail_invalid_header exit 5)
+        return exp not in (0, 2), "reject", "malformed --header"
     if trace and bench:
         return exp not in (0, 2), "reject", "--trace with --benchmark"
     if (trace or bench) and (
@@ -164,8 +269,34 @@ def _replay_one(files: dict, inv: str, exp: int):
         # single-instance-only flags reject directories / JSONL /
         # multiple instances (fail_trace_*/fail_benchmark_* exit 5)
         return exp not in (0, 2), "reject", "trace/benchmark instance kind"
-    if len(pos) < 2:
-        raise Skip("needs schema + instance positionals")
+    if pos.count("-") > 1:
+        # at most one positional may read stdin
+        # (fail_stdin_multiple exit 5)
+        return exp not in (0, 2), "reject", "multiple stdin positionals"
+    if len(pos) == 0:
+        # a schema is required (fail_no_schema exit 5)
+        return exp not in (0, 2), "reject", "missing positionals"
+    if len(pos) == 1:
+        # schema only: the reference recursively processes every file
+        # in the CWD as instances (pass_cwd.sh "Recursively processing
+        # every file in ...")
+        pos.append("$TMP/" + cwd)
+
+    if default_dialect and "://" not in default_dialect:
+        # dialect given as a FILE PATH (relative to the cwd): the
+        # reference reads the metaschema and dialects by its $id
+        # (pass_default_dialect_cli_relative.sh)
+        import posixpath
+
+        dkey = default_dialect[5:] if default_dialect.startswith("$TMP/") \
+            else posixpath.normpath(cwd + default_dialect)
+        if dkey in files:
+            try:
+                mdoc = _load_doc(files, dkey)[0]
+                if isinstance(mdoc, dict) and mdoc.get("$id"):
+                    default_dialect = mdoc["$id"]
+            except Exception:
+                pass
 
     # project config discovery (jsonschema.json next to the inputs):
     # defaultDialect (string URI, gated by the configured extension
@@ -188,7 +319,13 @@ def _replay_one(files: dict, inv: str, exp: int):
             if cdd and default_dialect is None:
                 # dialect default applies only to files carrying the
                 # configured extension (extension-mismatch → no dialect)
-                skey0 = pos[0][5:] if pos[0].startswith("$TMP/") else ""
+                if pos[0].startswith("$TMP/"):
+                    skey0 = pos[0][5:]
+                elif pos[0] != "-" and not pos[0].startswith(("$", "/")):
+                    skey0 = cwd + (pos[0][2:] if pos[0].startswith("./")
+                                   else pos[0])
+                else:
+                    skey0 = ""
                 if not cfg_ext or any(skey0.endswith("." + e)
                                       for e in cfg_ext):
                     default_dialect = cdd
@@ -198,16 +335,29 @@ def _replay_one(files: dict, inv: str, exp: int):
             return exp not in (0, 2), "reject", f"config: {e}"
 
     def tmpkey(name: str) -> str:
-        if not name.startswith("$TMP/"):
-            raise Skip(f"non-tmp path {name}")
-        return name[5:]
+        if name.startswith("$TMP/"):
+            return name[5:]
+        if name in ("$TMP", "$TMP/"):
+            return ""
+        if not name.startswith(("$", "/", "<(", "-")):
+            # relative path: the script cd'd into $TMP (pass_cwd.sh,
+            # pass_*_relative.sh)
+            rel = name[2:] if name.startswith("./") else name
+            return cwd + rel
+        raise Skip(f"non-tmp path {name}")
 
     def expand(name: str) -> list[str]:
+        if name == "-":
+            if stdin is None:
+                raise Skip("stdin unavailable")
+            return ["-"]
         key = tmpkey(name)
         if key in files:
             return [key]
+        prefix = (key.rstrip("/") + "/") if key.rstrip("/") else ""
         subs = sorted(k for k in files
-                      if k.startswith(key.rstrip("/") + "/"))
+                      if k.startswith(prefix) and k != "-"
+                      and not k.startswith("__psub_"))
         if subs:
             # directory scan: extension + ignore filters
             # (reference --extension/--ignore, src/input.h:243-270)
@@ -220,6 +370,11 @@ def _replay_one(files: dict, inv: str, exp: int):
                                k.startswith(tmpkey(ig).rstrip("/") + "/")
                                for ig in ignores)]
             return subs
+        if created is not None and key not in created and not any(
+                c.startswith(key.rstrip("/") + "/") for c in created):
+            # the script never writes this path: a nonexistent input
+            # (reference exit 6, e.g. fail_nonexistent_*.sh)
+            raise FileNotFoundError(key)
         raise Skip(f"file {key} not from a heredoc")
 
     reject = None
@@ -302,12 +457,13 @@ def test_reference_validate_corpus_parity():
     matches, skips, divergent = [], {}, {}
     for path in scripts:
         name = path.rsplit("/", 1)[1]
-        files, invs = _parse(path)
+        files, invs, created = _parse(path)
         if not invs:
             skips[name] = "no validate invocation"
             continue
         try:
-            outs = [_replay_one(files, inv, exp) for inv, exp in invs]
+            outs = [_replay_one(files, inv, exp, stdin, created, cwd)
+                    for inv, exp, stdin, cwd in invs]
         except Skip as s:
             skips[name] = str(s)
             continue
@@ -351,7 +507,7 @@ def test_reference_metaschema_corpus_parity():
     matches, skips, divergent = [], {}, {}
     for path in scripts:
         name = path.rsplit("/", 1)[1]
-        files, _ = _parse(path)
+        files = _parse(path)[0]
         src = open(path).read()
         invs = []
         for i, ln in enumerate(src.split("\n")):
@@ -1087,7 +1243,7 @@ def test_reference_upgrade_corpus_parity():
     matches, skips, divergent = [], {}, {}
     for path in scripts:
         name = path.rsplit("/", 1)[1]
-        files, _ = _parse(path)
+        files = _parse(path)[0]
         src = open(path).read()
         inv = next((ln for ln in src.split("\n")
                     if '"$1"' in ln and " upgrade" in ln), None)
