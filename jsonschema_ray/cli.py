@@ -613,49 +613,25 @@ def cmd_upgrade(args) -> int:
 
 
 def cmd_fmt(args) -> int:
-    """Canonical plan formatting (``jsonschema fmt`` analog: stable key
-    order + 2-space indent; ``--check`` diff mode). With ``--schema``,
-    formats a JSON Schema DOCUMENT using the reference's canonical
-    keyword ranking (``vendor/blaze/src/format/format.cc:14-136``);
-    ``--keep-ordering`` prettifies without reordering
-    (``src/command_fmt.cc:57-63``)."""
-    with open(args.plan) as f:
-        raw = f.read()
-    if getattr(args, "schema", False):
-        from jsonschema_ray.spec.format import (looks_like_test_document,
-                                                prettify_schema)
+    """``jsonschema fmt`` — reference-parity canonical formatting
+    (``src/command_fmt.cc``): positionals are schema files, directories,
+    or ``-`` (stdin); none → config-path/cwd recursive walk. Keyword
+    ranking per ``vendor/blaze/src/format/format.cc:14-136``;
+    ``--keep-ordering`` prettifies without reordering; ``--check``
+    verifies without writing (exit 2 + fix hint on failure, JSON
+    verdict under ``--json``); rewrites are skipped when already
+    canonical (mtime intact). ``--plan PATH`` instead formats a
+    CheckPlan rules file (this engine's own artifact)."""
+    from jsonschema_ray.spec.clierrors import (CLIError,
+                                               YAMLNotSupportedError,
+                                               emit)
 
-        doc = json.loads(raw)
-        ind = int(getattr(args, "indentation", 2) or 2)
-        dd = getattr(args, "default_dialect", None)
-        if getattr(args, "keep_ordering", False):
-            # prettify only: no reorder, so no dialect needed
-            # (src/command_fmt.cc:57-63)
-            from jsonschema_ray.spec.format import prettify_json
-
-            canonical = prettify_json(doc, ind) + "\n"
-        else:
-            if looks_like_test_document(doc):
-                # root-only reorder under the 2020-12 walker
-                # (src/command_fmt.cc:42-48)
-                print(f"Interpreting as a test file: {args.plan}",
-                      file=sys.stderr)
-                dd = dd or "https://json-schema.org/draft/2020-12/schema"
-            elif isinstance(doc, dict) and "$schema" not in doc and not dd:
-                raise ValueError(
-                    "could not determine the base dialect of the schema; "
-                    "declare $schema or pass --default-dialect")
-            else:
-                # frame strictness first: anchor collisions, invalid
-                # $id/$schema, unknown metaschema reject before any
-                # formatting (reference exit-4 family)
-                from jsonschema_ray.spec.jschema import compile_schema
-
-                compile_schema(dict(doc, **({"$schema": dd} if dd and
-                               "$schema" not in doc else {}))
-                               if isinstance(doc, dict) else doc)
-            canonical = prettify_schema(doc, indent=ind,
-                                        default_dialect=dd)
+    if getattr(args, "plan", None):
+        with open(args.plan) as f:
+            raw = f.read()
+        plan = _load_plan(args.plan)
+        canonical = json.dumps(plan.to_json(), indent=2,
+                               sort_keys=True) + "\n"
         if args.check:
             if raw != canonical:
                 print(f"{args.plan}: not canonically formatted",
@@ -665,16 +641,133 @@ def cmd_fmt(args) -> int:
         with open(args.plan, "w") as f:
             f.write(canonical)
         return EXIT_OK
-    plan = _load_plan(args.plan)
-    canonical = json.dumps(plan.to_json(), indent=2, sort_keys=True) + "\n"
-    if args.check:
-        if raw != canonical:
-            print(f"{args.plan}: not canonically formatted", file=sys.stderr)
-            return EXIT_VALIDATION
-        return EXIT_OK
-    with open(args.plan, "w") as f:
-        f.write(canonical)
+
+    from jsonschema_ray.spec.format import (looks_like_test_document,
+                                            prettify_json,
+                                            prettify_schema)
+    from jsonschema_ray.state.inputs import WalkOptions, walk_inputs
+
+    json_mode = getattr(args, "as_json", False)
+    ind = int(getattr(args, "indentation", 2) or 2)
+    keep = getattr(args, "keep_ordering", False)
+    ok, failed = True, []
+
+    def render(entry) -> str:
+        doc = entry.parsed()
+        if keep:
+            return prettify_json(doc, ind) + "\n"
+        dd = getattr(args, "default_dialect", None) \
+            or (entry.config or {}).get("defaultDialect")
+        is_test = not dd and looks_like_test_document(doc)
+        if is_test:
+            print(f"Interpreting as a test file: {entry.path}",
+                  file=sys.stderr)
+            dd = "https://json-schema.org/draft/2020-12/schema"
+        elif isinstance(doc, dict) and "$schema" not in doc and not dd:
+            from jsonschema_ray.spec.clierrors import \
+                SchemaUnknownBaseDialectError
+
+            raise SchemaUnknownBaseDialectError()
+        else:
+            # frame strictness first: anchor collisions, invalid
+            # $id/$schema, unknown metaschema reject before any
+            # formatting (reference exit-4 family)
+            from jsonschema_ray.spec.jschema import compile_schema
+
+            resources = _load_resolve_docs(
+                getattr(args, "resolve", None) or [], entry.path)
+            compile_schema(dict(doc, **({"$schema": dd} if dd and
+                           "$schema" not in doc else {}))
+                           if isinstance(doc, dict) else doc,
+                           resources=resources)
+        return prettify_schema(doc, indent=ind, default_dialect=dd)
+
+    try:
+        entries = walk_inputs(
+            list(getattr(args, "paths", None) or []),
+            WalkOptions(extensions=getattr(args, "extension", None),
+                        ignores=getattr(args, "ignore", None),
+                        verbose=args.verbose, debug=args.debug))
+        for entry in entries:
+            if entry.yaml:
+                raise YAMLNotSupportedError(entry.path)
+            if not entry.from_stdin and (args.verbose or args.debug):
+                word = "Checking" if args.check else "Formatting"
+                print(f"{word}: {entry.path}", file=sys.stderr)
+            try:
+                out = render(entry)
+            except CLIError as err:
+                raise _stamp_fmt_error(err, entry) from err
+            if args.check:
+                if entry.text == out:
+                    if args.verbose:
+                        print(f"ok: {entry.path}", file=sys.stderr)
+                else:
+                    ok = False
+                    if json_mode:
+                        failed.append(entry.path)
+                    else:
+                        print(f"fail: {entry.path}", file=sys.stderr)
+            elif entry.from_stdin:
+                sys.stdout.write(out)
+            elif entry.text != out:
+                _atomic_write(entry.path, out)
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
+
+    if args.check and json_mode:
+        verdict = {"valid": ok}
+        if not ok:
+            verdict["errors"] = failed
+        from jsonschema_ray.spec.format import prettify_json as _pj
+
+        print(_pj(verdict, ind))
+    if not ok:
+        if not json_mode:
+            print("\nRun the `fmt` command without `--check/-c` to fix "
+                  "the formatting", file=sys.stderr)
+        return EXIT_VALIDATION
     return EXIT_OK
+
+
+def _stamp_fmt_error(err, entry):
+    """Add file/position context to a schema error the way the
+    reference's per-entry catch blocks do (command_fmt.cc:88-120)."""
+    from jsonschema_ray.spec.clierrors import SchemaAnchorCollisionError
+
+    if isinstance(err, SchemaAnchorCollisionError):
+        from jsonschema_ray.spec.positions import pointer_positions
+
+        loc = err.fields.get("location", "")
+        other = err.fields.get("otherLocation", "")
+        line = column = None
+        try:
+            pos = pointer_positions(entry.text).get(loc)
+            if pos:
+                line, column = pos
+        except Exception:   # noqa: BLE001 — positions are best-effort
+            pass
+        return SchemaAnchorCollisionError(
+            err.fields.get("identifier", ""), line=line, column=column,
+            filePath=entry.path, location=loc, otherLocation=other)
+    if "filePath" not in err.fields:
+        return err.with_fields(filePath=entry.path)
+    return err
+
+
+def _atomic_write(path: str, text: str) -> None:
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".fmt-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
 
 
 _LINT_KNOWN_OPS = {
@@ -1841,20 +1934,31 @@ def build_parser() -> argparse.ArgumentParser:
     u.set_defaults(fn=cmd_upgrade)
 
     f = sub.add_parser("fmt")
-    f.add_argument("plan")
-    f.add_argument("--check", action="store_true")
+    f.add_argument("paths", nargs="*", default=[],
+                   help="schema files, directories, or - (stdin); "
+                        "none = config-path/cwd recursive walk")
+    f.add_argument("--plan", default=None,
+                   help="format a CheckPlan rules file instead of "
+                        "schema documents")
+    f.add_argument("-c", "--check", action="store_true")
     f.add_argument("--schema", action="store_true",
-                   help="treat the file as a JSON Schema document and "
-                        "apply the reference's canonical keyword "
-                        "ordering (blaze format.cc rank table)")
-    f.add_argument("--indentation", type=int, default=2,
-                   help="spaces per level for --schema output "
-                        "(reference fmt --indentation)")
-    f.add_argument("--keep-ordering", action="store_true",
-                   help="with --schema: prettify only, keep key order")
+                   help="accepted for compatibility (schema documents "
+                        "are now the default fmt input)")
+    f.add_argument("-i", "--indentation", type=int, default=2,
+                   help="spaces per level (reference fmt --indentation)")
+    f.add_argument("-k", "--keep-ordering", action="store_true",
+                   help="prettify only, keep key order")
     f.add_argument("-d", "--default-dialect",
                    help="dialect to assume when the document does not "
                         "declare $schema (reference --default-dialect)")
+    f.add_argument("-j", "--json", action="store_true", dest="as_json")
+    f.add_argument("-v", "--verbose", action="store_true")
+    f.add_argument("-g", "--debug", action="store_true")
+    f.add_argument("-e", "--extension", action="append", default=[])
+    f.add_argument("--ignore", action="append", default=[])
+    f.add_argument("-r", "--resolve", action="append", default=[])
+    f.add_argument("--http", action="store_true")
+    f.add_argument("-H", "--header", action="append", default=[])
     f.set_defaults(fn=cmd_fmt)
 
     li = sub.add_parser("lint")

@@ -1,0 +1,158 @@
+"""Typed CLI errors with the reference's exact rendering contract.
+
+The reference prints every failure as ``error: MESSAGE`` followed by
+``  at <label> <value>`` detail lines and an optional blank-line hint
+(text mode), or as a flat camelCase JSON object (``--json`` mode), with
+a per-family exit code (``/root/reference/src/error.h`` +
+``src/exit_code.h``: 2 expected failure, 3 not supported, 4 schema
+input error, 5 CLI arguments, 6 other input error). Every class
+subclasses ``ValueError`` so library callers that catch ``ValueError``
+(the engine's generic rejection contract) keep working unchanged.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+EXIT_UNEXPECTED = 1
+EXIT_FAIL = 2
+EXIT_NOT_SUPPORTED = 3
+EXIT_SCHEMA_INPUT = 4
+EXIT_ARGS = 5
+EXIT_OTHER_INPUT = 6
+
+# field key → text label; values rendered verbatim unless the key is
+# in _QUOTED (JSON-pointer locations print quoted)
+_LABELS = {
+    "identifier": "identifier",
+    "line": "line",
+    "column": "column",
+    "value": "value",
+    "keyword": "keyword",
+    "uri": "uri",
+    "filePath": "file path",
+    "location": "location",
+    "otherLocation": "other location",
+    "entry": "entry",
+}
+_QUOTED = {"location", "otherLocation"}
+
+
+class CLIError(ValueError):
+    """Base: ``message`` + ordered detail fields + optional hint."""
+
+    exit_code = EXIT_UNEXPECTED
+    hint: str | None = None
+
+    def __init__(self, message: str, **fields):
+        super().__init__(message)
+        self.message = message
+        self.fields = {k: v for k, v in fields.items() if v is not None}
+
+    def with_fields(self, **fields) -> "CLIError":
+        """Copy with extra/overridden detail fields (e.g. the CLI layer
+        stamping ``filePath`` / ``line`` / ``column`` onto a library
+        error)."""
+        merged = dict(self.fields)
+        for k, v in fields.items():
+            if v is not None:
+                merged[k] = v
+        clone = type(self).__new__(type(self))
+        ValueError.__init__(clone, self.message)
+        clone.message, clone.fields = self.message, merged
+        return clone
+
+    def render_text(self) -> str:
+        out = f"error: {self.message}\n"
+        for key, val in self.fields.items():
+            label = _LABELS.get(key, key)
+            if key in _QUOTED:
+                out += f'  at {label} "{val}"\n'
+            else:
+                out += f"  at {label} {val}\n"
+        if self.hint:
+            out += "\n" + self.hint + "\n"
+        return out
+
+    def render_json(self) -> str:
+        obj = {"error": self.message, **self.fields}
+        return _json.dumps(obj, indent=2) + "\n"
+
+
+class SchemaUnknownBaseDialectError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("Are you sure the input is a valid JSON Schema and its "
+            "base dialect is known?\n"
+            "If the input does not declare the `$schema` keyword, you "
+            "might want to\n"
+            "explicitly declare a default dialect using "
+            "`--default-dialect/-d`")
+
+    def __init__(self, **fields):
+        super().__init__("Could not determine the base dialect of the "
+                         "schema", **fields)
+
+
+class SchemaResolutionError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("This is likely because you forgot to import such schema "
+            "using `--resolve/-r`")
+
+    def __init__(self, identifier: str, message: str = "Could not "
+                 "resolve the metaschema of the schema", **fields):
+        super().__init__(message, identifier=identifier, **fields)
+
+
+class SchemaAnchorCollisionError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+
+    def __init__(self, identifier: str, **fields):
+        super().__init__("Schema anchor already exists",
+                         identifier=identifier, **fields)
+
+
+class SchemaKeywordError(CLIError):
+    """Invalid value for a structural keyword ($id/$schema/$anchor...)."""
+
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("Are you sure the input is a valid JSON Schema and it is "
+            "valid according to its meta-schema?")
+
+
+class JSONParseError(CLIError):
+    exit_code = EXIT_OTHER_INPUT
+
+    def __init__(self, line: int, column: int, **fields):
+        super().__init__("Failed to parse the JSON document",
+                         line=line, column=column, **fields)
+
+
+class NoSuchFileError(CLIError):
+    exit_code = EXIT_OTHER_INPUT
+
+    def __init__(self, path: str):
+        super().__init__("No such file or directory", filePath=path)
+
+
+class YAMLNotSupportedError(CLIError):
+    exit_code = EXIT_NOT_SUPPORTED
+
+    def __init__(self, path: str):
+        super().__init__("This command does not support YAML input "
+                         "files yet", filePath=path)
+
+
+class CLIArgumentError(CLIError):
+    exit_code = EXIT_ARGS
+
+
+def emit(err: CLIError, *, json_mode: bool, stream=None) -> int:
+    """Print the error per mode and return its exit code. Text goes to
+    stderr, JSON to stdout (the reference's contract)."""
+    import sys
+
+    if json_mode:
+        (stream or sys.stdout).write(err.render_json())
+    else:
+        (stream or sys.stderr).write(err.render_text())
+    return err.exit_code

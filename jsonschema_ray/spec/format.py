@@ -124,6 +124,20 @@ def prettify_json(doc, indent_by: int = 2) -> str:
     import json
 
     def scalar(v) -> str:
+        if isinstance(v, float) and not isinstance(v, bool):
+            # reference real rendering (stringify.h:74-107): signed
+            # zero, integral reals as fixed + ".0", others shortest
+            # round-trip with NO exponent zero padding (1e-5, not 1e-05)
+            if v == 0.0:
+                return "-0.0" if str(v)[0] == "-" else "0.0"
+            if v.is_integer():
+                return f"{int(v)}.0"
+            out = repr(v)
+            if "e" in out:
+                mant, _, exp = out.partition("e")
+                sign = exp[0] if exp[0] in "+-" else ""
+                out = mant + "e" + sign + exp.lstrip("+-").lstrip("0")
+            return out
         return json.dumps(v, ensure_ascii=False)
 
     def pretty(v, indentation: int, property_size: int = 0) -> str:

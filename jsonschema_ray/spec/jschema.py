@@ -188,13 +188,23 @@ class _DocIndex:
             rid = ident_of(schema)
             if isinstance(rid, str):
                 if any(c.isspace() for c in rid):
-                    raise ValueError(f"invalid $id (not a URI): {rid!r}")
+                    from jsonschema_ray.spec.clierrors import \
+                        SchemaKeywordError
+
+                    raise SchemaKeywordError(
+                        "The schema identifier is invalid",
+                        value=rid, keyword="$id")
                 if ver >= 2019 and "#" in rid and rid.split("#", 1)[1]:
                     raise ValueError(
                         f"$id must not contain a fragment: {rid!r}")
                 root_base = rid.split("#", 1)[0]
             elif rid is not None and not isinstance(rid, (dict, list)):
-                raise ValueError(f"invalid $id (must be a string): {rid!r}")
+                from jsonschema_ray.spec.clierrors import SchemaKeywordError
+
+                raise SchemaKeywordError(
+                    "The schema identifier is invalid",
+                    value=json.dumps(rid) if not isinstance(rid, str)
+                    else rid, keyword="$id")
         self.resources[root_base] = ""
         self.resource_roots[""] = root_base
 
@@ -259,9 +269,11 @@ class _DocIndex:
                         if prev is not None and prev != ptr:
                             # same anchor declared twice in ONE resource
                             # (fail_anchor_collision.sh semantics)
-                            raise ValueError(
-                                f"anchor collision: {a!r} declared at both "
-                                f"{prev!r} and {ptr!r} in resource {base!r}")
+                            from jsonschema_ray.spec.clierrors import \
+                                SchemaAnchorCollisionError
+
+                            raise SchemaAnchorCollisionError(
+                                f"#{a}", location=ptr, otherLocation=prev)
                         self.anchors.setdefault((base, a), ptr)
                         self.any_anchor.setdefault(a, ptr)
                         if key == "$dynamicAnchor":
@@ -453,7 +465,12 @@ def _check_dialect(schema: dict, resources: dict,
     if ds is None:
         return
     if not isinstance(ds, str) or "://" not in ds:
-        raise ValueError(f"invalid $schema (must be an absolute URI): {ds!r}")
+        from jsonschema_ray.spec.clierrors import SchemaKeywordError
+
+        raise SchemaKeywordError(
+            "The dialect is not a valid URI",
+            value=ds if isinstance(ds, str) else json.dumps(ds),
+            keyword="$schema")
     norm = ds.rstrip("#").rstrip("/")
     if norm in CompiledSchema.KNOWN_DIALECTS:
         return
@@ -472,7 +489,9 @@ def _check_dialect(schema: dict, resources: dict,
         if ptr is not None:
             meta = _resolve_pointer(root, ptr)
     if meta is None:
-        raise ValueError(f"unknown $schema dialect: {ds!r}")
+        from jsonschema_ray.spec.clierrors import SchemaResolutionError
+
+        raise SchemaResolutionError(ds)
     vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
     if isinstance(vocab, dict):
         core = [u for u in vocab

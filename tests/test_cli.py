@@ -20,14 +20,14 @@ def test_compile_and_fmt_roundtrip(tmp_path):
     assert r.returncode == 0
     assert "plan_hash" in r.stderr
     # compiled output is already canonical
-    r2 = run_cli("fmt", str(out), "--check")
+    r2 = run_cli("fmt", "--plan", str(out), "--check")
     assert r2.returncode == 0
     # perturb formatting → --check fails, fmt rewrites, check passes
     raw = json.loads(out.read_text())
     out.write_text(json.dumps(raw))  # non-canonical (no indent)
-    assert run_cli("fmt", str(out), "--check").returncode == 2
-    assert run_cli("fmt", str(out)).returncode == 0
-    assert run_cli("fmt", str(out), "--check").returncode == 0
+    assert run_cli("fmt", "--plan", str(out), "--check").returncode == 2
+    assert run_cli("fmt", "--plan", str(out)).returncode == 0
+    assert run_cli("fmt", "--plan", str(out), "--check").returncode == 0
 
 
 def test_lint_and_metaschema_on_good_plan():
