@@ -120,7 +120,7 @@ def _load_schema_doc(path: str, *, configured: bool = True):
     if configured:
         from jsonschema_ray.state.config import apply_to_schema, discover
 
-        doc = apply_to_schema(doc, discover(path))
+        doc = apply_to_schema(doc, discover(path), path)
     return doc
 
 
@@ -182,11 +182,24 @@ def _load_resolve_docs(paths, schema_path: str) -> dict | None:
 
     base = os.path.dirname(os.path.abspath(schema_path))
     out: dict = {}
+    expanded = []
     for p in paths:
+        if os.path.isdir(p):
+            for dirpath, _dirs, names in os.walk(p):
+                expanded.extend(os.path.join(dirpath, n)
+                                for n in sorted(names)
+                                if n.endswith((".json", ".yaml", ".yml")))
+        else:
+            expanded.append(p)
+    for p in expanded:
         doc = _load_schema_doc(p, configured=False)
         rel = os.path.relpath(os.path.abspath(p), base)
         out[rel] = doc
         out["./" + rel] = doc
+        if isinstance(doc, dict):
+            did = doc.get("$id") or doc.get("id")
+            if isinstance(did, str):
+                out.setdefault(did, doc)
     return out
 
 
@@ -1549,91 +1562,245 @@ def cmd_bundle(args) -> int:
     resolves outside the document is embedded under the dialect's
     definitions container, keyed by its canonical URI, with $id/$schema
     made explicit (the ``jsonschema bundle`` verb,
-    ``/root/reference/src/command_bundle.cc:56-83`` →
+    ``/root/reference/src/command_bundle.cc`` →
     ``vendor/blaze/src/bundle/bundle.cc``; see spec/bundle.py).
 
     Resolution order for an external URI: ``--resolve`` pre-imports
     (files or directories; declared ``$id`` and file path both
-    register), project-config ``resolve`` remaps, ``file://`` reads,
-    ``--store`` (from `install`), then live ``--http`` fetch."""
+    register), project-config ``resolve`` remaps + installed
+    ``dependencies``, ``file://`` reads, ``--store`` (from `install`),
+    then live ``--http`` fetch. ``--without-id`` strips identifiers and
+    rewrites refs to plain JSON pointers (the reference's `for_editor`
+    mode, with its warning). ``-`` reads the schema from stdin."""
     import os
 
     from jsonschema_ray.spec.bundle import bundle_schema
+    from jsonschema_ray.spec.clierrors import (CLIError,
+                                               DuplicateIdentifierError,
+                                               JSONParseError,
+                                               NoSuchFileError,
+                                               NotSchemaError, emit,
+                                               validate_http_headers)
     from jsonschema_ray.spec.format import prettify_schema
 
-    root_path = os.path.abspath(args.schema)
-    root = _load_schema_doc(root_path)
-    store = None
-    if getattr(args, "store", None):
-        from jsonschema_ray.sources.fetch import SchemaStore
+    json_mode = getattr(args, "as_json", False)
 
-        store = SchemaStore(args.store)
+    def parse_error(exc, path):
+        return JSONParseError(exc.lineno, exc.colno, filePath=path)
 
-    registry: dict = {}
-    seen_ids: dict = {}
-    for r in getattr(args, "resolve", None) or []:
-        paths = []
-        if os.path.isdir(r):
-            for dirpath, _dirs, names in os.walk(r):
-                paths.extend(os.path.join(dirpath, n) for n in sorted(names)
-                             if n.endswith((".json", ".yaml", ".yml")))
+    try:
+        validate_http_headers(getattr(args, "header", None))
+        if not getattr(args, "schema", None):
+            from jsonschema_ray.spec.clierrors import CLIArgumentError
+
+            err = CLIArgumentError("This command expects a path to a "
+                                   "schema")
+            err.hint = "For example: jsonschema bundle path/to/schema.json"
+            raise err
+
+        from_stdin = args.schema == "-"
+        if from_stdin:
+            display = "/dev/stdin"
+            root_path = os.path.join(os.getcwd(), "stdin")
+            raw_text = sys.stdin.read()
+            from jsonschema_ray.state.inputs import _parse_text
+
+            root, _yaml = _parse_text(raw_text, display, "")
         else:
-            paths.append(r)
-        for p in sorted(paths):
-            doc = _load_schema_doc(os.path.abspath(p))
-            registry[f"file://{os.path.abspath(p)}"] = doc
-            if isinstance(doc, dict):
-                did = doc.get("$id") or doc.get("id")
-                if isinstance(did, str):
-                    if did in seen_ids and seen_ids[did] != doc:
-                        raise ValueError(
-                            f"duplicate --resolve identifier: {did!r}")
-                    seen_ids[did] = doc
-                    registry.setdefault(did, doc)
-    # project-config resolve remaps (jsonschema.json next to the schema)
-    from jsonschema_ray.state.config import discover
+            root_path = os.path.abspath(args.schema)
+            display = os.path.realpath(root_path)
+            if not os.path.exists(root_path):
+                raise NoSuchFileError(display)
+            from jsonschema_ray.state.inputs import _read_entry
 
-    cfg = discover(os.path.dirname(root_path))
-    for s_uri, d_uri in ((cfg or {}).get("resolve") or {}).items():
-        tgt = next((d for d in registry.values() if isinstance(d, dict)
-                    and (d.get("$id") or d.get("id")) == d_uri), None)
-        if tgt is None and (d_uri.startswith("file://")
-                            or os.path.exists(d_uri)):
-            try:
-                tgt = _load_schema_doc(d_uri.replace("file://", "", 1))
-            except OSError:
-                tgt = None
-        if tgt is not None:
-            registry[s_uri] = tgt
+            entry = _read_entry(display)
+            raw_text = entry.text
+            root = entry.parsed()
+            from jsonschema_ray.state.config import (apply_to_schema,
+                                                     discover)
 
-    def resolver(uri: str):
-        doc = registry.get(uri)
-        if doc is not None:
-            return doc
-        if uri.startswith("file://"):
-            try:
-                return _load_schema_doc(uri[len("file://"):])
-            except OSError:
-                return None
-        if store is not None:
-            doc = store.resolve(uri)
+        if not isinstance(root, (dict, bool)):
+            raise NotSchemaError(display)
+
+        store = None
+        if getattr(args, "store", None):
+            from jsonschema_ray.sources.fetch import SchemaStore
+
+            store = SchemaStore(args.store)
+
+        from jsonschema_ray.state.config import discover as _discover
+
+        cfg0 = _discover(os.path.dirname(root_path)) \
+            if not from_stdin else _discover(os.getcwd())
+        cfg_ignores = [os.path.realpath(i)
+                       for i in (cfg0 or {}).get("ignore") or []]
+        cfg_ignores += [os.path.realpath(i)
+                        for i in getattr(args, "ignore", None) or []]
+
+        def _cfg_ignored(p):
+            rp = os.path.realpath(p)
+            return any(rp == b or rp.startswith(b.rstrip("/") + "/")
+                       for b in cfg_ignores)
+
+        registry: dict = {}
+        seen_ids: dict = {}
+        for r in getattr(args, "resolve", None) or []:
+            paths = []
+            if os.path.isdir(r):
+                for dirpath, _dirs, names in os.walk(r):
+                    paths.extend(os.path.join(dirpath, n)
+                                 for n in sorted(names)
+                                 if n.endswith((".json", ".yaml", ".yml")))
+            elif os.path.exists(r):
+                paths.append(r)
+            else:
+                raise NoSuchFileError(os.path.realpath(r))
+            for p in sorted(paths):
+                if _cfg_ignored(p) or os.path.getsize(p) == 0:
+                    continue
+                from jsonschema_ray.state.inputs import _read_entry
+
+                if args.debug:
+                    print(f"debug: Detecting schema resources from "
+                          f"file: {os.path.realpath(p)}", file=sys.stderr)
+                try:
+                    doc = _read_entry(os.path.abspath(p)).parsed()
+                except json.JSONDecodeError as exc:
+                    raise parse_error(exc, os.path.realpath(p)) from exc
+                registry[f"file://{os.path.abspath(p)}"] = doc
+                if args.debug:
+                    print(f"debug: Importing schema into the resolution "
+                          f"context: file://{os.path.realpath(p)}",
+                          file=sys.stderr)
+                    if isinstance(doc, dict) \
+                            and isinstance(doc.get("$id") or doc.get("id"),
+                                           str):
+                        print(f"debug: Importing schema into the "
+                              f"resolution context: "
+                              f"{doc.get('$id') or doc.get('id')}",
+                              file=sys.stderr)
+                if isinstance(doc, dict):
+                    did = doc.get("$id") or doc.get("id")
+                    if isinstance(did, str):
+                        if did in seen_ids and seen_ids[did] != doc:
+                            raise DuplicateIdentifierError(
+                                did, filePath=os.path.realpath(p))
+                        seen_ids[did] = doc
+                        registry.setdefault(did, doc)
+        # project-config resolve remaps + installed dependencies
+        # (jsonschema.json next to the schema)
+        from jsonschema_ray.state.config import discover
+
+        cfg = discover(os.path.dirname(root_path))
+        if cfg is not None and (args.verbose or args.debug) \
+                and (getattr(args, "resolve", None)):
+            from jsonschema_ray.state.config import find_configuration
+            from jsonschema_ray.state.inputs import resolve_extensions
+
+            if args.debug:
+                cfgp = find_configuration(os.path.dirname(root_path))
+                print(f"debug: Using configuration file: "
+                      f"{os.path.realpath(cfgp)}", file=sys.stderr)
+            resolve_extensions(None, cfg, verbose=True, log=sys.stderr)
+        for s_uri, d_uri in ((cfg or {}).get("resolve") or {}).items():
+            tgt = next((d for d in registry.values() if isinstance(d, dict)
+                        and (d.get("$id") or d.get("id")) == d_uri), None)
+            if tgt is None and (d_uri.startswith("file://")
+                                or os.path.exists(d_uri)):
+                try:
+                    tgt = _load_schema_doc(d_uri.replace("file://", "", 1),
+                                           configured=False)
+                except OSError:
+                    tgt = None
+            if tgt is not None:
+                registry[s_uri] = tgt
+        for dep_uri, dep_path in ((cfg or {}).get("dependencies")
+                                  or {}).items():
+            if dep_uri in registry:
+                continue
+            full = dep_path if os.path.isabs(dep_path) else \
+                os.path.join((cfg or {}).get("_dir", "."), dep_path)
+            if os.path.isfile(full):
+                try:
+                    dep_doc = _load_schema_doc(full, configured=False)
+                except Exception:   # noqa: BLE001 — broken dep: skip
+                    continue
+                registry[dep_uri] = dep_doc
+                if isinstance(dep_doc, dict):
+                    dep_id = dep_doc.get("$id") or dep_doc.get("id")
+                    if isinstance(dep_id, str):
+                        registry.setdefault(dep_id, dep_doc)
+
+        def resolver(uri: str):
+            doc = registry.get(uri)
             if doc is not None:
                 return doc
-        if getattr(args, "http", False):
-            from jsonschema_ray.sources.fetch import fetch_schema
+            # configuration resolve matching tries the implicit
+            # extensions both ways (pass_resolve_config_match_implicit_*)
+            for ext in (".json", ".yaml", ".yml"):
+                doc = registry.get(uri + ext)
+                if doc is not None:
+                    return doc
+                if uri.endswith(ext):
+                    doc = registry.get(uri[:-len(ext)])
+                    if doc is not None:
+                        return doc
+            if uri.startswith("file://"):
+                try:
+                    return _load_schema_doc(uri[len("file://"):])
+                except OSError:
+                    return None
+            if store is not None:
+                doc = store.resolve(uri)
+                if doc is not None:
+                    return doc
+            if getattr(args, "http", False):
+                from jsonschema_ray.sources.fetch import fetch_schema
 
-            try:
-                return fetch_schema(uri)
-            except Exception:  # noqa: BLE001 — unresolvable is the signal
-                return None
-        return None
+                try:
+                    return fetch_schema(uri)
+                except Exception:  # noqa: BLE001 — unresolvable: signal
+                    return None
+            return None
 
-    bundled = bundle_schema(
-        root, resolver,
-        default_dialect=getattr(args, "default_dialect", None),
-        default_id=f"file://{root_path}")
-    out = prettify_schema(
-        bundled, default_dialect=getattr(args, "default_dialect", None))
+        cfg_dd = None
+        if cfg0 and cfg0.get("defaultDialect") and not from_stdin:
+            # extension-gated (configuration applies_to)
+            from jsonschema_ray.state.config import apply_to_schema as _ap
+
+            probe = _ap({}, cfg0, root_path, mount_resolves=False)
+            cfg_dd = probe.get("$schema")
+        try:
+            bundled = bundle_schema(
+                root, resolver,
+                default_dialect=getattr(args, "default_dialect", None)
+                or cfg_dd,
+                default_id=f"file://{root_path}")
+        except CLIError as err:
+            from types import SimpleNamespace
+
+            raise _stamp_fmt_error(
+                err, SimpleNamespace(text=raw_text, path=display)) from err
+        if getattr(args, "without_id", False):
+            print(
+                "warning: You are opting in to remove schema identifiers "
+                "in the bundled schema.\n"
+                "The only legit use case of this advanced feature we know "
+                "of is to workaround\n"
+                "non-compliant JSON Schema implementations such as Visual "
+                "Studio Code.\n"
+                "Otherwise, this is not needed and may harm other use "
+                "cases. For example,\n"
+                "you will be unable to reference the resulting schema "
+                "from other schemas\n"
+                "using the --resolve/-r option.", file=sys.stderr)
+            from jsonschema_ray.spec.bundle import strip_identifiers
+
+            bundled = strip_identifiers(bundled)
+        out = prettify_schema(
+            bundled, default_dialect=getattr(args, "default_dialect", None))
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
     if args.output:
         with open(args.output, "w") as f:
             f.write(out)
@@ -1857,8 +2024,18 @@ def build_parser() -> argparse.ArgumentParser:
     dd.set_defaults(fn=cmd_decode)
 
     b = sub.add_parser("bundle")
-    b.add_argument("schema")
+    b.add_argument("schema", nargs="?", default=None,
+                   help="schema file or - (stdin)")
     b.add_argument("-o", "--output")
+    b.add_argument("--without-id", action="store_true", dest="without_id",
+                   help="strip identifiers and rewrite refs to local "
+                        "JSON pointers (the reference's editor mode)")
+    b.add_argument("-j", "--json", action="store_true", dest="as_json")
+    b.add_argument("-v", "--verbose", action="store_true")
+    b.add_argument("-g", "--debug", action="store_true")
+    b.add_argument("-H", "--header", action="append", default=[])
+    b.add_argument("--ignore", action="append", default=[])
+    b.add_argument("-e", "--extension", action="append", default=[])
     b.add_argument("-r", "--resolve", action="append",
                    help="pre-import a schema file or directory into the "
                         "resolver (repeatable; registers declared $id and "

@@ -169,15 +169,30 @@ def bundle_schema(schema: Any, resolver: Resolver, *,
     if not isinstance(ds, str) and default_dialect:
         ds = default_dialect
     if not isinstance(ds, str):
-        raise ValueError(
-            "could not determine the base dialect of the schema; "
-            "declare $schema or pass --default-dialect")
+        from jsonschema_ray.spec.clierrors import \
+            SchemaUnknownBaseDialectError
+
+        raise SchemaUnknownBaseDialectError()
+    root_ds = schema.get("$schema")
+    if isinstance(root_ds, str) and "://" not in root_ds:
+        from jsonschema_ray.spec.clierrors import SchemaKeywordError
+
+        raise SchemaKeywordError("The dialect is not a valid URI",
+                                 value=root_ds, keyword="$schema")
     ver = _dialect_ver({"$schema": ds})
     legacy = legacy or ver <= 4
 
-    # frame strictness BEFORE reidentifying (an invalid declared $id
-    # must reject, not be overwritten — fail_invalid_id_type.sh)
-    _DocIndex(schema, legacy_id=legacy, ver=ver)
+    # frame strictness first (an invalid declared $id must reject, not
+    # be overwritten — fail_invalid_id_type.sh). When the document
+    # carries NO identifier at all, frame under the external default so
+    # anchor-collision identifiers report the effective base URI
+    # (fail_anchor_collision.sh expects file://...#name)
+    probe = schema
+    if default_id and isinstance(schema, dict) \
+            and "$id" not in schema and "id" not in schema:
+        probe = dict(schema)
+        probe["id" if legacy else "$id"] = default_id
+    _DocIndex(probe, legacy_id=legacy, ver=ver)
 
     # implicit identity: give the root its external identifier so
     # relative refs stay resolvable from the bundle (bundle.cc:457-465)
@@ -201,6 +216,17 @@ def bundle_schema(schema: Any, resolver: Resolver, *,
         if uri:
             bundled[uri] = uri
 
+    if isinstance(root_ds, str) and "://" in root_ds \
+            and not is_official_schema(root_ds) \
+            and root_ds.rstrip("#") not in bundled:
+        # an unresolvable metaschema rejects before any ref work
+        # (fail_unknown_metaschema.sh: the walker needs the dialect) —
+        # unless the document embeds it itself (pass_bundled_metaschema)
+        if resolver(root_ds) is None:
+            from jsonschema_ray.spec.clierrors import SchemaResolutionError
+
+            raise SchemaResolutionError(root_ds)
+
     def embed_all(doc: Any, doc_default_id: str) -> None:
         refs = _collect_external_refs(doc, doc_default_id, legacy)
         deferred = []
@@ -219,9 +245,14 @@ def bundle_schema(schema: Any, resolver: Resolver, *,
                 continue
             remote = resolver(base_uri)
             if remote is None:
-                raise ValueError(
-                    f"could not resolve the reference to an external "
-                    f"schema: {base_uri!r}")
+                if ptr.endswith("/$schema"):
+                    from jsonschema_ray.spec.clierrors import \
+                        SchemaResolutionError
+
+                    raise SchemaResolutionError(base_uri)
+                from jsonschema_ray.spec.clierrors import ExternalRefError
+
+                raise ExternalRefError(base_uri)
             if not isinstance(remote, (dict, bool)):
                 raise ValueError(
                     f"the resolved document is not a schema: {base_uri!r}")
@@ -266,3 +297,41 @@ def bundle_schema(schema: Any, resolver: Resolver, *,
 
     embed_all(schema, default_id or _identify(schema))
     return schema
+
+
+def strip_identifiers(schema: Any) -> Any:
+    """The reference's ``for_editor`` mode (``bundle --without-id``,
+    ``vendor/blaze/src/editor/editor.cc``): every reference is resolved
+    against the bundled document's frame and rewritten as a plain local
+    JSON pointer, then identifier/anchor keywords are dropped — walker-
+    gated, so only true schema positions are touched (a property NAMED
+    ``$id`` survives)."""
+    import copy as _c
+
+    from jsonschema_ray.spec.jschema import (compile_schema,
+                                             subschema_positions)
+
+    if not isinstance(schema, dict):
+        return schema
+    cs = compile_schema(schema)
+    doc = _c.deepcopy(schema)
+    legacy = _is_legacy_dialect(doc)
+    for ptr, node in subschema_positions(doc):
+        if not isinstance(node, dict):
+            continue
+        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+            v = node.get(kw)
+            if not isinstance(v, str):
+                continue
+            try:
+                tgt = cs._ref_target(v, ptr)
+            except Exception:   # noqa: BLE001 — unresolvable: keep as-is
+                continue
+            node["$ref"] = "#" + tgt
+            if kw != "$ref":
+                del node[kw]
+        for kw in ("$id", "$anchor", "$dynamicAnchor", "$recursiveAnchor"):
+            node.pop(kw, None)
+        if legacy:
+            node.pop("id", None)
+    return doc

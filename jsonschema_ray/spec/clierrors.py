@@ -146,6 +146,45 @@ class CLIArgumentError(CLIError):
     exit_code = EXIT_ARGS
 
 
+class NotSchemaError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+
+    def __init__(self, path: str):
+        super().__init__("The schema file you provided does not "
+                         "represent a valid JSON Schema", filePath=path)
+
+
+class DuplicateIdentifierError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+
+    def __init__(self, identifier: str, **fields):
+        super().__init__("Cannot register the same identifier twice",
+                         identifier=identifier, **fields)
+
+
+class ExternalRefError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("This is likely because you forgot to import such schema "
+            "using `--resolve/-r`")
+
+    def __init__(self, identifier: str, **fields):
+        super().__init__("Could not resolve the reference to an "
+                         "external schema", identifier=identifier,
+                         **fields)
+
+
+def validate_http_headers(headers) -> None:
+    """Reject malformed ``--header`` values the way the reference does
+    (exit 5, src/utils.h validate_http_headers)."""
+    for h in headers or []:
+        if ":" not in h:
+            err = CLIArgumentError(
+                "HTTP headers must be in the form `Name: Value`")
+            err.hint = ('For example: --header "Authorization: '
+                        'Bearer ${TOKEN}"')
+            raise err
+
+
 def emit(err: CLIError, *, json_mode: bool, stream=None) -> int:
     """Print the error per mode and return its exit code. Text goes to
     stderr, JSON to stdout (the reference's contract)."""

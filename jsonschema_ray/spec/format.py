@@ -124,6 +124,15 @@ def prettify_json(doc, indent_by: int = 2) -> str:
     import json
 
     def scalar(v) -> str:
+        if isinstance(v, int) and not isinstance(v, bool) \
+            and not (-2**63 <= v < 2**63):
+            # out-of-int64 integers are Decimals in the reference,
+            # printed in full-digit scientific form
+            # (to_scientific_string: 9.223372036854776000e+18)
+            d = str(abs(v))
+            sign = "-" if v < 0 else ""
+            mant = d[0] + "." + d[1:] if len(d) > 1 else d[0] + ".0"
+            return f"{sign}{mant}e+{len(d) - 1}"
         if isinstance(v, float) and not isinstance(v, bool):
             # reference real rendering (stringify.h:74-107): signed
             # zero, integral reals as fixed + ".0", others shortest
@@ -131,6 +140,18 @@ def prettify_json(doc, indent_by: int = 2) -> str:
             if v == 0.0:
                 return "-0.0" if str(v)[0] == "-" else "0.0"
             if v.is_integer():
+                if not (-2**63 <= v < 2**63):
+                    # out-of-int64 integral reals print like Decimals:
+                    # full-width scientific, fraction padded to the
+                    # exponent's digit count (pass_bigint.sh round-trip)
+                    r = repr(v)
+                    mant, _, exp = r.partition("e")
+                    e = int(exp or 0)
+                    whole, _, fracpart = mant.partition(".")
+                    fracpart = (fracpart or "").ljust(e, "0")
+                    sign = "-" if whole.startswith("-") else ""
+                    return (f"{sign}{whole.lstrip('-')}.{fracpart}"
+                            f"e+{e}")
                 return f"{int(v)}.0"
             out = repr(v)
             if "e" in out:

@@ -273,7 +273,8 @@ class _DocIndex:
                                 SchemaAnchorCollisionError
 
                             raise SchemaAnchorCollisionError(
-                                f"#{a}", location=ptr, otherLocation=prev)
+                                f"{base}#{a}", location=ptr,
+                                otherLocation=prev)
                         self.anchors.setdefault((base, a), ptr)
                         self.any_anchor.setdefault(a, ptr)
                         if key == "$dynamicAnchor":
@@ -565,7 +566,34 @@ class CompiledSchema:
             mounted = dict(schema)
             defs = dict(mounted.get("$defs") or {})
             seen: list[tuple[int, str]] = []   # (id(doc), mount ptr)
+
+            # $ids already DECLARED inside the document (e.g. a bundled
+            # schema re-checked with the same --resolve imports) must
+            # not be mounted again — they'd collide as duplicate
+            # resources (pass_resolve_metaschema.sh fmt --check flow)
+            declared_ids: set[str] = set()
+
+            def _scan_ids(node) -> None:
+                if isinstance(node, dict):
+                    for idk in ("$id", "id"):
+                        vid = node.get(idk)
+                        if isinstance(vid, str):
+                            declared_ids.add(vid.rstrip("#"))
+                    for v in node.values():
+                        _scan_ids(v)
+                elif isinstance(node, list):
+                    for v in node:
+                        _scan_ids(v)
+
+            _scan_ids(schema)
             for i, (key, doc) in enumerate(resources.items()):
+                if isinstance(doc, dict):
+                    did = doc.get("$id") or doc.get("id")
+                    if isinstance(did, str) \
+                            and did.rstrip("#") in declared_ids \
+                            and not (doc is schema or doc == schema):
+                        ext_keys[key] = ""
+                        continue
                 if doc is schema or doc == schema:
                     # the root itself pre-imported (test/bundle flows
                     # resolve the entry schema by its own URI): no

@@ -67,20 +67,36 @@ def discover(start: str) -> dict | None:
     return load_configuration(p) if p else None
 
 
-def apply_to_schema(schema: Any, cfg: dict | None) -> Any:
+def apply_to_schema(schema: Any, cfg: dict | None,
+                    path: str | None = None, *,
+                    mount_resolves: bool = True) -> Any:
     """Return the schema with the config applied: ``$schema`` defaulted
-    from ``defaultDialect``, and each ``resolve`` mapping whose target
-    is a local file mounted under ``$defs`` with its URI as ``$id``
-    (so absolute-URI ``$ref``s resolve through the embedded-resource
-    registry)."""
+    from ``defaultDialect`` (only for files matching the configured
+    ``extension`` list when ``path`` is given — the configuration
+    "applies_to" gate, blaze configuration.cc:69-84), and each
+    ``resolve`` mapping whose target is a local file mounted under
+    ``$defs`` with its URI as ``$id`` (so absolute-URI ``$ref``s
+    resolve through the embedded-resource registry)."""
     if not cfg or not isinstance(schema, dict):
         return schema
     out = dict(schema)
     dd = cfg.get("defaultDialect")
+    if dd and path is not None:
+        exts = cfg.get("extension")
+        if isinstance(exts, str):
+            exts = [exts]
+        if exts:
+            norm = [e if (not e or str(e).startswith(".")) else "." + str(e)
+                    for e in exts]
+            name = os.path.basename(path)
+            if not any((not e and "." not in name)
+                       or (e and name.endswith(e)) for e in norm):
+                dd = None
     if dd and "$schema" not in out:
         out["$schema"] = dd
     mounts = {}
-    for uri, target in (cfg.get("resolve") or {}).items():
+    for uri, target in ((cfg.get("resolve") or {}).items()
+                        if mount_resolves else ()):
         if "://" in str(target):   # URI→URI remap: no file to mount
             continue
         if not os.path.isfile(target):

@@ -233,8 +233,10 @@ def test_bundle_rejects_network_refs(tmp_path):
         [sys.executable, "-m", "jsonschema_ray", "bundle",
          str(tmp_path / "net.json")],
         capture_output=True, text=True, cwd="/root/repo")
-    assert p.returncode == 1
-    assert "could not resolve" in p.stderr
+    # reference exit-4 schema-input-error family with its exact text
+    assert p.returncode == 4
+    assert "Could not resolve the reference to an external schema" \
+        in p.stderr
 
 
 def test_validate_trace_outputs_annotation_rows(ray_session, tmp_path):

@@ -113,4 +113,5 @@ def test_bundle_remote_refs_http_and_store(server, tmp_path):
     assert json.loads(out2.read_text()) == bundled
 
     # neither store nor --http → unresolved remote ref is an error
-    assert main(["bundle", str(root), "-o", str(tmp_path / "x.json")]) == 1
+    # (reference exit 4, schema-input family)
+    assert main(["bundle", str(root), "-o", str(tmp_path / "x.json")]) == 4

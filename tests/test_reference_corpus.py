@@ -902,206 +902,44 @@ def test_reference_fmt_corpus_parity(tmp_path):
     failed = {n: out for n, rc, out in results if rc != 0}
     assert not failed, f"fmt fixture failures: {failed}"
     assert len(results) - len(failed) >= FMT_MIN_MATCHES
-
-
 # ---------------------------------------------------------------------------
-# bundle verb corpus: BYTE-exact comparison against expected.json
-# ($TMP realpaths normalized to /TMP on both sides) plus failure
-# verdicts. Registry mirrors the reference resolver: every heredoc file
-# is reachable by its file:// URI (disk fallback), --resolve imports
-# additionally register declared $ids, jsonschema.json resolve remaps
-# honored.
+# bundle verb corpus: fixtures executed VERBATIM via a CLI shim —
+# byte-exact bundled output, error text, exit codes, and the fmt
+# --check round-trip each script performs.
 # ---------------------------------------------------------------------------
 
-BUNDLE_MIN_MATCHES = 30
-BUNDLE_EXPECTED_DIVERGENT = {
-    # C++ prettify renders big reals in padded scientific notation
-    # (9.223372036854776000e+18); Python json emits 9223372036854776000.
-    # Value-identical, number-formatting only.
-    "pass_bigint.sh",
-}
+BUNDLE_MIN_MATCHES = 49   # the ENTIRE corpus
 
 
-def test_reference_bundle_corpus_parity():
-    from jsonschema_ray.spec.bundle import bundle_schema
-    from jsonschema_ray.spec.format import prettify_schema
+def test_reference_bundle_corpus_parity(tmp_path):
+    """Execute the reference's bundle fixtures VERBATIM. Fixture
+    source: /root/reference/test/bundle/*.sh — PUBLIC CONTENT, executed
+    for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
 
-    RP = '$(realpath "$TMP")'
-    scripts = sorted(glob.glob(f"{CORPUS.rsplit('/', 1)[0]}/bundle/*.sh"))
-    assert len(scripts) >= 45
-    matches, skips, divergent = [], {}, {}
-    for path in scripts:
-        name = path.rsplit("/", 1)[1]
-        src = open(path).read()
-        if "config" in name:
-            skips[name] = "project-config flow"
-            continue
-        if '"$1" install' in src:
-            skips[name] = "install flow"
-            continue
-        files = {m.group(1): m.group(2).replace(RP, "/TMP")
-                 .replace("\\$", "$") for m in HEREDOC.finditer(src)}
-        joined, buf = [], ""
-        for ln in src.split("\n"):
-            if ln.rstrip().endswith("\\"):
-                buf += ln.rstrip()[:-1] + " "
-            else:
-                joined.append(buf + ln)
-                buf = ""
-        invs = []
-        for i, ln in enumerate(joined):
-            if '"$1"' in ln and " bundle" in ln:
-                exp = 0
-                for la in joined[i:i + 4]:
-                    m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
-                    if m:
-                        exp = int(m.group(1))
-                        break
-                invs.append((ln.strip(), exp))
-        if not invs:
-            skips[name] = "no invocation"
-            continue
-        verdict = None
-        for inv, exp in invs:
-            if "|" in inv.split('"$1"')[0] \
-                    or not inv.lstrip().startswith('"$1"'):
-                verdict = ("skip", "stdin/pipe")
-                break
-            inv2 = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
-            out_redir = re.search(r'>\s*"\$TMP/([^"]+)"', inv2)
-            debug = "--debug" in inv2
-            inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
-            try:
-                toks = shlex.split(inv2)
-            except ValueError:
-                verdict = ("skip", "plumbing")
-                break
-            if "--without-id" in toks or "-w" in toks:
-                verdict = ("skip", "--without-id")
-                break
-            if "--http" in toks or "-H" in toks or "--header" in toks:
-                verdict = ("skip", "http")
-                break
-            resolves, dd = [], None
-            j, pos = 2, []
-            while j < len(toks):
-                t = toks[j]
-                if t in ("--resolve", "-r"):
-                    resolves.append(toks[j + 1])
-                    j += 2
-                elif t in ("--default-dialect", "-d"):
-                    dd = toks[j + 1]
-                    j += 2
-                elif t in ("--verbose", "-v", "--json", "-j", "--debug"):
-                    j += 1
-                elif t.startswith("-") and t != "-":
-                    verdict = ("skip", f"flag {t}")
-                    break
-                else:
-                    pos.append(t)
-                    j += 1
-            if verdict:
-                break
-            tgt = next((t for t in pos if t.startswith("$TMP/")), None)
-            if tgt is None:
-                verdict = ("skip", "stdin/dir target")
-                break
-            key = tgt[5:]
-            if key not in files:
-                verdict = ("skip", "target not heredoc")
-                break
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob("/root/reference/test/bundle/*.sh"))
+    assert scripts, "bundle corpus missing"
 
-            def load(k):
-                body = files[k]
-                try:
-                    return json.loads(body)
-                except Exception:
-                    import yaml
+    def run(path):
+        r = subprocess.run(["sh", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=120)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
 
-                    return yaml.safe_load(body)
-
-            reg, got = {}, None
-            for k in files:
-                if k == "jsonschema.json":
-                    continue
-                try:
-                    reg[f"file:///TMP/{k}"] = load(k)
-                except Exception:
-                    pass
-            seen_ids: dict = {}
-            for r in resolves:
-                rk = r[5:] if r.startswith("$TMP/") else r
-                sub = [k for k in files if k != "jsonschema.json"
-                       and (k == rk or k.startswith(rk.rstrip("/") + "/"))]
-                if not sub:
-                    got = 1    # --resolve of a missing path rejects
-                    break
-                for k in sorted(sub):
-                    try:
-                        doc = load(k)
-                    except Exception:
-                        got = 1
-                        break
-                    if isinstance(doc, dict):
-                        did = doc.get("$id") or doc.get("id")
-                        if isinstance(did, str):
-                            if did in seen_ids and seen_ids[did] != doc:
-                                got = 1   # duplicate --resolve identifier
-                                break
-                            seen_ids[did] = doc
-                            reg.setdefault(did, doc)
-                if got:
-                    break
-            if got is None and "jsonschema.json" in files:
-                try:
-                    cfg = json.loads(files["jsonschema.json"])
-                except Exception:
-                    cfg = {}
-                for s_uri, d_uri in (cfg.get("resolve") or {}).items():
-                    tdoc = next(
-                        (d for d in reg.values() if isinstance(d, dict)
-                         and (d.get("$id") or d.get("id")) == d_uri), None)
-                    if tdoc is not None:
-                        reg[s_uri] = tdoc
-            out = None
-            if got is None:
-                try:
-                    doc = load(key)
-                except Exception:
-                    got = 1
-            if got is None:
-                try:
-                    res = bundle_schema(doc, reg.get, default_dialect=dd,
-                                        default_id=f"file:///TMP/{key}")
-                    out = prettify_schema(res, default_dialect=dd)
-                    got = 0
-                except Exception:
-                    got = 1
-            agree = (got == exp) or (exp not in (0, 2) and got == 1)
-            if not agree:
-                verdict = ("div", (exp, got))
-                break
-            if got == 0 and out_redir and "expected.json" in files \
-                    and not debug:
-                want = files["expected.json"] + "\n"
-                if out != want:
-                    verdict = ("div", ("bytes", out[:160], want[:160]))
-                    break
-        if verdict is None:
-            matches.append(name)
-        elif verdict[0] == "skip":
-            skips[name] = verdict[1]
-        else:
-            divergent[name] = verdict[1]
-
-    unexpected = set(divergent) - BUNDLE_EXPECTED_DIVERGENT
-    healed = BUNDLE_EXPECTED_DIVERGENT - set(divergent) - set(skips)
-    assert not unexpected, f"new bundle divergences: " \
-        f"{ {k: divergent[k] for k in sorted(unexpected)} }"
-    assert not healed, f"now agreeing — update BUNDLE_EXPECTED_DIVERGENT: " \
-        f"{sorted(healed)}"
-    assert len(matches) >= BUNDLE_MIN_MATCHES, (
-        f"{len(matches)} < {BUNDLE_MIN_MATCHES}; skips={skips}")
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert not failed, f"bundle fixture failures: {failed}"
+    assert len(results) - len(failed) >= BUNDLE_MIN_MATCHES
 
 
 # ---------------------------------------------------------------------------
