@@ -570,33 +570,134 @@ def cmd_metaschema(args) -> int:
 
 
 def cmd_upgrade(args) -> int:
-    """Migrate a legacy plan document to the current version (the
-    dialect-upgrade analog, ``/root/reference/src/command_upgrade.cc:29-47``:
-    chained rule-set rewrites). Version-0 rules used ``assert`` for the
-    predicate and allowed a bare ``{name: predicate}`` map form.
-    With ``--schema``: upgrade a JSON Schema DOCUMENT to 2020-12
-    (alterschema ``upgrade/`` chain: id→$id, boolean exclusive bounds,
-    definitions→$defs + pointer rewrite, dependencies split,
-    array items→prefixItems)."""
-    from jsonschema_ray.spec.plan import PLAN_VERSION, CheckPlan, Rule
+    """``jsonschema upgrade`` — dialect migration
+    (``src/command_upgrade.cc``): positional schema file or ``-``,
+    ``--to draft4|draft6|draft7|2019-09|2020-12`` (default 2020-12),
+    chained alterschema rule sets, canonical-format + prettified output
+    to stdout. Draft 1/2 sources are unsupported (exit 3); custom
+    metaschemas cannot be upgraded in place (exit 4). ``--plan PATH``
+    instead migrates a legacy CheckPlan document (this engine's own
+    artifact)."""
+    from jsonschema_ray.spec.clierrors import (CLIArgumentError, CLIError,
+                                               CustomMetaschemaUpgradeError,
+                                               NoSuchFileError,
+                                               NotSchemaError,
+                                               OptionEnumerationError,
+                                               SchemaUnknownBaseDialectError,
+                                               UnsupportedDialectUpgradeError,
+                                               emit, validate_http_headers)
 
-    if getattr(args, "schema", False):
-        from jsonschema_ray.spec.alterschema import upgrade_schema
-        from jsonschema_ray.spec.format import prettify_schema
+    if getattr(args, "plan", None):
+        return _upgrade_plan(args)
 
-        if getattr(args, "to", "2020-12") not in ("2020-12",):
-            print(f"upgrade: unsupported target dialect {args.to!r} "
-                  "(only 2020-12)", file=sys.stderr)
-            return EXIT_ERROR
-        doc = _load_schema_doc(args.plan, configured=False)
-        text = prettify_schema(upgrade_schema(
-            doc, meta=getattr(args, "meta", False), strict=True))
-        if args.output:
-            with open(args.output, "w") as f:
-                f.write(text)
+    import os
+
+    from jsonschema_ray.spec.alterschema import _TARGET_VER, upgrade_schema
+    from jsonschema_ray.spec.format import prettify_schema
+
+    json_mode = getattr(args, "as_json", False)
+    try:
+        validate_http_headers(getattr(args, "header", None))
+        to = getattr(args, "to", None) or "2020-12"
+        if to not in _TARGET_VER:
+            raise OptionEnumerationError(
+                "The given target dialect is not supported", "to",
+                sorted(_TARGET_VER, key=_TARGET_VER.get))
+        if not getattr(args, "schema_pos", None):
+            err = CLIArgumentError("This command expects a path to a "
+                                   "schema")
+            err.hint = ("For example: jsonschema upgrade "
+                        "path/to/schema.json")
+            raise err
+
+        if args.schema_pos == "-":
+            display = "/dev/stdin"
+            raw_text = sys.stdin.read()
+            from jsonschema_ray.state.inputs import _parse_text
+
+            doc, _yaml = _parse_text(raw_text, display, "")
+            cfg = None
         else:
-            sys.stdout.write(text)
-        return EXIT_OK
+            path = os.path.abspath(args.schema_pos)
+            display = os.path.realpath(path)
+            if not os.path.exists(path):
+                raise NoSuchFileError(display)
+            if os.path.isdir(path):
+                from jsonschema_ray.spec.clierrors import \
+                    InputIsADirectoryError
+
+                raise InputIsADirectoryError(display)
+            from jsonschema_ray.state.inputs import _read_entry
+
+            entry = _read_entry(display)
+            raw_text = entry.text
+            doc = entry.parsed()
+            from jsonschema_ray.state.config import discover
+
+            cfg = discover(os.path.dirname(path))
+        if not isinstance(doc, (dict, bool)):
+            raise NotSchemaError(display)
+
+        dd = getattr(args, "default_dialect", None) \
+            or (cfg or {}).get("defaultDialect")
+        if isinstance(doc, dict) and "$schema" not in doc and dd:
+            doc = {"$schema": dd, **doc}
+
+        # dialect gating over every schema resource of the document
+        # (command_upgrade.cc:139-193: frame locations checked for
+        # upgradable + known dialects before any transform)
+        def check_dialects(node, ptr):
+            if isinstance(node, dict):
+                ds = node.get("$schema")
+                if isinstance(ds, str):
+                    known = ("2020-12", "2019-09", "draft-07", "draft-06",
+                             "draft-04", "draft-03")
+                    legacy12 = ("draft-00", "draft-01", "draft-02")
+                    fields = {"line": None, "column": None,
+                              "filePath": display, "location": ptr,
+                              "uri": ds}
+                    try:
+                        from jsonschema_ray.spec.positions import \
+                            pointer_positions
+
+                        pos = pointer_positions(raw_text).get(ptr)
+                        if pos:
+                            fields["line"], fields["column"] = pos
+                    except Exception:   # noqa: BLE001 — best effort
+                        pass
+                    if any(tag in ds for tag in legacy12):
+                        raise UnsupportedDialectUpgradeError(**fields)
+                    if not any(tag in ds for tag in known):
+                        raise CustomMetaschemaUpgradeError(**fields)
+                for k, v in node.items():
+                    esc = k.replace("~", "~0").replace("/", "~1")
+                    check_dialects(v, f"{ptr}/{esc}")
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    check_dialects(v, f"{ptr}/{i}")
+
+        if isinstance(doc, dict):
+            if "$schema" not in doc:
+                raise SchemaUnknownBaseDialectError(filePath=display)
+            check_dialects(doc, "")
+        upgraded = upgrade_schema(doc, to=to,
+                                  meta=getattr(args, "meta", False)) \
+            if isinstance(doc, dict) else doc
+        out = prettify_schema(upgraded) if isinstance(upgraded, dict) \
+            else json.dumps(upgraded) + "\n"
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
+    if getattr(args, "output", None):
+        with open(args.output, "w") as f:
+            f.write(out)
+    else:
+        sys.stdout.write(out)
+    return EXIT_OK
+
+
+def _upgrade_plan(args) -> int:
+    """Legacy CheckPlan document migration (``upgrade --plan``)."""
+    from jsonschema_ray.spec.plan import PLAN_VERSION, CheckPlan, Rule
 
     with open(args.plan) as f:
         doc = json.load(f)
@@ -2098,16 +2199,26 @@ def build_parser() -> argparse.ArgumentParser:
     m.set_defaults(fn=cmd_metaschema)
 
     u = sub.add_parser("upgrade")
-    u.add_argument("plan")
+    u.add_argument("schema_pos", nargs="?", default=None,
+                   help="schema file or - (stdin)")
+    u.add_argument("--plan", default=None,
+                   help="migrate a legacy CheckPlan document instead")
     u.add_argument("-o", "--output")
     u.add_argument("--schema", action="store_true",
-                   help="treat the file as a JSON Schema document and "
-                        "upgrade it to the 2020-12 dialect")
-    u.add_argument("--to", default="2020-12",
-                   help="target dialect (only 2020-12 supported)")
-    u.add_argument("--meta", action="store_true",
+                   help="accepted for compatibility (schema documents "
+                        "are the default upgrade input)")
+    u.add_argument("-t", "--to", default="2020-12",
+                   help="target dialect: draft4/draft6/draft7/"
+                        "2019-09/2020-12")
+    u.add_argument("-m", "--meta", action="store_true",
                    help="metaschema mode: inject/migrate $vocabulary "
                         "(reference upgrade --meta)")
+    u.add_argument("-d", "--default-dialect")
+    u.add_argument("-r", "--resolve", action="append", default=[])
+    u.add_argument("-j", "--json", action="store_true", dest="as_json")
+    u.add_argument("-v", "--verbose", action="store_true")
+    u.add_argument("-g", "--debug", action="store_true")
+    u.add_argument("-H", "--header", action="append", default=[])
     u.set_defaults(fn=cmd_upgrade)
 
     f = sub.add_parser("fmt")

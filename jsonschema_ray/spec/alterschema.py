@@ -599,7 +599,16 @@ def lint_fixable(schema: Any, disabled: frozenset | set = frozenset(),
 _DIALECT_2020_12 = "https://json-schema.org/draft/2020-12/schema"
 
 
-def _upgrade_node(n: dict, from3: bool = False) -> dict:
+_TARGET_VER = {"draft4": 4, "draft6": 6, "draft7": 7,
+               "2019-09": 2019, "2020-12": 2020}
+_TARGET_URI = {4: "http://json-schema.org/draft-04/schema#",
+               6: "http://json-schema.org/draft-06/schema#",
+               7: "http://json-schema.org/draft-07/schema#",
+               2019: "https://json-schema.org/draft/2019-09/schema",
+               2020: "https://json-schema.org/draft/2020-12/schema"}
+
+
+def _upgrade_node(n: dict, from3: bool = False, to: int = 2020) -> dict:
     """Mechanical keyword migrations to 2020-12 at one schema object
     (upgrade_draft_4_to_draft_6.h:77-120 id/exclusive-bounds,
     draft-7→2019-09 definitions/dependencies, 2019-09→2020-12 items
@@ -608,9 +617,9 @@ def _upgrade_node(n: dict, from3: bool = False) -> dict:
     the evaluator understands them natively, and the reference's rename
     requires anchor-name generation + global ref rewrites."""
     m = dict(n)
-    if isinstance(m.get("id"), str) and "$id" not in m:
+    if to >= 6 and isinstance(m.get("id"), str) and "$id" not in m:
         m["$id"] = m.pop("id")
-    if from3:
+    if from3 and to >= 4:
         if "divisibleBy" in m and "multipleOf" not in m:
             m["multipleOf"] = m.pop("divisibleBy")
         dis = m.pop("disallow", None)
@@ -646,34 +655,38 @@ def _upgrade_node(n: dict, from3: bool = False) -> dict:
     # embedded resources carry their own dialect: upgrade it with the
     # document (test/upgrade/pass_embedded_resources.sh)
     if isinstance(m.get("$schema"), str):
-        m["$schema"] = _DIALECT_2020_12
-    # draft-04 boolean exclusive bounds → numeric form
-    if isinstance(m.get("exclusiveMinimum"), bool):
-        if m.pop("exclusiveMinimum") and "minimum" in m:
-            m["exclusiveMinimum"] = m.pop("minimum")
-    if isinstance(m.get("exclusiveMaximum"), bool):
-        if m.pop("exclusiveMaximum") and "maximum" in m:
-            m["exclusiveMaximum"] = m.pop("maximum")
-    if "definitions" in m and "$defs" not in m:
-        m["$defs"] = m.pop("definitions")
-    # dependencies → dependentRequired / dependentSchemas
-    dep = m.pop("dependencies", None)
-    if isinstance(dep, dict):
-        dreq = {k: v for k, v in dep.items() if isinstance(v, list)}
-        dsch = {k: v for k, v in dep.items() if not isinstance(v, list)}
-        if dreq:
-            m.setdefault("dependentRequired", {}).update(dreq)
-        if dsch:
-            m.setdefault("dependentSchemas", {}).update(dsch)
-    elif dep is not None:
-        m["dependencies"] = dep  # malformed: keep as-is
-    # array-form items → prefixItems (+ additionalItems → items)
-    if isinstance(m.get("items"), list):
-        m["prefixItems"] = m.pop("items")
-        if "additionalItems" in m:
-            m["items"] = m.pop("additionalItems")
-    elif "additionalItems" in m:
-        del m["additionalItems"]  # ignored without array-form items
+        m["$schema"] = _TARGET_URI[to]
+    if to >= 6:
+        # draft-04 boolean exclusive bounds → numeric form
+        if isinstance(m.get("exclusiveMinimum"), bool):
+            if m.pop("exclusiveMinimum") and "minimum" in m:
+                m["exclusiveMinimum"] = m.pop("minimum")
+        if isinstance(m.get("exclusiveMaximum"), bool):
+            if m.pop("exclusiveMaximum") and "maximum" in m:
+                m["exclusiveMaximum"] = m.pop("maximum")
+    if to >= 2019:
+        if "definitions" in m and "$defs" not in m:
+            m["$defs"] = m.pop("definitions")
+        # dependencies → dependentRequired / dependentSchemas
+        dep = m.pop("dependencies", None)
+        if isinstance(dep, dict):
+            dreq = {k: v for k, v in dep.items() if isinstance(v, list)}
+            dsch = {k: v for k, v in dep.items()
+                    if not isinstance(v, list)}
+            if dreq:
+                m.setdefault("dependentRequired", {}).update(dreq)
+            if dsch:
+                m.setdefault("dependentSchemas", {}).update(dsch)
+        elif dep is not None:
+            m["dependencies"] = dep  # malformed: keep as-is
+    if to >= 2020:
+        # array-form items → prefixItems (+ additionalItems → items)
+        if isinstance(m.get("items"), list):
+            m["prefixItems"] = m.pop("items")
+            if "additionalItems" in m:
+                m["items"] = m.pop("additionalItems")
+        elif "additionalItems" in m:
+            del m["additionalItems"]  # ignored without array-form items
     return m
 
 
@@ -691,6 +704,15 @@ _VOCAB_2019_TO_2020 = {
     "https://json-schema.org/draft/2019-09/vocab/content":
         "https://json-schema.org/draft/2020-12/vocab/content",
 }
+_VOCAB_2019_STD = {
+    "https://json-schema.org/draft/2019-09/vocab/core": True,
+    "https://json-schema.org/draft/2019-09/vocab/applicator": True,
+    "https://json-schema.org/draft/2019-09/vocab/validation": True,
+    "https://json-schema.org/draft/2019-09/vocab/meta-data": True,
+    "https://json-schema.org/draft/2019-09/vocab/format": False,
+    "https://json-schema.org/draft/2019-09/vocab/content": True,
+}
+
 _VOCAB_2020_STD = {
     "https://json-schema.org/draft/2020-12/vocab/core": True,
     "https://json-schema.org/draft/2020-12/vocab/applicator": True,
@@ -703,7 +725,7 @@ _VOCAB_2020_STD = {
 
 
 def upgrade_schema(schema: Any, *, meta: bool = False,
-                   strict: bool = False) -> Any:
+                   strict: bool = False, to: str = "2020-12") -> Any:
     """Upgrade a schema document to the 2020-12 dialect: mechanical
     keyword migrations applied recursively (draft-3 divisibleBy /
     disallow / extends / boolean-required included), embedded-resource
@@ -747,12 +769,27 @@ def upgrade_schema(schema: Any, *, meta: bool = False,
                 for v in node:
                     _chk(v)
         _chk(schema)
+    to_ver = _TARGET_VER[to]
+    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+        # never downgrade: a source newer than the target is untouched
+        # (pass_noop_draft4_target.sh, pass_noop_target_older.sh)
+        ds0 = schema["$schema"]
+        src_ver = (2020 if "2020-12" in ds0 else
+                   2019 if "2019-09" in ds0 else
+                   7 if "draft-07" in ds0 else
+                   6 if "draft-06" in ds0 else
+                   4 if "draft-04" in ds0 else 3)
+        if src_ver >= to_ver:
+            import copy as _c
+
+            return _c.deepcopy(schema)
     had_vocab = isinstance(schema, dict) and \
         isinstance(schema.get("$vocabulary"), dict)
     from3 = isinstance(schema, dict) \
         and isinstance(schema.get("$schema"), str) \
         and "draft-03" in schema["$schema"]
-    upgraded = _walk(schema, lambda node, ptr: _upgrade_node(node, from3))
+    upgraded = _walk(schema,
+                     lambda node, ptr: _upgrade_node(node, from3, to_ver))
 
     def fix_refs(node):
         if isinstance(node, dict):
@@ -769,20 +806,30 @@ def upgrade_schema(schema: Any, *, meta: bool = False,
             return [fix_refs(x) for x in node]
         return node
 
-    upgraded = fix_refs(upgraded)
+    if to_ver >= 2019:
+        upgraded = fix_refs(upgraded)
     if isinstance(upgraded, dict):
-        upgraded = {"$schema": _DIALECT_2020_12,
+        upgraded = {"$schema": _TARGET_URI[to_ver],
                     **{k: v for k, v in upgraded.items() if k != "$schema"}}
-        if had_vocab or meta:
-            if had_vocab:
-                vocab = {}
+        if to_ver >= 2019 and (had_vocab or meta):
+            if had_vocab and to_ver >= 2020:
+                migrated = {}
                 for uri, req in schema["$vocabulary"].items():
-                    vocab[_VOCAB_2019_TO_2020.get(uri, uri)] = req
-                vocab.setdefault(
+                    migrated[_VOCAB_2019_TO_2020.get(uri, uri)] = req
+                migrated.setdefault(
                     "https://json-schema.org/draft/2020-12/vocab/"
                     "unevaluated", True)
+                # standard 2020-12 ordering (unevaluated sits after
+                # applicator); unknown vocabularies keep their place
+                # at the end
+                vocab = {u: migrated.pop(u) for u in _VOCAB_2020_STD
+                         if u in migrated}
+                vocab.update(migrated)
+            elif had_vocab:
+                vocab = dict(schema["$vocabulary"])
             else:
-                vocab = dict(_VOCAB_2020_STD)
+                vocab = dict(_VOCAB_2020_STD) if to_ver >= 2020 \
+                    else dict(_VOCAB_2019_STD)
             rest = {k: v for k, v in upgraded.items()
                     if k not in ("$schema", "$id", "$vocabulary")}
             head = {"$schema": upgraded["$schema"]}

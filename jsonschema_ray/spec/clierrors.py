@@ -75,8 +75,10 @@ class CLIError(ValueError):
         return out
 
     def render_json(self) -> str:
+        from jsonschema_ray.spec.format import prettify_json
+
         obj = {"error": self.message, **self.fields}
-        return _json.dumps(obj, indent=2) + "\n"
+        return prettify_json(obj) + "\n"
 
 
 class SchemaUnknownBaseDialectError(CLIError):
@@ -134,6 +136,14 @@ class NoSuchFileError(CLIError):
         super().__init__("No such file or directory", filePath=path)
 
 
+class InputIsADirectoryError(CLIError):
+    exit_code = EXIT_OTHER_INPUT
+
+    def __init__(self, path: str):
+        super().__init__("The input was supposed to be a file but it "
+                         "is a directory", filePath=path)
+
+
 class YAMLNotSupportedError(CLIError):
     exit_code = EXIT_NOT_SUPPORTED
 
@@ -171,6 +181,46 @@ class ExternalRefError(CLIError):
         super().__init__("Could not resolve the reference to an "
                          "external schema", identifier=identifier,
                          **fields)
+
+
+class OptionEnumerationError(CLIError):
+    """An option that takes one of a fixed set of values got something
+    else (``InvalidOptionEnumerationValueError``): renders the choices
+    as a bullet list in text mode and a ``values`` array in JSON."""
+
+    exit_code = EXIT_ARGS
+
+    def __init__(self, message: str, option: str, values: list[str]):
+        super().__init__(message, option=option, values=values)
+
+    def render_text(self) -> str:
+        out = f"error: {self.message}\n"
+        out += f"  at option {self.fields['option']}\n"
+        out += "  with values\n"
+        for v in self.fields["values"]:
+            out += f"  - {v}\n"
+        out += "\nRun the `help` command for usage information\n"
+        return out
+
+
+class UnsupportedDialectUpgradeError(CLIError):
+    exit_code = EXIT_NOT_SUPPORTED
+
+    def __init__(self, **fields):
+        super().__init__("Upgrading schemas from this dialect is not "
+                         "supported yet", **fields)
+
+
+class CustomMetaschemaUpgradeError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("Schemas that declare a custom meta-schema cannot be "
+            "upgraded in place\n"
+            "by this command. Please upgrade the meta-schema and the "
+            "schema manually.")
+
+    def __init__(self, **fields):
+        super().__init__("Cannot upgrade a schema that uses a custom "
+                         "meta-schema", **fields)
 
 
 def validate_http_headers(headers) -> None:
