@@ -1407,18 +1407,93 @@ if __name__ == "__main__":
 
 
 def cmd_codegen(args) -> int:
-    """Emit a standalone pure-Python validator module from a plan (the
-    ``jsonschema codegen`` analog, ``src/command_codegen.cc``: compile
-    the schema artifact to a self-contained program). With
-    ``--target typescript`` (+ ``--schema``): emit ``export type``
-    declarations from a schema document, the reference's only codegen
-    target (``command_codegen.cc:35-38``)."""
+    """``jsonschema codegen`` — TypeScript type declarations from a
+    schema document (``src/command_codegen.cc``; the reference's only
+    target). ``--json`` wraps the code in ``{"code": ...}``. ``--plan
+    PATH`` instead emits a standalone pure-Python validator module from
+    a CheckPlan (this engine's own artifact)."""
     from jsonschema_ray.functions.formats import REGEX_FORMATS
+    from jsonschema_ray.spec.clierrors import (CLIArgumentError, CLIError,
+                                               CodegenUnsupportedError,
+                                               NoSuchFileError,
+                                               OptionEnumerationError,
+                                               SchemaUnknownBaseDialectError,
+                                               VocabularyError, emit,
+                                               validate_http_headers)
 
-    if getattr(args, "target", "python") == "typescript":
-        import os
+    if getattr(args, "plan", None):
+        plan = _load_plan(args.plan)
+        row_local = {"predicate", "monotonic", "contains", "unique_items"}
+        skipped = sorted(r.rule_id for r in plan.rules
+                         if r.kind not in row_local)
+        fmts = {name: REGEX_FORMATS[name] for name in sorted(REGEX_FORMATS)}
+        code = _CODEGEN_TEMPLATE.format(
+            plan_hash=plan.plan_hash(), version=plan.version,
+            plan_json=repr(plan.to_json()), skipped=repr(skipped),
+            formats=repr(fmts))
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(code)
+        else:
+            print(code)
+        return EXIT_OK
 
-        from jsonschema_ray.spec.codegen_ts import schema_to_typescript
+    import os
+
+    from jsonschema_ray.spec.codegen_ts import (CodegenError,
+                                                schema_to_typescript)
+
+    json_mode = getattr(args, "as_json", False)
+    try:
+        if not getattr(args, "schema_pos", None):
+            err = CLIArgumentError("This command expects a path to a "
+                                   "schema")
+            err.hint = ("For example: jsonschema codegen "
+                        "path/to/schema.json --name MyType --target "
+                        "typescript")
+            raise err
+        validate_http_headers(getattr(args, "header", None))
+        target = getattr(args, "target", None)
+        if not target:
+            raise CLIArgumentError("You must pass a target using the "
+                                   "`--target/-t` option")
+        if target != "typescript":
+            raise OptionEnumerationError("Unknown code generation target",
+                                         "target", ["typescript"])
+
+        path = os.path.abspath(args.schema_pos)
+        display = os.path.realpath(path)
+        if not os.path.exists(path):
+            raise NoSuchFileError(display)
+        from jsonschema_ray.state.inputs import _read_entry
+
+        entry = _read_entry(display)
+        raw_text = entry.text
+        doc = entry.parsed()
+        from jsonschema_ray.state.config import discover
+
+        cfg = discover(os.path.dirname(path))
+        if args.debug and cfg is not None:
+            from jsonschema_ray.state.config import find_configuration
+
+            cfgp = find_configuration(os.path.dirname(path))
+            print(f"debug: Using configuration file: "
+                  f"{os.path.realpath(cfgp)}", file=sys.stderr)
+        dd = getattr(args, "default_dialect", None)
+        if not dd and cfg:
+            from jsonschema_ray.state.config import apply_to_schema
+
+            dd = apply_to_schema({}, cfg, path).get("$schema")
+
+        if isinstance(doc, dict) and "$schema" not in doc and not dd:
+            raise SchemaUnknownBaseDialectError(filePath=display)
+        ds = doc.get("$schema") if isinstance(doc, dict) else None
+        ds = ds if isinstance(ds, str) else dd
+        if isinstance(ds, str) and any(
+                tag in ds for tag in ("draft-00", "draft-01", "draft-02",
+                                      "draft-03")):
+            # pre-draft-4 vocabularies have no codegen support
+            raise VocabularyError(ds, filePath=display)
 
         registry: dict = {}
         for r in getattr(args, "resolve", None) or []:
@@ -1436,39 +1511,46 @@ def cmd_codegen(args) -> int:
                         registry.setdefault(did, rdoc)
 
         def _ts_resolver(uri: str):
-            doc = registry.get(uri)
-            if doc is None and uri.startswith("file://"):
+            rdoc = registry.get(uri)
+            if rdoc is None and uri.startswith("file://"):
                 try:
                     return _load_schema_doc(uri[len("file://"):])
                 except OSError:
                     return None
-            return doc
+            return rdoc
 
-        code = schema_to_typescript(
-            _load_schema_doc(args.plan, configured=False),
-            name=getattr(args, "name", None) or "Schema",
-            resolver=_ts_resolver,
-            default_id=f"file://{os.path.abspath(args.plan)}")
-        if args.output:
-            with open(args.output, "w") as f:
-                f.write(code)
-        else:
-            print(code, end="")
-        return EXIT_OK
+        try:
+            code = schema_to_typescript(
+                doc, name=getattr(args, "name", None) or "Schema",
+                resolver=_ts_resolver, default_dialect=dd,
+                default_id=f"file://{path}")
+        except CodegenError as cge:
+            if cge.keyword is not None:
+                raise CodegenUnsupportedError(
+                    str(cge), keyword=cge.keyword, filePath=display,
+                    location=cge.pointer() or "") from cge
+            raise CodegenUnsupportedError(
+                str(cge), filePath=display,
+                location=cge.pointer() or "") from cge
+        except CLIError as err:
+            from types import SimpleNamespace
 
-    plan = _load_plan(args.plan)
-    row_local = {"predicate", "monotonic", "contains", "unique_items"}
-    skipped = sorted(r.rule_id for r in plan.rules if r.kind not in row_local)
-    fmts = {name: REGEX_FORMATS[name] for name in sorted(REGEX_FORMATS)}
-    code = _CODEGEN_TEMPLATE.format(
-        plan_hash=plan.plan_hash(), version=plan.version,
-        plan_json=repr(plan.to_json()), skipped=repr(skipped),
-        formats=repr(fmts))
+            raise _stamp_fmt_error(
+                err, SimpleNamespace(text=raw_text, path=display)) from err
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
+
+    if json_mode:
+        from jsonschema_ray.spec.format import prettify_json
+
+        out = prettify_json({"code": code}) + "\n"
+    else:
+        out = code
     if args.output:
         with open(args.output, "w") as f:
-            f.write(code)
+            f.write(out)
     else:
-        print(code)
+        sys.stdout.write(out)
     return EXIT_OK
 
 
@@ -2286,20 +2368,27 @@ def build_parser() -> argparse.ArgumentParser:
     i.set_defaults(fn=cmd_inspect)
 
     g = sub.add_parser("codegen")
-    g.add_argument("plan")
+    g.add_argument("schema_pos", nargs="?", default=None,
+                   help="schema file")
+    g.add_argument("--plan", default=None,
+                   help="emit a standalone pure-Python validator from "
+                        "a CheckPlan instead")
     g.add_argument("-o", "--output")
     g.add_argument("--schema", action="store_true",
-                   help="input is a JSON Schema document")
-    g.add_argument("--target", default="python",
-                   choices=["python", "typescript"],
-                   help="python: standalone validator from a plan; "
-                        "typescript: export type declarations from a "
-                        "schema (reference --target typescript)")
-    g.add_argument("-r", "--resolve", action="append",
+                   help="accepted for compatibility (schema documents "
+                        "are the default codegen input)")
+    g.add_argument("-t", "--target", default=None,
+                   help="code generation target (typescript)")
+    g.add_argument("-r", "--resolve", action="append", default=[],
                    help="pre-import a schema file or directory for "
                         "resolving remote $refs (reference -r)")
-    g.add_argument("--name", default="Schema",
-                   help="root type name for --target typescript")
+    g.add_argument("-n", "--name", default="Schema",
+                   help="root type name")
+    g.add_argument("-d", "--default-dialect")
+    g.add_argument("-j", "--json", action="store_true", dest="as_json")
+    g.add_argument("-v", "--verbose", action="store_true")
+    g.add_argument("-g", "--debug", action="store_true")
+    g.add_argument("-H", "--header", action="append", default=[])
     g.set_defaults(fn=cmd_codegen)
     return p
 

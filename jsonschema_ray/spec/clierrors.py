@@ -62,10 +62,12 @@ class CLIError(ValueError):
         clone.message, clone.fields = self.message, merged
         return clone
 
+    labels: dict | None = None        # per-class label overrides
+
     def render_text(self) -> str:
         out = f"error: {self.message}\n"
         for key, val in self.fields.items():
-            label = _LABELS.get(key, key)
+            label = (self.labels or {}).get(key) or _LABELS.get(key, key)
             if key in _QUOTED:
                 out += f'  at {label} "{val}"\n'
             else:
@@ -221,6 +223,22 @@ class CustomMetaschemaUpgradeError(CLIError):
     def __init__(self, **fields):
         super().__init__("Cannot upgrade a schema that uses a custom "
                          "meta-schema", **fields)
+
+
+class CodegenUnsupportedError(CLIError):
+    """Unsupported construct for code generation (exit 3): keyword +
+    document location (the reference's Codegen*Error family)."""
+
+    exit_code = EXIT_NOT_SUPPORTED
+    labels = {"location": "document location"}
+
+
+class VocabularyError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+
+    def __init__(self, uri: str, **fields):
+        super().__init__("Unsupported required vocabulary",
+                         **fields, uri=uri)
 
 
 def validate_http_headers(headers) -> None:

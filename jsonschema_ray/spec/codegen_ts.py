@@ -36,7 +36,21 @@ from jsonschema_ray.spec.jschema import (_SUBSCHEMA_KW, _DocIndex,
 
 
 class CodegenError(ValueError):
-    pass
+    """Codegen rejection with reference error context: a message in the
+    reference's wording plus the offending keyword and document
+    pointer (command_codegen.cc Codegen*Error catch blocks)."""
+
+    def __init__(self, message: str, *, keyword: str | None = None,
+                 location: tuple | None = None):
+        super().__init__(message)
+        self.keyword = keyword
+        self.location = location
+
+    def pointer(self) -> str | None:
+        if self.location is None:
+            return None
+        return "".join("/" + str(t).replace("~", "~0").replace("/", "~1")
+                       for t in self.location)
 
 
 _COMMON = {"$schema", "$id", "$anchor", "$dynamicAnchor", "$defs",
@@ -71,12 +85,13 @@ _WHITELIST = {
 _ANNOTATION_ONLY = _COMMON - {"$defs"}
 
 
-def _check_whitelist(sub: dict, shape: str) -> None:
+def _check_whitelist(sub: dict, shape: str,
+                     ptr: tuple = None) -> None:
     allowed = _WHITELIST[shape]
     for k in sub:
         if k not in allowed:
-            raise CodegenError(
-                f"unsupported keyword in {shape} subschema: {k!r}")
+            raise CodegenError("Unsupported keyword in subschema",
+                               keyword=k, location=ptr)
 
 
 def _canonicalize(sch: Any) -> Any:
@@ -298,28 +313,32 @@ class _Emitter:
         if sub is False:
             return f"export type {name} = never;\n"
         if not isinstance(sub, dict):
-            raise CodegenError("unsupported schema")
+            raise CodegenError("unsupported schema", location=ptr)
         t = sub.get("type")
+        if "type" in sub and not isinstance(t, str):
+            raise CodegenError("Expected a string value",
+                               keyword="type", location=ptr)
         if isinstance(t, str):
             if t == "string":
-                _check_whitelist(sub, "string")
+                _check_whitelist(sub, "string", ptr)
                 return f"export type {name} = string;\n"
             if t in ("integer", "number"):
-                _check_whitelist(sub, "numeric")
+                _check_whitelist(sub, "numeric", ptr)
                 return f"export type {name} = number;\n"
             if t == "boolean":
                 return f"export type {name} = boolean;\n"
             if t == "null":
                 return f"export type {name} = null;\n"
             if t == "object":
-                _check_whitelist(sub, "object")
+                _check_whitelist(sub, "object", ptr)
                 return self.object_entity(name, ptr, sub)
             if t == "array":
-                _check_whitelist(sub, "array")
+                _check_whitelist(sub, "array", ptr)
                 return self.array_entity(name, ptr, sub)
-            raise CodegenError(f"unsupported type value: {t!r}")
+            raise CodegenError(f"unsupported type value: {t!r}",
+                               keyword="type", location=ptr)
         if "enum" in sub:
-            _check_whitelist(sub, "enum")
+            _check_whitelist(sub, "enum", ptr)
             vals = sub["enum"]
             if len(vals) == 1 and vals[0] is None:
                 return f"export type {name} = null;\n"
@@ -330,13 +349,13 @@ class _Emitter:
             return f"export type {name} = {lits};\n"
         for kw in ("anyOf", "oneOf"):
             if kw in sub:
-                _check_whitelist(sub, kw)
+                _check_whitelist(sub, kw, ptr)
                 branches = [self.mangle(ptr + (kw, i))
                             for i in range(len(sub[kw]))]
                 body = " |\n".join(f"  {b}" for b in branches)
                 return f"export type {name} =\n{body};\n"
         if "allOf" in sub:
-            _check_whitelist(sub, "allOf")
+            _check_whitelist(sub, "allOf", ptr)
             if len(sub["allOf"]) == 1:
                 return (f"export type {name} = "
                         f"{self.mangle(ptr + ('allOf', 0))};\n")
@@ -346,11 +365,11 @@ class _Emitter:
             return f"export type {name} =\n{body};\n"
         if "$dynamicRef" in sub or "$ref" in sub:
             kw = "$dynamicRef" if "$dynamicRef" in sub else "$ref"
-            _check_whitelist(sub, kw)
+            _check_whitelist(sub, kw, ptr)
             tgt = self.ref_target_ptr(ptr, sub[kw])
             return f"export type {name} = {self.mangle(tgt)};\n"
         if "if" in sub:
-            _check_whitelist(sub, "if")
+            _check_whitelist(sub, "if", ptr)
             if "then" not in sub or "else" not in sub:
                 raise CodegenError("if requires then and else for codegen")
             return (
@@ -363,8 +382,9 @@ class _Emitter:
                 f"{self.mangle(ptr + ('then',))}) | "
                 f"{self.mangle(ptr + ('else',))};\n")
         if "not" in sub:
-            raise CodegenError("unsupported keyword in subschema: 'not'")
-        raise CodegenError("unsupported schema")
+            raise CodegenError("Unsupported keyword in subschema",
+                               keyword="not", location=ptr)
+        raise CodegenError("unsupported schema", location=ptr)
 
     def ref_target_ptr(self, from_ptr: tuple, ref: str) -> tuple:
         from jsonschema_ray.spec.jschema import resolve_ref_target

@@ -42,6 +42,30 @@ class InputEntry:
 STDIN_PATH = "/dev/stdin"
 
 
+def _map_yaml_error(e, path: str):
+    """YAML parse failures in the reference's wording: a second
+    document in a single-document context is 'Unexpected content
+    after document' with the mark position (core yaml parser)."""
+    from jsonschema_ray.spec.clierrors import CLIError, EXIT_OTHER_INPUT
+
+    mark = getattr(e, "problem_mark", None) \
+        or getattr(e, "context_mark", None)
+    if mark is not None and "document" in str(e):
+        # PyYAML marks the `---` separator; the reference reports the
+        # second document's CONTENT line
+        line, col = mark.line + 1, mark.column + 1
+        try:
+            if mark.buffer.split("\n")[mark.line].strip() == "---":
+                line, col = line + 1, 1
+        except Exception:   # noqa: BLE001 — position is best-effort
+            pass
+        err = CLIError("Unexpected content after document",
+                       line=line, column=col, filePath=path)
+        err.exit_code = EXIT_OTHER_INPUT
+        return err
+    return e
+
+
 def _parse_text(text: str, path: str, ext: str):
     """(doc, yaml_flag) — JSON first; YAML fallback for non-.json
     extensions (the reference's content detection)."""
@@ -72,7 +96,7 @@ def _read_entry(path: str) -> InputEntry:
 
             entry.doc = yaml.safe_load(text)
         except Exception as e:   # noqa: BLE001 — deferred to the verb
-            entry.error = e
+            entry.error = _map_yaml_error(e, path)
         return entry
     try:
         entry.doc, entry.yaml = _parse_text(text, path, ext)
