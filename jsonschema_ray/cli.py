@@ -662,7 +662,7 @@ def cmd_upgrade(args) -> int:
 
                         pos = pointer_positions(raw_text).get(ptr)
                         if pos:
-                            fields["line"], fields["column"] = pos
+                            fields["line"], fields["column"] = pos[:2]
                     except Exception:   # noqa: BLE001 — best effort
                         pass
                     if any(tag in ds for tag in legacy12):
@@ -858,7 +858,7 @@ def _stamp_fmt_error(err, entry):
         try:
             pos = pointer_positions(entry.text).get(loc)
             if pos:
-                line, column = pos
+                line, column = pos[:2]
         except Exception:   # noqa: BLE001 — positions are best-effort
             pass
         return SchemaAnchorCollisionError(
@@ -1554,7 +1554,167 @@ def cmd_codegen(args) -> int:
     return EXIT_OK
 
 
+def _resolve_dialect_file(dd: str, base_dir: str, cfg: dict | None):
+    """A ``--default-dialect`` / config ``defaultDialect`` given as a
+    FILE PATH resolves (trying the configured/implicit extensions) to
+    ``file://<path>`` and dialects by the metaschema's own base
+    (inspect pass_default_dialect_*_fallback fixtures). Returns
+    (display_dialect, ver, meta_doc)."""
+    import os
+
+    if "://" in dd:
+        return dd, None, None
+    exts = (cfg or {}).get("extension") or []
+    if isinstance(exts, str):
+        exts = [exts]
+    exts = [e if str(e).startswith(".") else "." + str(e)
+            for e in exts] or [".json", ".yaml", ".yml"]
+    for cand in [dd] + [dd + e for e in exts]:
+        full = os.path.normpath(os.path.join(base_dir, cand))
+        if os.path.isfile(full):
+            from jsonschema_ray.spec.jschema import _dialect_ver
+            from jsonschema_ray.state.inputs import _read_entry
+
+            try:
+                meta = _read_entry(os.path.realpath(full)).parsed()
+            except Exception:   # noqa: BLE001 — fall through
+                continue
+            ver = _dialect_ver(meta) if isinstance(meta, dict) else None
+            return f"file://{os.path.realpath(full)}", ver, meta
+    return dd, None, None
+
+
 def cmd_inspect(args) -> int:
+    """``jsonschema inspect`` — the full frame dump
+    (``src/command_inspect.cc``): every RESOURCE / SUBSCHEMA / POINTER
+    / ANCHOR location with root/base/pointer/position/dialect/parent/
+    orphan attributes plus REFERENCE edges, text or ``--json``.
+    ``--plan`` instead reports a CheckPlan's rules, referenced fields,
+    and per-rule Ray execution strategy (this engine's artifact)."""
+    from jsonschema_ray.spec.clierrors import (CLIArgumentError, CLIError,
+                                               NoSuchFileError,
+                                               NotSchemaError, emit,
+                                               validate_http_headers)
+
+    if getattr(args, "plan", None):
+        return _inspect_plan(args)
+
+    import os
+
+    from jsonschema_ray.spec.inspectframe import (frame_dump,
+                                                  render_frame_json,
+                                                  render_frame_text)
+
+    json_mode = getattr(args, "as_json", False)
+    try:
+        validate_http_headers(getattr(args, "header", None))
+        if not getattr(args, "schema_pos", None):
+            err = CLIArgumentError("This command expects a path to a "
+                                   "schema")
+            err.hint = ("For example: jsonschema inspect "
+                        "path/to/schema.json")
+            raise err
+        if args.schema_pos == "-":
+            display = "/dev/stdin"
+            from jsonschema_ray.state.inputs import read_stdin_entry
+
+            entry = read_stdin_entry()
+            cfg = None
+            default_id = "file:///dev/stdin"
+        else:
+            path = os.path.abspath(args.schema_pos)
+            display = os.path.realpath(path)
+            if not os.path.exists(path):
+                raise NoSuchFileError(display)
+            from jsonschema_ray.state.inputs import _read_entry
+
+            entry = _read_entry(display)
+            from jsonschema_ray.state.config import discover
+
+            cfg = discover(os.path.dirname(path))
+            default_id = f"file://{display}"
+        doc = entry.parsed()
+        if args.debug and cfg is not None:
+            from jsonschema_ray.state.config import find_configuration
+
+            cfgp = find_configuration(os.path.dirname(path))
+            print(f"debug: Using configuration file: "
+                  f"{os.path.realpath(cfgp)}", file=sys.stderr)
+        if not isinstance(doc, (dict, bool)):
+            raise NotSchemaError(display)
+        dd = getattr(args, "default_dialect", None)
+        dd_base = os.getcwd()
+        if not dd and cfg:
+            from jsonschema_ray.state.config import apply_to_schema
+
+            dd = (cfg or {}).get("defaultDialect")
+            if dd and args.schema_pos != "-":
+                gated = apply_to_schema({}, cfg, display).get("$schema")
+                dd = gated
+            dd_base = (cfg or {}).get("_dir") or dd_base
+        dd_ver, dd_meta = None, None
+        if dd:
+            dd, dd_ver, dd_meta = _resolve_dialect_file(dd, dd_base, cfg)
+        if isinstance(doc, dict) and "$schema" not in doc and not dd:
+            from jsonschema_ray.spec.clierrors import \
+                SchemaUnknownBaseDialectError
+
+            raise SchemaUnknownBaseDialectError(filePath=display)
+
+        # compile strictness first: anchor collisions, invalid
+        # $id/$schema, unknown metaschema (reference exit-4 family);
+        # identifier-less documents frame under their file identity so
+        # anchor collisions report the effective base URI
+        from jsonschema_ray.spec.jschema import compile_schema
+
+        resources = _load_resolve_docs(
+            getattr(args, "resolve", None) or [], display)
+        probe = doc
+        if isinstance(doc, dict):
+            probe = dict(doc)
+            if "$id" not in probe and "id" not in probe:
+                probe["$id"] = default_id
+            if "$schema" not in probe and dd:
+                if dd_meta is not None and isinstance(dd_meta, dict) \
+                        and isinstance(dd_meta.get("$id"), str):
+                    probe["$schema"] = dd_meta["$id"]
+                    resources = dict(resources or {})
+                    resources[dd_meta["$id"]] = dd_meta
+                elif "://" in dd:
+                    probe["$schema"] = dd
+        try:
+            compile_schema(probe, resources=resources)
+        except CLIError as err:
+            from types import SimpleNamespace
+
+            raise _stamp_fmt_error(
+                err, SimpleNamespace(text=entry.text,
+                                     path=display)) from err
+
+        from jsonschema_ray.spec.positions import (pointer_positions,
+                                                   yaml_pointer_positions)
+
+        try:
+            spans = yaml_pointer_positions(entry.text) if entry.yaml \
+                else pointer_positions(entry.text)
+        except Exception:   # noqa: BLE001 — spans are best-effort
+            spans = {}
+        locs, refs = frame_dump(doc, spans, default_dialect=dd,
+                                default_id=default_id,
+                                dialect_ver=dd_ver)
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
+
+    if json_mode:
+        from jsonschema_ray.spec.format import prettify_json
+
+        print(prettify_json(render_frame_json(locs, refs)))
+    else:
+        sys.stdout.write(render_frame_text(locs, refs))
+    return EXIT_OK
+
+
+def _inspect_plan(args) -> int:
     """Plan frame report (``jsonschema inspect`` analog): rules, kinds,
     referenced fields, execution strategy per rule."""
     plan = _plan_from_args(args)
@@ -2363,8 +2523,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_test)
 
     i = sub.add_parser("inspect")
-    i.add_argument("plan", nargs="?", default="default")
-    i.add_argument("--schema")
+    i.add_argument("schema_pos", nargs="?", default=None,
+                   help="schema file or - (stdin)")
+    i.add_argument("--plan", default=None,
+                   help="report a CheckPlan's rules/fields/strategies "
+                        "instead")
+    i.add_argument("--schema", default=None,
+                   help=argparse.SUPPRESS)   # legacy plan-mode flag
+    i.add_argument("-d", "--default-dialect")
+    i.add_argument("-r", "--resolve", action="append", default=[])
+    i.add_argument("-j", "--json", action="store_true", dest="as_json")
+    i.add_argument("-v", "--verbose", action="store_true")
+    i.add_argument("-g", "--debug", action="store_true")
+    i.add_argument("-H", "--header", action="append", default=[])
     i.set_defaults(fn=cmd_inspect)
 
     g = sub.add_parser("codegen")

@@ -225,6 +225,15 @@ class CustomMetaschemaUpgradeError(CLIError):
                          "meta-schema", **fields)
 
 
+class SchemaRelativeMetaschemaError(CLIError):
+    exit_code = EXIT_SCHEMA_INPUT
+
+    def __init__(self, identifier: str, **fields):
+        super().__init__("Relative meta-schema URIs are not valid "
+                         "according to the JSON Schema specification",
+                         identifier=identifier, **fields)
+
+
 class CodegenUnsupportedError(CLIError):
     """Unsupported construct for code generation (exit 3): keyword +
     document location (the reference's Codegen*Error family)."""

@@ -466,6 +466,15 @@ def _check_dialect(schema: dict, resources: dict,
     if ds is None:
         return
     if not isinstance(ds, str) or "://" not in ds:
+        if isinstance(ds, str) and ds and not any(
+                c.isspace() for c in ds):
+            # a well-formed RELATIVE reference is a different spec
+            # violation than a malformed URI (reference
+            # SchemaRelativeMetaschemaResolutionError)
+            from jsonschema_ray.spec.clierrors import \
+                SchemaRelativeMetaschemaError
+
+            raise SchemaRelativeMetaschemaError(ds)
         from jsonschema_ray.spec.clierrors import SchemaKeywordError
 
         raise SchemaKeywordError(

@@ -96,7 +96,7 @@ def test_lint_fix_removes_unreachable(tmp_path):
 
 
 def test_inspect_reports_strategies():
-    r = run_cli("inspect", "rules/default_plan.json")
+    r = run_cli("inspect", "--plan", "rules/default_plan.json")
     assert r.returncode == 0
     d = json.loads(r.stdout)
     by_id = {x["rule_id"]: x for x in d["rules"]}

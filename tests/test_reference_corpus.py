@@ -1246,108 +1246,42 @@ def test_reference_compile_corpus_parity():
 
 
 # ---------------------------------------------------------------------------
-# inspect verb corpus: FRAME-location parity — the set of
-# (RESOURCE/SUBSCHEMA/POINTER/ANCHOR) URIs and (REFERENCE) origin →
-# destination edges must match the reference's frame dump exactly
-# (print layout / file positions are presentation, the location SET is
-# the semantics).
+# inspect verb corpus: fixtures executed VERBATIM via a CLI shim —
+# byte-exact frame dumps (text + JSON), error text, exit codes.
 # ---------------------------------------------------------------------------
 
-INSPECT_MIN_MATCHES = 23
-INSPECT_EXPECTED_DIVERGENT: set[str] = set()
+INSPECT_MIN_MATCHES = 39   # the ENTIRE corpus
 
 
-def test_reference_inspect_corpus_parity():
-    from jsonschema_ray.spec.inspectframe import frame_entries
+def test_reference_inspect_corpus_parity(tmp_path):
+    """Execute the reference's inspect fixtures VERBATIM. Fixture
+    source: /root/reference/test/inspect/*.sh — PUBLIC CONTENT,
+    executed for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
 
-    RP = '$(realpath "$TMP")'
-    HDR = re.compile(r"^\((RESOURCE|POINTER|SUBSCHEMA|ANCHOR)\) URI: (.*)$",
-                     re.M)
-    REF = re.compile(r"^\(REFERENCE\) ORIGIN: (\S*)\n(?:.*\n)*?"
-                     r"    Destination       : (.*)$", re.M)
-    match, skip, div = [], {}, {}
-    for path in sorted(glob.glob("/root/reference/test/inspect/*.sh")):
-        name = path.rsplit("/",1)[1]
-        src = open(path).read()
-        cfg_dd = None
-        files = {m.group(1): m.group(2).replace(RP, "/TMP").replace("\\$","$")
-                 for m in HEREDOC.finditer(src)}
-        joined, buf = [], ""
-        for ln in src.split("\n"):
-            if ln.rstrip().endswith("\\"): buf += ln.rstrip()[:-1] + " "
-            else: joined.append(buf + ln); buf = ""
-        inv = next((ln.strip() for ln in joined if '"$1"' in ln and " inspect" in ln), None)
-        if inv is None: skip[name] = "no invocation"; continue
-        exp = 0
-        m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', src)
-        if m: exp = int(m.group(1))
-        if "|" in inv.split('"$1"')[0] or not inv.lstrip().startswith('"$1"'):
-            skip[name] = "stdin/pipe"; continue
-        inv2 = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
-        inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
-        try: toks = [t.replace("\\$","$") for t in shlex.split(inv2)]
-        except ValueError: skip[name] = "plumbing"; continue
-        dd = None; pos = []; flagskip = None
-        j = 2
-        while j < len(toks):
-            t = toks[j]
-            if t in ("--default-dialect","-d"): dd = toks[j+1]; j += 2
-            elif t in ("--verbose","-v","--json","-j","--debug"): j += 1
-            elif t in ("--extension","-e","--ignore","-i"): j += 2
-            elif t.startswith("-") and t != "-": flagskip = t; break
-            else: pos.append(t); j += 1
-        if flagskip: skip[name] = f"flag {flagskip}"; continue
-        tgt = next((t for t in pos if t.startswith("$TMP/")), None)
-        if tgt is None: skip[name] = "stdin/dir target"; continue
-        key = tgt[5:]
-        if key not in files: skip[name] = "target not heredoc"; continue
-        if "jsonschema.json" in files:
-            try:
-                cfg = json.loads(files["jsonschema.json"])
-                cfg_dd = cfg.get("defaultDialect")
-                if cfg.get("resolve"): skip[name] = "config resolve flow"; continue
-                if not isinstance(cfg_dd, (str, type(None))) or "extensions" in cfg \
-                        or "extension" in name or (cfg_dd or "").startswith("."):
-                    skip[name] = "config extension/relative flow"; continue
-            except Exception:
-                skip[name] = "bad config"; continue
-        dd = dd or cfg_dd
-        body = files[key]
-        got, entries = None, None
-        try:
-            try: doc = json.loads(body)
-            except Exception:
-                import yaml
-                doc = yaml.safe_load(body)
-            if isinstance(doc, dict) and "$schema" not in doc and not dd:
-                raise ValueError("no dialect")
-            compile_schema(dict(doc, **({"$schema": dd} if dd and "$schema" not in doc else {})) if isinstance(doc, dict) else doc)
-            entries = frame_entries(doc, default_dialect=dd, default_id=f"file:///TMP/{key}")
-            got = 0
-        except Exception as e:
-            got = 1
-        agree = (got == exp) or (exp not in (0,2) and got == 1)
-        if not agree: div[name] = (exp, got); continue
-        # structural compare when expected.txt carries a frame dump
-        if got == 0 and "expected.txt" in files and "URI:" in files["expected.txt"]:
-            want_locs = set(f"({k}) URI: {u}" for k, u in HDR.findall(files["expected.txt"]))
-            want_refs = set(f"(REFERENCE) ORIGIN: {o} -> {d}" for o, d in REF.findall(files["expected.txt"]))
-            got_locs = set(e for e in entries if not e.startswith("(REFERENCE)"))
-            got_refs = set(e for e in entries if e.startswith("(REFERENCE)"))
-            if want_locs != got_locs or want_refs != got_refs:
-                div[name] = ("frame", sorted(want_locs - got_locs)[:4], sorted(got_locs - want_locs)[:4],
-                             sorted(want_refs ^ got_refs)[:3])
-                continue
-        match.append(name)
-    
-    unexpected = set(div) - INSPECT_EXPECTED_DIVERGENT
-    healed = INSPECT_EXPECTED_DIVERGENT - set(div) - set(skip)
-    assert not unexpected, f"new inspect divergences: " \
-        f"{ {k: div[k] for k in sorted(unexpected)} }"
-    assert not healed, f"update INSPECT_EXPECTED_DIVERGENT: {sorted(healed)}"
-    assert len(match) >= INSPECT_MIN_MATCHES, (
-        f"{len(match)} < {INSPECT_MIN_MATCHES}; skips={skip}")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob("/root/reference/test/inspect/*.sh"))
+    assert scripts, "inspect corpus missing"
 
+    def run(path):
+        r = subprocess.run(["sh", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=120)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert not failed, f"inspect fixture failures: {failed}"
+    assert len(results) - len(failed) >= INSPECT_MIN_MATCHES
 
 # ---------------------------------------------------------------------------
 # codegen verb corpus: fixtures executed VERBATIM via a CLI shim —
