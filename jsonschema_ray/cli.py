@@ -471,6 +471,239 @@ def cmd_run(args) -> int:
 
 
 def cmd_metaschema(args) -> int:
+    """``jsonschema metaschema`` — validate schemas against their own
+    dialect's metaschema with the reference's exact failure output
+    (``src/command_metaschema.cc`` + the explaining evaluator in
+    spec/describe.py): per-file ``fail:`` blocks with messages,
+    instance positions and evaluate paths; ``--json`` emits the
+    Standard Basic document per input. ``--plan`` instead self-checks a
+    CheckPlan artifact (this engine's own format)."""
+    if getattr(args, "plan", None) or getattr(args, "schema", None):
+        return _metaschema_plan(args)
+
+    import os
+
+    from jsonschema_ray.spec.clierrors import (CLIError, NotSchemaError,
+                                               emit,
+                                               validate_http_headers)
+    from jsonschema_ray.spec.describe import (ExplainError,
+                                              explain_against_metaschema)
+    from jsonschema_ray.state.inputs import WalkOptions, walk_inputs
+
+    json_mode = getattr(args, "as_json", False)
+    result = True
+    try:
+        validate_http_headers(getattr(args, "header", None))
+        entries = walk_inputs(
+            list(getattr(args, "paths", None) or []),
+            WalkOptions(extensions=getattr(args, "extension", None),
+                        ignores=getattr(args, "ignore", None),
+                        verbose=args.verbose, debug=args.debug))
+        for entry in entries:
+            doc = entry.parsed()
+            if not isinstance(doc, (dict, bool)):
+                raise NotSchemaError(entry.path)
+            dd = getattr(args, "default_dialect", None)
+            if not dd and entry.config:
+                from jsonschema_ray.state.config import apply_to_schema
+
+                dd = apply_to_schema({}, entry.config, entry.path
+                                     ).get("$schema")
+            dialect = doc.get("$schema") if isinstance(doc, dict) \
+                else None
+            dialect = dialect if isinstance(dialect, str) else dd
+            if not dialect:
+                from jsonschema_ray.spec.clierrors import \
+                    SchemaUnknownBaseDialectError
+
+                raise SchemaUnknownBaseDialectError(filePath=entry.path)
+            if "://" not in dialect:
+                from jsonschema_ray.spec.clierrors import \
+                    SchemaRelativeMetaschemaError
+
+                raise SchemaRelativeMetaschemaError(
+                    dialect, filePath=entry.path)
+
+            resources = dict(_load_resolve_docs(
+                getattr(args, "resolve", None) or [], entry.path) or {})
+            # pre-imported metaschemas carry the same frame strictness
+            # the reference applies (anchor collisions, bad $ids,
+            # invalid ref targets), with THEIR file as the context
+            for rp in getattr(args, "resolve", None) or []:
+                if not os.path.isfile(rp):
+                    continue
+                from jsonschema_ray.spec.jschema import compile_schema
+                from jsonschema_ray.state.inputs import _read_entry
+
+                rentry = _read_entry(os.path.realpath(rp))
+                try:
+                    compile_schema(rentry.parsed())
+                except CLIError as rerr:
+                    from types import SimpleNamespace
+
+                    from jsonschema_ray.spec.clierrors import \
+                        SchemaReferenceError
+
+                    if isinstance(rerr, SchemaReferenceError):
+                        # frame-reference failures attribute to the
+                        # SCHEMA under validation, with the resolved
+                        # identifier qualified by the metaschema's id
+                        rdoc = rentry.doc
+                        rid = (rdoc.get("$id") or rdoc.get("id") or ""
+                               ) if isinstance(rdoc, dict) else ""
+                        ident = rerr.fields.get("identifier", "")
+                        qual = SchemaReferenceError(
+                            f"{rid.rstrip('#')}{ident}",
+                            rerr.fields.get("location", ""),
+                            filePath=entry.path)
+                        qual.hint = rerr.hint
+                        raise qual from rerr
+                    raise _stamp_fmt_error(
+                        rerr, SimpleNamespace(
+                            text=rentry.text, path=rentry.path)) from rerr
+            for r_uri, r_target in ((entry.config or {}).get("resolve")
+                                    or {}).items():
+                tfile = r_target.replace("file://", "", 1)
+                if os.path.isfile(tfile):
+                    try:
+                        resources[r_uri.rstrip("#")] = _load_schema_doc(
+                            tfile, configured=False)
+                    except Exception:   # noqa: BLE001 — broken remap
+                        pass
+            _collect_embedded_resources(doc, resources)
+            trace_mode = getattr(args, "trace", False)
+            try:
+                from jsonschema_ray.spec.describe import Explainer
+
+                ex = Explainer(resources,
+                               assert_formats=getattr(
+                                   args, "format_assertion", False))
+                meta = ex._resolve(dialect)
+                mbase = (meta.get("$id") or meta.get("id") or dialect
+                         ).rstrip("#")
+                ok, errs = ex.validate(meta, doc, mbase,
+                                       trace=trace_mode)
+                tevents = ex._trace if trace_mode else None
+            except ExplainError as exc:
+                from jsonschema_ray.spec.clierrors import \
+                    SchemaResolutionError
+
+                raise SchemaResolutionError(
+                    dialect, filePath=entry.path) from exc
+
+            from jsonschema_ray.spec.positions import (
+                pointer_positions, yaml_pointer_positions)
+
+            try:
+                spans = yaml_pointer_positions(entry.text) if entry.yaml \
+                    else pointer_positions(entry.text)
+            except Exception:   # noqa: BLE001 — positions best-effort
+                spans = {}
+
+            if trace_mode:
+                sys.stdout.write(_render_trace(tevents, spans, dialect))
+                if not ok:
+                    result = False
+            elif json_mode:
+                print(entry.path, file=sys.stderr)
+                from jsonschema_ray.spec.format import prettify_json
+
+                obj = {"valid": ok}
+                if ok:
+                    annos = ex.annotations()
+                    for a in annos:
+                        span = spans.get(a["instanceLocation"])
+                        if span:
+                            a["instancePosition"] = list(span)
+                        a["annotation"] = a.pop("annotation")
+                    if annos:
+                        obj["annotations"] = [
+                            {"keywordLocation": a["keywordLocation"],
+                             "absoluteKeywordLocation":
+                                 a["absoluteKeywordLocation"],
+                             "instanceLocation": a["instanceLocation"],
+                             **({"instancePosition":
+                                 a["instancePosition"]}
+                                if "instancePosition" in a else {}),
+                             "annotation": a["annotation"]}
+                            for a in annos]
+                else:
+                    obj["errors"] = [_std_error(e, spans) for e in errs]
+                print(prettify_json(obj))
+                if not ok:
+                    result = False
+            elif ok:
+                if args.verbose or args.debug:
+                    print(f"ok: {entry.path}\n  matches {dialect}",
+                          file=sys.stderr)
+            else:
+                print(f"fail: {entry.path}", file=sys.stderr)
+                sys.stderr.write(_render_failure(errs, spans))
+                result = False
+    except CLIError as err:
+        return emit(err, json_mode=json_mode)
+    return EXIT_OK if result else EXIT_VALIDATION
+
+
+def _collect_embedded_resources(doc, resources: dict) -> None:
+    """Register every $id-bearing subtree so a document's own embedded
+    metaschema resolves (pass_bundled_metaschema.sh)."""
+    if isinstance(doc, dict):
+        did = doc.get("$id")
+        if isinstance(did, str) and "://" in did:
+            resources.setdefault(did.rstrip("#"), doc)
+        for v in doc.values():
+            _collect_embedded_resources(v, resources)
+    elif isinstance(doc, list):
+        for v in doc:
+            _collect_embedded_resources(v, resources)
+
+
+def _render_failure(errs, spans) -> str:
+    """The reference's SimpleOutput text block (src/utils.h print)."""
+    out = "error: Schema validation failure\n"
+    for e in errs:
+        out += f"  {e.message}\n"
+        out += f'    at instance location "{e.instance_location}"'
+        span = spans.get(e.instance_location)
+        if span:
+            out += f" (line {span[0]}, column {span[1]})"
+        out += "\n"
+        out += f'    at evaluate path "{e.evaluate_path}"\n'
+    return out
+
+
+def _render_trace(events, spans, dialect: str) -> str:
+    """The reference's --trace stream (output_trace.cc): one block per
+    instruction push/pass/fail with positions and keyword/vocabulary
+    locations."""
+    blocks = []
+    for kind, ep, iptr, name, absloc in events:
+        arrow = "->" if kind == "push" else "<-"
+        b = f'{arrow} ({kind}) "{ep}" ({name})\n'
+        b += f'   at instance location "{iptr}"'
+        span = spans.get(iptr)
+        if span:
+            b += f" (line {span[0]}, column {span[1]})"
+        b += "\n"
+        b += f'   at keyword location "{absloc}"\n'
+        b += f'   at vocabulary "{dialect}"\n'
+        blocks.append(b)
+    return "\n".join(blocks)
+
+
+def _std_error(e, spans) -> dict:
+    obj = {"keywordLocation": e.evaluate_path,
+           "absoluteKeywordLocation": e.schema_location,
+           "instanceLocation": e.instance_location}
+    span = spans.get(e.instance_location)
+    if span:
+        obj["instancePosition"] = list(span)
+    obj["error"] = e.message
+    return obj
+
+
+def _metaschema_plan(args) -> int:
     """Plan self-check (the ``jsonschema metaschema`` analog: validate
     the schema artifact itself): structural validation + compile every
     kernel + cross-check compiled kernels against the independent
@@ -2436,8 +2669,23 @@ def build_parser() -> argparse.ArgumentParser:
     rdf.set_defaults(fn=cmd_rdf)
 
     m = sub.add_parser("metaschema")
-    m.add_argument("plan", nargs="?", default="default")
-    m.add_argument("--schema")
+    m.add_argument("paths", nargs="*", default=[],
+                   help="schema files, directories, or - (stdin)")
+    m.add_argument("--plan", default=None,
+                   help="self-check a CheckPlan artifact instead")
+    m.add_argument("--schema", default=None,
+                   help=argparse.SUPPRESS)   # legacy plan-mode flag
+    m.add_argument("-d", "--default-dialect")
+    m.add_argument("-r", "--resolve", action="append", default=[])
+    m.add_argument("-j", "--json", action="store_true", dest="as_json")
+    m.add_argument("-v", "--verbose", action="store_true")
+    m.add_argument("-g", "--debug", action="store_true")
+    m.add_argument("-e", "--extension", action="append", default=[])
+    m.add_argument("--ignore", action="append", default=[])
+    m.add_argument("-F", "--format-assertion", action="store_true",
+                   dest="format_assertion")
+    m.add_argument("-t", "--trace", action="store_true")
+    m.add_argument("-H", "--header", action="append", default=[])
     m.set_defaults(fn=cmd_metaschema)
 
     u = sub.add_parser("upgrade")

@@ -234,6 +234,21 @@ class SchemaRelativeMetaschemaError(CLIError):
                          identifier=identifier, **fields)
 
 
+class SchemaReferenceError(CLIError):
+    """A reference that resolves through a non-schema position
+    (CompilerReferenceTargetNotSchemaError)."""
+
+    exit_code = EXIT_SCHEMA_INPUT
+    hint = ("Are you sure the reported location is a valid JSON Schema "
+            "keyword in this dialect?")
+
+    def __init__(self, identifier: str, location: str, **fields):
+        super().__init__("The referenced schema is not considered to be "
+                         "a valid subschema given the dialect and "
+                         "vocabularies in use", identifier=identifier,
+                         **fields, location=location)
+
+
 class CodegenUnsupportedError(CLIError):
     """Unsupported construct for code generation (exit 3): keyword +
     document location (the reference's Codegen*Error family)."""

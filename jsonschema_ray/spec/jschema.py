@@ -398,9 +398,19 @@ def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
             raise KeyError(f"unresolvable $ref pointer: {frag!r}")
         spec = _SUBSCHEMA_KW.get(kw)
         if spec is None or not (spec[1] <= ver <= spec[2]):
-            raise ValueError(
-                f"$ref target is not a valid subschema under this "
-                f"dialect: {kw!r} in {frag!r} (dialect {ver})")
+            from jsonschema_ray.spec.clierrors import SchemaReferenceError
+
+            loc = "".join(
+                "/" + t.replace("~", "~0").replace("/", "~1")
+                for t in toks[:i + 1])
+            err = SchemaReferenceError(f"#{frag}", loc)
+            if kw == "$defs" and ver <= 7:
+                err.hint = ("Maybe you meant to use `definitions` "
+                            "instead of `$defs` in this dialect?")
+            elif kw == "definitions" and ver >= 2019:
+                err.hint = ("Maybe you meant to use `$defs` instead of "
+                            "`definitions` in this dialect?")
+            raise err
         shape = spec[0]
         val = node.get(kw)
         if shape == "items":

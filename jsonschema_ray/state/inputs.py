@@ -238,6 +238,10 @@ def walk_inputs(paths: list[str], opts: WalkOptions | None = None
         merge_config_ignore(cfg, cfg_path)
         extensions = resolve_extensions(opts.extensions, cfg,
                                         verbose=opts.verbose, log=log)
+        if not os.path.isdir(scan):
+            # a configured path that does not exist (extension lines
+            # print first — fail_config_path_enoent.sh)
+            raise NoSuchFileError(os.path.realpath(scan))
         entries = scan_dir(scan, extensions)
         for e in entries:
             e.config, e.config_path = cfg, cfg_path

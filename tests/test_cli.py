@@ -34,7 +34,7 @@ def test_lint_and_metaschema_on_good_plan():
     r = run_cli("lint", "rules/default_plan.json")
     assert r.returncode == 0
     assert json.loads(r.stdout)["health"] == 100.0
-    r = run_cli("metaschema", "rules/default_plan.json")
+    r = run_cli("metaschema", "--plan", "rules/default_plan.json")
     assert r.returncode == 0
 
 
@@ -53,7 +53,7 @@ def test_lint_catches_bad_plan(tmp_path):
     assert "unknown op" in r.stderr
     assert "duplicate rule_id" in r.stderr
     assert "bad regex" in r.stderr
-    r = run_cli("metaschema", str(p))
+    r = run_cli("metaschema", "--plan", str(p))
     assert r.returncode == 2
 
 
