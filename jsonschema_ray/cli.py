@@ -170,7 +170,8 @@ def cmd_compile(args) -> int:
     return EXIT_OK
 
 
-def _load_resolve_docs(paths, schema_path: str) -> dict | None:
+def _load_resolve_docs(paths, schema_path: str,
+                       debug: bool = False) -> dict | None:
     """``--resolve FILE`` pre-imports (reference ``src/resolver.h``):
     each file registers under its declared ``$id``/legacy ``id`` (via
     the compile-time mount) AND under its path relative to the
@@ -189,17 +190,38 @@ def _load_resolve_docs(paths, schema_path: str) -> dict | None:
                 expanded.extend(os.path.join(dirpath, n)
                                 for n in sorted(names)
                                 if n.endswith((".json", ".yaml", ".yml")))
+        elif not os.path.exists(p):
+            from jsonschema_ray.spec.clierrors import NoSuchFileError
+
+            raise NoSuchFileError(os.path.realpath(p))
         else:
             expanded.append(p)
     for p in expanded:
-        doc = _load_schema_doc(p, configured=False)
+        if debug:
+            print(f"debug: Detecting schema resources from file: "
+                  f"{os.path.realpath(p)}", file=sys.stderr)
+        try:
+            doc = _load_schema_doc(p, configured=False)
+        except json.JSONDecodeError as exc:
+            from jsonschema_ray.spec.clierrors import JSONParseError
+
+            raise JSONParseError(exc.lineno, exc.colno,
+                                 filePath=os.path.realpath(p)) from exc
         rel = os.path.relpath(os.path.abspath(p), base)
         out[rel] = doc
         out["./" + rel] = doc
+        out[f"file://{os.path.realpath(p)}"] = doc
+        if debug:
+            print(f"debug: Importing schema into the resolution "
+                  f"context: file://{os.path.realpath(p)}",
+                  file=sys.stderr)
         if isinstance(doc, dict):
             did = doc.get("$id") or doc.get("id")
             if isinstance(did, str):
                 out.setdefault(did, doc)
+                if debug:
+                    print(f"debug: Importing schema into the "
+                          f"resolution context: {did}", file=sys.stderr)
     return out
 
 
@@ -210,25 +232,77 @@ def cmd_validate(args) -> int:
 
     from jsonschema_ray.pipelines.validate import fast_validate, validate
 
-    # reference positional UX: `validate <schema.json> <instance...>`
-    # — when the first positional is a schema DOCUMENT file and no
-    # plan/dataset flags are in play, route to single-instance mode
-    if (len(args.inputs or []) >= 2 and not getattr(args, "schema", None)
+    # reference positional UX: `validate <schema> <instance...>` — when
+    # the first positional is a schema DOCUMENT (file, any readable
+    # JSON/YAML, or stdin) and no plan/dataset flags are in play, the
+    # full reference single-document driver runs (spec/validate_cli.py)
+    inputs = list(args.inputs or [])
+    ref_mode = False
+    if (not getattr(args, "schema", None)
             and not getattr(args, "instance", None)
             and getattr(args, "plan", "default") in (None, "default")
-            and not getattr(args, "catalog", None)
-            and args.inputs[0].endswith((".json", ".yaml", ".yml"))
-            and os.path.isfile(args.inputs[0])):
-        try:
-            head = _load_schema_doc(args.inputs[0], configured=False)
-        except Exception:  # noqa: BLE001 — not a schema doc: dataset mode
-            head = None
-        if isinstance(head, bool) or (
-                isinstance(head, dict)
-                and ("$schema" in head or "$id" in head or "id" in head)):
-            args.schema = args.inputs[0]
-            args.instance = args.inputs[1:]
-            args.inputs = []
+            and not getattr(args, "catalog", None) and inputs):
+        first = inputs[0]
+        if first == "-":
+            ref_mode = True
+        elif not inputs:
+            ref_mode = False
+        elif not os.path.exists(first) and first.endswith(
+                (".json", ".yaml", ".yml")):
+            ref_mode = True
+        elif os.path.isdir(first):
+            ref_mode = True
+        elif os.path.isfile(first) and not first.endswith(
+                (".parquet", ".jsonl", ".gz", ".lance")):
+            try:
+                from jsonschema_ray.state.inputs import _read_entry
+
+                head = _read_entry(os.path.realpath(first)).parsed()
+                ref_mode = isinstance(head, (dict, bool))
+            except Exception:  # noqa: BLE001 — dataset mode
+                ref_mode = False
+    if not inputs and not getattr(args, "schema", None) \
+            and not getattr(args, "instance", None) \
+            and getattr(args, "plan", "default") in (None, "default") \
+            and not getattr(args, "catalog", None):
+        # bare `validate` → reference positional error (exit 5)
+        ref_mode = True
+    if ref_mode:
+        import argparse as _ap
+
+        from jsonschema_ray.spec.clierrors import CLIArgumentError, emit
+        from jsonschema_ray.spec.validate_cli import \
+            run_reference_validate
+
+        if not inputs:
+            err = CLIArgumentError(
+                "This command expects a path to a schema and a path to "
+                "an\ninstance to validate against the schema")
+            err.hint = ("For example: jsonschema validate "
+                        "path/to/schema.json path/to/instance.json")
+            return emit(err, json_mode=getattr(args, "json", False))
+        ns = _ap.Namespace(
+            schema_arg=inputs[0], instances=inputs[1:],
+            as_json=getattr(args, "json", False)
+            or getattr(args, "json_short", False),
+            fast=getattr(args, "fast", False)
+            or getattr(args, "fast_short", False),
+            benchmark=getattr(args, "benchmark", False),
+            trace=getattr(args, "trace", 0) == -1,
+            continue_=getattr(args, "cont", False),
+            loop=getattr(args, "loop", None),
+            entrypoint=(getattr(args, "entrypoint", "") or
+                        getattr(args, "entrypoint_short", None)) or None,
+            template=getattr(args, "template", None),
+            resolve=getattr(args, "resolve", None),
+            default_dialect=getattr(args, "default_dialect", None),
+            extension=getattr(args, "extension", None),
+            ignore=getattr(args, "ignore", None),
+            format_assertion=getattr(args, "format_assertion", False),
+            verbose=getattr(args, "verbose", False),
+            debug=getattr(args, "debug", False),
+            header=getattr(args, "header", None))
+        return run_reference_validate(ns)
 
     if getattr(args, "instance", None):
         # single-instance mode — the reference's flagship UX
@@ -2543,9 +2617,24 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--only")
     v.add_argument("--exclude")
     v.add_argument("--limit", type=int, default=20)
-    v.add_argument("--trace", type=int, default=0,
-                   help="print per-(doc,rule,span) outcome rows for the "
-                        "first N docs (annotation/trace analog)")
+    v.add_argument("-t", "--trace", type=int, nargs="?", const=-1,
+                   default=0,
+                   help="reference mode: instruction trace (bare flag); "
+                        "dataset mode: per-(doc,rule,span) outcome rows "
+                        "for the first N docs")
+    v.add_argument("-b", "--benchmark", action="store_true")
+    v.add_argument("--loop", default=None)
+    v.add_argument("--template", default=None)
+    v.add_argument("-e", dest="entrypoint_short", default=None,
+                   help=argparse.SUPPRESS)
+    v.add_argument("-d", "--default-dialect", default=None)
+    v.add_argument("-v", "--verbose", action="store_true")
+    v.add_argument("-g", "--debug", action="store_true")
+    v.add_argument("-f", dest="fast_short", action="store_true",
+                   help=argparse.SUPPRESS)
+    v.add_argument("-j", dest="json_short", action="store_true",
+                   help=argparse.SUPPRESS)
+    v.add_argument("-H", "--header", action="append", default=[])
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--extension", action="append", default=[],
                    help="when an input is a directory, only scan files "
@@ -2560,12 +2649,6 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--fail-fast", action="store_true",
                    help="stop at the first violations instead of an "
                         "exhaustive report (streaming early-exit)")
-    v.add_argument("--benchmark", action="store_true",
-                   help="single-instance mode: time the validation in a "
-                        "loop and print 'PATH: PASS|FAIL avg +- stdev us "
-                        "(overhead)' (reference command_validate.cc:83-133)")
-    v.add_argument("--loop", type=int, default=1,
-                   help="iterations for --benchmark (default 1)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("run")
@@ -2823,7 +2906,24 @@ def main(argv: list[str] | None = None) -> int:
 
         print(__version__)
         return EXIT_OK
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args, extras = parser.parse_known_args(argv)
+    if extras:
+        # argparse cannot resume positionals after optionals
+        # (`validate schema --resolve dir instance`): fold trailing
+        # non-flag tokens back into the positional list
+        leftover_ok = all(not e.startswith("-") or e == "-"
+                          for e in extras)
+        bucket = None
+        for name in ("inputs", "paths", "instances"):
+            if hasattr(args, name) and isinstance(
+                    getattr(args, name), list):
+                bucket = name
+                break
+        if leftover_ok and bucket:
+            getattr(args, bucket).extend(extras)
+        else:
+            parser.parse_args(argv)   # reproduce the standard error
     try:
         return args.fn(args)
     except FileNotFoundError as e:

@@ -34,6 +34,8 @@ _LABELS = {
     "location": "location",
     "otherLocation": "other location",
     "entry": "entry",
+    "regex": "regex",
+    "base uri": "base uri",
 }
 _QUOTED = {"location", "otherLocation"}
 

@@ -147,7 +147,12 @@ class Explainer:
 
     def validate(self, schema: Any, instance: Any,
                  base_uri: str = "",
-                 trace: bool = False) -> tuple[bool, list[Entry]]:
+                 trace: bool = False,
+                 default_dialect: str | None = None,
+                 lex_prefix: str = ""
+                 ) -> tuple[bool, list[Entry]]:
+        self._default_dialect = default_dialect
+        self._lex_prefix = lex_prefix
         self._trace = [] if trace else None
         self._annos: list[tuple[str, str, Any]] = []   # (ep, iptr, value)
         # pre-2019 dialects have no annotation machinery (the blaze
@@ -155,8 +160,11 @@ class Explainer:
         # aware dialects) — fail_directory_json.sh: draft-04 validity
         # reports carry no annotations
         ds = schema.get("$schema") if isinstance(schema, dict) else None
+        if not isinstance(ds, str):
+            ds = default_dialect
         self._annotations_enabled = bool(
             isinstance(ds, str) and ("2019-09" in ds or "2020-12" in ds))
+        self._ver = _dialect_ver_of(ds)
         out: list[Entry] = []
         scopes: list[tuple[str, Any]] = []   # (base uri, resource doc)
         self._root_base = base_uri
@@ -190,7 +198,8 @@ class Explainer:
             self._annos.append((ep, iptr, value))
 
     def _abs_for(self, ep: str) -> str:
-        best = ("", self._root_base, "")
+        best = ("", self._root_base,
+                getattr(self, "_lex_prefix", ""))
         for prefix, uri, tptr in self._ref_frames:
             if ep.startswith(prefix + "/") and len(prefix) >= len(best[0]):
                 best = (prefix, uri, tptr)
@@ -211,9 +220,10 @@ class Explainer:
         if sch is True or sch == {}:
             return True
         if sch is False:
-            out.append(Entry(
-                "No instance is expected to succeed against the false "
-                "schema", iptr, epath))
+            if epath:   # a top-level false schema reports no entries
+                out.append(Entry(
+                    "No instance is expected to succeed against the "
+                    "false schema", iptr, epath))
             return False
         if not isinstance(sch, dict):
             raise ExplainError("subschema is not a schema")
@@ -233,10 +243,31 @@ class Explainer:
     def _eval_keywords(self, sch: dict, base: str, inst: Any, iptr: str,
                        epath: str, out: list[Entry],
                        scopes: list) -> bool:
+        prev_ver = getattr(self, "_ver", 2020)
+        prev_fmt = self.assert_formats
+        ds = sch.get("$schema")
+        if isinstance(ds, str):
+            self._ver = _dialect_ver_of(ds)
+        if isinstance(sch.get("x-format-assertion"), bool):
+            # per-subtree format-assertion opt-in/out
+            # (docs/validate.markdown:53-61)
+            self.assert_formats = sch["x-format-assertion"]
+        try:
+            return self._eval_keywords_inner(sch, base, inst, iptr,
+                                             epath, out, scopes)
+        finally:
+            self._ver = prev_ver
+            self.assert_formats = prev_fmt
+
+    def _eval_keywords_inner(self, sch: dict, base: str, inst: Any,
+                             iptr: str, epath: str, out: list[Entry],
+                             scopes: list) -> bool:
         ok = True
         tn = _type_name(inst)
-        for akw in ("title", "description", "default", "deprecated",
-                    "readOnly", "writeOnly", "examples"):
+        # annotation instructions precede assertions in the template,
+        # alphabetical (pass_verbose.sh emission order)
+        for akw in ("default", "deprecated", "description", "examples",
+                    "readOnly", "title", "writeOnly"):
             if akw in sch:
                 self._annotate(f"{epath}/{akw}", iptr, sch[akw])
         if isinstance(sch.get("format"), str) and isinstance(inst, str) \
@@ -247,6 +278,8 @@ class Explainer:
             out.append(Entry(msg, ip, ep))
 
         # $ref family evaluates first (draft<=7: $ref ignores siblings)
+        ref_only = getattr(self, "_ver", 2020) <= 7 \
+            and isinstance(sch.get("$ref"), str)
         for kw in ("$ref", "$recursiveRef", "$dynamicRef"):
             v = sch.get(kw)
             if not isinstance(v, str):
@@ -263,6 +296,8 @@ class Explainer:
                     fail(f"The {tn} value was expected to validate "
                          f"against the referenced schema", ep)
                     return False
+                if ref_only:
+                    return ok
             else:
                 anchor = v.lstrip("#")
                 target, tbase, tptr = self._dynamic_target(anchor, scopes,
@@ -362,7 +397,9 @@ class Explainer:
 
         def match(t):
             return (t == tn or (t == "number" and tn == "integer")
-                    or (t == "integer" and isinstance(inst, float)
+                    or (t == "integer"
+                        and getattr(self, "_ver", 2020) >= 6
+                        and isinstance(inst, float)
                         and not isinstance(inst, bool)
                         and inst.is_integer()))
 
@@ -507,7 +544,16 @@ class Explainer:
         if not isinstance(inst, dict):
             return True
         ok = True
-        for name in inst:            # LoopPropertiesMatch: instance order
+        fused0 = all(isinstance(p, dict) and set(p) <= {"type"}
+                     and isinstance(p.get("type"), str)
+                     for p in v.values())
+        # flattened simple-type properties evaluate as individual
+        # instructions in template (alphabetical) order; the hashed
+        # loop iterates instance members (pass_directory_verbose.sh
+        # vs metaschema pass_json.sh)
+        names = sorted(n for n in v if n in inst) if fused0 \
+            else [n for n in inst if n in v]
+        for name in names:
             sub = v.get(name)
             if sub is None:
                 continue
@@ -520,8 +566,18 @@ class Explainer:
         if ok:
             return True
         n = len(v)
-        tail = (f"the {n} defined properties subschemas" if n > 1
-                else "the single defined property subschema")
+        fused = all(isinstance(p, dict) and set(p) <= {"type"}
+                    and isinstance(p.get("type"), str)
+                    for p in v.values())
+        if n == 1:
+            tail = "the single defined property subschema"
+        elif fused:
+            # simple per-property type checks are flattened by the
+            # optimizer; the wrapper cannot count them
+            # (describe.cc LogicalWhenType-properties)
+            tail = "the defined properties subschemas"
+        else:
+            tail = f"the {n} defined properties subschemas"
         out.append(Entry(
             f"The object value was expected to validate against {tail}",
             iptr, ep))
@@ -698,14 +754,15 @@ class Explainer:
                 return True
             out.append(Entry(
                 f"The {_type_name(inst)} value {_stringify(inst)} was "
-                f"expected to be greater than {_stringify(v)}", iptr, ep))
+                f"expected to be greater than the "
+                f"{_type_name(v)} {_stringify(v)}", iptr, ep))
             return False
         if inst >= v:
             return True
         out.append(Entry(
             f"The {_type_name(inst)} value {_stringify(inst)} was "
-            f"expected to be greater than or equal to {_stringify(v)}",
-            iptr, ep))
+            f"expected to be greater than or equal to the "
+            f"{_type_name(v)} {_stringify(v)}", iptr, ep))
         return False
 
     def _kw_maximum(self, v, sch, base, inst, iptr, ep, out,
@@ -717,14 +774,15 @@ class Explainer:
                 return True
             out.append(Entry(
                 f"The {_type_name(inst)} value {_stringify(inst)} was "
-                f"expected to be less than {_stringify(v)}", iptr, ep))
+                f"expected to be less than the "
+                f"{_type_name(v)} {_stringify(v)}", iptr, ep))
             return False
         if inst <= v:
             return True
         out.append(Entry(
             f"The {_type_name(inst)} value {_stringify(inst)} was "
-            f"expected to be less than or equal to {_stringify(v)}",
-            iptr, ep))
+            f"expected to be less than or equal to the "
+            f"{_type_name(v)} {_stringify(v)}", iptr, ep))
         return False
 
     def _kw_exclusiveMinimum(self, v, sch, base, inst, iptr, ep, out,
@@ -736,7 +794,8 @@ class Explainer:
             return True
         out.append(Entry(
             f"The {_type_name(inst)} value {_stringify(inst)} was "
-            f"expected to be greater than {_stringify(v)}", iptr, ep))
+            f"expected to be greater than the "
+            f"{_type_name(v)} {_stringify(v)}", iptr, ep))
         return False
 
     def _kw_exclusiveMaximum(self, v, sch, base, inst, iptr, ep, out,
@@ -748,7 +807,8 @@ class Explainer:
             return True
         out.append(Entry(
             f"The {_type_name(inst)} value {_stringify(inst)} was "
-            f"expected to be less than {_stringify(v)}", iptr, ep))
+            f"expected to be less than the "
+            f"{_type_name(v)} {_stringify(v)}", iptr, ep))
         return False
 
     def _kw_multipleOf(self, v, sch, base, inst, iptr, ep, out,
@@ -887,6 +947,17 @@ class Explainer:
             f"The string value {_escape(inst)} was expected to "
             f"represent a valid {name}", iptr, ep))
         return False
+
+
+def _dialect_ver_of(ds) -> int:
+    if not isinstance(ds, str):
+        return 2020
+    for tag, v in (("2020-12", 2020), ("2019-09", 2019),
+                   ("draft-07", 7), ("draft-06", 6), ("draft-04", 4),
+                   ("draft-03", 3)):
+        if tag in ds:
+            return v
+    return 2020
 
 
 def _json_equal(a: Any, b: Any) -> bool:

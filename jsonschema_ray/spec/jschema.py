@@ -333,7 +333,14 @@ def resolve_ref_target(idx: _DocIndex, ref: str, from_ptr: str = "") -> str:
     if ptr is None:  # legacy fallback: anchor from any resource
         ptr = idx.any_anchor.get(frag)
     if ptr is None:
-        raise ValueError(f"unresolvable $ref anchor: {ref!r}")
+        from jsonschema_ray.spec.clierrors import EXIT_SCHEMA_INPUT
+        from jsonschema_ray.spec.clierrors import CLIError as _CE
+
+        _err = _CE("Could not resolve schema reference",
+                   identifier=ref,
+                   location=f"{from_ptr}/$ref")
+        _err.exit_code = EXIT_SCHEMA_INPUT
+        raise _err
     return ptr
 
 
@@ -395,7 +402,14 @@ def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
                 f"at {toks[i]!r}")
         kw = toks[i]
         if kw not in node:
-            raise KeyError(f"unresolvable $ref pointer: {frag!r}")
+            from jsonschema_ray.spec.clierrors import (
+                EXIT_SCHEMA_INPUT, CLIError as _CE)
+
+            _err = _CE("Could not resolve schema reference",
+                       identifier=f"#{frag}",
+                       location="")
+            _err.exit_code = EXIT_SCHEMA_INPUT
+            raise _err
         spec = _SUBSCHEMA_KW.get(kw)
         if spec is None or not (spec[1] <= ver <= spec[2]):
             from jsonschema_ray.spec.clierrors import SchemaReferenceError

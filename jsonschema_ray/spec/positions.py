@@ -116,20 +116,51 @@ def yaml_pointer_positions(text: str) -> dict[str, Span]:
     if node is None:
         return out
 
-    def mark_lc(mark, *, exclusive_end: bool = False):
-        line, col = mark.line + 1, mark.column + 1
-        if exclusive_end:
-            col -= 1
-            if col < 1:
-                line, col = line - 1, 1
-        return line, col
+    def mark_lc(mark, *, end: bool = False):
+        if end:
+            # the reference's yaml tracker reports the raw end mark
+            # (line+1, column) — validate fail_stdin_yaml_input.sh
+            return mark.line + 1, mark.column
+        return mark.line + 1, mark.column + 1
 
     def walk(n, pointer: str, start=None) -> None:
         s = start or mark_lc(n.start_mark)
-        e = mark_lc(n.end_mark, exclusive_end=True)
+        e = mark_lc(n.end_mark, end=True)
         out[pointer] = (*s, *e)
         import yaml as _y
 
+        if isinstance(n, _y.MappingNode):
+            for k, v in n.value:
+                key = str(k.value)
+                child = pointer + "/" + (
+                    key.replace("~", "~0").replace("/", "~1"))
+                walk(v, child, start=mark_lc(k.start_mark))
+        elif isinstance(n, _y.SequenceNode):
+            for i, v in enumerate(n.value):
+                walk(v, f"{pointer}/{i}")
+
+    walk(node, "")
+    return out
+
+
+def yaml_node_positions(node) -> dict[str, Span]:
+    """Span map for one already-composed YAML node (multi-document
+    instances: marks are file-relative)."""
+    import yaml as _y
+
+    out: dict[str, Span] = {}
+    if node is None:
+        return out
+
+    def mark_lc(mark, *, end: bool = False):
+        if end:
+            return mark.line + 1, mark.column
+        return mark.line + 1, mark.column + 1
+
+    def walk(n, pointer: str, start=None) -> None:
+        s = start or mark_lc(n.start_mark)
+        e = mark_lc(n.end_mark, end=True)
+        out[pointer] = (*s, *e)
         if isinstance(n, _y.MappingNode):
             for k, v in n.value:
                 key = str(k.value)

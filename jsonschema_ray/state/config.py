@@ -39,12 +39,46 @@ def find_configuration(start: str) -> str | None:
         cur = parent
 
 
+def _cfg_error(cfg_path: str, text: str, message: str, loc: str):
+    from jsonschema_ray.spec.clierrors import EXIT_OTHER_INPUT, CLIError
+
+    line = column = None
+    try:
+        from jsonschema_ray.spec.positions import pointer_positions
+
+        span = pointer_positions(text).get(loc)
+        if span:
+            line, column = span[0], span[1]
+    except Exception:   # noqa: BLE001 — position is best-effort
+        pass
+    err = CLIError(message, line=line, column=column,
+                   filePath=os.path.realpath(cfg_path), location=loc)
+    err.exit_code = EXIT_OTHER_INPUT
+    return err
+
+
 def load_configuration(cfg_path: str) -> dict:
     """Parse + normalize: ``resolve`` values and ``ignore`` entries
     become absolute paths (relative to the config's directory);
-    ``extension`` is always a list."""
+    ``extension`` is always a list. Shape violations reject with the
+    reference's typed configuration errors (exit 6)."""
     with open(cfg_path) as f:
-        cfg = json.load(f)
+        text = f.read()
+    cfg = json.loads(text)
+    if isinstance(cfg, dict):
+        dd = cfg.get("defaultDialect")
+        if dd is not None and not isinstance(dd, str):
+            raise _cfg_error(cfg_path, text, "The defaultDialect "
+                             "property must be a string",
+                             "/defaultDialect")
+        res = cfg.get("resolve")
+        if res is not None and not isinstance(res, dict):
+            raise _cfg_error(cfg_path, text, "The resolve property "
+                             "must be an object", "/resolve")
+        pth = cfg.get("path")
+        if pth is not None and not isinstance(pth, str):
+            raise _cfg_error(cfg_path, text, "The path property must "
+                             "be a string", "/path")
     base = os.path.dirname(os.path.abspath(cfg_path))
     out = dict(cfg)
     out["_dir"] = base

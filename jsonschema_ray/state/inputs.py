@@ -176,7 +176,7 @@ def walk_inputs(paths: list[str], opts: WalkOptions | None = None
     blacklist = [os.path.realpath(i) for i in (opts.ignores or [])]
     for i in sorted(blacklist):
         if opts.verbose:
-            print(f"Ignoring path: {i}", file=log)
+            print(f'Ignoring path: "{i}"', file=log)
 
     def merge_config_ignore(cfg: dict | None, cfg_path: str | None):
         for ig in (cfg or {}).get("ignore") or []:
