@@ -143,8 +143,28 @@ def _ensure_ray(num_cpus: int | None) -> None:
 # ---------------------------------------------------------------------------
 
 def cmd_compile(args) -> int:
-    """Rule specs → canonical serialized CheckPlan (the analog of
-    ``jsonschema compile`` producing a reusable Template)."""
+    """Rule specs → canonical serialized CheckPlan, or (reference UX)
+    a JSON Schema DOCUMENT → reusable template consumed by
+    ``validate --template`` (``src/command_compile.cc``)."""
+    import os as _os
+
+    rules_arg = getattr(args, "rules", None)
+    if rules_arg and rules_arg != "default" \
+            and not getattr(args, "schema", None) \
+            and _os.path.isfile(rules_arg):
+        try:
+            from jsonschema_ray.state.inputs import _read_entry
+
+            head = _read_entry(_os.path.realpath(rules_arg)).parsed()
+        except Exception:   # noqa: BLE001 — plan mode
+            head = None
+        if isinstance(head, bool) or (isinstance(head, dict)
+                                      and "rules" not in head):
+            # reference mode: emit a reusable template document
+            template = {"$comment": "jsonschema-ray template",
+                        "version": 1, "schema": head}
+            print(json.dumps(template, indent=2))
+            return EXIT_OK
     if getattr(args, "schema", None):
         from jsonschema_ray.spec.jschema import schema_to_plan
 
@@ -171,7 +191,8 @@ def cmd_compile(args) -> int:
 
 
 def _load_resolve_docs(paths, schema_path: str,
-                       debug: bool = False) -> dict | None:
+                       debug: bool = False,
+                       extensions: list | None = None) -> dict | None:
     """``--resolve FILE`` pre-imports (reference ``src/resolver.h``):
     each file registers under its declared ``$id``/legacy ``id`` (via
     the compile-time mount) AND under its path relative to the
@@ -186,10 +207,11 @@ def _load_resolve_docs(paths, schema_path: str,
     expanded = []
     for p in paths:
         if os.path.isdir(p):
+            exts = tuple(extensions or (".json", ".yaml", ".yml"))
             for dirpath, _dirs, names in os.walk(p):
                 expanded.extend(os.path.join(dirpath, n)
                                 for n in sorted(names)
-                                if n.endswith((".json", ".yaml", ".yml")))
+                                if n.endswith(exts))
         elif not os.path.exists(p):
             from jsonschema_ray.spec.clierrors import NoSuchFileError
 
@@ -247,8 +269,9 @@ def cmd_validate(args) -> int:
             ref_mode = True
         elif not inputs:
             ref_mode = False
-        elif not os.path.exists(first) and first.endswith(
-                (".json", ".yaml", ".yml")):
+        elif first.endswith((".json", ".yaml", ".yml")):
+            # schema documents (even unreadable ones: the reference
+            # driver owns the parse error UX)
             ref_mode = True
         elif os.path.isdir(first):
             ref_mode = True
@@ -626,6 +649,10 @@ def cmd_metaschema(args) -> int:
                         rid = (rdoc.get("$id") or rdoc.get("id") or ""
                                ) if isinstance(rdoc, dict) else ""
                         ident = rerr.fields.get("identifier", "")
+                        if not ident.startswith("#"):
+                            # already absolute (the compile layer
+                            # qualifies when it knows the base)
+                            rid = ""
                         qual = SchemaReferenceError(
                             f"{rid.rstrip('#')}{ident}",
                             rerr.fields.get("location", ""),

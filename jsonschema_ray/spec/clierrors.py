@@ -36,8 +36,26 @@ _LABELS = {
     "entry": "entry",
     "regex": "regex",
     "base uri": "base uri",
+    "baseURI": "base uri",
 }
 _QUOTED = {"location", "otherLocation"}
+
+# the reference prints detail fields in one FIXED order regardless of
+# construction order (src/error.h print_exception's if-constexpr chain);
+# unknown keys keep insertion order after the known ones
+_FIELD_ORDER = ["identifier", "value", "keyword", "resolvePath", "line",
+                "column", "regex", "instanceLocation", "facet",
+                "schemaLocation", "conflictingSchemaLocation",
+                "inertOverrideLocation", "filePath", "location",
+                "otherLocation", "status", "method", "url", "baseURI"]
+_FIELD_RANK = {k: i for i, k in enumerate(_FIELD_ORDER)}
+
+
+def _ordered_fields(fields: dict) -> list:
+    known = [(k, v) for k, v in fields.items() if k in _FIELD_RANK]
+    known.sort(key=lambda kv: _FIELD_RANK[kv[0]])
+    unknown = [(k, v) for k, v in fields.items() if k not in _FIELD_RANK]
+    return known + unknown
 
 
 class CLIError(ValueError):
@@ -62,13 +80,17 @@ class CLIError(ValueError):
         clone = type(self).__new__(type(self))
         ValueError.__init__(clone, self.message)
         clone.message, clone.fields = self.message, merged
+        # instance-level overrides must survive the clone
+        for attr in ("exit_code", "hint", "labels"):
+            if attr in self.__dict__:
+                setattr(clone, attr, self.__dict__[attr])
         return clone
 
     labels: dict | None = None        # per-class label overrides
 
     def render_text(self) -> str:
         out = f"error: {self.message}\n"
-        for key, val in self.fields.items():
+        for key, val in _ordered_fields(self.fields):
             label = (self.labels or {}).get(key) or _LABELS.get(key, key)
             if key in _QUOTED:
                 out += f'  at {label} "{val}"\n'
@@ -81,7 +103,7 @@ class CLIError(ValueError):
     def render_json(self) -> str:
         from jsonschema_ray.spec.format import prettify_json
 
-        obj = {"error": self.message, **self.fields}
+        obj = {"error": self.message, **dict(_ordered_fields(self.fields))}
         return prettify_json(obj) + "\n"
 
 

@@ -162,9 +162,26 @@ class Explainer:
         ds = schema.get("$schema") if isinstance(schema, dict) else None
         if not isinstance(ds, str):
             ds = default_dialect
+        era = ds
+        for _hop in range(3):
+            if not isinstance(era, str) or "2019-09" in era \
+                    or "2020-12" in era or "draft-0" in era:
+                break
+            meta = self.resources.get(era.rstrip("#"))
+            if not isinstance(meta, dict):
+                break
+            vocab = meta.get("$vocabulary")
+            if isinstance(vocab, dict) and any(
+                    u.rstrip("#").endswith("/format-assertion")
+                    for u in vocab):
+                # declaring the format-assertion vocabulary (required
+                # OR optional) turns format into an assertion
+                self.assert_formats = True
+            era = meta.get("$schema")
         self._annotations_enabled = bool(
-            isinstance(ds, str) and ("2019-09" in ds or "2020-12" in ds))
-        self._ver = _dialect_ver_of(ds)
+            isinstance(era, str) and ("2019-09" in era
+                                      or "2020-12" in era))
+        self._ver = _dialect_ver_of(era if isinstance(era, str) else ds)
         out: list[Entry] = []
         scopes: list[tuple[str, Any]] = []   # (base uri, resource doc)
         self._root_base = base_uri
@@ -264,15 +281,6 @@ class Explainer:
                              scopes: list) -> bool:
         ok = True
         tn = _type_name(inst)
-        # annotation instructions precede assertions in the template,
-        # alphabetical (pass_verbose.sh emission order)
-        for akw in ("default", "deprecated", "description", "examples",
-                    "readOnly", "title", "writeOnly"):
-            if akw in sch:
-                self._annotate(f"{epath}/{akw}", iptr, sch[akw])
-        if isinstance(sch.get("format"), str) and isinstance(inst, str) \
-                and not self.assert_formats:
-            self._annotate(f"{epath}/format", iptr, sch["format"])
 
         def fail(msg: str, ep: str, ip: str = iptr):
             out.append(Entry(msg, ip, ep))
@@ -318,6 +326,17 @@ class Explainer:
                              f"declared a recursive anchor", ep)
                     return False
 
+        # annotation instructions sit between references and
+        # assertions in the template, alphabetical
+        # (pass_no_identifier_ref_without_resolve.sh /
+        # pass_verbose.sh emission orders)
+        for akw in ("default", "deprecated", "description", "examples",
+                    "readOnly", "title", "writeOnly"):
+            if akw in sch:
+                self._annotate(f"{epath}/{akw}", iptr, sch[akw])
+        if isinstance(sch.get("format"), str) and isinstance(inst, str) \
+                and not self.assert_formats:
+            self._annotate(f"{epath}/format", iptr, sch["format"])
         for kw in sorted(sch):
             v = sch[kw]
             ep = f"{epath}/{_esc_ptr(kw)}"

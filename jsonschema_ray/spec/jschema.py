@@ -192,7 +192,7 @@ class _DocIndex:
                         SchemaKeywordError
 
                     raise SchemaKeywordError(
-                        "The schema identifier is invalid",
+                        "The identifier is not a valid URI",
                         value=rid, keyword="$id")
                 if ver >= 2019 and "#" in rid and rid.split("#", 1)[1]:
                     raise ValueError(
@@ -248,9 +248,15 @@ class _DocIndex:
                 if isinstance(rr, str) and rr != "#":
                     # 2019-09 §8.2.4.2: the only legal value is "#"
                     # (reference rejects at frame time, exit 4)
-                    raise ValueError(
-                        f"invalid $recursiveRef (must be \"#\") at {ptr!r}: "
-                        f"{rr!r}")
+                    from jsonschema_ray.spec.clierrors import (
+                        EXIT_SCHEMA_INPUT, CLIError as _CE)
+
+                    _err = _CE("Invalid recursive reference",
+                               identifier=(base if "://" in (base or "")
+                                           else None),
+                               location=f"{ptr}/$recursiveRef")
+                    _err.exit_code = EXIT_SCHEMA_INPUT
+                    raise _err
                 if rr is not None and not isinstance(rr, (str, dict, list)):
                     raise ValueError(
                         f"invalid $recursiveRef type at {ptr!r}: {rr!r}")
@@ -380,7 +386,8 @@ _SUBSCHEMA_KW: dict[str, tuple[str, int, int]] = {
 
 
 def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
-                         default_ver: int) -> None:
+                         default_ver: int, base_uri: str = "",
+                         from_ptr: str = "") -> None:
     """Dialect-aware ``$ref``-target framing: a JSON-pointer fragment
     must traverse only schema positions under the target resource's
     dialect, else the ref target "is not considered to be a valid
@@ -405,9 +412,11 @@ def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
             from jsonschema_ray.spec.clierrors import (
                 EXIT_SCHEMA_INPUT, CLIError as _CE)
 
+            ident = (f"{base_uri}#{frag}" if "://" in base_uri
+                     else f"#{frag}")
             _err = _CE("Could not resolve schema reference",
-                       identifier=f"#{frag}",
-                       location="")
+                       identifier=ident,
+                       location=f"{from_ptr}/$ref")
             _err.exit_code = EXIT_SCHEMA_INPUT
             raise _err
         spec = _SUBSCHEMA_KW.get(kw)
@@ -417,7 +426,9 @@ def check_pointer_frames(doc_root: Any, res_ptr: str, frag: str,
             loc = "".join(
                 "/" + t.replace("~", "~0").replace("/", "~1")
                 for t in toks[:i + 1])
-            err = SchemaReferenceError(f"#{frag}", loc)
+            ident = (f"{base_uri}#{frag}" if "://" in base_uri
+                     else f"#{frag}")
+            err = SchemaReferenceError(ident, loc)
             if kw == "$defs" and ver <= 7:
                 err.hint = ("Maybe you meant to use `definitions` "
                             "instead of `$defs` in this dialect?")
@@ -531,8 +542,15 @@ def _check_dialect(schema: dict, resources: dict,
         core = [u for u in vocab
                 if u.rstrip("#").endswith("/vocab/core")]
         if not core:
-            raise ValueError(
-                f"metaschema {ds!r} does not declare the core vocabulary")
+            from jsonschema_ray.spec.clierrors import (
+                EXIT_SCHEMA_INPUT, CLIError as _CE)
+
+            _e = _CE("The core vocabulary must always be present")
+            _e.exit_code = EXIT_SCHEMA_INPUT
+            # which document's dialect chain broke — the CLI maps this
+            # back to the right --resolve file for the filePath field
+            _e._offending_id = schema.get("$id") or schema.get("id")
+            raise _e
 
 
 class CompiledSchema:
@@ -590,9 +608,19 @@ class CompiledSchema:
         # vendor/blaze/src/foundation/foundation.cc:229, exit 4)
         if isinstance(schema, dict) and "$ref" in schema and ver <= 7 \
                 and isinstance(schema.get("$schema"), str):
-            raise ValueError(
-                "a top-level $ref in Draft 7 and older ignores every "
-                "sibling keyword; the document cannot be identified")
+            from jsonschema_ray.spec.clierrors import (
+                EXIT_SCHEMA_INPUT, CLIError as _CE)
+
+            _ident = schema.get("$id") or schema.get("id")
+            _err = _CE(
+                "A schema with a top-level `$ref` in JSON Schema Draft "
+                "7 and older dialects ignores every sibling keywords "
+                "(like identifiers and meta-schema declarations) and "
+                "therefore many operations, like bundling, are not "
+                "possible without undefined behavior",
+                identifier=_ident if isinstance(_ident, str) else None)
+            _err.exit_code = EXIT_SCHEMA_INPUT
+            raise _err
         for _doc in (resources or {}).values():
             ver = min(ver, _dialect_ver(_doc))
         if resources and isinstance(schema, dict):
@@ -734,8 +762,15 @@ class CompiledSchema:
             # resolve_ref_target returns resource_ptr + frag; strip the
             # fragment back off to find the resource root to walk from
             res_ptr = ptr[:len(ptr) - len(frag)]
+            uri_part = ref.partition("#")[0]
+            base = self._idx.enclosing(from_ptr)
+            if uri_part:
+                from urllib.parse import urljoin
+
+                base = urljoin(base or "", uri_part)
             check_pointer_frames(self.schema, res_ptr, frag,
-                                 self._root_ver)
+                                 self._root_ver, base_uri=base or "",
+                                 from_ptr=from_ptr)
         return ptr
 
     def _fn_for_ptr(self, ptr: str) -> _Fn:

@@ -184,8 +184,13 @@ def _run(args, json_mode: bool) -> int:
         if len(instances) > 1 or not instances:
             single_only(flag)
         p = instances[0]
-        if p != "-" and (os.path.isdir(p) or p.endswith(".jsonl")
-                         or p.endswith(".jsonl.gz")):
+        # the reference allows `--benchmark` over one JSONL stream
+        # (per-entry timing lines) but rejects directories for both
+        # and JSONL for `--trace` (command_validate.cc:384-401)
+        if p != "-" and os.path.isdir(p):
+            single_only(flag)
+        if flag.startswith("--trace") and (p.endswith(".jsonl")
+                                           or p.endswith(".jsonl.gz")):
             single_only(flag)
 
     # ---- schema ------------------------------------------------------
@@ -211,6 +216,24 @@ def _run(args, json_mode: bool) -> int:
     if not isinstance(schema, (dict, bool)):
         raise NotSchemaError(schema_display)
 
+    tmpl_path = getattr(args, "template", None)
+    if tmpl_path:
+        # a pre-compiled template replaces compilation when readable;
+        # anything else falls back with the reference's warning
+        tmpl = None
+        try:
+            with open(tmpl_path, encoding="utf-8") as f:
+                tmpl = json.load(f)
+        except Exception:   # noqa: BLE001 — unreadable template
+            tmpl = None
+        if isinstance(tmpl, dict) \
+                and tmpl.get("$comment") == "jsonschema-ray template" \
+                and "schema" in tmpl:
+            schema = tmpl["schema"]
+        else:
+            print("warning: Failed to parse pre-compiled schema "
+                  "template. Compiling from scratch", file=sys.stderr)
+
     cfg = discover(schema_base_dir)
     if getattr(args, "debug", False) and cfg is not None:
         cfgp = find_configuration(schema_base_dir)
@@ -227,6 +250,20 @@ def _run(args, json_mode: bool) -> int:
         dd = apply_to_schema(
             {}, cfg, schema_display if schema_arg != "-" else None
             ).get("$schema")
+        if dd is not None and (any(c.isspace() for c in dd)
+                               or dd.startswith(":")):
+            from jsonschema_ray.spec.clierrors import EXIT_OTHER_INPUT
+
+            cfgp = find_configuration(schema_base_dir)
+            err = CLIError("The default dialect is not a valid URI "
+                           "reference")
+            err.fields = {"value": dd,
+                          "filePath": os.path.realpath(cfgp)
+                          if cfgp else None}
+            err.fields = {k: v for k, v in err.fields.items()
+                          if v is not None}
+            err.exit_code = EXIT_OTHER_INPUT
+            raise err
     dd_meta = None
     if dd and "://" not in dd:
         from jsonschema_ray.cli import _resolve_dialect_file
@@ -258,10 +295,22 @@ def _run(args, json_mode: bool) -> int:
     # ---- resolver registry -------------------------------------------
     from jsonschema_ray.cli import _load_resolve_docs
 
+    _flag_exts = getattr(args, "extension", None)
+    _res_exts = None
+    if _flag_exts or (cfg or {}).get("extension"):
+        import io
+
+        from jsonschema_ray.state.inputs import resolve_extensions
+
+        # silent pre-resolution for the --resolve dir walk only; the
+        # instance walk owns the user-facing warning/verbose lines
+        _res_exts = resolve_extensions(
+            _flag_exts, cfg, verbose=False, log=io.StringIO())
     resources = dict(_load_resolve_docs(
         getattr(args, "resolve", None) or [],
         schema_display if schema_arg != "-" else os.getcwd(),
-        debug=getattr(args, "debug", False)) or {})
+        debug=getattr(args, "debug", False),
+        extensions=_res_exts) or {})
     for r_uri, r_target in ((cfg or {}).get("resolve") or {}).items():
         tfile = str(r_target).replace("file://", "", 1)
         if os.path.isfile(tfile):
@@ -270,6 +319,18 @@ def _run(args, json_mode: bool) -> int:
                     os.path.realpath(tfile)).parsed()
             except Exception:   # noqa: BLE001 — broken remap: skip
                 pass
+    if cfg is not None and getattr(args, "resolve", None) \
+            and (getattr(args, "verbose", False)
+                 or getattr(args, "debug", False)):
+        from jsonschema_ray.state.inputs import resolve_extensions
+
+        resolve_extensions(None, cfg, verbose=True, log=sys.stderr)
+    # URI→URI config remaps resolve through already-registered docs
+    for r_uri, r_target in ((cfg or {}).get("resolve") or {}).items():
+        t = str(r_target)
+        if "://" in t and t.rstrip("#") in resources:
+            resources.setdefault(r_uri.rstrip("#"),
+                                 resources[t.rstrip("#")])
     for dep_uri, dep_path in ((cfg or {}).get("dependencies")
                               or {}).items():
         full = dep_path if os.path.isabs(dep_path) else os.path.join(
@@ -319,17 +380,32 @@ def _run(args, json_mode: bool) -> int:
     # the error context (fail_resolve_unknown_dialect etc.)
     from jsonschema_ray.spec.jschema import compile_schema
 
+    _all_resolved = dict(resources) if False else None
     for rp in getattr(args, "resolve", None) or []:
         if not os.path.isfile(rp):
             continue
         rentry = _read_entry(os.path.realpath(rp))
         try:
-            compile_schema(rentry.parsed())
+            compile_schema(rentry.parsed(), resources=resources)
         except CLIError as rerr:
             from types import SimpleNamespace
 
             from jsonschema_ray.cli import _stamp_fmt_error
 
+            # a per-resource strictness error belongs to the resource
+            # that declared the broken dialect chain, not whichever
+            # pre-import compile surfaced it first
+            off = getattr(rerr, "_offending_id", None)
+            if off:
+                for rp2 in getattr(args, "resolve", None) or []:
+                    if not os.path.isfile(rp2):
+                        continue
+                    r2 = _read_entry(os.path.realpath(rp2))
+                    d2 = r2.parsed()
+                    if isinstance(d2, dict) and (
+                            d2.get("$id") or d2.get("id")) == off:
+                        rentry = r2
+                        break
             raise _stamp_fmt_error(rerr, SimpleNamespace(
                 text=rentry.text, path=rentry.path)) from rerr
 
@@ -422,13 +498,25 @@ def _run(args, json_mode: bool) -> int:
                 rp = os.path.realpath(ipath)
                 if not os.path.isfile(ipath):
                     raise NoSuchFileError(rp)
-                docs.extend(_iter_yaml_docs(rp))
+                ydocs = _iter_yaml_docs(rp)
+                if (getattr(args, "verbose", False)
+                        or getattr(args, "debug", False)) \
+                        and any(d.multidocument for d in ydocs):
+                    print(f"Interpreting input as YAML multi-document: "
+                          f"{rp}", file=sys.stderr)
+                docs.extend(ydocs)
             else:
-                if not os.path.isfile(ipath):
+                if os.path.isfile(ipath):
+                    e = _read_entry(os.path.realpath(ipath))
+                    docs.append(_Doc(e.path, e.parsed(),
+                                     _spans_for(e.text, e.yaml)))
+                elif os.path.exists(ipath):
+                    # process substitution / fifo: readable, not a file
+                    e = _read_entry(ipath)
+                    docs.append(_Doc(ipath, e.parsed(),
+                                     _spans_for(e.text, e.yaml)))
+                else:
                     raise NoSuchFileError(os.path.realpath(ipath))
-                e = _read_entry(os.path.realpath(ipath))
-                docs.append(_Doc(e.path, e.parsed(),
-                                 _spans_for(e.text, e.yaml)))
 
     result = True
     verbose = getattr(args, "verbose", False) or getattr(
@@ -594,19 +682,6 @@ def _resolve_entrypoint(schema, ep: str, schema_display: str,
         qualified = f"{ep_base}#{ptr}" if ep_base else ep
         node = schema
         for tok in ptr.lstrip("/").split("/") if ptr.strip("/") else []:
-            if "~" in tok and not tok.replace("~0", "").replace(
-                    "~1", "") == tok.replace("~", ""):
-                pass
-            raw = tok
-            if "~" in raw and any(
-                    raw[i] == "~" and (i + 1 >= len(raw)
-                                       or raw[i + 1] not in "01")
-                    for i in range(len(raw))):
-                err = CLIError("The given entry point is not a valid "
-                               "URI", identifier=ep,
-                               filePath=schema_display)
-                err.exit_code = EXIT_SCHEMA_INPUT
-                raise err
             tok = tok.replace("~1", "/").replace("~0", "~")
             if isinstance(node, list):
                 try:
@@ -619,6 +694,14 @@ def _resolve_entrypoint(schema, ep: str, schema_display: str,
                 raise bad(qualified)
         target = node
     else:
+        if any(c.isspace() for c in ep):
+            err = CLIError("The given entry point is not a valid URI "
+                           "or JSON Pointer", identifier=ep,
+                           filePath=schema_display)
+            err.exit_code = EXIT_SCHEMA_INPUT
+            err.hint = ("Use the `inspect` command to find valid "
+                        "schema locations")
+            raise err
         doc = resources.get(ep.rstrip("#"))
         if doc is None and "#" in ep:
             base, _, frag = ep.partition("#")
@@ -695,7 +778,7 @@ def _check_regexes(doc, schema_display: str, base_dir: str,
     def bad(pattern: str, loc: str):
         err = CLIError("Invalid regular expression")
         err.fields = {"regex": pattern, "filePath": schema_display,
-                      "location": loc, "base uri": default_id}
+                      "location": loc, "baseURI": default_id}
         err.exit_code = EXIT_SCHEMA_INPUT
         err.hint = ("Detailed regex error messages are not yet "
                     "supported\n"

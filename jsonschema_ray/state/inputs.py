@@ -77,7 +77,7 @@ def _parse_text(text: str, path: str, ext: str):
                 import yaml
 
                 doc = yaml.safe_load(text)
-                if doc is not None or text.strip() in ("null", "~", ""):
+                if doc is not None or text.strip() in ("null", "~"):
                     return doc, True
             except Exception:
                 pass

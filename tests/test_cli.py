@@ -615,7 +615,7 @@ def test_schema_error_diagnostics_exit_one(tmp_path):
     inst.write_text("{}")
     for content, needle in (
             ('{"pattern": "a["}', "invalid regular expression"),
-            ('{"$ref": "#/nope"}', "unresolvable $ref"),
+            ('{"$ref": "#/nope"}', "Could not resolve schema reference"),
     ):
         s = tmp_path / "s.json"
         s.write_text(content)
