@@ -774,21 +774,71 @@ def _render_failure(errs, spans) -> str:
     return out
 
 
+# 2019-09+/2020-12 keyword → vocabulary-name map (the trace's
+# "at vocabulary" attribution; earlier dialects attribute every keyword
+# to the dialect URI itself — metaschema pass_trace.sh draft-04)
+_KW_VOCAB = {
+    **{k: "core" for k in (
+        "$schema", "$id", "$ref", "$defs", "$comment", "$anchor",
+        "$dynamicAnchor", "$dynamicRef", "$recursiveRef",
+        "$recursiveAnchor", "$vocabulary")},
+    **{k: "applicator" for k in (
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "dependentSchemas", "prefixItems", "items", "additionalItems",
+        "contains", "properties", "patternProperties",
+        "additionalProperties", "propertyNames")},
+    **{k: "validation" for k in (
+        "type", "enum", "const", "multipleOf", "maximum",
+        "exclusiveMaximum", "minimum", "exclusiveMinimum", "maxLength",
+        "minLength", "pattern", "maxItems", "minItems", "uniqueItems",
+        "maxContains", "minContains", "maxProperties", "minProperties",
+        "required", "dependentRequired")},
+    **{k: "meta-data" for k in (
+        "title", "description", "default", "deprecated", "readOnly",
+        "writeOnly", "examples")},
+    **{k: "unevaluated" for k in (
+        "unevaluatedItems", "unevaluatedProperties")},
+    **{k: "content" for k in (
+        "contentEncoding", "contentMediaType", "contentSchema")},
+    "format": "format-annotation",
+}
+
+
+def _trace_vocab(ep: str, dialect: str) -> str:
+    d = (dialect or "").rstrip("#")
+    era = "2020-12" if "2020-12" in d else (
+        "2019-09" if "2019-09" in d else None)
+    if era is None:
+        return dialect
+    kw = ep.rsplit("/", 1)[-1].replace("~1", "/").replace("~0", "~")
+    group = _KW_VOCAB.get(kw)
+    if group is None:
+        return "<unknown>"
+    if era == "2019-09" and group == "format-annotation":
+        group = "format"
+    return f"https://json-schema.org/draft/{era}/vocab/{group}"
+
+
 def _render_trace(events, spans, dialect: str) -> str:
     """The reference's --trace stream (output_trace.cc): one block per
-    instruction push/pass/fail with positions and keyword/vocabulary
-    locations."""
+    instruction push/pass/fail/annotation with positions and
+    keyword/vocabulary locations."""
+    from jsonschema_ray.spec.format import prettify_json
+
     blocks = []
-    for kind, ep, iptr, name, absloc in events:
-        arrow = "->" if kind == "push" else "<-"
+    for kind, ep, iptr, name, absloc, value in events:
+        arrow = "@-" if kind == "annotation" else (
+            "->" if kind == "push" else "<-")
         b = f'{arrow} ({kind}) "{ep}" ({name})\n'
+        if kind == "annotation":
+            b += f"   value {prettify_json(value)}\n"
         b += f'   at instance location "{iptr}"'
         span = spans.get(iptr)
         if span:
             b += f" (line {span[0]}, column {span[1]})"
         b += "\n"
         b += f'   at keyword location "{absloc}"\n'
-        b += f'   at vocabulary "{dialect}"\n'
+        b += f'   at vocabulary "{_trace_vocab(ep, dialect)}"\n'
         blocks.append(b)
     return "\n".join(blocks)
 

@@ -149,10 +149,12 @@ class Explainer:
                  base_uri: str = "",
                  trace: bool = False,
                  default_dialect: str | None = None,
-                 lex_prefix: str = ""
+                 lex_prefix: str = "",
+                 fast: bool = False
                  ) -> tuple[bool, list[Entry]]:
         self._default_dialect = default_dialect
         self._lex_prefix = lex_prefix
+        self._fast = fast
         self._trace = [] if trace else None
         self._annos: list[tuple[str, str, Any]] = []   # (ep, iptr, value)
         # pre-2019 dialects have no annotation machinery (the blaze
@@ -211,8 +213,12 @@ class Explainer:
         return out
 
     def _annotate(self, ep: str, iptr: str, value: Any) -> None:
+        if getattr(self, "_fast", False):
+            return   # FastValidation collects no annotations
         if getattr(self, "_annotations_enabled", True):
             self._annos.append((ep, iptr, value))
+            self._trace_event("annotation", ep, iptr, "AnnotationEmit",
+                              value)
 
     def _abs_for(self, ep: str) -> str:
         best = ("", self._root_base,
@@ -337,6 +343,20 @@ class Explainer:
         if isinstance(sch.get("format"), str) and isinstance(inst, str) \
                 and not self.assert_formats:
             self._annotate(f"{epath}/format", iptr, sch["format"])
+        # unknown keywords annotate with their raw value under
+        # vocabulary-aware dialects (blaze unknown-keyword handler;
+        # pass_trace_unknown_keyword.sh)
+        if getattr(self, "_annotations_enabled", False):
+            for ukw in sorted(sch):
+                if ukw in _KNOWN_KEYWORDS or getattr(
+                        self, "_kw_" + re.sub(r"[^A-Za-z]", "_", ukw),
+                        None) is not None:
+                    continue
+                self._annotate(f"{epath}/{_esc_ptr(ukw)}", iptr,
+                               sch[ukw])
+        # the fast-props fusion context applies one level deep only
+        _fast_prop_level = getattr(self, "_in_fast_props", False)
+        self._in_fast_props = False
         for kw in sorted(sch):
             v = sch[kw]
             ep = f"{epath}/{_esc_ptr(kw)}"
@@ -347,12 +367,30 @@ class Explainer:
             if not self._applies(kw, v, sch, inst):
                 continue
             name = _instr_name(kw, v, sch)
-            self._trace_event("push", ep, iptr, name)
+            if (kw == "type" and _fast_prop_level
+                    and len(sch) == 1
+                    and name == "AssertionTypeStrict"):
+                # fast-mode fusion: a one-keyword {"type": T} property
+                # subschema becomes a member-scoped type assertion
+                # (postprocess.h AssertionPropertyTypeStrict)
+                name = "AssertionPropertyTypeStrict"
+            # FastValidation drops the LogicalWhenType wrapper around
+            # unrolled properties: per-property fused instructions are
+            # stepped directly (compile_simple_properties fast path +
+            # postprocess AssertionPropertyTypeStrict rewrite;
+            # pass_trace_fast.sh)
+            fast_unrolled = (getattr(self, "_fast", False)
+                             and kw == "properties"
+                             and name == "LogicalWhenType")
+            if not fast_unrolled:
+                self._trace_event("push", ep, iptr, name)
             amark = len(self._annos)
             good = handler(v, sch, base, inst, iptr, ep, out, scopes)
             if not good:
                 del self._annos[amark:]
-            self._trace_event("pass" if good else "fail", ep, iptr, name)
+            if not fast_unrolled:
+                self._trace_event("pass" if good else "fail", ep, iptr,
+                                  name)
             if not good:
                 ok = False
                 break   # instruction sequences stop at the first
@@ -369,11 +407,11 @@ class Explainer:
         return True
 
     def _trace_event(self, kind: str, ep: str, iptr: str,
-                     name: str) -> None:
+                     name: str, value: Any = None) -> None:
         if getattr(self, "_trace", None) is None:
             return
         self._trace.append((kind, ep, iptr, name,
-                            self._abs_for(ep)))
+                            self._abs_for(ep), value))
 
     # -- reference targets --------------------------------------------
     def _ref_target(self, ref: str, base: str,
@@ -572,13 +610,21 @@ class Explainer:
         # vs metaschema pass_json.sh)
         names = sorted(n for n in v if n in inst) if fused0 \
             else [n for n in inst if n in v]
+        in_fast = getattr(self, "_fast", False) \
+            and not _properties_as_loop(sch)
         for name in names:
             sub = v.get(name)
             if sub is None:
                 continue
-            if not self._eval(sub, base, inst[name],
-                              f"{iptr}/{_esc_ptr(name)}",
-                              f"{ep}/{_esc_ptr(name)}", out, scopes):
+            prev_fp = getattr(self, "_in_fast_props", False)
+            self._in_fast_props = in_fast
+            try:
+                good = self._eval(sub, base, inst[name],
+                                  f"{iptr}/{_esc_ptr(name)}",
+                                  f"{ep}/{_esc_ptr(name)}", out, scopes)
+            finally:
+                self._in_fast_props = prev_fp
+            if not good:
                 ok = False
                 break   # the loop stops at the first failing member
             self._annotate(ep, iptr, name)
@@ -1042,6 +1088,22 @@ def _find_dynamic_anchor(doc: Any, name: str) -> Any:
     return None
 
 
+# keywords that are known to the evaluator but compile to NO annotation
+# instruction: structural/core keywords, subschema containers, branch
+# keywords consumed by their parent handler, and annotation keywords the
+# fixed emission list already covers (everything else is "unknown" and
+# annotates with its raw value under 2019-09+ dialects)
+_KNOWN_KEYWORDS = {
+    "$schema", "$id", "id", "$ref", "$defs", "definitions", "$anchor",
+    "$dynamicAnchor", "$dynamicRef", "$recursiveRef", "$recursiveAnchor",
+    "$vocabulary", "$comment", "then", "else", "additionalItems",
+    "minContains", "maxContains", "minProperties", "maxProperties",
+    "unevaluatedProperties", "unevaluatedItems", "contentMediaType",
+    "contentEncoding", "contentSchema", "extends", "disallow",
+    "divisibleBy", "default", "deprecated", "description", "examples",
+    "readOnly", "writeOnly", "title", "format",
+}
+
 _INSTR_NAMES = {
     "properties": "LoopPropertiesMatch",
     "dependencies": "AssertionPropertyDependencies",
@@ -1080,6 +1142,25 @@ _INSTR_NAMES = {
 }
 
 
+def _properties_as_loop(sch: dict) -> bool:
+    """blaze's unroll-vs-loop strategy for ``properties``
+    (default_compiler_draft3.h properties_as_loop, sans the
+    disjunctor refinements): hash-loop when the object is closed with
+    optional members, or when the property set is large and mostly
+    optional; otherwise unroll into per-property instructions under a
+    LogicalWhenType wrapper."""
+    props = sch.get("properties")
+    if not isinstance(props, dict):
+        return False
+    size = len(props)
+    req = {r for r in (sch.get("required") or [])
+           if isinstance(r, str) and r in props}
+    ap = sch.get("additionalProperties")
+    if ap is False and len(req) < size:
+        return True
+    return len(req) <= (size // 4) and size > 5
+
+
 def _instr_name(kw: str, v, sch: dict) -> str:
     if kw == "type":
         if isinstance(v, list):
@@ -1088,6 +1169,9 @@ def _instr_name(kw: str, v, sch: dict) -> str:
             # number admits both Integer and Real → the any variant
             return "AssertionTypeStrictAny"
         return "AssertionTypeStrict"
+    if kw == "properties":
+        return ("LoopPropertiesMatch" if _properties_as_loop(sch)
+                else "LogicalWhenType")
     return _INSTR_NAMES.get(kw, kw)
 
 

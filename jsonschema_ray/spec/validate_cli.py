@@ -220,6 +220,10 @@ def _run(args, json_mode: bool) -> int:
     if tmpl_path:
         # a pre-compiled template replaces compilation when readable;
         # anything else falls back with the reference's warning
+        if getattr(args, "verbose", False) or getattr(args, "debug",
+                                                      False):
+            print(f"Parsing pre-compiled schema template: "
+                  f"{os.path.realpath(tmpl_path)}", file=sys.stderr)
         tmpl = None
         try:
             with open(tmpl_path, encoding="utf-8") as f:
@@ -531,7 +535,8 @@ def _run(args, json_mode: bool) -> int:
             ok, errs = explainer.validate(
                 entry_schema, doc.value, schema_base,
                 trace=trace, default_dialect=dd,
-                lex_prefix=entry_lex_prefix)
+                lex_prefix=entry_lex_prefix,
+                fast=fast and trace)
             if bench:
                 avg = _bench_loop(explainer, entry_schema, doc.value,
                                   schema_base, dd, loop)

@@ -524,6 +524,42 @@ def test_reference_metaschema_corpus_parity(tmp_path):
     assert not failed, f"metaschema fixture failures: {failed}"
     assert len(results) - len(failed) >= META_MIN_MATCHES
 
+
+VALIDATE_E2E_MIN_MATCHES = 223   # the ENTIRE corpus, executed VERBATIM
+
+
+def test_reference_validate_corpus_end_to_end(tmp_path):
+    """Execute the reference's validate fixtures VERBATIM through the
+    CLI shim — byte-exact outputs, exit codes, stdin/pipes/heredocs.
+    Fixture source: /root/reference/test/validate/*.sh — PUBLIC
+    CONTENT, executed for expected-output comparison only. Runs under
+    bash (pass_process_substitution.sh uses <(...))."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob(f"{CORPUS}/*.sh"))
+    assert len(scripts) >= 223, "validate corpus missing"
+
+    def run(path):
+        r = subprocess.run(["bash", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=180)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert len(results) - len(failed) >= VALIDATE_E2E_MIN_MATCHES, \
+        f"validate e2e failures: {failed}"
+
 # ---------------------------------------------------------------------------
 # lint verb corpus: findings-vs-clean verdicts through lint_schema +
 # the alterschema transform registry (with x-lint-exclude scopes).
