@@ -24,4 +24,4 @@ from jsonschema_ray.spec.plan import CheckPlan, Rule, default_plan
 from jsonschema_ray.pipelines.validate import validate
 
 __all__ = ["CheckPlan", "Rule", "default_plan", "validate"]
-__version__ = "0.1.0"
+__version__ = "16.7.0"  # tracks the reference CLI release whose behavior this engine reproduces (/root/reference/VERSION)

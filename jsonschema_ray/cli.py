@@ -2984,7 +2984,69 @@ def main(argv: list[str] | None = None) -> int:
         print(__version__)
         return EXIT_OK
     parser = build_parser()
-    args, extras = parser.parse_known_args(argv)
+    from jsonschema_ray.spec.clierrors import ArgUsageError, emit
+
+    known_cmds = {"help", "version"}
+    for act in parser._subparsers._group_actions:
+        known_cmds.update(act.choices or {})
+    if argv and argv[0] == "help":
+        parser.print_help(_sys.stdout)
+        return EXIT_OK
+    if argv and not argv[0].startswith("-") \
+            and argv[0] not in known_cmds:
+        # src/main.cc: unknown verb → typed usage error, exit 5
+        err = ArgUsageError("Unknown command")
+        err.fields = {"command": argv[0]}
+        return emit(err, json_mode=False)
+
+    # classify argparse-level option errors the way the reference's
+    # option loop does (flag_with_value.sh / option_without_value.sh /
+    # unknown_option.sh)
+    import re as _re
+
+    class _ArgErr(Exception):
+        pass
+
+    orig_error = parser.error
+
+    def _collect_error(message):
+        raise _ArgErr(message)
+
+    # patch every (sub)parser's error hook
+    parser.error = _collect_error
+    for act in parser._subparsers._group_actions:
+        for sp in (act.choices or {}).values():
+            sp.error = _collect_error
+
+    def _usage_err(msg: str, option: str | None = None) -> int:
+        err = ArgUsageError(msg)
+        if option:
+            err.fields = {"option": option}
+        return emit(err, json_mode=False)
+
+    try:
+        args, extras = parser.parse_known_args(argv)
+    except _ArgErr as e:
+        m = str(e)
+        mm = _re.search(r"argument (\S+?): ignored explicit argument",
+                        m)
+        if mm:
+            return _usage_err("This flag cannot take a value",
+                              mm.group(1).split("/")[-1].lstrip("-"))
+        mm = _re.search(r"argument (\S+?): expected one argument", m)
+        if mm:
+            return _usage_err("This option must take a value",
+                              mm.group(1).split("/")[-1].lstrip("-"))
+        mm = _re.search(r"argument (\S+?): invalid", m)
+        if mm:
+            return _usage_err("This option must take a value",
+                              mm.group(1).split("/")[-1].lstrip("-"))
+        print(f"error: {m}", file=_sys.stderr)
+        return EXIT_ARGS
+    flagged = [e for e in extras if e.startswith("--") and e != "--"]
+    if flagged:
+        return _usage_err("Unknown option",
+                          flagged[0].split("=", 1)[0].lstrip("-"))
     if extras:
         # argparse cannot resume positionals after optionals
         # (`validate schema --resolve dir instance`): fold trailing

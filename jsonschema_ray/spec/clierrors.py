@@ -209,6 +209,15 @@ class ExternalRefError(CLIError):
                          **fields)
 
 
+class ArgUsageError(CLIError):
+    """Top-level argument-parsing errors (src/main.cc option loop):
+    unknown command/option, a flag given a value, an option missing
+    its value — exit 5 with the help hint."""
+
+    exit_code = EXIT_ARGS
+    hint = "Run the `help` command for usage information"
+
+
 class OptionEnumerationError(CLIError):
     """An option that takes one of a fixed set of values got something
     else (``InvalidOptionEnumerationValueError``): renders the choices
