@@ -1276,123 +1276,48 @@ _LINT_KNOWN_OPS = {
 }
 
 
+def _looks_like_plan(path: str) -> bool:
+    import os
+
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:   # noqa: BLE001 — not a plan; the driver decides
+        return False
+    return isinstance(doc, dict) and isinstance(doc.get("rules"), list) \
+        and "version" in doc and "$schema" not in doc
+
+
 def cmd_lint(args) -> int:
-    """Plan lint (the alterschema rule-registry analog,
-    ``/root/reference/vendor/blaze/src/alterschema/alterschema.cc:267-425``):
-    duplicate ids, unknown ops/formats, uncompilable regexes, unreachable
-    rules, empty messages. ``--fix`` applies the mutating fixes and
-    reports a health score (``transformer.cc:28-39``)."""
+    """``jsonschema lint`` — the reference driver
+    (``src/command_lint.cc`` over the blaze alterschema registry,
+    ``spec/lintrules.py``); ``--plan`` (or a CheckPlan positional)
+    lints this engine's own rules artifact instead."""
+    plan_path = getattr(args, "plan", None)
+    paths = list(getattr(args, "paths", None) or [])
+    if getattr(args, "schema", None):
+        paths = [args.schema] + paths
+        args.paths = paths
+    if plan_path is None and len(paths) == 1 \
+            and _looks_like_plan(paths[0]):
+        plan_path = paths[0]
+    if plan_path is not None:
+        args.plan = plan_path
+        return _cmd_lint_plan(args)
+    from jsonschema_ray.spec.lint_cli import run
+
+    return run(args)
+
+
+def _cmd_lint_plan(args) -> int:
+    """CheckPlan lint: duplicate ids, unknown ops/formats, uncompilable
+    regexes, unreachable rules, empty messages. ``--fix`` applies the
+    mutating fixes (``transformer.cc:28-39`` analog)."""
     import re
 
     from jsonschema_ray.functions.formats import format_names
-
-    if getattr(args, "schema", None):
-        # schema-document lint: metaschema validation + static analysis
-        # (unknown-keyword typo detection, unsatisfiable bounds, empty
-        # enums, constant-false branches, double negation) + the
-        # alterschema transform registry (spec/alterschema.py); --fix
-        # canonicalizes the document in place (transformer.cc fixpoint)
-        from jsonschema_ray.spec.alterschema import (canonicalize,
-                                                     filter_excluded,
-                                                     lint_exclusions,
-                                                     lint_fixable)
-        from jsonschema_ray.spec.jschema import lint_schema
-
-        import os
-
-        from jsonschema_ray.spec.jschema import custom_rule_findings
-
-        doc = _load_schema_doc(args.schema, configured=False)
-        excl = set((getattr(args, "exclude_rules", None) or []))
-        only = getattr(args, "only_rules", None) or None
-        # project config (jsonschema.json next to the schema or above):
-        # lint.exclude merges in (unless --only overrides), lint.rules
-        # register custom rules ({path, topLevel} or plain path)
-        from jsonschema_ray.state.config import discover as _discover
-
-        cfg = _discover(os.path.dirname(os.path.abspath(args.schema))) \
-            if os.path.isfile(args.schema) else None
-        cfg_lint = (cfg or {}).get("lint") or {}
-        cfg_rule_paths, cfg_top_paths = [], []
-        if isinstance(cfg_lint, dict):
-            if not only:
-                excl = excl | set(cfg_lint.get("exclude") or [])
-            base = (cfg or {}).get("_dir") or os.path.dirname(
-                os.path.abspath(args.schema))
-            for entry in cfg_lint.get("rules") or []:
-                tl = isinstance(entry, dict) \
-                    and entry.get("topLevel") is True
-                p = entry.get("path") if isinstance(entry, dict) \
-                    else entry
-                if isinstance(p, str):
-                    (cfg_top_paths if tl else cfg_rule_paths).append(
-                        os.path.normpath(os.path.join(base, p)))
-
-        def _load_rules(paths):
-            out = []
-            for r in paths or []:
-                files = [r]
-                if os.path.isdir(r):
-                    files = sorted(
-                        os.path.join(dp, n) for dp, _d, ns in os.walk(r)
-                        for n in ns if n.endswith((".json", ".yaml",
-                                                   ".yml")))
-                out.extend(_load_schema_doc(p, configured=False)
-                           for p in files)
-            return out
-
-        rdocs = _load_rules(list(getattr(args, "rule", None) or [])
-                            + cfg_rule_paths)
-        tdocs = _load_rules(list(getattr(args, "top_level_rule", None)
-                                 or []) + cfg_top_paths)
-
-        def _custom(target):
-            scopes = lint_exclusions(target)
-            cf = custom_rule_findings(target, rdocs) + \
-                custom_rule_findings(target, tdocs, top_level_only=True)
-            if only:
-                cf = [x for x in cf if x[1] in only]
-            if excl:
-                cf = [x for x in cf if x[1] not in excl]
-            return [("warning", f"{p} ({n})", m) for p, n, m in cf
-                    if not any((p == sp or p.startswith(sp + "/")
-                                or sp == "") and n in names
-                               for sp, names in scopes)]
-
-        if getattr(args, "fix", False):
-            fixed, applied = canonicalize(
-                doc, disabled=excl, only=set(only) if only else None)
-            if applied:
-                # the reference rewrites WITHOUT reordering keywords
-                # (test/lint/pass_lint_fix.sh keeps the user's order;
-                # fmt is a separate verb)
-                from jsonschema_ray.spec.format import prettify_json
-
-                with open(args.schema, "w") as f:
-                    f.write(prettify_json(fixed) + "\n")
-                for name, ptr in applied:
-                    print(f"fixed: {ptr}: {name}", file=sys.stderr)
-            findings = lint_schema(fixed, top_level=True) \
-                + lint_fixable(fixed)
-            findings = filter_excluded(findings, lint_exclusions(fixed),
-                                       global_exclude=excl,
-                                       only=set(only) if only else None)
-            findings = findings + _custom(fixed)
-        else:
-            findings = lint_schema(doc, top_level=True) \
-                + lint_fixable(doc)
-            findings = filter_excluded(findings, lint_exclusions(doc),
-                                       global_exclude=excl,
-                                       only=set(only) if only else None)
-            findings = findings + _custom(doc)
-        for sev, ptr, msg in findings:
-            print(f"{sev}: {ptr or '/'}: {msg}", file=sys.stderr)
-        n_err = sum(1 for sev, _, _ in findings if sev == "error")
-        print(json.dumps({"findings": len(findings), "errors": n_err}))
-        # reference semantics: ANY finding is a lint violation (exit 2,
-        # test/lint/fail_lint.sh; after --fix the UNFIXABLE remainder
-        # still reds — fail_lint_unfixable_autofix.sh)
-        return EXIT_VALIDATION if findings else EXIT_OK
 
     plan = _load_plan(args.plan)
     findings: list[tuple[str, str, str]] = []  # (severity, rule_id, message)
@@ -2899,25 +2824,39 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("-H", "--header", action="append", default=[])
     f.set_defaults(fn=cmd_fmt)
 
-    li = sub.add_parser("lint")
-    li.add_argument("plan", nargs="?", default="default")
-    li.add_argument("--schema")
-    li.add_argument("--fix", action="store_true")
-    li.add_argument("-x", "--exclude-rules", action="append", default=[],
-                    metavar="RULE",
-                    help="disable a lint rule by name (repeatable; the "
-                         "reference's --exclude/-x)")
-    li.add_argument("-o", "--only-rules", action="append", default=[],
-                    metavar="RULE",
-                    help="run ONLY these rules (repeatable; --only/-o)")
-    li.add_argument("--rule", action="append", default=[],
-                    help="custom lint rule: a JSON Schema (title = rule "
-                         "name, description = message) every SUBSCHEMA "
-                         "of the document must match (file or directory, "
-                         "repeatable; reference --rule)")
-    li.add_argument("--top-level-rule", action="append", default=[],
-                    help="like --rule but applied to the document root "
-                         "only (reference --top-level-rule)")
+    li = sub.add_parser("lint", add_help=False)
+    li.add_argument("paths", nargs="*",
+                    help="schema files or directories (none = config "
+                         "path / cwd walk)")
+    li.add_argument("--plan", default=None,
+                    help="lint a CheckPlan rules file instead (this "
+                         "engine's own artifact)")
+    li.add_argument("--schema", default=None,
+                    help=argparse.SUPPRESS)   # legacy alias: a schema path
+    li.add_argument("-f", "--fix", action="store_true")
+    li.add_argument("-m", "--format", dest="format_output",
+                    action="store_true")
+    li.add_argument("-F", "--format-assertion", action="store_true")
+    li.add_argument("-k", "--keep-ordering", action="store_true")
+    li.add_argument("-l", "--list", dest="list_rules",
+                    action="store_true")
+    li.add_argument("-e", "--extension", action="append", default=[])
+    li.add_argument("-x", "--exclude", action="append", default=[],
+                    metavar="RULE")
+    li.add_argument("-o", "--only", action="append", default=[],
+                    metavar="RULE")
+    li.add_argument("-i", "--ignore", action="append", default=[])
+    li.add_argument("-n", "--indentation", default=None)
+    li.add_argument("-a", "--rule", action="append", default=[])
+    li.add_argument("-t", "--top-level-rule", action="append",
+                    default=[])
+    li.add_argument("-v", "--verbose", action="store_true")
+    li.add_argument("-g", "--debug", action="store_true")
+    li.add_argument("-j", "--json", dest="as_json", action="store_true")
+    li.add_argument("-r", "--resolve", action="append", default=[])
+    li.add_argument("-d", "--default-dialect")
+    li.add_argument("-h", "--http", action="store_true")
+    li.add_argument("-H", "--header", action="append", default=[])
     li.set_defaults(fn=cmd_lint)
 
     t = sub.add_parser("test")

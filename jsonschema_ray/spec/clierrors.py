@@ -31,6 +31,7 @@ _LABELS = {
     "keyword": "keyword",
     "uri": "uri",
     "filePath": "file path",
+    "resolvePath": "resolve path",
     "location": "location",
     "otherLocation": "other location",
     "entry": "entry",

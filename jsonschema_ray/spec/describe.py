@@ -708,7 +708,10 @@ class Explainer:
             return True
         ok = True
         for name in inst:
-            if not self._eval(v, base, name, iptr, ep, out, scopes):
+            # blaze pushes the property name onto the instance location
+            # while evaluating propertyNames (evaluator_dispatch LoopKeys)
+            if not self._eval(v, base, name, f"{iptr}/{_esc_ptr(name)}",
+                              ep, out, scopes):
                 ok = False
         return ok
 
@@ -917,6 +920,13 @@ class Explainer:
             return True
         if re.search(v, inst) is not None:
             return True
+        # under propertyNames the failing value IS a property name
+        # (blaze evaluator_describe.cc:414 "The property name ...")
+        if "/propertyNames" in ep and iptr:
+            out.append(Entry(
+                f"The property name {_escape(inst)} was expected to "
+                f"match the regular expression {_escape(v)}", iptr, ep))
+            return False
         out.append(Entry(
             f"The string value {_escape(inst)} was expected to match "
             f"the regular expression {_escape(v)}", iptr, ep))

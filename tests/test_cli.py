@@ -106,7 +106,8 @@ def test_inspect_reports_strategies():
 
 
 def test_missing_file_is_usage_error():
-    assert run_cli("lint", "/nonexistent/x.json").returncode == 1
+    # reference semantics: a missing input is exit 6 (other input)
+    assert run_cli("lint", "/nonexistent/x.json").returncode == 6
 
 
 def test_suite_runner(ray_session):
@@ -453,34 +454,45 @@ def test_fmt_schema_keyword_ordering(tmp_path):
 
 
 def test_lint_schema_fix_canonicalizes(tmp_path):
-    """lint --schema --fix applies the alterschema registry to a
-    fixpoint and rewrites the file in canonical keyword order."""
+    """The reference lint driver: findings exit 2 with positions on
+    stdout; --fix applies the blaze rule registry to a fixpoint with
+    progress dots on stderr."""
     p = tmp_path / "s.json"
     p.write_text(json.dumps({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
         "title": "Test",
         "description": "Test schema",
+        "examples": [{}],
         "type": "object",
         "properties": {"a": {"enum": [1, 1]},
                        "b": {"not": {"not": {"type": "string"}}}},
         "allOf": [{"allOf": [{"minProperties": 0}]}, True],
     }))
-    r = run_cli("lint", "--schema", str(p))
-    # reference semantics: findings (warnings included) exit 2
-    assert r.returncode == 2 and "fixable: enum_to_const" in r.stderr
-    r = run_cli("lint", "--schema", str(p), "--fix")
-    assert r.returncode == 0, r.stderr
+    r = run_cli("lint", str(p))
+    assert r.returncode == 2
+    assert "(duplicate_enum_values)" in r.stdout
+    assert "(double_negation_elimination)" in r.stdout
+    r = run_cli("lint", str(p), "--fix")
+    assert r.returncode == 0, r.stdout + r.stderr
     out = json.loads(p.read_text())
     assert out["properties"]["a"] == {"const": 1}
-    assert out["properties"]["b"] == {"allOf": [{"type": "string"}]}
-    # minProperties: 0 is a spec default → dropped, emptying the allOf
+    assert out["properties"]["b"] == {"type": "string"}
     assert "allOf" not in out
-    # idempotent: second lint reports nothing fixable
-    r = run_cli("lint", "--schema", str(p))
-    assert "fixable" not in r.stderr
-    # --exclude silences a named rule; --only selects
-    r = run_cli("lint", "--schema", str(p), "-x", "top_level_title",
-                "-x", "top_level_description")
-    assert "top_level_title" not in r.stderr
+    # idempotent: a second --fix applies nothing further
+    r = run_cli("lint", str(p), "--fix")
+    assert r.returncode == 0 and "." not in r.stderr
+    # --exclude silences a named rule
+    p2 = tmp_path / "s2.json"
+    p2.write_text(json.dumps({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "description": "Test schema",
+        "examples": [{}],
+        "type": "object",
+    }))
+    r = run_cli("lint", str(p2))
+    assert "(top_level_title)" in r.stdout
+    r = run_cli("lint", str(p2), "-x", "top_level_title")
+    assert "(top_level_title)" not in r.stdout
 
 
 def test_upgrade_schema_verb(tmp_path):

@@ -561,259 +561,44 @@ def test_reference_validate_corpus_end_to_end(tmp_path):
         f"validate e2e failures: {failed}"
 
 # ---------------------------------------------------------------------------
-# lint verb corpus: findings-vs-clean verdicts through lint_schema +
-# the alterschema transform registry (with x-lint-exclude scopes).
+# lint verb corpus: the ENTIRE fixture set executed VERBATIM through the
+# CLI shim — byte-exact findings/positions, --fix rewrites + progress
+# dots, --list, --json documents, custom rules, config flows, the typed
+# error surface (spec/lintrules.py + spec/lint_cli.py).
 # ---------------------------------------------------------------------------
 
-LINT_EXPECTED_DIVERGENT = {
-    # the reference breaks internal references DURING fixing (removing
-    # draft-4 $ref siblings) and re-frames -> exit 1; our transform
-    # registry does not implement ref-sibling removal
-    "fail_lint_fix_broken_reference.sh",
-    # per-resource dialect rules inside embedded resources (the
-    # reference frames each embedded resource under ITS dialect and
-    # lints it there; our registry applies the root dialect)
-    "fail_lint_invalid_embedded_resource.sh",
-}
-
-LINT_MIN_MATCHES = 146
+LINT_E2E_MIN_MATCHES = 193   # the ENTIRE corpus, executed VERBATIM
 
 
-def test_reference_lint_corpus_parity():
-    import difflib
+def test_reference_lint_corpus_end_to_end(tmp_path):
+    """Execute the reference's lint fixtures VERBATIM through the CLI
+    shim. Fixture source: /root/reference/test/lint/*.sh — PUBLIC
+    CONTENT, executed for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
 
-    from jsonschema_ray.spec.alterschema import (RULES, canonicalize,
-                                                 filter_excluded,
-                                                 lint_exclusions,
-                                                 lint_fixable)
-    from jsonschema_ray.spec.format import prettify_schema
-    from jsonschema_ray.spec.jschema import (custom_rule_findings,
-                                             lint_schema)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob("/root/reference/test/lint/*.sh"))
+    assert len(scripts) >= 193, "lint corpus missing"
 
-    RP = '$(realpath "$TMP")'
-    match, skips, div = [], {}, {}
-    for path in sorted(glob.glob("/root/reference/test/lint/*.sh")):
-        name = path.rsplit("/", 1)[1]
-        src = open(path).read()
-        files = {m.group(1): m.group(2).replace(RP, "/TMP").replace("\\$","$")
-                 for m in HEREDOC.finditer(src)}
-        joined, buf = [], ""
-        for ln in src.split("\n"):
-            if ln.rstrip().endswith("\\"): buf += ln.rstrip()[:-1] + " "
-            else: joined.append(buf + ln); buf = ""
-        res = None
-        def parse_cfg(cfg_key):
-            cfg_excl, cfg_rules, cfg_dd, cfg_bad = [], [], None, False
-            cdir = cfg_key.rsplit("/", 1)[0] + "/" if "/" in cfg_key else ""
-            try:
-                cfg = json.loads(files[cfg_key])
-                if not isinstance(cfg, dict): raise ValueError
-            except Exception:
-                cfg, cfg_bad = {}, True
-            lc = cfg.get("lint")
-            if lc is not None and not isinstance(lc, dict): cfg_bad = True
-            lc = lc if isinstance(lc, dict) else {}
-            ex = lc.get("exclude")
-            if ex is not None:
-                if not isinstance(ex, list) or not all(isinstance(x, str) for x in ex):
-                    cfg_bad = True
-                else:
-                    cfg_excl = list(ex)
-            for entry in (lc.get("rules") or []):
-                tl = False
-                if isinstance(entry, dict):
-                    tl = entry.get("topLevel", False)
-                    if not isinstance(tl, bool): cfg_bad = True
-                    entry2 = entry.get("path")
-                else:
-                    entry2 = entry
-                if isinstance(entry2, str):
-                    p = entry2[2:] if entry2.startswith("./") else entry2
-                    cfg_rules.append((cdir + p, tl is True))
-                else:
-                    cfg_bad = True
-            dd0 = cfg.get("defaultDialect")
-            if isinstance(dd0, str): cfg_dd = dd0
-            if cfg.get("resolve"): cfg_bad = None   # resolve flow: skip
-            return cfg_excl, cfg_rules, cfg_dd, cfg_bad
-        for i, ln in enumerate(joined):
-            if '"$1"' not in ln or " lint" not in ln: continue
-            exp = 0
-            for la in joined[i:i+4]:
-                m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
-                if m: exp = int(m.group(1)); break
-            inv = re.split(r"\s(?:&&|\|\|)\s", ln.strip())[0]
-            inv = re.sub(r"\s[12]?>>?\s*\S+", "", inv)
-            try: toks = [t.replace("\\$","$") for t in shlex.split(inv)]
-            except ValueError: res = ("skip","plumbing"); break
-            if toks[0] != "$1": res = ("skip","piped"); break
-            excl, only, pos, rules, toprules = [], [], [], [], []
-            fix, dd, fassert = False, None, None
-            resolves = []
-            j, flag_skip = 2, None
-            while j < len(toks):
-                t = toks[j]
-                if t.startswith("-") and t != "-":
-                    if t in ("-j","--json","-v","--verbose","--debug"): j += 1
-                    elif t in ("-f","--fix"): fix = True; j += 1
-                    elif t in ("-F","--format-assertion"): fassert = True; j += 1
-                    elif t in ("-x","--exclude"): excl.append(toks[j+1]); j += 2
-                    elif t in ("-o","--only"): only.append(toks[j+1]); j += 2
-                    elif t in ("--rule",): rules.append(toks[j+1]); j += 2
-                    elif t in ("--top-level-rule",): toprules.append(toks[j+1]); j += 2
-                    elif t in ("-d","--default-dialect"): dd = toks[j+1]; j += 2
-                    elif t in ("-r","--resolve"): resolves.append(toks[j+1]); j += 2
-                    else: flag_skip = t; break
-                else: pos.append(t); j += 1
-            if flag_skip: res = ("skip", f"flag {flag_skip}"); break
-            key = next((t[5:] for t in pos if t.startswith("$TMP/") and t[5:] in files), None)
-            if key is None: res = ("skip","no heredoc target"); break
-            def load(k):
-                body = files[k]
-                try: return json.loads(body)
-                except Exception:
-                    import yaml
-                    return yaml.safe_load(body)
-            got = None
-            # nearest config: schema dir first, then ancestors
-            parts = key.split("/")[:-1]
-            cfg_key = None
-            for d in range(len(parts), -1, -1):
-                cand = "/".join(parts[:d] + ["jsonschema.json"])
-                if cand in files: cfg_key = cand; break
-            cfg_excl, cfg_rules, cfg_dd, cfg_bad = [], [], None, False
-            if cfg_key is not None:
-                cfg_excl, cfg_rules, cfg_dd, cfg_bad = parse_cfg(cfg_key)
-                if cfg_bad is None:
-                    res = ("skip", "config resolve flow"); break
-            if cfg_bad: got = 1
-            excl_cli = list(excl)
-            # CLI --only overrides config excludes entirely
-            excl = excl if only else excl + cfg_excl
-            if not dd: dd = cfg_dd
-            # custom rule docs (file or dir)
-            rdocs, tdocs = [], []
-            import posixpath
-            for rpath, top in cfg_rules:
-                rk = rpath[5:] if rpath.startswith("$TMP/") else rpath
-                rk = posixpath.normpath(rk)
-                if rk not in files: got = 1; continue
-                try:
-                    (tdocs if top else rdocs).append(load(rk))
-                except Exception:
-                    got = 1
-            for coll, out in ((rules, rdocs), (toprules, tdocs)):
-                for r in coll:
-                    rk = r[5:] if r.startswith("$TMP/") else r
-                    sub = [k for k in files if k == rk or k.startswith(rk.rstrip("/")+"/")]
-                    if not sub: got = 1; break
-                    for k in sorted(sub):
-                        try: out.append(load(k))
-                        except Exception: got = 1; break
-            reg = {}
-            for r in resolves:
-                rk = r[5:] if r.startswith("$TMP/") else r
-                sub = [k for k in files if k == rk or k.startswith(rk.rstrip("/")+"/")]
-                if not sub: got = 1; break
-                for k in sorted(sub):
-                    try: d0 = load(k)
-                    except Exception: got = 1; break
-                    reg[k] = d0; reg["./"+k] = d0
-                    if isinstance(d0, dict):
-                        did = d0.get("$id") or d0.get("id")
-                        if isinstance(did, str): reg.setdefault(did, d0)
-            if got is None:
-                try: doc = load(key)
-                except Exception: got = 1
-            if got is None and isinstance(doc, dict) and "$schema" not in doc and not dd:
-                got = 1
-            if got is None:
-                if dd and isinstance(doc, dict): doc.setdefault("$schema", dd)
-                try:
-                    from jsonschema_ray.spec.alterschema import RULES
-                    known = set(RULES) | {x[1] for x in
-                                          lint_schema(doc, top_level=True)}                         | {r.get("title") for r in rdocs + tdocs
-                               if isinstance(r, dict)}
-                    if only and excl_cli:
-                        raise PermissionError("--only with --exclude")
-                    for n0 in only:
-                        if n0 not in known:
-                            raise PermissionError(f"unknown rule {n0}")
-                    import re as _re
-                    titles = [r.get("title") for r in rdocs + tdocs
-                              if isinstance(r, dict)]
-                    if rdocs or tdocs:
-                        if len(set(titles)) != len(titles)                             or any(t in RULES for t in titles)                             or any(not isinstance(t, str)
-                                       or not _re.fullmatch(r"[a-z0-9_\-\.]+", t)
-                                       for t in titles):
-                            raise LookupError("bad custom rule titles")
-                    compile_schema(doc, resources=reg or None)
-                    if fix:
-                        try:
-                            json.loads(files[key])
-                        except Exception:
-                            raise TypeError("cannot rewrite non-JSON inputs")
-                        fixed, applied = canonicalize(
-                            doc, disabled=set(excl),
-                            only=set(only) if only else None)
-                        if applied:
-                            from jsonschema_ray.spec.format import prettify_json
-                            files[key] = prettify_json(fixed)
-                        f = lint_schema(fixed, top_level=True) + lint_fixable(fixed, disabled=set(excl), only=set(only) if only else None)
-                        f = filter_excluded(f, lint_exclusions(fixed),
-                                            global_exclude=set(excl),
-                                            only=set(only) if only else None)
-                        cf = custom_rule_findings(fixed, rdocs,
-                                                  assert_formats=fassert) +                          custom_rule_findings(fixed, tdocs,
-                                                  top_level_only=True,
-                                                  assert_formats=fassert)
-                        if only: cf = [x for x in cf if x[1] in only]
-                        if excl: cf = [x for x in cf if x[1] not in excl]
-                        got = 2 if (list(f) + cf) else 0
-                    else:
-                        f = lint_schema(doc, top_level=True) + lint_fixable(doc, disabled=set(excl), only=set(only) if only else None)
-                        f = filter_excluded(f, lint_exclusions(doc),
-                                            global_exclude=set(excl),
-                                            only=set(only) if only else None)
-                        cf = custom_rule_findings(doc, rdocs,
-                                                  assert_formats=fassert,
-                                                  resources=reg or None) + \
-                             custom_rule_findings(doc, tdocs, top_level_only=True,
-                                                  assert_formats=fassert,
-                                                  resources=reg or None)
-                        scopes = lint_exclusions(doc)
-                        cf = [x for x in cf if not any(
-                            (x[0] == sp or x[0].startswith(sp + "/") or sp == "")
-                            and x[1] in names for sp, names in scopes)]
-                        if only: cf = [x for x in cf if x[1] in only]
-                        if excl: cf = [x for x in cf if x[1] not in excl]
-                        f = list(f) + cf
-                        got = 2 if f else 0
-                except Exception:
-                    got = 1
-            agree = (exp == got) or (exp not in (0,2) and got == 1)
-            if not agree: res = ("div", (exp, got)); break
-            if got == 0 and fix:
-                m2 = re.search(r'diff "\$TMP/%s" "\$TMP/([^"]+)"' % re.escape(key), src)
-                if m2 and m2.group(1) in files:
-                    want = files[m2.group(1)] + "\n"
-                    if files[key] + "\n" != want:
-                        d = "".join(difflib.unified_diff(want.splitlines(True), (files[key]+"\n").splitlines(True)))[:400]
-                        res = ("div", ("bytes", d)); break
-            res = ("agree", None)
-            break
-        if res is None: skips[name] = "no invocation"
-        elif res[0]=="agree": match.append(name)
-        elif res[0]=="skip": skips[name]=res[1]
-        else: div[name]=res[1]
-    
-    unexpected = set(div) - LINT_EXPECTED_DIVERGENT
-    healed = LINT_EXPECTED_DIVERGENT - set(div) - set(skips)
-    assert not unexpected, f"new lint divergences: " \
-        f"{ {k: div[k] for k in sorted(unexpected)} }"
-    assert not healed, f"update LINT_EXPECTED_DIVERGENT: {sorted(healed)}"
-    assert len(match) >= LINT_MIN_MATCHES, (
-        f"{len(match)} < {LINT_MIN_MATCHES}")
+    def run(path):
+        r = subprocess.run(["bash", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=180)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert len(results) - len(failed) >= LINT_E2E_MIN_MATCHES, \
+        f"lint e2e failures: {failed}"
 
 
 # ---------------------------------------------------------------------------
