@@ -1482,14 +1482,26 @@ def cmd_test(args) -> int:
     from jsonschema_ray.sources.readers import DatasetSource
     from jsonschema_ray.sources.synth import DOCS_SCHEMA
 
-    with open(args.suite) as f:
-        suite = json.load(f)
-    if not isinstance(suite, dict) or "target" in suite or not (
-            isinstance(suite.get("tests"), list)
-            and suite["tests"] and "docs" in suite["tests"][0]):
-        # reference schema test document: {target, tests:[{valid,
-        # data|dataPath, rdf?}]} (src/command_test.cc:83-300)
-        return _run_schema_test_document(args, suite)
+    import os as _os
+
+    paths = list(getattr(args, "paths", None) or [])
+    suite = None
+    if len(paths) == 1 and _os.path.isfile(paths[0]):
+        try:
+            with open(paths[0]) as f:
+                suite = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            suite = None
+    if not (isinstance(suite, dict) and "target" not in suite
+            and isinstance(suite.get("tests"), list)
+            and suite["tests"] and isinstance(suite["tests"][0], dict)
+            and "docs" in suite["tests"][0]):
+        # reference schema test documents through the full driver
+        # (src/command_test.cc)
+        from jsonschema_ray.spec.test_cli import run as _ref_test
+
+        return _ref_test(args)
+    args.suite = paths[0]
     cases = suite.get("tests", [])
     if not cases:
         print("test: empty suite", file=sys.stderr)
@@ -2859,13 +2871,25 @@ def build_parser() -> argparse.ArgumentParser:
     li.add_argument("-H", "--header", action="append", default=[])
     li.set_defaults(fn=cmd_lint)
 
-    t = sub.add_parser("test")
-    t.add_argument("suite")
-    t.add_argument("--plan", default="default")
+    t = sub.add_parser("test", add_help=False)
+    t.add_argument("paths", nargs="*",
+                   help="test documents or directories (none = config "
+                        "path / cwd walk)")
+    t.add_argument("--plan", default="default",
+                   help="CheckPlan for the legacy Ray suite format")
     t.add_argument("--report")
-    t.add_argument("-r", "--resolve", action="append",
+    t.add_argument("-e", "--extension", action="append", default=[])
+    t.add_argument("-i", "--ignore", action="append", default=[])
+    t.add_argument("-F", "--format-assertion", action="store_true")
+    t.add_argument("-r", "--resolve", action="append", default=[],
                    help="pre-import a schema file or directory for "
                         "resolving URI test targets (reference -r)")
+    t.add_argument("-d", "--default-dialect")
+    t.add_argument("-v", "--verbose", action="store_true")
+    t.add_argument("-g", "--debug", action="store_true")
+    t.add_argument("-j", "--json", dest="as_json", action="store_true")
+    t.add_argument("-h", "--http", action="store_true")
+    t.add_argument("-H", "--header", action="append", default=[])
     t.add_argument("--num-cpus", type=int, default=None)
     t.set_defaults(fn=cmd_test)
 

@@ -49,12 +49,24 @@ _IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S+$")
 
 
 class ResolutionError(ValueError):
-    """Annotation resolution failure; cites the schema location."""
+    """Annotation resolution failure; cites the schema location.
+    Conflict errors additionally carry the facet name, both schema
+    locations, and the instance location (blaze JSONLDError model,
+    printed by the reference's test verb print_rdf_failure)."""
 
-    def __init__(self, message: str, schema_location: str):
+    def __init__(self, message: str, schema_location: str, *,
+                 facet: str | None = None,
+                 other_location: str | None = None,
+                 instance_location: str | None = None,
+                 inert_override_location: str | None = None):
         super().__init__(f"{message}\n    at schema location "
                          f"\"{schema_location}\"")
+        self.message = message
         self.schema_location = schema_location
+        self.facet = facet
+        self.other_location = other_location
+        self.instance_location = instance_location
+        self.inert_override_location = inert_override_location
 
 
 def _canonical_bcp47(tag: Any) -> bool:
@@ -205,6 +217,7 @@ class _Expander:
                 "The value of x-jsonld-override must be a boolean", ptr)
         override = own.get("x-jsonld-override") is True
         ann: dict[str, Any] = {}
+        ann_src: dict[str, str] = {}
         types: list = []
         constants: dict = {}
 
@@ -242,11 +255,23 @@ class _Expander:
                     else:
                         short = kw.replace("x-jsonld-", "")
                         label = {"id": "predicate", "value":
-                                 "value predicate"}.get(short, short)
+                                 "value predicate",
+                                 "json": "JSON literal flag",
+                                 "graph": "graph flag",
+                                 "self": "self identity"}.get(short,
+                                                              short)
+                        facet = {"id": "predicate",
+                                 "value": "value"}.get(short, short)
                         raise ResolutionError(
                             f"A JSON-LD {label} cannot be assigned more "
-                            "than one value", nptr)
+                            "than one value", f"{ann_src.get(kw, nptr)}/{kw}",
+                            facet=facet,
+                            other_location=f"{nptr}/{kw}",
+                            instance_location="".join(
+                                getattr(self, "_ipath", [])))
                 else:
+                    if kw not in ann:
+                        ann_src[kw] = nptr
                     ann.setdefault(kw, v)
 
         # the outer (own) node wins under override: process it FIRST so
@@ -394,7 +419,14 @@ class _Expander:
                          and name in self.node(sp)["properties"]]
                 if not pptrs:
                     continue
-                pann, _ = self.gather(pptrs[0], value[name])
+                if not hasattr(self, "_ipath"):
+                    self._ipath = []
+                self._ipath.append(
+                    "/" + name.replace("~", "~0").replace("/", "~1"))
+                try:
+                    pann, _ = self.gather(pptrs[0], value[name])
+                finally:
+                    self._ipath.pop()
                 # merge annotations across declaring sources
                 for extra in pptrs[1:]:
                     ea, _ = self.gather(extra, value[name])
@@ -411,7 +443,14 @@ class _Expander:
                             pann.setdefault(k, v)
                 pid = pann.get("x-jsonld-id")
                 rev = pann.get("x-jsonld-reverse")
-                entities = self.expand(pptrs[0], value[name], value)
+                if not hasattr(self, "_ipath"):
+                    self._ipath = []
+                self._ipath.append(
+                    "/" + name.replace("~", "~0").replace("/", "~1"))
+                try:
+                    entities = self.expand(pptrs[0], value[name], value)
+                finally:
+                    self._ipath.pop()
                 if pid is None and rev is None:
                     # unpredicated: hoist full nodes to the top level
                     for e in entities:
@@ -457,7 +496,13 @@ class _Expander:
                                         (dict, bool)):
                             iptrs.append(f"{sp}/additionalItems")
                 if iptrs:
-                    item_entities.extend(self.expand(iptrs[0], v))
+                    if not hasattr(self, "_ipath"):
+                        self._ipath = []
+                    self._ipath.append(f"/{i}")
+                    try:
+                        item_entities.extend(self.expand(iptrs[0], v))
+                    finally:
+                        self._ipath.pop()
                 else:
                     item_entities.append({"@value": v})
             if cont == "@list":
