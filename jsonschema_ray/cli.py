@@ -2524,7 +2524,11 @@ def cmd_rdf(args) -> int:
     schema compiled once per actor)."""
     from jsonschema_ray.spec.jsonld import ResolutionError, promote
 
-    schema = _load_schema_doc(args.schema)
+    if not getattr(args, "table", None):
+        from jsonschema_ray.spec.rdf_cli import run as _ref_rdf
+
+        return _ref_rdf(args)
+    schema = _load_schema_doc(args.paths[0])
     if getattr(args, "table", None):
         _ensure_ray(args.num_cpus)
         from jsonschema_ray.spec.jsonld import PromoteBatch
@@ -2743,10 +2747,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="verify the lock instead of refreshing it")
     ins.set_defaults(fn=cmd_install)
 
-    rdf = sub.add_parser("rdf")
-    rdf.add_argument("schema")
-    rdf.add_argument("instances", nargs="*", default=[],
-                     help="instance JSON/YAML files to promote")
+    rdf = sub.add_parser("rdf", add_help=False)
+    rdf.add_argument("paths", nargs="*", default=[],
+                     help="schema then instance (or - for stdin)")
     rdf.add_argument("--table",
                      help="promote a dataset instead: parquet/JSONL path "
                           "whose --column holds JSON payloads")
@@ -2760,8 +2763,16 @@ def build_parser() -> argparse.ArgumentParser:
     rdf.add_argument("-c", "--compact",
                      help="compact the output against this JSON/YAML "
                           "context file (reference --compact)")
-    rdf.add_argument("-r", "--resolve", action="append",
+    rdf.add_argument("-r", "--resolve", action="append", default=[],
                      help="pre-import a schema file or directory")
+    rdf.add_argument("-f", "--fast", action="store_true")
+    rdf.add_argument("-F", "--format-assertion", action="store_true")
+    rdf.add_argument("-d", "--default-dialect")
+    rdf.add_argument("-v", "--verbose", action="store_true")
+    rdf.add_argument("-g", "--debug", action="store_true")
+    rdf.add_argument("-j", "--json", dest="as_json", action="store_true")
+    rdf.add_argument("-h", "--http", action="store_true")
+    rdf.add_argument("-H", "--header", action="append", default=[])
     rdf.add_argument("--num-cpus", type=int, default=None)
     rdf.set_defaults(fn=cmd_rdf)
 
@@ -2985,7 +2996,8 @@ def main(argv: list[str] | None = None) -> int:
         err = ArgUsageError(msg)
         if option:
             err.fields = {"option": option}
-        return emit(err, json_mode=False)
+        return emit(err,
+                    json_mode=("-j" in argv or "--json" in argv))
 
     try:
         args, extras = parser.parse_known_args(argv)

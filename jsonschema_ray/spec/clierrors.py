@@ -32,6 +32,11 @@ _LABELS = {
     "uri": "uri",
     "filePath": "file path",
     "resolvePath": "resolve path",
+    "instanceLocation": "instance location",
+    "facet": "facet",
+    "schemaLocation": "schema location",
+    "conflictingSchemaLocation": "conflicting schema location",
+    "inertOverrideLocation": "inert override location",
     "location": "location",
     "otherLocation": "other location",
     "entry": "entry",
@@ -39,7 +44,7 @@ _LABELS = {
     "base uri": "base uri",
     "baseURI": "base uri",
 }
-_QUOTED = {"location", "otherLocation"}
+_QUOTED = {"location", "otherLocation", "instanceLocation", "facet"}
 
 # the reference prints detail fields in one FIXED order regardless of
 # construction order (src/error.h print_exception's if-constexpr chain);

@@ -631,7 +631,9 @@ class Explainer:
         if ok:
             return True
         n = len(v)
-        fused = all(isinstance(p, dict) and set(p) <= {"type"}
+        fused = all(isinstance(p, dict)
+                    and {k for k in p
+                         if not k.startswith("x-jsonld-")} <= {"type"}
                     and isinstance(p.get("type"), str)
                     for p in v.values())
         if n == 1:

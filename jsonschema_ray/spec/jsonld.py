@@ -94,22 +94,26 @@ def _canonical_bcp47(tag: Any) -> bool:
     return True
 
 
-def _self_id(template: str, value: Any, siblings: dict, ptr: str) -> str:
+def _self_id(template: str, value: Any, siblings: dict, ptr: str,
+             iptr: str = "") -> str:
     """Mint an ``@id`` from ``x-jsonld-self``: an RFC 6570 URI template
     (variables matched VERBATIM against property names; ``this`` is the
     scalar value itself) or a scheme identity name (mailto / acct)."""
     if template == "mailto":
         if not isinstance(value, str) or "@" not in value:
             raise ResolutionError(
-                f"value {value!r} is not a mailbox for the mailto scheme",
-                ptr)
+                "A JSON-LD self identity value is outside the domain of "
+                "its scheme", f"{ptr}/x-jsonld-self", facet="self",
+                instance_location=iptr)
         local, _, domain = value.rpartition("@")
         return "mailto:" + urllib.parse.quote(local, safe="") + "@" + \
             domain.lower()
     if template == "acct":
         if not isinstance(value, str) or "@" not in value:
             raise ResolutionError(
-                f"value {value!r} is not a user@host account for acct", ptr)
+                "A JSON-LD self identity value is outside the domain of "
+                "its scheme", f"{ptr}/x-jsonld-self", facet="self",
+                instance_location=iptr)
         local, _, domain = value.rpartition("@")
         return "acct:" + urllib.parse.quote(local, safe="") + "@" + \
             domain.lower()
@@ -124,8 +128,9 @@ def _self_id(template: str, value: Any, siblings: dict, ptr: str) -> str:
             v = siblings[name]
         else:
             raise ResolutionError(
-                f"x-jsonld-self variable {{{expr}}} matches no instance "
-                "property", ptr)
+                "A JSON-LD self identity template variable must bind to "
+                "an instance value", f"{ptr}/x-jsonld-self", facet="self",
+                instance_location=iptr)
         s = v if isinstance(v, str) else json.dumps(v)
         return s if reserved else urllib.parse.quote(s, safe="")
 
@@ -214,7 +219,9 @@ class _Expander:
         if "x-jsonld-override" in own \
                 and not isinstance(own["x-jsonld-override"], bool):
             raise ResolutionError(
-                "The value of x-jsonld-override must be a boolean", ptr)
+                "The value of x-jsonld-override must be a boolean",
+                f"{ptr}/x-jsonld-override", facet="override",
+                instance_location="".join(getattr(self, "_ipath", [])))
         override = own.get("x-jsonld-override") is True
         ann: dict[str, Any] = {}
         ann_src: dict[str, str] = {}
@@ -238,7 +245,11 @@ class _Expander:
                     if v is None and not (is_own and override):
                         raise ResolutionError(
                             "A JSON-LD constants entry can only be null "
-                            "inside an overriding schema object", nptr)
+                            "inside an overriding schema object",
+                            f"{nptr}/x-jsonld-constants",
+                            facet="constants",
+                            instance_location="".join(
+                                getattr(self, "_ipath", [])))
                     if k in constants and constants[k] != v:
                         if not (override and not is_own):
                             raise ResolutionError(
@@ -262,11 +273,20 @@ class _Expander:
                                                               short)
                         facet = {"id": "predicate",
                                  "value": "value"}.get(short, short)
+                        inert = None
+                        for sp2 in srcs:
+                            n2 = self.node(sp2)
+                            if sp2 != ptr and isinstance(n2, dict) \
+                                    and n2.get("x-jsonld-override") \
+                                    is True:
+                                inert = f"{sp2}/x-jsonld-override"
+                                break
                         raise ResolutionError(
                             f"A JSON-LD {label} cannot be assigned more "
                             "than one value", f"{ann_src.get(kw, nptr)}/{kw}",
                             facet=facet,
                             other_location=f"{nptr}/{kw}",
+                            inert_override_location=inert,
                             instance_location="".join(
                                 getattr(self, "_ipath", [])))
                 else:
@@ -288,46 +308,49 @@ class _Expander:
             ann["x-jsonld-constants"] = constants
 
         # keyword value grammar (the syntactic guarantee)
+        def _gerr(message: str, kw: str, facet: str):
+            return ResolutionError(
+                message, f"{ann_src.get(kw, ptr)}/{kw}", facet=facet,
+                instance_location="".join(getattr(self, "_ipath", [])))
+
         pid = ann.get("x-jsonld-id")
         if pid is not None and (not isinstance(pid, str)
                                 or not _IRI.match(pid)):
-            raise ResolutionError(
-                "The value of x-jsonld-id must be an absolute IRI", ptr)
+            raise _gerr("The value of x-jsonld-id must be an absolute "
+                        "IRI", "x-jsonld-id", "predicate")
         rev = ann.get("x-jsonld-reverse")
         if rev is not None and (not isinstance(rev, str)
                                 or not _IRI.match(rev)):
-            raise ResolutionError(
-                "The value of x-jsonld-reverse must be an absolute IRI",
-                ptr)
+            raise _gerr("The value of x-jsonld-reverse must be an "
+                        "absolute IRI", "x-jsonld-reverse", "reverse")
         dt = ann.get("x-jsonld-datatype")
         if dt is not None:
             if not isinstance(dt, str) or not _IRI.match(dt):
-                raise ResolutionError(
-                    "The value of x-jsonld-datatype must be an absolute "
-                    "IRI", ptr)
+                raise _gerr("The value of x-jsonld-datatype must be an "
+                            "absolute IRI", "x-jsonld-datatype",
+                            "datatype")
             if dt == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString":
-                raise ResolutionError(
-                    "Use x-jsonld-language for language-tagged literals",
-                    ptr)
+                raise _gerr("Use x-jsonld-language for language-tagged "
+                            "literals", "x-jsonld-datatype", "datatype")
         lang = ann.get("x-jsonld-language")
         if lang is not None and not _canonical_bcp47(lang):
-            raise ResolutionError(
-                "The value of x-jsonld-language must be a canonical "
-                "BCP 47 language tag", ptr)
+            raise _gerr("The value of x-jsonld-language must be a "
+                        "canonical BCP 47 language tag",
+                        "x-jsonld-language", "language")
         dirn = ann.get("x-jsonld-direction")
         if dirn is not None and dirn not in ("ltr", "rtl"):
-            raise ResolutionError(
-                "The value of x-jsonld-direction must be ltr or rtl", ptr)
+            raise _gerr("The value of x-jsonld-direction must be ltr or "
+                        "rtl", "x-jsonld-direction", "direction")
         cont = ann.get("x-jsonld-container")
         if cont is not None and cont not in ("@list", "@set", "@language",
                                              "@index"):
-            raise ResolutionError(
-                "The value of x-jsonld-container must be @list, @set, "
-                "@language, or @index", ptr)
+            raise _gerr("The value of x-jsonld-container must be @list, "
+                        "@set, @language, or @index",
+                        "x-jsonld-container", "container")
         if dt is not None and lang is not None:
-            raise ResolutionError(
-                "x-jsonld-datatype and x-jsonld-language are mutually "
-                "exclusive", ptr)
+            raise _gerr("x-jsonld-datatype and x-jsonld-language are "
+                        "mutually exclusive", "x-jsonld-datatype",
+                        "datatype")
         return ann, srcs
 
     # -- expansion -------------------------------------------------------
@@ -388,11 +411,14 @@ class _Expander:
             if "x-jsonld-value" in ann:
                 raise ResolutionError(
                     "A JSON-LD value predicate can only be assigned to a "
-                    "scalar value", ptr)
+                    "scalar value", f"{ptr}/x-jsonld-value", facet="value",
+                    instance_location="".join(
+                        getattr(self, "_ipath", [])))
             node: dict = {}
             if "x-jsonld-self" in ann:
-                node["@id"] = _self_id(ann["x-jsonld-self"], value, value,
-                                       ptr)
+                node["@id"] = _self_id(
+                    ann["x-jsonld-self"], value, value, ptr,
+                    "".join(getattr(self, "_ipath", [])))
             if "x-jsonld-type" in ann:
                 node["@type"] = ann["x-jsonld-type"]
             edges: dict = {}
@@ -514,8 +540,9 @@ class _Expander:
 
         # scalar
         if "x-jsonld-self" in ann:
-            node = {"@id": _self_id(ann["x-jsonld-self"], value,
-                                    siblings or {}, ptr)}
+            node = {"@id": _self_id(
+                ann["x-jsonld-self"], value, siblings or {}, ptr,
+                "".join(getattr(self, "_ipath", [])))}
             if "x-jsonld-type" in ann:
                 node["@type"] = ann["x-jsonld-type"]
             return [node]
@@ -533,7 +560,8 @@ class _Expander:
         if "x-jsonld-type" in ann:
             raise ResolutionError(
                 "A JSON-LD type can only be assigned to an object value",
-                ptr)
+                f"{ptr}/x-jsonld-type", facet="type",
+                instance_location="".join(getattr(self, "_ipath", [])))
         return [self.literal(ann, value, ptr)]
 
 

@@ -953,6 +953,47 @@ def test_reference_codegen_corpus_parity(tmp_path):
     assert len(results) - len(failed) >= CODEGEN_MIN_MATCHES
 
 # ---------------------------------------------------------------------------
+# rdf verb corpus: the ENTIRE fixture set executed VERBATIM through the
+# CLI shim — byte-exact expanded/flattened/compacted documents, the
+# enriched JSON-LD resolution-error surface, validation failures,
+# stdin/config/dialect flows (spec/rdf_cli.py).
+# ---------------------------------------------------------------------------
+
+RDF_E2E_MIN_MATCHES = 79   # the ENTIRE corpus, executed VERBATIM
+
+
+def test_reference_rdf_corpus_end_to_end(tmp_path):
+    """Execute the reference's rdf fixtures VERBATIM through the CLI
+    shim. Fixture source: /root/reference/test/rdf/*.sh — PUBLIC
+    CONTENT, executed for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob("/root/reference/test/rdf/*.sh"))
+    assert len(scripts) >= 79, "rdf corpus missing"
+
+    def run(path):
+        r = subprocess.run(["bash", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=180)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert len(results) - len(failed) >= RDF_E2E_MIN_MATCHES, \
+        f"rdf e2e failures: {failed}"
+
+
+# ---------------------------------------------------------------------------
 # rdf verb corpus: BYTE-exact expanded/flattened/compacted JSON-LD
 # (x-jsonld-* annotation vocabulary with evaluation-driven
 # composition), failure verdicts for resolution strictness.
