@@ -143,28 +143,32 @@ def _ensure_ray(num_cpus: int | None) -> None:
 # ---------------------------------------------------------------------------
 
 def cmd_compile(args) -> int:
-    """Rule specs → canonical serialized CheckPlan, or (reference UX)
-    a JSON Schema DOCUMENT → reusable template consumed by
-    ``validate --template`` (``src/command_compile.cc``)."""
+    """Rule specs → canonical serialized CheckPlan (``--schema`` /
+    CheckPlan positional), or (reference UX) a JSON Schema DOCUMENT →
+    the blaze Template JSON dump (``src/command_compile.cc``)."""
     import os as _os
 
-    rules_arg = getattr(args, "rules", None)
-    if rules_arg and rules_arg != "default" \
-            and not getattr(args, "schema", None) \
+    paths = list(getattr(args, "paths", None) or [])
+    rules_arg = paths[0] if paths else None
+    args.rules = rules_arg
+    plan_mode = False
+    if rules_arg == "default":
+        plan_mode = True
+    elif rules_arg and not getattr(args, "schema", None) \
             and _os.path.isfile(rules_arg):
         try:
-            from jsonschema_ray.state.inputs import _read_entry
-
-            head = _read_entry(_os.path.realpath(rules_arg)).parsed()
-        except Exception:   # noqa: BLE001 — plan mode
+            with open(rules_arg) as _f:
+                head = json.load(_f)
+        except Exception:   # noqa: BLE001 — not a plan
             head = None
-        if isinstance(head, bool) or (isinstance(head, dict)
-                                      and "rules" not in head):
-            # reference mode: emit a reusable template document
-            template = {"$comment": "jsonschema-ray template",
-                        "version": 1, "schema": head}
-            print(json.dumps(template, indent=2))
-            return EXIT_OK
+        if isinstance(head, dict) and isinstance(head.get("rules"),
+                                                 list) \
+                and "version" in head and "$schema" not in head:
+            plan_mode = True
+    if not plan_mode and not getattr(args, "schema", None):
+        from jsonschema_ray.spec.compile_cli import run as _ref_compile
+
+        return _ref_compile(args)
     if getattr(args, "schema", None):
         from jsonschema_ray.spec.jschema import schema_to_plan
 
@@ -2596,14 +2600,26 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jsonschema_ray")
     sub = p.add_subparsers(dest="verb", required=True)
 
-    c = sub.add_parser("compile")
-    c.add_argument("rules", nargs="?")
+    c = sub.add_parser("compile", add_help=False)
+    c.add_argument("paths", nargs="*",
+                   help="schema file (reference mode)")
     c.add_argument("--schema")
     c.add_argument("-o", "--output")
-    c.add_argument("--fast", action="store_true")
+    c.add_argument("-f", "--fast", action="store_true")
+    c.add_argument("-m", "--minify", action="store_true")
+    c.add_argument("-n", "--include", action="append", default=[])
+    c.add_argument("-p", "--entrypoint", action="append", default=[])
+    c.add_argument("-F", "--format-assertion", action="store_true")
     c.add_argument("-O", "--optimize", action="store_true",
-                   help="postprocess pass: constant folding, flattening, "
-                        "bound fusion, dead-rule elimination")
+                   help="CheckPlan postprocess pass: constant folding, "
+                        "flattening, bound fusion, dead-rule elimination")
+    c.add_argument("-r", "--resolve", action="append", default=[])
+    c.add_argument("-d", "--default-dialect")
+    c.add_argument("-v", "--verbose", action="store_true")
+    c.add_argument("-g", "--debug", action="store_true")
+    c.add_argument("-j", "--json", dest="as_json", action="store_true")
+    c.add_argument("-h", "--http", action="store_true")
+    c.add_argument("-H", "--header", action="append", default=[])
     c.set_defaults(fn=cmd_compile)
 
     v = sub.add_parser("validate")

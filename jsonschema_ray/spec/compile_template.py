@@ -1,0 +1,492 @@
+"""blaze Template emission for the ``compile`` verb.
+
+Re-expresses the PUBLIC blaze compiler's serialized template format
+(``vendor/blaze/src/compiler/compile_json.cc`` over the
+``InstructionIndex`` / ``Value`` variant encodings in
+``evaluator_instruction.h`` / ``evaluator_value.h``): a static walk of
+the schema emitting ``[opcode, relative-schema-location,
+relative-instance-location, absolute-keyword-location,
+schema-resource, [value-variant...], children?]`` rows, one target per
+statically referenced destination, with the exhaustive/fast mode
+differences (annotations + wrapper elision + property-type fusions)
+the reference's compile corpus pins.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+from urllib.parse import urljoin
+
+JSON_VERSION = 5
+
+# InstructionIndex (evaluator_instruction.h, numeric order)
+OP = {name: i for i, name in enumerate([
+    "AssertionFail", "AssertionDefines", "AssertionDefinesStrict",
+    "AssertionDefinesAll", "AssertionDefinesAllStrict",
+    "AssertionDefinesExactly", "AssertionDefinesExactlyStrict",
+    "AssertionDefinesExactlyStrictHash3",
+    "AssertionPropertyDependencies", "AssertionType", "AssertionTypeAny",
+    "AssertionTypeStrict", "AssertionTypeStrictAny",
+    "AssertionNotTypeStrictAny", "AssertionTypeStringBounded",
+    "AssertionTypeStringUpper", "AssertionTypeArrayBounded",
+    "AssertionTypeArrayUpper", "AssertionTypeObjectBounded",
+    "AssertionTypeObjectUpper", "AssertionRegex",
+    "AssertionStringSizeLess", "AssertionStringSizeGreater",
+    "AssertionArraySizeLess", "AssertionArraySizeGreater",
+    "AssertionObjectSizeLess", "AssertionObjectSizeGreater",
+    "AssertionEqual", "AssertionEqualsAny",
+    "AssertionEqualsAnyStringHash", "AssertionGreaterEqual",
+    "AssertionLessEqual", "AssertionGreater", "AssertionLess",
+    "AssertionUnique", "AssertionDivisible",
+    "AssertionTypeIntegerBounded", "AssertionTypeIntegerBoundedStrict",
+    "AssertionTypeIntegerLowerBound",
+    "AssertionTypeIntegerLowerBoundStrict", "AssertionStringType",
+    "AssertionPropertyType", "AssertionPropertyTypeEvaluate",
+    "AssertionPropertyTypeStrict", "AssertionPropertyTypeStrictEvaluate",
+    "AssertionPropertyTypeStrictAny",
+    "AssertionPropertyTypeStrictAnyEvaluate", "AssertionArrayPrefix",
+    "AssertionArrayPrefixEvaluate", "AssertionObjectPropertiesSimple",
+    "AnnotationEmit", "AnnotationToParent", "AnnotationBasenameToParent",
+    "Evaluate", "LogicalNot", "LogicalNotEvaluate", "LogicalOr",
+    "LogicalAnd", "LogicalXor", "LogicalCondition", "LogicalWhenType",
+    "LogicalWhenDefines", "LogicalWhenArraySizeGreater",
+    "LoopPropertiesUnevaluated", "LoopPropertiesUnevaluatedExcept",
+    "LoopPropertiesMatch", "LoopPropertiesMatchClosed", "LoopProperties",
+    "LoopPropertiesEvaluate", "LoopPropertiesRegex",
+    "LoopPropertiesRegexClosed", "LoopPropertiesStartsWith",
+    "LoopPropertiesExcept", "LoopPropertiesType",
+    "LoopPropertiesTypeEvaluate", "LoopPropertiesExactlyTypeStrict",
+    "LoopPropertiesExactlyTypeStrictHash", "LoopPropertiesTypeStrict",
+    "LoopPropertiesTypeStrictEvaluate", "LoopPropertiesTypeStrictAny",
+    "LoopPropertiesTypeStrictAnyEvaluate", "LoopKeys", "LoopItems",
+    "LoopItemsFrom", "LoopItemsUnevaluated", "LoopItemsType",
+    "LoopItemsTypeStrict", "LoopItemsTypeStrictAny",
+    "LoopItemsPropertiesExactlyTypeStrictHash",
+    "LoopItemsPropertiesExactlyTypeStrictHash3",
+    "LoopItemsIntegerBounded", "LoopItemsIntegerBoundedSized",
+    "LoopContains", "ControlGroup", "ControlGroupWhenDefines",
+    "ControlGroupWhenDefinesDirect", "ControlGroupWhenType",
+    "ControlEvaluate", "ControlDynamicAnchorJump", "ControlJump"])}
+
+# Value variant indices (evaluator_value.h `using Value = std::variant<...>`)
+V_NONE = 0
+V_JSON = 1
+V_SET = 2
+V_STRING = 3
+V_PROPERTY = 4
+V_STRINGS = 5
+V_STRING_SET = 6
+V_TYPES = 7
+V_TYPE = 8
+V_REGEX = 9
+V_UNSIGNED = 10
+V_RANGE = 11
+V_BOOLEAN = 12
+V_STRING_TYPE = 14
+
+# JSON::Type enum order (core json value)
+JSON_TYPE = {"null": 0, "boolean": 1, "integer": 2, "real": 3,
+             "string": 4, "array": 5, "object": 6}
+
+STRING_TYPE = {name: i for i, name in enumerate([
+    "uri", "uri-reference", "uri-template", "iri", "iri-reference",
+    "email", "idn-email", "ipv4", "ipv6", "hostname", "idn-hostname",
+    "date-time", "date", "time", "partial-time", "duration",
+    "json-pointer", "relative-json-pointer", "uuid", "regex", "color"])}
+
+_ANNOTATION_KEYWORDS = ("default", "deprecated", "description",
+                        "examples", "readOnly", "title", "writeOnly")
+
+
+def _esc(tok: str) -> str:
+    return tok.replace("~", "~0").replace("/", "~1")
+
+
+class TemplateError(ValueError):
+    pass
+
+
+class _Emitter:
+    def __init__(self, root: Any, *, resources: dict | None,
+                 default_dialect: str | None, default_id: str,
+                 fast: bool, assert_formats: bool | None):
+        self.root = root
+        self.resources = resources or {}
+        self.default_dialect = default_dialect
+        self.default_id = default_id
+        self.fast = fast
+        self.assert_formats = assert_formats
+        # frame: resource bases
+        from jsonschema_ray.spec.jschema import _DocIndex, _dialect_ver, \
+            _is_legacy_dialect
+
+        from jsonschema_ray.spec.lintframe import _norm_dialect
+
+        _dialect = root.get("$schema") if isinstance(root, dict) \
+            and isinstance(root.get("$schema"), str) else default_dialect
+        self.ver = _dialect_ver(
+            {"$schema": _norm_dialect(_dialect)}) \
+            if isinstance(_dialect, str) else 2020
+        legacy = isinstance(root, dict) and (
+            _is_legacy_dialect(root) or (
+                "$schema" not in root and self.ver <= 4))
+        self.idx = _DocIndex(root, legacy_id=legacy, ver=0) \
+            if isinstance(root, dict) else None
+        # resource URI table: the default id is ALWAYS a resource, plus
+        # every declared $id (sorted unique — compile.cc step 1)
+        uris: set[str] = set()
+        if default_id:
+            uris.add(default_id)
+        # external resource docs with their own ids
+        self.external: dict[str, Any] = {}
+        for key, doc in (self.resources or {}).items():
+            if isinstance(doc, dict):
+                did = doc.get("$id") or doc.get("id")
+                if isinstance(did, str):
+                    self.external[did.rstrip("#")] = doc
+                if "://" in key:
+                    self.external.setdefault(key.rstrip("#"), doc)
+        if self.idx is not None:
+            for uri, ptr in self.idx.resources.items():
+                if uri:
+                    uris.add(uri)
+        self.root_base = (self.idx.resource_roots.get("")
+                          if self.idx is not None else "") or default_id
+        self._declared: set[str] = set(uris)
+        self.targets: list[tuple[str, str, Any, str]] = []
+        # (uri, base, doc-node, pointer) — index 0 reserved for main
+        self._target_index: dict[str, int] = {}
+        self._pending: list[tuple[str, str, Any, str]] = []
+        self._resource_uris = uris
+
+    # -- helpers ----------------------------------------------------------
+
+    def resource_id(self, base: str) -> int:
+        table = sorted(self._resource_uris)
+        try:
+            return 1 + table.index(base)
+        except ValueError:
+            return 0
+
+    def node_at(self, ptr: str):
+        from jsonschema_ray.spec.jschema import _resolve_pointer
+
+        return _resolve_pointer(self.root, ptr)
+
+    def base_of(self, ptr: str) -> str:
+        if self.idx is None:
+            return self.root_base
+        return self.idx.enclosing(ptr) or self.root_base
+
+    def abs_loc(self, ptr: str) -> str:
+        from urllib.parse import quote
+
+        base = self.base_of(ptr)
+        res_ptr = self.idx.resources.get(base, "") \
+            if self.idx is not None else ""
+        rel = ptr[len(res_ptr):]
+        rel = quote(rel, safe="/$~!&'()*+,;=:@-._")
+        return f"{base}#{rel}"
+
+    # -- target registration ---------------------------------------------
+
+    def target_for(self, dest_uri: str) -> int:
+        if dest_uri in self._target_index:
+            return self._target_index[dest_uri]
+        index = 1 + len(self._pending)
+        self._target_index[dest_uri] = index
+        self._pending.append(dest_uri)
+        return index
+
+    # -- instruction helpers ----------------------------------------------
+
+    def instr(self, op_name: str, rel: list, ptr: str, value: list,
+              children: list | None = None,
+              abs_override: str | None = None) -> list:
+        row = [OP[op_name], rel, [],
+               abs_override if abs_override is not None
+               else self.abs_loc(ptr),
+               self.resource_id(self.base_of(ptr)), value]
+        if children:
+            row.append(children)
+        return row
+
+    # -- the walk ---------------------------------------------------------
+
+    def emit_subschema(self, sch: Any, ptr: str) -> list:
+        """Instruction list for one subschema position."""
+        out: list = []
+        if sch is True or (isinstance(sch, dict) and not sch):
+            return out
+        if sch is False:
+            out.append(self.instr("AssertionFail", [], ptr, [V_NONE]))
+            return out
+        if not isinstance(sch, dict):
+            return out
+
+        # 1. $ref family
+        ref = sch.get("$ref")
+        if isinstance(ref, str):
+            dest = urljoin(self.base_of(ptr) or "", ref)
+            index = self.target_for(dest)
+            out.append(self.instr("ControlJump", ["$ref"],
+                                  f"{ptr}/$ref",
+                                  [V_UNSIGNED, index]))
+            if self.ver <= 7:
+                return out
+
+        # 2. annotations (exhaustive only; the compiler emits
+        # annotation instructions for vocabulary-aware dialects only),
+        # alphabetical
+        if not self.fast and self.ver >= 2019:
+            for akw in _ANNOTATION_KEYWORDS:
+                if akw in sch:
+                    out.append(self.instr(
+                        "AnnotationEmit", [akw], f"{ptr}/{akw}",
+                        [V_JSON, sch[akw]]))
+
+        # 3. assertion/applicator keywords, alphabetical
+        for kw in sorted(sch):
+            handler = getattr(self, "_kw_" + kw.replace("$", "_d_")
+                              .replace("-", "_"), None)
+            if handler is None:
+                continue
+            handler(sch[kw], sch, ptr, out)
+        return out
+
+    # -- keyword handlers -------------------------------------------------
+
+    def _kw_type(self, v, sch, ptr, out):
+        if isinstance(v, str):
+            if v == "number":
+                out.append(self.instr(
+                    "AssertionTypeStrictAny", ["type"], f"{ptr}/type",
+                    [V_TYPES, [JSON_TYPE["integer"], JSON_TYPE["real"]]]))
+            elif v == "integer":
+                out.append(self.instr(
+                    "AssertionType", ["type"], f"{ptr}/type",
+                    [V_TYPE, JSON_TYPE["integer"]]))
+            elif v in JSON_TYPE:
+                out.append(self.instr(
+                    "AssertionTypeStrict", ["type"], f"{ptr}/type",
+                    [V_TYPE, JSON_TYPE[v]]))
+        elif isinstance(v, list):
+            types = []
+            for t in v:
+                if t == "number":
+                    types.extend([JSON_TYPE["integer"], JSON_TYPE["real"]])
+                elif isinstance(t, str) and t in JSON_TYPE:
+                    types.append(JSON_TYPE[t])
+            out.append(self.instr(
+                "AssertionTypeStrictAny", ["type"], f"{ptr}/type",
+                [V_TYPES, types]))
+
+    def _kw_format(self, v, sch, ptr, out):
+        if not isinstance(v, str):
+            return
+        asserting = bool(self.assert_formats)
+        if asserting and v in STRING_TYPE:
+            out.append(self.instr(
+                "AssertionStringType", ["format"], f"{ptr}/format",
+                [V_STRING_TYPE, STRING_TYPE[v]]))
+        if not self.fast and self.ver >= 2019:
+            out.append(self.instr(
+                "ControlGroupWhenType", [], f"{ptr}/format",
+                [V_TYPE, JSON_TYPE["string"]],
+                [self.instr("AnnotationEmit", ["format"],
+                            f"{ptr}/format", [V_JSON, v])]))
+
+    def _kw_minLength(self, v, sch, ptr, out):
+        if not isinstance(v, int) or isinstance(v, bool):
+            return
+        out.append(self.instr(
+            "AssertionStringSizeGreater", ["minLength"],
+            f"{ptr}/minLength", [V_UNSIGNED, v - 1]))
+
+    def _kw_maxLength(self, v, sch, ptr, out):
+        if not isinstance(v, int) or isinstance(v, bool):
+            return
+        out.append(self.instr(
+            "AssertionStringSizeLess", ["maxLength"],
+            f"{ptr}/maxLength", [V_UNSIGNED, v + 1]))
+
+    def _kw_additionalProperties(self, v, sch, ptr, out):
+        if "properties" in sch or "patternProperties" in sch:
+            filt = [V_NONE]  # ValuePropertyFilter path (not yet needed)
+            op = "LoopPropertiesExcept"
+            children = self.emit_subschema(
+                v, f"{ptr}/additionalProperties")
+            out.append(self.instr(op, ["additionalProperties"],
+                                  f"{ptr}/additionalProperties", filt,
+                                  children))
+            return
+        sub_ptr = f"{ptr}/additionalProperties"
+        children = self.emit_subschema(v, sub_ptr)
+        if self.fast:
+            # postprocess fusion: a single {"type": T} child collapses
+            # into LoopPropertiesTypeStrict with merged locations
+            if isinstance(v, dict) and set(v) == {"type"} \
+                    and isinstance(v.get("type"), str) \
+                    and v["type"] in JSON_TYPE and v["type"] not in (
+                        "number", "integer"):
+                out.append(self.instr(
+                    "LoopPropertiesTypeStrict",
+                    ["additionalProperties", "type"],
+                    f"{sub_ptr}/type",
+                    [V_TYPE, JSON_TYPE[v["type"]]]))
+                return
+            out.append(self.instr(
+                "LoopProperties", ["additionalProperties"], sub_ptr,
+                [V_NONE], children))
+            return
+        if self.ver >= 2019:
+            children = children + [self.instr(
+                "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+        out.append(self.instr(
+            "LoopProperties", ["additionalProperties"], sub_ptr,
+            [V_NONE], children))
+
+    def _kw_properties(self, v, sch, ptr, out):
+        if not isinstance(v, dict):
+            return
+        required = {r for r in (sch.get("required") or [])
+                    if isinstance(r, str)}
+        assume_object = sch.get("type") == "object"
+        for name in sorted(v):
+            sub_ptr = f"{ptr}/properties/{_esc(name)}"
+            substeps = self.emit_subschema(v[name], sub_ptr)
+            for step in substeps:
+                step[2] = [name] + step[2]
+            if not self.fast and self.ver >= 2019:
+                substeps.append([
+                    OP["AnnotationEmit"], [], [],
+                    self.abs_loc(f"{ptr}/properties"),
+                    self.resource_id(self.base_of(sub_ptr)),
+                    [V_JSON, name]])
+            if not substeps:
+                continue
+            if assume_object and name in required:
+                out.extend(substeps)
+            else:
+                out.append(self.instr(
+                    "ControlGroupWhenDefinesDirect",
+                    ["properties", name], sub_ptr,
+                    [V_PROPERTY, [name, 0]], substeps))
+
+    def _kw_required(self, v, sch, ptr, out):
+        if not isinstance(v, list) or not all(
+                isinstance(x, str) for x in v):
+            return
+        if not v:
+            return
+        if len(v) == 1:
+            out.append(self.instr(
+                "AssertionDefines", ["required"], f"{ptr}/required",
+                [V_PROPERTY, [v[0], 0]]))
+        else:
+            names = sorted(set(v))
+            out.append(self.instr(
+                "AssertionDefinesAll", ["required"], f"{ptr}/required",
+                [V_STRING_SET, [[n, 0] for n in names]]))
+
+    def _kw_patternProperties(self, v, sch, ptr, out):
+        if not isinstance(v, dict):
+            return
+        for pattern in sorted(v):
+            sub_ptr = f"{ptr}/patternProperties/{_esc(pattern)}"
+            children = self.emit_subschema(v[pattern], sub_ptr)
+            if not self.fast and self.ver >= 2019:
+                children = children + [self.instr(
+                    "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+            out.append(self.instr(
+                "LoopPropertiesRegex",
+                ["patternProperties", pattern], sub_ptr,
+                [V_REGEX, pattern], children))
+
+    # -- template assembly ------------------------------------------------
+
+    def _discover_resources(self, doc, base, seen) -> None:
+        """Transitively collect referenced external resource ids into
+        the resource-URI table (the bundled-view frame registers every
+        brought-in resource — compile.cc step 1)."""
+        if isinstance(doc, list):
+            for v in doc:
+                self._discover_resources(v, base, seen)
+            return
+        if not isinstance(doc, dict):
+            return
+        did = doc.get("$id") or doc.get("id")
+        if isinstance(did, str) and "://" in urljoin(base or "", did):
+            base = urljoin(base or "", did)
+            self._resource_uris.add(base.rstrip("#"))
+        ref = doc.get("$ref")
+        if isinstance(ref, str):
+            dest = urljoin(base or "", ref).partition("#")[0]
+            if dest and dest not in seen:
+                seen.add(dest)
+                target = self.resources.get(dest)                     or self.external.get(dest)
+                while isinstance(target, str):   # config remap chain
+                    target = self.resources.get(target)                         or self.external.get(target)
+                if isinstance(target, dict):
+                    self._discover_resources(target, dest, seen)
+        for v in doc.values():
+            self._discover_resources(v, base, seen)
+
+    def build(self, entry_ptr: str = "") -> list:
+        self._discover_resources(self.root, self.root_base
+                                 if self.idx is None else "", set())
+        main_node = self.node_at(entry_ptr) if entry_ptr else self.root
+        targets = [self.emit_subschema(main_node, entry_ptr)]
+        done: set[str] = set()
+        while self._pending:
+            dest = self._pending.pop(0)
+            if dest in done:
+                continue
+            done.add(dest)
+            targets.append(self._emit_destination(dest))
+        dynamic = False
+        track = not self.fast
+        return [JSON_VERSION, dynamic, track, targets, []]
+
+    def _emit_destination(self, dest: str) -> list:
+        base, _, frag = dest.partition("#")
+        # in-document resource or pointer
+        if self.idx is not None:
+            res_ptr = self.idx.resources.get(dest)
+            if res_ptr is None:
+                res_ptr = self.idx.resources.get(base)
+            if res_ptr is not None:
+                tptr = res_ptr + frag if frag.startswith("/") else res_ptr
+                node = self.node_at(tptr)
+                return self.emit_subschema(node, tptr)
+        # config resolve remap
+        remapped = self.resources.get(dest) or self.resources.get(base)
+        if remapped is not None and isinstance(remapped, str):
+            return self._emit_destination(remapped)
+        doc = self.external.get(dest) or self.external.get(base)
+        if doc is None and remapped is not None \
+                and isinstance(remapped, dict):
+            doc = remapped
+        if doc is None:
+            raise TemplateError(f"unresolvable reference: {dest}")
+        sub = _Emitter(doc, resources=self.resources,
+                       default_dialect=self.default_dialect,
+                       default_id="", fast=self.fast,
+                       assert_formats=self.assert_formats)
+        sub._resource_uris = self._resource_uris
+        sub._target_index = self._target_index
+        sub._pending = self._pending
+        return sub.emit_subschema(doc, "")
+
+
+def compile_template(schema: Any, *, resources: dict | None = None,
+                     default_dialect: str | None = None,
+                     default_id: str = "", fast: bool = False,
+                     assert_formats: bool | None = None,
+                     entry_ptr: str = "") -> list:
+    em = _Emitter(schema, resources=resources,
+                  default_dialect=default_dialect,
+                  default_id=default_id, fast=fast,
+                  assert_formats=assert_formats)
+    return em.build(entry_ptr)

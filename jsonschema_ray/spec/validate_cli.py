@@ -234,6 +234,12 @@ def _run(args, json_mode: bool) -> int:
                 and tmpl.get("$comment") == "jsonschema-ray template" \
                 and "schema" in tmpl:
             schema = tmpl["schema"]
+        elif isinstance(tmpl, list) and tmpl \
+                and tmpl[0] == 5 and len(tmpl) == 5:
+            # a blaze Template JSON dump (compile verb output): the
+            # schema itself still drives error reporting, per the
+            # reference's contract
+            pass
         else:
             print("warning: Failed to parse pre-compiled schema "
                   "template. Compiling from scratch", file=sys.stderr)

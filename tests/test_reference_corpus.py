@@ -763,117 +763,45 @@ def test_reference_testverb_corpus_end_to_end(tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# compile verb corpus: accept/reject verdict parity (the reference
-# emits a Blaze instruction template; ours is a CheckPlan — outputs are
-# representation-specific, the compile CONTRACT is what must agree:
-# entrypoint pointers/URIs, --resolve registries, config remaps,
-# dialect strictness).
+# compile verb corpus: the ENTIRE fixture set executed VERBATIM through
+# the CLI shim — byte-exact blaze Template JSON dumps (exhaustive/fast/
+# minify/--include headers/entrypoints), templates re-executed through
+# the blaze JavaScript port under node, the typed error surface
+# (spec/compile_cli.py + spec/compile_template.py).
 # ---------------------------------------------------------------------------
 
-COMPILE_MIN_MATCHES = 37
-COMPILE_EXPECTED_DIVERGENT: set[str] = set()
+COMPILE_E2E_MIN_MATCHES = 47   # the ENTIRE corpus, executed VERBATIM
 
 
-def test_reference_compile_corpus_parity():
-    match, skip, div = [], {}, {}
-    for path in sorted(glob.glob("/root/reference/test/compile/*.sh")):
-        name = path.rsplit("/",1)[1]
-        src = open(path).read()
-        if "config" in name: skip[name] = "project-config flow"; continue
-        files = {m.group(1): m.group(2).replace("\\$","$") for m in HEREDOC.finditer(src)}
-        joined, buf = [], ""
-        for ln in src.split("\n"):
-            if ln.rstrip().endswith("\\"): buf += ln.rstrip()[:-1] + " "
-            else: joined.append(buf + ln); buf = ""
-        invs = []
-        for i, ln in enumerate(joined):
-            if '"$1"' in ln and " compile" in ln:
-                exp = 0
-                for la in joined[i:i+4]:
-                    m = re.search(r'test "\$EXIT_CODE" = "(\d+)"', la)
-                    if m: exp = int(m.group(1)); break
-                invs.append((ln.strip(), exp))
-        if not invs: skip[name] = "no invocation"; continue
-        verdict = None
-        for inv, exp in invs:
-            if "|" in inv.split('"$1"')[0] or not inv.lstrip().startswith('"$1"'):
-                verdict = ("skip", "stdin/pipe"); break
-            inv2 = re.split(r"\s(?:&&|\|\|)\s", inv)[0]
-            inv2 = re.sub(r"\s[12]?>>?\s*\S+", "", inv2)
-            try: toks = [t.replace('\\$','$') for t in shlex.split(inv2)]
-            except ValueError: verdict = ("skip","plumbing"); break
-            if "--http" in toks or "--header" in toks or "-H" in toks:
-                verdict = ("skip","http"); break
-            resolves, dd, entry = [], None, ""
-            j = 2; pos = []
-            while j < len(toks):
-                t = toks[j]
-                if t in ("--resolve","-r"): resolves.append(toks[j+1]); j += 2
-                elif t in ("--default-dialect","-d"): dd = toks[j+1]; j += 2
-                elif t in ("--entrypoint","-e"): entry = toks[j+1]; j += 2
-                elif t in ("--verbose","-v","--json","-j","--fast","-f","--debug"): j += 1
-                elif t.startswith("-"): verdict = ("skip", f"flag {t}"); break
-                else: pos.append(t); j += 1
-            if verdict: break
-            if not pos: 
-                # no positional: stdin or missing → reference exit 5/1; we reject
-                got = 1
-                agree = exp not in (0, 2)
-                if not agree: verdict = ("div", (exp, got))
-                if verdict: break
-                continue
-            tgt = pos[0]
-            key = tgt[5:] if tgt.startswith("$TMP/") else tgt
-            if key not in files: verdict = ("skip","target not heredoc"); break
-            def load(k):
-                body = files[k]
-                try: return json.loads(body)
-                except Exception:
-                    import yaml
-                    return yaml.safe_load(body)
-            got = None
-            reg = {}
-            for r in resolves:
-                rk = r[5:] if r.startswith("$TMP/") else r
-                sub = [k for k in files if k == rk or k.startswith(rk.rstrip("/")+"/")]
-                if not sub: got = 1; break
-                for k in sorted(sub):
-                    try: doc = load(k)
-                    except Exception: got = 1; break
-                    reg[k] = doc; reg["./"+k] = doc
-                    if isinstance(doc, dict):
-                        did = doc.get("$id") or doc.get("id")
-                        if isinstance(did, str): reg.setdefault(did, doc)
-                if got: break
-            if got is None and "jsonschema.json" in files:
-                try: cfg = json.loads(files["jsonschema.json"])
-                except Exception: cfg = {}
-                for s_uri, d_uri in (cfg.get("resolve") or {}).items():
-                    tdoc = next((d for d in reg.values() if isinstance(d, dict)
-                                 and (d.get("$id") or d.get("id")) == d_uri), None)
-                    if tdoc is not None: reg[s_uri] = tdoc
-            if got is None:
-                try: doc = load(key)
-                except Exception: got = 1
-            if got is None:
-                if dd and isinstance(doc, dict): doc.setdefault("$schema", dd)
-                try:
-                    compile_schema(doc, entrypoint=entry, resources=reg or None)
-                    got = 0
-                except Exception: got = 1
-            agree = (got == exp) or (exp not in (0,2) and got == 1)
-            if not agree: verdict = ("div", (exp, got)); break
-        if verdict is None: match.append(name)
-        elif verdict[0]=="skip": skip[name]=verdict[1]
-        else: div[name]=verdict[1]
-    
-    unexpected = set(div) - COMPILE_EXPECTED_DIVERGENT
-    healed = COMPILE_EXPECTED_DIVERGENT - set(div) - set(skip)
-    assert not unexpected, f"new compile divergences: " \
-        f"{ {k: div[k] for k in sorted(unexpected)} }"
-    assert not healed, f"update COMPILE_EXPECTED_DIVERGENT: {sorted(healed)}"
-    assert len(match) >= COMPILE_MIN_MATCHES, (
-        f"{len(match)} < {COMPILE_MIN_MATCHES}; skips={skip}")
+def test_reference_compile_corpus_end_to_end(tmp_path):
+    """Execute the reference's compile fixtures VERBATIM through the
+    CLI shim. Fixture source: /root/reference/test/compile/*.sh —
+    PUBLIC CONTENT, executed for expected-output comparison only."""
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = tmp_path / "jsr"
+    shim.write_text("#!/bin/sh\n"
+                    f'PYTHONPATH="{repo}" exec "{sys.executable}" '
+                    '-m jsonschema_ray "$@"\n')
+    shim.chmod(0o755)
+    scripts = sorted(glob.glob("/root/reference/test/compile/*.sh"))
+    assert len(scripts) >= 47, "compile corpus missing"
+
+    def run(path):
+        r = subprocess.run(["bash", path, str(shim)], cwd=str(tmp_path),
+                           capture_output=True, text=True, timeout=180)
+        return (path.rsplit("/", 1)[-1], r.returncode,
+                (r.stdout + r.stderr)[-400:])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, scripts))
+    failed = {n: out for n, rc, out in results if rc != 0}
+    assert len(results) - len(failed) >= COMPILE_E2E_MIN_MATCHES, \
+        f"compile e2e failures: {failed}"
 
 
 # ---------------------------------------------------------------------------
