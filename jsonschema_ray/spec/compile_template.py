@@ -107,6 +107,17 @@ class TemplateError(ValueError):
     pass
 
 
+# Keywords with evaluation semantics the emitter does not implement:
+# compiling them silently would produce a wrongly-permissive template,
+# so reject loudly instead (the dataset engine's validate path covers
+# them; this list shrinks as handlers land).
+_UNSUPPORTED_REJECT = frozenset((
+    "$dynamicRef", "$recursiveRef", "unevaluatedProperties",
+    "unevaluatedItems", "dependentSchemas", "dependencies",
+    "additionalItems", "contentSchema",
+))
+
+
 class _Emitter:
     def __init__(self, root: Any, *, resources: dict | None,
                  default_dialect: str | None, default_id: str,
@@ -251,6 +262,10 @@ class _Emitter:
             handler = getattr(self, "_kw_" + kw.replace("$", "_d_")
                               .replace("-", "_"), None)
             if handler is None:
+                if kw in _UNSUPPORTED_REJECT:
+                    raise TemplateError(
+                        f"the compile template emitter does not support "
+                        f"the `{kw}` keyword yet")
                 continue
             handler(sch[kw], sch, ptr, out)
         return out
@@ -260,9 +275,10 @@ class _Emitter:
     def _kw_type(self, v, sch, ptr, out):
         if isinstance(v, str):
             if v == "number":
+                mask = (1 << JSON_TYPE["integer"]) | (1 << JSON_TYPE["real"])
                 out.append(self.instr(
                     "AssertionTypeStrictAny", ["type"], f"{ptr}/type",
-                    [V_TYPES, [JSON_TYPE["integer"], JSON_TYPE["real"]]]))
+                    [V_TYPES, mask]))
             elif v == "integer":
                 out.append(self.instr(
                     "AssertionType", ["type"], f"{ptr}/type",
@@ -272,15 +288,16 @@ class _Emitter:
                     "AssertionTypeStrict", ["type"], f"{ptr}/type",
                     [V_TYPE, JSON_TYPE[v]]))
         elif isinstance(v, list):
-            types = []
+            mask = 0
             for t in v:
                 if t == "number":
-                    types.extend([JSON_TYPE["integer"], JSON_TYPE["real"]])
+                    mask |= (1 << JSON_TYPE["integer"]) \
+                        | (1 << JSON_TYPE["real"])
                 elif isinstance(t, str) and t in JSON_TYPE:
-                    types.append(JSON_TYPE[t])
+                    mask |= 1 << JSON_TYPE[t]
             out.append(self.instr(
                 "AssertionTypeStrictAny", ["type"], f"{ptr}/type",
-                [V_TYPES, types]))
+                [V_TYPES, mask]))
 
     def _kw_format(self, v, sch, ptr, out):
         if not isinstance(v, str):
@@ -388,7 +405,7 @@ class _Emitter:
             names = sorted(set(v))
             out.append(self.instr(
                 "AssertionDefinesAll", ["required"], f"{ptr}/required",
-                [V_STRING_SET, [[n, 0] for n in names]]))
+                [V_STRING_SET, names]))
 
     def _kw_patternProperties(self, v, sch, ptr, out):
         if not isinstance(v, dict):
@@ -403,6 +420,213 @@ class _Emitter:
                 "LoopPropertiesRegex",
                 ["patternProperties", pattern], sub_ptr,
                 [V_REGEX, pattern], children))
+
+    # -- value assertions -------------------------------------------------
+
+    def _kw_enum(self, v, sch, ptr, out):
+        if not isinstance(v, list):
+            return
+        out.append(self.instr("AssertionEqualsAny", ["enum"],
+                              f"{ptr}/enum", [V_SET, v]))
+
+    def _kw_const(self, v, sch, ptr, out):
+        out.append(self.instr("AssertionEqual", ["const"],
+                              f"{ptr}/const", [V_JSON, v]))
+
+    def _kw_pattern(self, v, sch, ptr, out):
+        if isinstance(v, str):
+            out.append(self.instr("AssertionRegex", ["pattern"],
+                                  f"{ptr}/pattern", [V_REGEX, v]))
+
+    def _num(self, v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    def _kw_minimum(self, v, sch, ptr, out):
+        if self._num(v):
+            out.append(self.instr("AssertionGreaterEqual", ["minimum"],
+                                  f"{ptr}/minimum", [V_JSON, v]))
+
+    def _kw_maximum(self, v, sch, ptr, out):
+        if self._num(v):
+            out.append(self.instr("AssertionLessEqual", ["maximum"],
+                                  f"{ptr}/maximum", [V_JSON, v]))
+
+    def _kw_exclusiveMinimum(self, v, sch, ptr, out):
+        if self._num(v):
+            out.append(self.instr(
+                "AssertionGreater", ["exclusiveMinimum"],
+                f"{ptr}/exclusiveMinimum", [V_JSON, v]))
+
+    def _kw_exclusiveMaximum(self, v, sch, ptr, out):
+        if self._num(v):
+            out.append(self.instr(
+                "AssertionLess", ["exclusiveMaximum"],
+                f"{ptr}/exclusiveMaximum", [V_JSON, v]))
+
+    def _kw_multipleOf(self, v, sch, ptr, out):
+        if self._num(v):
+            out.append(self.instr("AssertionDivisible", ["multipleOf"],
+                                  f"{ptr}/multipleOf", [V_JSON, v]))
+
+    def _kw_minItems(self, v, sch, ptr, out):
+        if isinstance(v, int) and not isinstance(v, bool):
+            out.append(self.instr(
+                "AssertionArraySizeGreater", ["minItems"],
+                f"{ptr}/minItems", [V_UNSIGNED, v - 1]))
+
+    def _kw_maxItems(self, v, sch, ptr, out):
+        if isinstance(v, int) and not isinstance(v, bool):
+            out.append(self.instr(
+                "AssertionArraySizeLess", ["maxItems"],
+                f"{ptr}/maxItems", [V_UNSIGNED, v + 1]))
+
+    def _kw_minProperties(self, v, sch, ptr, out):
+        if isinstance(v, int) and not isinstance(v, bool):
+            out.append(self.instr(
+                "AssertionObjectSizeGreater", ["minProperties"],
+                f"{ptr}/minProperties", [V_UNSIGNED, v - 1]))
+
+    def _kw_maxProperties(self, v, sch, ptr, out):
+        if isinstance(v, int) and not isinstance(v, bool):
+            out.append(self.instr(
+                "AssertionObjectSizeLess", ["maxProperties"],
+                f"{ptr}/maxProperties", [V_UNSIGNED, v + 1]))
+
+    def _kw_uniqueItems(self, v, sch, ptr, out):
+        if v is True:
+            out.append(self.instr("AssertionUnique", ["uniqueItems"],
+                                  f"{ptr}/uniqueItems", [V_NONE]))
+
+    def _kw_dependentRequired(self, v, sch, ptr, out):
+        if not isinstance(v, dict):
+            return
+        clauses = []
+        for name in sorted(v):
+            deps = v[name]
+            if isinstance(deps, list) \
+                    and all(isinstance(d, str) for d in deps):
+                clauses.append([name, 0, sorted(deps)])
+        if clauses:
+            out.append(self.instr(
+                "AssertionPropertyDependencies", ["dependentRequired"],
+                f"{ptr}/dependentRequired", [15, clauses]))
+
+    # -- applicators ------------------------------------------------------
+
+    def _kw_items(self, v, sch, ptr, out):
+        if isinstance(v, list):
+            # pre-2020 array form: positional prefixes
+            for i, sub in enumerate(v):
+                substeps = self.emit_subschema(sub, f"{ptr}/items/{i}")
+                for step in substeps:
+                    step[2] = [i] + step[2]
+                out.extend(substeps)
+            return
+        if not isinstance(v, (dict, bool)):
+            return
+        start = 0
+        if self.ver >= 2020 and isinstance(sch.get("prefixItems"), list):
+            start = len(sch["prefixItems"])
+        children = self.emit_subschema(v, f"{ptr}/items")
+        op = "LoopItems" if start == 0 else "LoopItemsFrom"
+        out.append(self.instr(op, ["items"], f"{ptr}/items",
+                              [V_UNSIGNED, start] if start else [V_NONE],
+                              children))
+
+    def _kw_prefixItems(self, v, sch, ptr, out):
+        if not isinstance(v, list):
+            return
+        for i, sub in enumerate(v):
+            substeps = self.emit_subschema(sub, f"{ptr}/prefixItems/{i}")
+            for step in substeps:
+                step[2] = [i] + step[2]
+            out.extend(substeps)
+
+    def _kw_contains(self, v, sch, ptr, out):
+        if not isinstance(v, (dict, bool)):
+            return
+        lo = sch.get("minContains", 1)
+        hi = sch.get("maxContains")
+        if not isinstance(lo, int) or isinstance(lo, bool):
+            lo = 1
+        if not (isinstance(hi, int) and not isinstance(hi, bool)):
+            hi = None
+        children = self.emit_subschema(v, f"{ptr}/contains")
+        out.append(self.instr(
+            "LoopContains", ["contains"], f"{ptr}/contains",
+            [V_RANGE, [lo, hi, not self.fast]], children))
+
+    def _kw_propertyNames(self, v, sch, ptr, out):
+        if not isinstance(v, (dict, bool)):
+            return
+        children = self.emit_subschema(v, f"{ptr}/propertyNames")
+        out.append(self.instr("LoopKeys", ["propertyNames"],
+                              f"{ptr}/propertyNames", [V_NONE], children))
+
+    def _branch_children(self, v, ptr_prefix):
+        groups = []
+        for i, sub in enumerate(v):
+            steps = self.emit_subschema(sub, f"{ptr_prefix}/{i}")
+            groups.append([OP["ControlGroup"], [str(i)], [],
+                          self.abs_loc(f"{ptr_prefix}/{i}"),
+                          self.resource_id(
+                              self.base_of(f"{ptr_prefix}/{i}")),
+                          [V_NONE], steps] if steps else
+                          [OP["ControlGroup"], [str(i)], [],
+                          self.abs_loc(f"{ptr_prefix}/{i}"),
+                          self.resource_id(
+                              self.base_of(f"{ptr_prefix}/{i}")),
+                          [V_NONE]])
+        return groups
+
+    def _kw_allOf(self, v, sch, ptr, out):
+        if not isinstance(v, list):
+            return
+        for i, sub in enumerate(v):
+            out.extend(self.emit_subschema(sub, f"{ptr}/allOf/{i}"))
+
+    def _kw_anyOf(self, v, sch, ptr, out):
+        if not isinstance(v, list):
+            return
+        out.append(self.instr(
+            "LogicalOr", ["anyOf"], f"{ptr}/anyOf",
+            [V_BOOLEAN, not self.fast],
+            self._branch_children(v, f"{ptr}/anyOf")))
+
+    def _kw_oneOf(self, v, sch, ptr, out):
+        if not isinstance(v, list):
+            return
+        out.append(self.instr(
+            "LogicalXor", ["oneOf"], f"{ptr}/oneOf",
+            [V_BOOLEAN, not self.fast],
+            self._branch_children(v, f"{ptr}/oneOf")))
+
+    def _kw_not(self, v, sch, ptr, out):
+        if not isinstance(v, (dict, bool)):
+            return
+        children = self.emit_subschema(v, f"{ptr}/not")
+        out.append(self.instr("LogicalNot", ["not"], f"{ptr}/not",
+                              [V_NONE], children))
+
+    def _kw_if(self, v, sch, ptr, out):
+        if not isinstance(v, (dict, bool)):
+            return
+        if_steps = self.emit_subschema(v, f"{ptr}/if")
+        then_steps = []
+        else_steps = []
+        if isinstance(sch.get("then"), (dict, bool)):
+            then_steps = self.emit_subschema(sch["then"], f"{ptr}/then")
+        if isinstance(sch.get("else"), (dict, bool)):
+            else_steps = self.emit_subschema(sch["else"], f"{ptr}/else")
+        if not then_steps and not else_steps:
+            return
+        children = if_steps + then_steps + else_steps
+        then_start = len(if_steps)
+        else_start = (len(if_steps) + len(then_steps)) if else_steps \
+            else 0
+        out.append(self.instr(
+            "LogicalCondition", ["if"], f"{ptr}/if",
+            [17, [then_start, else_start]], children))
 
     # -- template assembly ------------------------------------------------
 
