@@ -1607,7 +1607,9 @@ def _eval(spec, row):
         lo, hi = spec.get("min"), spec.get("max")
         return (lo is None or v >= lo) and (hi is None or v <= hi)
     if op == "is_in":
-        return v in spec["values"]
+        # type-strict for booleans (Arrow/JSON semantics: true is not 1)
+        return any(isinstance(v, bool) == isinstance(x, bool) and v == x
+                   for x in spec["values"])
     if op == "regex":
         return re.fullmatch(spec["pattern"], v) is not None
     if op == "regex_search":

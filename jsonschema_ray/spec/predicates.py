@@ -142,7 +142,24 @@ def compile_predicate(spec: dict[str, Any]) -> Kernel:
             # empty enum: nothing matches (a null-typed pa.array([])
             # would crash pc.is_in against a typed column)
             return lambda t: np.zeros(len(t), dtype=bool)
-        values = pa.array(spec["values"])
+        vals = spec["values"]
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in vals):
+            # numeric sets use equality chains, not pc.is_in: Arrow's
+            # set lookup is bitwise on floats (-0.0 misses 0.0 / an
+            # int64 set misses a float column), while JSON equality is
+            # numeric
+            uniq = sorted({float(v) for v in vals})
+
+            def k_in_num(t: pa.Table, _vs=uniq):
+                col = _col(t, field)
+                acc = None
+                for v in _vs:
+                    hit = pc.equal(col, v)
+                    acc = hit if acc is None else pc.or_(acc, hit)
+                return _to_bool(acc)
+            return k_in_num
+        values = pa.array(vals)
         return lambda t: _to_bool(pc.is_in(_col(t, field), value_set=values))
 
     if op == "regex":  # anchored full match, RE2 semantics
@@ -295,7 +312,11 @@ def evaluate_predicate_python(spec: dict[str, Any], row: dict[str, Any]) -> bool
         lo, hi = spec.get("min"), spec.get("max")
         return (lo is None or v >= lo) and (hi is None or v <= hi)
     if op == "is_in":
-        return v in spec["values"]
+        # Arrow's is_in is type-strict: a boolean never matches an
+        # integer value set (Python's `in` would say False in [0] is
+        # True — JSON semantics side with Arrow here)
+        return any(isinstance(v, bool) == isinstance(x, bool) and v == x
+                   for x in spec["values"])
     if op == "regex":
         return _re.fullmatch(spec["pattern"], v) is not None
     if op == "regex_search":
