@@ -1,0 +1,148 @@
+"""Differential check: the compile verb's emitted blaze template must
+agree with the engine's own evaluator (`jschema.compile_schema`) on
+random schema/instance pairs, executed through the PUBLIC blaze
+JavaScript port under node (one batched node invocation)."""
+
+import json
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from jsonschema_ray.spec.compile_template import (TemplateError,
+                                                  compile_template)
+from jsonschema_ray.spec.jschema import compile_schema
+
+BLAZE_JS = "/root/reference/vendor/blaze/ports/javascript/index.mjs"
+
+_TYPES = ["null", "boolean", "string", "integer", "number", "array",
+          "object"]
+_PATTERNS = ["a", "^b", "c$", "[ax]", "^[A-Z]"]
+
+
+def _scalar(rng):
+    return rng.choice([
+        None, True, False, rng.randint(-50, 50),
+        round(rng.uniform(-4, 4), 2),
+        rng.choice(["", "a", "bc", "Axy", "ca", "0é"])])
+
+
+def _value(rng, depth=2):
+    r = rng.random()
+    if depth == 0 or r < 0.55:
+        return _scalar(rng)
+    if r < 0.8:
+        return [_value(rng, depth - 1) for _ in range(rng.randint(0, 3))]
+    return {rng.choice("abxy"): _value(rng, depth - 1)
+            for _ in range(rng.randint(0, 3))}
+
+
+def _leaf_schema(rng):
+    pick = rng.randint(0, 11)
+    if pick == 0:
+        return {"type": rng.choice(_TYPES)}
+    if pick == 1:
+        return {"const": _scalar(rng)}
+    if pick == 2:
+        return {"enum": [_scalar(rng)
+                         for _ in range(rng.randint(1, 4))]}
+    if pick == 3:
+        return {"minimum": rng.randint(-20, 20)}
+    if pick == 4:
+        return {"maximum": rng.randint(-20, 20)}
+    if pick == 5:
+        return {"minLength": rng.randint(0, 4)}
+    if pick == 6:
+        return {"maxLength": rng.randint(0, 5)}
+    if pick == 7:
+        return {"minItems": rng.randint(0, 3)}
+    if pick == 8:
+        return {"maxProperties": rng.randint(0, 3)}
+    if pick == 9:
+        return {"pattern": rng.choice(_PATTERNS)}
+    if pick == 10:
+        return {"uniqueItems": True}
+    return {"multipleOf": rng.choice([1, 2, 0.5])}
+
+
+def _schema(rng, depth=2):
+    if depth == 0 or rng.random() < 0.4:
+        return _leaf_schema(rng)
+    pick = rng.randint(0, 6)
+    if pick == 0:
+        return {"allOf": [_schema(rng, depth - 1)
+                          for _ in range(rng.randint(1, 3))]}
+    if pick == 1:
+        return {"anyOf": [_schema(rng, depth - 1)
+                          for _ in range(rng.randint(1, 3))]}
+    if pick == 2:
+        return {"not": _schema(rng, depth - 1)}
+    if pick == 3:
+        return {"items": _schema(rng, depth - 1)}
+    if pick == 4:
+        props = {name: _schema(rng, depth - 1)
+                 for name in rng.sample("abxy", rng.randint(1, 2))}
+        out = {"properties": props}
+        if rng.random() < 0.5:
+            out["required"] = sorted(rng.sample(list(props),
+                                                rng.randint(0, len(props))))
+        if rng.random() < 0.3:
+            out["type"] = "object"
+        return out
+    if pick == 5:
+        return {"if": _schema(rng, depth - 1),
+                "then": _schema(rng, depth - 1),
+                "else": _schema(rng, depth - 1)}
+    return {"oneOf": [_schema(rng, depth - 1)
+                      for _ in range(rng.randint(1, 3))]}
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node missing")
+def test_template_matches_engine_verdicts(tmp_path):
+    rng = random.Random(20260819)
+    cases = []
+    while len(cases) < 400:
+        schema = dict(_schema(rng))
+        schema["$schema"] = "https://json-schema.org/draft/2020-12/schema"
+        try:
+            checker = compile_schema(schema)
+            template = compile_template(
+                schema, default_id="file:///x/schema.json")
+        except (TemplateError, ValueError):
+            continue
+        instance = _value(rng)
+        try:
+            want = bool(checker.is_valid(instance))
+        except Exception:   # noqa: BLE001 — engine rejects: skip
+            continue
+        cases.append((template, instance, want))
+
+    payload = [{"template": t, "instance": i, "want": w}
+               for t, i, w in cases]
+    (tmp_path / "cases.json").write_text(json.dumps(payload))
+    script = tmp_path / "diff.mjs"
+    script.write_text(f"""
+import {{ readFileSync }} from "node:fs";
+import {{ Blaze }} from "{BLAZE_JS}";
+const cases = JSON.parse(readFileSync("{tmp_path}/cases.json", "utf-8"));
+const bad = [];
+for (let k = 0; k < cases.length; k++) {{
+  const c = cases[k];
+  let got;
+  try {{
+    got = new Blaze(c.template).validate(c.instance);
+  }} catch (e) {{
+    bad.push([k, "throw: " + e.message]);
+    continue;
+  }}
+  if (got !== c.want) bad.push([k, "got " + got + " want " + c.want]);
+}}
+console.log(JSON.stringify(bad));
+""")
+    r = subprocess.run(["node", str(script)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    bad = json.loads(r.stdout.strip().splitlines()[-1])
+    detail = [(k, msg, payload[k]["instance"]) for k, msg in bad[:5]]
+    assert not bad, f"{len(bad)}/{len(cases)} divergences; first: {detail}"
