@@ -443,12 +443,19 @@ class _Emitter:
 
     def _kw_minimum(self, v, sch, ptr, out):
         if self._num(v):
-            out.append(self.instr("AssertionGreaterEqual", ["minimum"],
+            # draft-4 boolean exclusiveMinimum flips the bound strict
+            op = "AssertionGreater" \
+                if sch.get("exclusiveMinimum") is True \
+                else "AssertionGreaterEqual"
+            out.append(self.instr(op, ["minimum"],
                                   f"{ptr}/minimum", [V_JSON, v]))
 
     def _kw_maximum(self, v, sch, ptr, out):
         if self._num(v):
-            out.append(self.instr("AssertionLessEqual", ["maximum"],
+            op = "AssertionLess" \
+                if sch.get("exclusiveMaximum") is True \
+                else "AssertionLessEqual"
+            out.append(self.instr(op, ["maximum"],
                                   f"{ptr}/maximum", [V_JSON, v]))
 
     def _kw_exclusiveMinimum(self, v, sch, ptr, out):
