@@ -1570,6 +1570,34 @@ def q_near_dup_embeddings(sf_dir: str):
 # flagship (north-rule interleaved validate, synthetic)
 # ---------------------------------------------------------------------------
 
+def q_lint_schemas_scale(sf_dir: str):
+    """* rows-only: the blaze 103-rule lint registry at DATASET scale —
+    an actor-pool ``map_batches`` stage (registry built once per actor)
+    over a deterministic seeded corpus of schema documents, emitting
+    one finding row per (schema, rule, location). Findings are
+    cross-checked finding-for-finding against the single-document
+    registry in ``tests/test_lintscale.py``; the registry itself is
+    pinned byte-exact by the 193-fixture lint corpus replay. Sized to
+    the sf via the documents row count. No SQL oracle (rule logic);
+    per-rule counts keep the result small and deterministic."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.lintscale import (lint_schemas,
+                                                    synth_schema_corpus)
+
+    n = max(200, pq.ParquetFile(_pq(sf_dir, "documents"))
+            .metadata.num_rows // 40)
+    ds = rd.from_arrow(synth_schema_corpus(n)).repartition(8)
+    findings = lint_schemas(ds)
+    import pyarrow as _pa
+
+    counts = findings.groupby("rule_id").count()
+    out = counts.sort("rule_id").to_pandas()
+    out = out.rename(columns={"count()": "findings"})
+    return out
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode — PCM WAV (RIFF parse, DSP
     features: duration/rms/peak/zcr) and binary PPM (pixel stats +
@@ -1820,6 +1848,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_embeddings": q_near_dup_embeddings,
     "profile_interleaved": q_profile_interleaved,
     "media_features_real": q_media_features_real,
+    "lint_schemas_scale": q_lint_schemas_scale,
     "flagship_validate": q_flagship_validate,
 }
 
