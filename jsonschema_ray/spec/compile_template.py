@@ -113,8 +113,7 @@ class TemplateError(ValueError):
 # them; this list shrinks as handlers land).
 _UNSUPPORTED_REJECT = frozenset((
     "$dynamicRef", "$recursiveRef", "unevaluatedProperties",
-    "unevaluatedItems", "dependentSchemas", "dependencies",
-    "additionalItems", "contentSchema",
+    "unevaluatedItems", "contentSchema",
 ))
 
 
@@ -512,7 +511,7 @@ class _Emitter:
             deps = v[name]
             if isinstance(deps, list) \
                     and all(isinstance(d, str) for d in deps):
-                clauses.append([name, 0, sorted(deps)])
+                clauses.append([name, sorted(deps)])
         if clauses:
             out.append(self.instr(
                 "AssertionPropertyDependencies", ["dependentRequired"],
@@ -522,12 +521,16 @@ class _Emitter:
 
     def _kw_items(self, v, sch, ptr, out):
         if isinstance(v, list):
-            # pre-2020 array form: positional prefixes
+            # pre-2020 array form: positional prefixes, each gated on
+            # the array actually reaching that index
             for i, sub in enumerate(v):
                 substeps = self.emit_subschema(sub, f"{ptr}/items/{i}")
                 for step in substeps:
                     step[2] = [i] + step[2]
-                out.extend(substeps)
+                if substeps:
+                    out.append(self.instr(
+                        "LogicalWhenArraySizeGreater", ["items", str(i)],
+                        f"{ptr}/items/{i}", [V_UNSIGNED, i], substeps))
             return
         if not isinstance(v, (dict, bool)):
             return
@@ -547,7 +550,12 @@ class _Emitter:
             substeps = self.emit_subschema(sub, f"{ptr}/prefixItems/{i}")
             for step in substeps:
                 step[2] = [i] + step[2]
-            out.extend(substeps)
+            if substeps:
+                out.append(self.instr(
+                    "LogicalWhenArraySizeGreater",
+                    ["prefixItems", str(i)],
+                    f"{ptr}/prefixItems/{i}", [V_UNSIGNED, i],
+                    substeps))
 
     def _kw_contains(self, v, sch, ptr, out):
         if not isinstance(v, (dict, bool)):
@@ -634,6 +642,66 @@ class _Emitter:
         out.append(self.instr(
             "LogicalCondition", ["if"], f"{ptr}/if",
             [17, [then_start, else_start]], children))
+
+    def _kw_additionalItems(self, v, sch, ptr, out):
+        # draft<=2019: applies after a positional `items` array only
+        items = sch.get("items")
+        if not isinstance(items, list) or not isinstance(v, (dict, bool)):
+            return
+        children = self.emit_subschema(v, f"{ptr}/additionalItems")
+        out.append(self.instr(
+            "LoopItemsFrom", ["additionalItems"],
+            f"{ptr}/additionalItems", [V_UNSIGNED, len(items)],
+            children))
+
+    def _kw_dependentSchemas(self, v, sch, ptr, out):
+        if not isinstance(v, dict):
+            return
+        for name in sorted(v):
+            sub = v[name]
+            if not isinstance(sub, (dict, bool)):
+                continue
+            children = self.emit_subschema(
+                sub, f"{ptr}/dependentSchemas/{_esc(name)}")
+            if not children and sub is not False:
+                continue
+            if sub is False and not children:
+                children = [self.instr(
+                    "AssertionFail", [],
+                    f"{ptr}/dependentSchemas/{_esc(name)}", [V_NONE])]
+            out.append(self.instr(
+                "LogicalWhenDefines", ["dependentSchemas", name],
+                f"{ptr}/dependentSchemas/{_esc(name)}",
+                [V_PROPERTY, [name, 0]], children))
+
+    def _kw_dependencies(self, v, sch, ptr, out):
+        # draft<=7: mixed dependentRequired + dependentSchemas forms
+        if not isinstance(v, dict):
+            return
+        req_clauses = []
+        for name in sorted(v):
+            dep = v[name]
+            if isinstance(dep, str):
+                dep = [dep]
+            if isinstance(dep, list) \
+                    and all(isinstance(d, str) for d in dep):
+                req_clauses.append([name, sorted(dep)])
+            elif isinstance(dep, (dict, bool)):
+                children = self.emit_subschema(
+                    dep, f"{ptr}/dependencies/{_esc(name)}")
+                if dep is False and not children:
+                    children = [self.instr(
+                        "AssertionFail", [],
+                        f"{ptr}/dependencies/{_esc(name)}", [V_NONE])]
+                if children:
+                    out.append(self.instr(
+                        "LogicalWhenDefines", ["dependencies", name],
+                        f"{ptr}/dependencies/{_esc(name)}",
+                        [V_PROPERTY, [name, 0]], children))
+        if req_clauses:
+            out.append(self.instr(
+                "AssertionPropertyDependencies", ["dependencies"],
+                f"{ptr}/dependencies", [15, req_clauses]))
 
     # -- template assembly ------------------------------------------------
 

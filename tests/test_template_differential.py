@@ -94,6 +94,21 @@ def _schema(rng, depth=2):
         return {"if": _schema(rng, depth - 1),
                 "then": _schema(rng, depth - 1),
                 "else": _schema(rng, depth - 1)}
+    if pick == 6 and rng.random() < 0.5:
+        deps = {}
+        for name in rng.sample("abxy", rng.randint(1, 2)):
+            deps[name] = (sorted(rng.sample("abxy", rng.randint(1, 2)))
+                          if rng.random() < 0.6
+                          else _schema(rng, depth - 1))
+        out = {"dependentRequired" if all(
+            isinstance(d, list) for d in deps.values())
+            else "dependentSchemas": deps}
+        if "dependentSchemas" in out and any(
+                isinstance(d, list) for d in deps.values()):
+            out = {"dependentSchemas": {
+                k: d for k, d in deps.items()
+                if not isinstance(d, list)}}
+        return out
     return {"oneOf": [_schema(rng, depth - 1)
                       for _ in range(rng.randint(1, 3))]}
 
