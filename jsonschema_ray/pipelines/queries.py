@@ -1598,6 +1598,29 @@ def q_lint_schemas_scale(sf_dir: str):
     return out
 
 
+def q_metaschema_scale(sf_dir: str):
+    """* rows-only: the metaschema verb at DATASET scale — each schema
+    document validated against its declared dialect's metaschema via
+    the SimpleOutput-parity evaluator (metaschemas loaded once per
+    actor), one verdict row per document. Distributed ≡ single-document
+    is pinned in ``tests/test_schemaops.py``; the evaluator itself is
+    pinned byte-exact by the 51-fixture metaschema corpus replay. No
+    SQL oracle (evaluator logic); per-verdict counts keep the result
+    small and deterministic."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.lintscale import synth_schema_corpus
+    from jsonschema_ray.pipelines.schemaops import metaschema_check
+
+    n = max(200, pq.ParquetFile(_pq(sf_dir, "documents"))
+            .metadata.num_rows // 40)
+    ds = rd.from_arrow(synth_schema_corpus(n)).repartition(8)
+    out = (metaschema_check(ds).groupby("valid").count()
+           .sort("valid").to_pandas())
+    return out.rename(columns={"count()": "docs"})
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode — PCM WAV (RIFF parse, DSP
     features: duration/rms/peak/zcr) and binary PPM (pixel stats +
@@ -1849,6 +1872,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "profile_interleaved": q_profile_interleaved,
     "media_features_real": q_media_features_real,
     "lint_schemas_scale": q_lint_schemas_scale,
+    "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,
 }
 

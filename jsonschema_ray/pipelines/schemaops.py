@@ -140,3 +140,71 @@ def upgrade_schemas(dataset, *, column: str = "schema",
                                "to": to},
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
+
+
+class MetaschemaBatch:
+    """``map_batches`` actor: validate each schema document against its
+    declared dialect's metaschema (the metaschema verb at dataset
+    scale, via the SimpleOutput-parity evaluator). Official
+    metaschemas load once per actor; emits one verdict row per
+    document with the first failure message."""
+
+    def __init__(self, column: str = "schema",
+                 id_column: str = "schema_id",
+                 default_dialect: str | None = None):
+        from jsonschema_ray.spec.describe import (explain_against_metaschema,
+                                                  official_registry)
+
+        official_registry()   # warm the per-actor metaschema cache
+        self._explain = explain_against_metaschema
+        self.column = column
+        self.id_column = id_column
+        self.default_dialect = default_dialect
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        ids = batch.column(self.id_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out_ids, out_valid, out_n, out_first = [], [], [], []
+        for i in range(len(col)):
+            raw = col[i].as_py()
+            out_ids.append(ids[i].as_py())
+            try:
+                doc = json.loads(raw) if isinstance(raw, str) else raw
+                dialect = doc.get("$schema") if isinstance(doc, dict) \
+                    else None
+                dialect = dialect if isinstance(dialect, str) \
+                    else self.default_dialect
+                if not dialect:
+                    raise ValueError("no determinable dialect")
+                ok, entries = self._explain(doc, dialect)
+            except Exception as exc:   # noqa: BLE001 — per-row verdict
+                out_valid.append(False)
+                out_n.append(-1)
+                out_first.append(str(exc)[:200])
+                continue
+            out_valid.append(bool(ok))
+            out_n.append(0 if ok else len(entries))
+            out_first.append(None if ok else entries[0].message[:200])
+        return pa.table({
+            "schema_id": pa.array(out_ids, type=pa.string()),
+            "valid": pa.array(out_valid, type=pa.bool_()),
+            "errors": pa.array(out_n, type=pa.int32()),
+            "first_error": pa.array(out_first, type=pa.string()),
+        })
+
+
+def metaschema_check(dataset, *, column: str = "schema",
+                     id_column: str = "schema_id",
+                     default_dialect: str | None = None,
+                     concurrency=(1, 8), batch_size: int = 256):
+    """Per-document metaschema verdicts over a schema column (lazy)."""
+    return dataset.map_batches(
+        MetaschemaBatch,
+        fn_constructor_kwargs={"column": column, "id_column": id_column,
+                               "default_dialect": default_dialect},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)

@@ -65,3 +65,32 @@ def test_upgrade_distributed_matches_local(ray_session):
         assert json.loads(up) == upgrade_schema(json.loads(raw))
         assert json.loads(up)["$schema"] == \
             "https://json-schema.org/draft/2020-12/schema"
+
+
+def test_metaschema_distributed_matches_local(ray_session):
+    from jsonschema_ray.pipelines.schemaops import (MetaschemaBatch,
+                                                    metaschema_check)
+
+    docs = [
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "type": "string"},                               # valid
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "type": 42},                                     # invalid type
+        {"$schema": "http://json-schema.org/draft-04/schema#",
+         "exclusiveMinimum": True, "minimum": 1},         # valid draft-4
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "required": "nope"},                             # invalid
+    ] * 15
+    table = pa.table({
+        "schema_id": pa.array([f"m{i}" for i in range(len(docs))]),
+        "schema": pa.array([json.dumps(d) for d in docs])})
+    want = MetaschemaBatch()(table).sort_by("schema_id")
+    ds = rd.from_arrow(table).repartition(4)
+    got = _collect(metaschema_check(ds)).sort_by("schema_id")
+    assert got.equals(want)
+    verdicts = dict(zip(want.column("schema_id").to_pylist(),
+                        want.column("valid").to_pylist()))
+    assert verdicts["m0"] is True
+    assert verdicts["m1"] is False
+    assert verdicts["m2"] is True
+    assert verdicts["m3"] is False
