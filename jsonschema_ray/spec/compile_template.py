@@ -84,6 +84,8 @@ V_UNSIGNED = 10
 V_RANGE = 11
 V_BOOLEAN = 12
 V_STRING_TYPE = 14
+V_PROP_FILTER = 16
+V_POINTER = 18
 
 # JSON::Type enum order (core json value)
 JSON_TYPE = {"null": 0, "boolean": 1, "integer": 2, "real": 3,
@@ -112,9 +114,30 @@ class TemplateError(ValueError):
 # so reject loudly instead (the dataset engine's validate path covers
 # them; this list shrinks as handlers land).
 _UNSUPPORTED_REJECT = frozenset((
-    "$dynamicRef", "$recursiveRef", "unevaluatedProperties",
-    "unevaluatedItems", "contentSchema",
+    "$dynamicRef", "$recursiveRef", "contentSchema",
 ))
+
+_RE_META = set("\\^$.|?*+()[]{}")
+
+
+def _exact_regex(name: str) -> str:
+    """Anchored regex matching exactly ``name`` (ECMA + RE2 safe)."""
+    return "^" + "".join(
+        "\\" + ch if ch in _RE_META else ch for ch in name) + "$"
+
+
+def _doc_defines(doc, keyword: str) -> bool:
+    """Does any object anywhere in the document define ``keyword``?
+    (Deliberately blunt, mirroring blaze's document-wide
+    ``unevaluatedItems`` tracking switch — compile.cc:485; a false
+    positive only costs extra evaluation marks, never correctness.)"""
+    if isinstance(doc, dict):
+        if keyword in doc:
+            return True
+        return any(_doc_defines(v, keyword) for v in doc.values())
+    if isinstance(doc, list):
+        return any(_doc_defines(v, keyword) for v in doc)
+    return False
 
 
 class _Emitter:
@@ -169,6 +192,18 @@ class _Emitter:
         self._target_index: dict[str, int] = {}
         self._pending: list[tuple[str, str, Any, str]] = []
         self._resource_uris = uris
+        # Evaluation-tracking switches: when the document (or any
+        # reachable external resource) defines `unevaluated*` under a
+        # vocabulary-aware dialect, every in-place applicator that
+        # "evaluates" members/items emits runtime marks
+        # (ControlEvaluate / *Evaluate instruction variants) so the
+        # LoopProperties/ItemsUnevaluated consumers can skip them —
+        # the blaze track model (compile.cc:483-494, unevaluated.cc).
+        scan_docs = [root] + [d for d in self.external.values()]
+        self.marks_props = self.ver >= 2019 and any(
+            _doc_defines(d, "unevaluatedProperties") for d in scan_docs)
+        self.marks_items = self.ver >= 2019 and any(
+            _doc_defines(d, "unevaluatedItems") for d in scan_docs)
 
     # -- helpers ----------------------------------------------------------
 
@@ -327,19 +362,32 @@ class _Emitter:
             "AssertionStringSizeLess", ["maxLength"],
             f"{ptr}/maxLength", [V_UNSIGNED, v + 1]))
 
+    def _mark_value(self, ptr: str) -> list:
+        """ControlEvaluate marking the current loop value as evaluated
+        (evaluator-side (parent, key) attribution comes from the
+        enclosing LoopProperties*/Except/Regex iteration state)."""
+        return self.instr("ControlEvaluate", [], ptr, [V_POINTER, []])
+
     def _kw_additionalProperties(self, v, sch, ptr, out):
-        if "properties" in sch or "patternProperties" in sch:
-            filt = [V_NONE]  # ValuePropertyFilter path (not yet needed)
-            op = "LoopPropertiesExcept"
-            children = self.emit_subschema(
-                v, f"{ptr}/additionalProperties")
-            out.append(self.instr(op, ["additionalProperties"],
-                                  f"{ptr}/additionalProperties", filt,
-                                  children))
-            return
         sub_ptr = f"{ptr}/additionalProperties"
+        if "properties" in sch or "patternProperties" in sch:
+            names = sorted(sch["properties"]) \
+                if isinstance(sch.get("properties"), dict) else []
+            regexes = sorted(sch["patternProperties"]) \
+                if isinstance(sch.get("patternProperties"), dict) else []
+            children = self.emit_subschema(v, sub_ptr)
+            if not self.fast and self.ver >= 2019:
+                children = children + [self.instr(
+                    "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+            if self.marks_props:
+                children = children + [self._mark_value(sub_ptr)]
+            out.append(self.instr(
+                "LoopPropertiesExcept", ["additionalProperties"],
+                sub_ptr, [V_PROP_FILTER, [names, [], regexes]],
+                children))
+            return
         children = self.emit_subschema(v, sub_ptr)
-        if self.fast:
+        if self.fast and not self.marks_props:
             # postprocess fusion: a single {"type": T} child collapses
             # into LoopPropertiesTypeStrict with merged locations
             if isinstance(v, dict) and set(v) == {"type"} \
@@ -356,15 +404,38 @@ class _Emitter:
                 "LoopProperties", ["additionalProperties"], sub_ptr,
                 [V_NONE], children))
             return
-        if self.ver >= 2019:
+        if not self.fast and self.ver >= 2019:
             children = children + [self.instr(
                 "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+        if self.marks_props:
+            children = children + [self._mark_value(sub_ptr)]
         out.append(self.instr(
             "LoopProperties", ["additionalProperties"], sub_ptr,
             [V_NONE], children))
 
     def _kw_properties(self, v, sch, ptr, out):
         if not isinstance(v, dict):
+            return
+        if self.marks_props:
+            # Evaluation-tracked form: an anchored-regex loop per
+            # property so the iteration provides the (parent, key)
+            # attribution that primitive-value marks need in the
+            # evaluator, with a trailing ControlEvaluate recording the
+            # value (the loop analog of blaze's tracked properties —
+            # default_compiler_draft3.h:572-576)
+            for name in sorted(v):
+                sub_ptr = f"{ptr}/properties/{_esc(name)}"
+                substeps = self.emit_subschema(v[name], sub_ptr)
+                if not self.fast and self.ver >= 2019:
+                    substeps.append([
+                        OP["AnnotationEmit"], [], [],
+                        self.abs_loc(f"{ptr}/properties"),
+                        self.resource_id(self.base_of(sub_ptr)),
+                        [V_JSON, name]])
+                substeps.append(self._mark_value(sub_ptr))
+                out.append(self.instr(
+                    "LoopPropertiesRegex", ["properties", name],
+                    sub_ptr, [V_REGEX, _exact_regex(name)], substeps))
             return
         required = {r for r in (sch.get("required") or [])
                     if isinstance(r, str)}
@@ -415,6 +486,8 @@ class _Emitter:
             if not self.fast and self.ver >= 2019:
                 children = children + [self.instr(
                     "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+            if self.marks_props:
+                children = children + [self._mark_value(sub_ptr)]
             out.append(self.instr(
                 "LoopPropertiesRegex",
                 ["patternProperties", pattern], sub_ptr,
@@ -519,8 +592,41 @@ class _Emitter:
 
     # -- applicators ------------------------------------------------------
 
+    def _emit_array_prefix(self, v, ptr, keyword, out):
+        """Positional prefixes as the blaze AssertionArrayPrefix shape
+        (one ControlGroup of subschemas 0..k per possible array length,
+        plus the full tail): the Evaluate variant marks every checked
+        prefix item (default_compiler_draft3.h:1389-1478)."""
+        per_index = []
+        for i, sub in enumerate(v):
+            substeps = self.emit_subschema(sub, f"{ptr}/{keyword}/{i}")
+            for step in substeps:
+                step[2] = [i] + step[2]
+            per_index.append(substeps)
+        groups = []
+        for cursor in range(len(v)):
+            acc = [step for i in range(cursor + 1)
+                   for step in per_index[i]]
+            groups.append(self.instr("ControlGroup", [],
+                                     f"{ptr}/{keyword}", [V_NONE], acc)
+                          if acc else
+                          self.instr("ControlGroup", [],
+                                     f"{ptr}/{keyword}", [V_NONE]))
+        tail = [step for steps in per_index for step in steps]
+        groups.append(self.instr("ControlGroup", [], f"{ptr}/{keyword}",
+                                 [V_NONE], tail)
+                      if tail else
+                      self.instr("ControlGroup", [], f"{ptr}/{keyword}",
+                                 [V_NONE]))
+        out.append(self.instr(
+            "AssertionArrayPrefixEvaluate", [keyword],
+            f"{ptr}/{keyword}", [V_NONE], groups))
+
     def _kw_items(self, v, sch, ptr, out):
         if isinstance(v, list):
+            if self.marks_items:
+                self._emit_array_prefix(v, ptr, "items", out)
+                return
             # pre-2020 array form: positional prefixes, each gated on
             # the array actually reaching that index
             for i, sub in enumerate(v):
@@ -538,6 +644,27 @@ class _Emitter:
         if self.ver >= 2020 and isinstance(sch.get("prefixItems"), list):
             start = len(sch["prefixItems"])
         children = self.emit_subschema(v, f"{ptr}/items")
+        if self.marks_items:
+            if start == 0:
+                # per-item mark inside the loop: sound because loop
+                # coverage is total and subschema verdicts are pure
+                # value functions (equal primitives share verdicts)
+                children = children + [self._mark_value(f"{ptr}/items")]
+                if children:
+                    out.append(self.instr(
+                        "LoopItems", ["items"], f"{ptr}/items",
+                        [V_NONE], children))
+                return
+            if children:
+                out.append(self.instr(
+                    "LoopItemsFrom", ["items"], f"{ptr}/items",
+                    [V_UNSIGNED, start], children))
+            # whole-array mark once the tail loop has passed
+            out.append(self.instr(
+                "LogicalWhenArraySizeGreater", ["items"],
+                f"{ptr}/items", [V_UNSIGNED, start],
+                [self._mark_value(f"{ptr}/items")]))
+            return
         op = "LoopItems" if start == 0 else "LoopItemsFrom"
         out.append(self.instr(op, ["items"], f"{ptr}/items",
                               [V_UNSIGNED, start] if start else [V_NONE],
@@ -545,6 +672,9 @@ class _Emitter:
 
     def _kw_prefixItems(self, v, sch, ptr, out):
         if not isinstance(v, list):
+            return
+        if self.marks_items:
+            self._emit_array_prefix(v, ptr, "prefixItems", out)
             return
         for i, sub in enumerate(v):
             substeps = self.emit_subschema(sub, f"{ptr}/prefixItems/{i}")
@@ -567,9 +697,59 @@ class _Emitter:
         if not (isinstance(hi, int) and not isinstance(hi, bool)):
             hi = None
         children = self.emit_subschema(v, f"{ptr}/contains")
+        if self.marks_items:
+            # mark each matching item; the range must then be checked
+            # exhaustively so every match (not just the first) records
+            children = children + [self._mark_value(f"{ptr}/contains")]
         out.append(self.instr(
             "LoopContains", ["contains"], f"{ptr}/contains",
-            [V_RANGE, [lo, hi, not self.fast]], children))
+            [V_RANGE, [lo, hi, (not self.fast) or self.marks_items]],
+            children))
+
+    def _kw_unevaluatedProperties(self, v, sch, ptr, out):
+        """2019-09+: properties not evaluated by any in-scope
+        applicator, consumed through the runtime mark set the tracked
+        applicators emit (compiler_2019_09_applicator_
+        unevaluatedproperties; evaluation model evaluator.h:217-258).
+        No static sibling filter: sibling properties/patternProperties/
+        additionalProperties mark at runtime, which subsumes it."""
+        if self.ver < 2019:
+            return
+        if isinstance(sch.get("type"), str) and sch["type"] != "object":
+            return
+        sub_ptr = f"{ptr}/unevaluatedProperties"
+        children = self.emit_subschema(v, sub_ptr)
+        if not self.fast:
+            children = children + [self.instr(
+                "AnnotationBasenameToParent", [], sub_ptr, [V_NONE])]
+        if children:
+            out.append(self.instr(
+                "LoopPropertiesUnevaluated", ["unevaluatedProperties"],
+                sub_ptr, [V_NONE], children))
+        else:
+            # object-guarded marker: records the object as evaluated
+            # for enclosing scopes without touching non-objects
+            out.append(self.instr(
+                "LoopPropertiesEvaluate", ["unevaluatedProperties"],
+                sub_ptr, [V_NONE]))
+
+    def _kw_unevaluatedItems(self, v, sch, ptr, out):
+        """2019-09+: items not evaluated by prefixItems/items/contains
+        (2020-12) or items/additionalItems (2019-09), via the same
+        runtime mark set (compiler_2019_09_applicator_
+        unevaluateditems)."""
+        if self.ver < 2019:
+            return
+        if isinstance(sch.get("type"), str) and sch["type"] != "array":
+            return
+        sub_ptr = f"{ptr}/unevaluatedItems"
+        children = self.emit_subschema(v, sub_ptr)
+        if not self.fast:
+            children = children + [self.instr(
+                "AnnotationToParent", [], sub_ptr, [V_JSON, True])]
+        out.append(self.instr(
+            "LoopItemsUnevaluated", ["unevaluatedItems"], sub_ptr,
+            [V_NONE], children))
 
     def _kw_propertyNames(self, v, sch, ptr, out):
         if not isinstance(v, (dict, bool)):
@@ -578,10 +758,29 @@ class _Emitter:
         out.append(self.instr("LoopKeys", ["propertyNames"],
                               f"{ptr}/propertyNames", [V_NONE], children))
 
+    def _prefix_steps(self, steps, tokens):
+        """Prepend schema-location tokens to top-level instructions of
+        an inlined branch. Evaluation-path prefixes are what scope
+        runtime marks: a consumer's isEvaluated check compares paths up
+        to its parent schema, so cousin branches must differ in a
+        token (the blaze evaluator's evaluate-path model,
+        evaluator.h:217-258 / ports/javascript isEvaluated)."""
+        for step in steps:
+            step[1] = tokens + step[1]
+            # A LogicalCondition pops its own relative location before
+            # running then/else, so its consequence subtrees must carry
+            # the prefix themselves to keep their scope tokens
+            if step[0] == OP["LogicalCondition"] and len(step) > 6:
+                then_start = step[5][1][0]
+                self._prefix_steps(step[6][then_start:], tokens)
+        return steps
+
     def _branch_children(self, v, ptr_prefix):
         groups = []
         for i, sub in enumerate(v):
             steps = self.emit_subschema(sub, f"{ptr_prefix}/{i}")
+            if self.marks_props or self.marks_items:
+                self._prefix_steps(steps, [str(i)])
             groups.append([OP["ControlGroup"], [str(i)], [],
                           self.abs_loc(f"{ptr_prefix}/{i}"),
                           self.resource_id(
@@ -598,29 +797,38 @@ class _Emitter:
         if not isinstance(v, list):
             return
         for i, sub in enumerate(v):
-            out.extend(self.emit_subschema(sub, f"{ptr}/allOf/{i}"))
+            steps = self.emit_subschema(sub, f"{ptr}/allOf/{i}")
+            if self.marks_props or self.marks_items:
+                self._prefix_steps(steps, ["allOf", str(i)])
+            out.extend(steps)
 
     def _kw_anyOf(self, v, sch, ptr, out):
         if not isinstance(v, list):
             return
+        exhaustive = (not self.fast) or self.marks_props \
+            or self.marks_items
         out.append(self.instr(
             "LogicalOr", ["anyOf"], f"{ptr}/anyOf",
-            [V_BOOLEAN, not self.fast],
+            [V_BOOLEAN, exhaustive],
             self._branch_children(v, f"{ptr}/anyOf")))
 
     def _kw_oneOf(self, v, sch, ptr, out):
         if not isinstance(v, list):
             return
+        exhaustive = (not self.fast) or self.marks_props \
+            or self.marks_items
         out.append(self.instr(
             "LogicalXor", ["oneOf"], f"{ptr}/oneOf",
-            [V_BOOLEAN, not self.fast],
+            [V_BOOLEAN, exhaustive],
             self._branch_children(v, f"{ptr}/oneOf")))
 
     def _kw_not(self, v, sch, ptr, out):
         if not isinstance(v, (dict, bool)):
             return
         children = self.emit_subschema(v, f"{ptr}/not")
-        out.append(self.instr("LogicalNot", ["not"], f"{ptr}/not",
+        op = "LogicalNotEvaluate" \
+            if (self.marks_props or self.marks_items) else "LogicalNot"
+        out.append(self.instr(op, ["not"], f"{ptr}/not",
                               [V_NONE], children))
 
     def _kw_if(self, v, sch, ptr, out):
@@ -631,8 +839,12 @@ class _Emitter:
         else_steps = []
         if isinstance(sch.get("then"), (dict, bool)):
             then_steps = self.emit_subschema(sch["then"], f"{ptr}/then")
+            if self.marks_props or self.marks_items:
+                self._prefix_steps(then_steps, ["then"])
         if isinstance(sch.get("else"), (dict, bool)):
             else_steps = self.emit_subschema(sch["else"], f"{ptr}/else")
+            if self.marks_props or self.marks_items:
+                self._prefix_steps(else_steps, ["else"])
         if not then_steps and not else_steps:
             return
         children = if_steps + then_steps + else_steps
@@ -649,10 +861,16 @@ class _Emitter:
         if not isinstance(items, list) or not isinstance(v, (dict, bool)):
             return
         children = self.emit_subschema(v, f"{ptr}/additionalItems")
-        out.append(self.instr(
-            "LoopItemsFrom", ["additionalItems"],
-            f"{ptr}/additionalItems", [V_UNSIGNED, len(items)],
-            children))
+        if children or not self.marks_items:
+            out.append(self.instr(
+                "LoopItemsFrom", ["additionalItems"],
+                f"{ptr}/additionalItems", [V_UNSIGNED, len(items)],
+                children))
+        if self.marks_items:
+            out.append(self.instr(
+                "LogicalWhenArraySizeGreater", ["additionalItems"],
+                f"{ptr}/additionalItems", [V_UNSIGNED, len(items)],
+                [self._mark_value(f"{ptr}/additionalItems")]))
 
     def _kw_dependentSchemas(self, v, sch, ptr, out):
         if not isinstance(v, dict):
@@ -745,7 +963,7 @@ class _Emitter:
             done.add(dest)
             targets.append(self._emit_destination(dest))
         dynamic = False
-        track = not self.fast
+        track = (not self.fast) or self.marks_props or self.marks_items
         return [JSON_VERSION, dynamic, track, targets, []]
 
     def _emit_destination(self, dest: str) -> list:
@@ -776,6 +994,8 @@ class _Emitter:
         sub._resource_uris = self._resource_uris
         sub._target_index = self._target_index
         sub._pending = self._pending
+        sub.marks_props = sub.marks_props or self.marks_props
+        sub.marks_items = sub.marks_items or self.marks_items
         return sub.emit_subschema(doc, "")
 
 

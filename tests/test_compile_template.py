@@ -96,10 +96,5 @@ def test_unsupported_keywords_reject_loudly():
     with pytest.raises(TemplateError):
         compile_template(
             {"$schema": "https://json-schema.org/draft/2020-12/schema",
-             "unevaluatedProperties": False},
-            default_id="file:///x/s.json")
-    with pytest.raises(TemplateError):
-        compile_template(
-            {"$schema": "https://json-schema.org/draft/2020-12/schema",
              "$dynamicRef": "#meta"},
             default_id="file:///x/s.json")

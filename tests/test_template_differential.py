@@ -161,3 +161,146 @@ console.log(JSON.stringify(bad));
     bad = json.loads(r.stdout.strip().splitlines()[-1])
     detail = [(k, msg, payload[k]["instance"]) for k, msg in bad[:5]]
     assert not bad, f"{len(bad)}/{len(cases)} divergences; first: {detail}"
+
+
+def _uschema(rng, depth=2):
+    """Schema generator biased toward unevaluatedProperties/Items
+    interplay with branch applicators (the evaluation-tracking paths
+    of the template emitter)."""
+    def leaf():
+        p = rng.randint(0, 4)
+        if p == 0:
+            return {"type": rng.choice(_TYPES)}
+        if p == 1:
+            return {"const": _scalar(rng)}
+        if p == 2:
+            return {"minimum": rng.randint(-5, 5)}
+        if p == 3:
+            return True
+        return {"minLength": rng.randint(0, 3)}
+
+    s = {}
+    if rng.random() < 0.6:
+        s["properties"] = {k: leaf()
+                           for k in rng.sample("abxy", rng.randint(1, 2))}
+    if rng.random() < 0.3:
+        s["patternProperties"] = {rng.choice(["^a", "x"]): leaf()}
+    if rng.random() < 0.25:
+        s["additionalProperties"] = rng.choice([True, False, leaf()])
+    if rng.random() < 0.4:
+        s["prefixItems"] = [leaf() for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.35:
+        s["items"] = rng.choice([True, False, leaf()])
+    if rng.random() < 0.25:
+        s["contains"] = leaf()
+    if depth > 0 and rng.random() < 0.6:
+        comb = rng.choice(["allOf", "anyOf", "oneOf", "if"])
+        if comb == "if":
+            s["if"] = _uschema(rng, depth - 1)
+            s["then"] = _uschema(rng, depth - 1)
+            if rng.random() < 0.5:
+                s["else"] = _uschema(rng, depth - 1)
+        else:
+            s[comb] = [_uschema(rng, depth - 1)
+                       for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.7:
+        s["unevaluatedProperties"] = rng.choice([False, leaf()])
+    if rng.random() < 0.5:
+        s["unevaluatedItems"] = rng.choice([False, leaf()])
+    if rng.random() < 0.15:
+        s["not"] = _uschema(rng, depth - 1) if depth else leaf()
+    return s or {"unevaluatedProperties": False}
+
+
+# Canonical scope cases from the official-suite semantics the engine
+# pins: cousin invisibility, nested override, if/then visibility.
+_UNEVAL_FIXED = [
+    ({"allOf": [{"properties": {"foo": True}}],
+      "unevaluatedProperties": False}, {"foo": 1}, True),
+    ({"allOf": [{"properties": {"foo": True}},
+                {"unevaluatedProperties": False}]}, {"foo": 1}, False),
+    ({"allOf": [{"unevaluatedProperties": True},
+                {"unevaluatedProperties": False}]}, {"b": 1}, False),
+    ({"if": {"properties": {"foo": {"const": 1}}},
+      "then": {"properties": {"bar": True}},
+      "unevaluatedProperties": False}, {"foo": 1, "bar": 2}, True),
+    ({"if": {"properties": {"foo": {"const": 1}}},
+      "then": {"properties": {"bar": True}},
+      "unevaluatedProperties": False}, {"foo": 2, "bar": 2}, False),
+    ({"prefixItems": [True], "unevaluatedItems": False}, [1, 2], False),
+    ({"prefixItems": [True], "unevaluatedItems": False}, [1], True),
+    ({"allOf": [{"prefixItems": [True, True]}],
+      "unevaluatedItems": False}, [1, 2], True),
+    ({"contains": {"type": "string"}, "unevaluatedItems": False},
+     ["a", "b"], True),
+    ({"contains": {"type": "string"}, "unevaluatedItems": False},
+     ["a", 1], False),
+    ({"anyOf": [{"properties": {"a": {"type": "integer"}}},
+                {"properties": {"b": True}, "required": ["b"]}],
+      "unevaluatedProperties": False}, {"a": 1}, True),
+    ({"anyOf": [{"properties": {"a": {"type": "string"}},
+                 "required": ["a"]},
+                {"properties": {"b": True}}],
+      "unevaluatedProperties": False}, {"a": 1}, False),
+]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node missing")
+def test_unevaluated_templates_match_engine(tmp_path):
+    rng = random.Random(20260820)
+    cases = []
+    for schema, inst, want in _UNEVAL_FIXED:
+        s = dict(schema)
+        s["$schema"] = "https://json-schema.org/draft/2020-12/schema"
+        checker = compile_schema(s)
+        assert bool(checker.is_valid(inst)) is want, (s, inst)
+        for fast in (False, True):
+            tmpl = compile_template(s, default_id="file:///x/s.json",
+                                    fast=fast)
+            cases.append((tmpl, inst, want))
+    while len(cases) < 300:
+        schema = _uschema(rng)
+        schema["$schema"] = \
+            "https://json-schema.org/draft/2020-12/schema"
+        fast = rng.random() < 0.4
+        try:
+            checker = compile_schema(schema)
+            template = compile_template(
+                schema, default_id="file:///x/schema.json", fast=fast)
+        except (TemplateError, ValueError):
+            continue
+        instance = _value(rng, 3)
+        try:
+            want = bool(checker.is_valid(instance))
+        except Exception:   # noqa: BLE001 — engine rejects: skip
+            continue
+        cases.append((template, instance, want))
+
+    payload = [{"template": t, "instance": i, "want": w}
+               for t, i, w in cases]
+    (tmp_path / "ucases.json").write_text(json.dumps(payload))
+    script = tmp_path / "udiff.mjs"
+    script.write_text(f"""
+import {{ readFileSync }} from "node:fs";
+import {{ Blaze }} from "{BLAZE_JS}";
+const cases = JSON.parse(readFileSync("{tmp_path}/ucases.json", "utf-8"));
+const bad = [];
+for (let k = 0; k < cases.length; k++) {{
+  const c = cases[k];
+  let got;
+  try {{
+    got = new Blaze(c.template).validate(c.instance);
+  }} catch (e) {{
+    bad.push([k, "throw: " + e.message]);
+    continue;
+  }}
+  if (got !== c.want) bad.push([k, "got " + got + " want " + c.want]);
+}}
+console.log(JSON.stringify(bad));
+""")
+    r = subprocess.run(["node", str(script)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    bad = json.loads(r.stdout.strip().splitlines()[-1])
+    detail = [(k, msg, payload[k]["instance"]) for k, msg in bad[:5]]
+    assert not bad, f"{len(bad)}/{len(cases)} divergences; first: {detail}"
