@@ -113,9 +113,19 @@ class TemplateError(ValueError):
 # compiling them silently would produce a wrongly-permissive template,
 # so reject loudly instead (the dataset engine's validate path covers
 # them; this list shrinks as handlers land).
-_UNSUPPORTED_REJECT = frozenset((
-    "$dynamicRef", "$recursiveRef", "contentSchema",
-))
+_UNSUPPORTED_REJECT = frozenset()
+
+
+def _blaze_hash(resource: int, fragment: str) -> int:
+    """The 53-bit FNV-1a label hash the blaze wire format keys dynamic
+    anchors with (ports/javascript blazeHash): hash the anchor name,
+    add the schema-resource id, mask to 53 bits."""
+    mask = (1 << 53) - 1
+    r = 14695981039346656037 & mask
+    for ch in fragment:
+        r ^= ord(ch)
+        r = (r * 1099511628211) & mask
+    return (resource + r) & mask
 
 _RE_META = set("\\^$.|?*+()[]{}")
 
@@ -192,6 +202,11 @@ class _Emitter:
         self._target_index: dict[str, int] = {}
         self._pending: list[tuple[str, str, Any, str]] = []
         self._resource_uris = uris
+        self._dynamic = [False]   # shared; set when a dynamic jump emits
+        # (uri, anchor-name) pairs contributed by referenced external
+        # documents (root-level declarations only), shared across
+        # sub-emitters so build() can label them
+        self._sub_anchors: list[tuple[str, str]] = []
         # Evaluation-tracking switches: when the document (or any
         # reachable external resource) defines `unevaluated*` under a
         # vocabulary-aware dialect, every in-place applicator that
@@ -239,7 +254,7 @@ class _Emitter:
     def target_for(self, dest_uri: str) -> int:
         if dest_uri in self._target_index:
             return self._target_index[dest_uri]
-        index = 1 + len(self._pending)
+        index = 1 + len(self._target_index)
         self._target_index[dest_uri] = index
         self._pending.append(dest_uri)
         return index
@@ -248,11 +263,13 @@ class _Emitter:
 
     def instr(self, op_name: str, rel: list, ptr: str, value: list,
               children: list | None = None,
-              abs_override: str | None = None) -> list:
+              abs_override: str | None = None,
+              resource_override: int | None = None) -> list:
         row = [OP[op_name], rel, [],
                abs_override if abs_override is not None
                else self.abs_loc(ptr),
-               self.resource_id(self.base_of(ptr)), value]
+               resource_override if resource_override is not None
+               else self.resource_id(self.base_of(ptr)), value]
         if children:
             row.append(children)
         return row
@@ -706,6 +723,84 @@ class _Emitter:
             [V_RANGE, [lo, hi, (not self.fast) or self.marks_items]],
             children))
 
+    def _idx_base(self, base: str) -> str:
+        """Doc-index key for a resource base: a root without a declared
+        $id registers under the empty URI while the emitter addresses
+        it by the default id."""
+        if self.idx is not None and base not in self.idx.resources \
+                and base == self.root_base:
+            return ""
+        return base
+
+    def _kw_contentSchema(self, v, sch, ptr, out):
+        """2019-09+ `contentSchema` is non-asserting: an annotation of
+        the schema value, only when `contentMediaType` is present and
+        the instance is a string (compiler_2019_09_content_
+        contentschema — no validation instructions at all)."""
+        if self.ver < 2019 or self.fast:
+            return
+        if "contentMediaType" not in sch:
+            return
+        out.append(self.instr(
+            "ControlGroupWhenType", [], f"{ptr}/contentSchema",
+            [V_TYPE, JSON_TYPE["string"]],
+            [self.instr("AnnotationEmit", ["contentSchema"],
+                        f"{ptr}/contentSchema", [V_JSON, v])]))
+
+    def _kw__d_dynamicRef(self, v, sch, ptr, out):
+        """2020-12 `$dynamicRef`: anchor-fragment refs that are
+        BOOKENDED (the static target declares a matching
+        `$dynamicAnchor`) jump through the runtime resource stack to
+        the outermost declaring resource (ControlDynamicAnchorJump —
+        compiler_2020_12_core_dynamicref); everything else is a plain
+        static reference. The jump carries the static base's resource
+        id so the stack always holds the bookend fallback."""
+        if self.ver < 2020 or not isinstance(v, str):
+            return
+        base = self.base_of(ptr)
+        target = urljoin(base or "", v)
+        tbase, _, frag = target.partition("#")
+        sub_ptr = f"{ptr}/$dynamicRef"
+        if frag and not frag.startswith("/"):
+            from urllib.parse import unquote
+            name = unquote(frag)
+            static_base = tbase or base
+            bookended = self.idx is not None and \
+                (self._idx_base(static_base), name) in \
+                self.idx.dyn_anchors
+            if bookended:
+                self._dynamic[0] = True
+                override = self.resource_id(static_base)                     if tbase and tbase != base else None
+                out.append(self.instr(
+                    "ControlDynamicAnchorJump", ["$dynamicRef"],
+                    sub_ptr, [V_STRING, name],
+                    resource_override=override))
+                return
+        index = self.target_for(target)
+        out.append(self.instr("ControlJump", ["$dynamicRef"], sub_ptr,
+                              [V_UNSIGNED, index]))
+
+    def _kw__d_recursiveRef(self, v, sch, ptr, out):
+        """2019-09 `$recursiveRef: "#"`: dynamic only when the current
+        resource root sets `$recursiveAnchor: true` (the bookend);
+        otherwise a static jump to the resource root
+        (compiler_2019_09_core_recursiveref). The dynamic form is the
+        empty-named anchor jump."""
+        if self.ver != 2019 or v != "#":
+            return
+        base = self.base_of(ptr)
+        sub_ptr = f"{ptr}/$recursiveRef"
+        if self.idx is not None \
+                and self._idx_base(base) in self.idx.rec_roots:
+            self._dynamic[0] = True
+            out.append(self.instr(
+                "ControlDynamicAnchorJump", ["$recursiveRef"], sub_ptr,
+                [V_STRING, ""]))
+            return
+        index = self.target_for(base)
+        out.append(self.instr("ControlJump", ["$recursiveRef"], sub_ptr,
+                              [V_UNSIGNED, index]))
+
     def _kw_unevaluatedProperties(self, v, sch, ptr, out):
         """2019-09+: properties not evaluated by any in-scope
         applicator, consumed through the runtime mark set the tracked
@@ -956,15 +1051,50 @@ class _Emitter:
         main_node = self.node_at(entry_ptr) if entry_ptr else self.root
         targets = [self.emit_subschema(main_node, entry_ptr)]
         done: set[str] = set()
-        while self._pending:
-            dest = self._pending.pop(0)
-            if dest in done:
-                continue
-            done.add(dest)
-            targets.append(self._emit_destination(dest))
-        dynamic = False
+
+        def drain():
+            while self._pending:
+                dest = self._pending.pop(0)
+                if dest in done:
+                    continue
+                done.add(dest)
+                targets.append(self._emit_destination(dest))
+
+        drain()
+        labels: list[list] = []
+        if self._dynamic[0] and self.idx is not None:
+            # one label target per declared dynamic anchor (all names,
+            # all resources — collectAnchorNames narrows at load time),
+            # keyed by the blaze 53-bit (resource, name) hash
+            for (abase, name), aptr in sorted(
+                    self.idx.dyn_anchors.items()):
+                res_ptr = self.idx.resources.get(abase, "")
+                uri = abase or self.root_base
+                dest = f"{uri}#{aptr[len(res_ptr):]}" \
+                    if aptr != res_ptr else uri
+                labels.append([_blaze_hash(self.resource_id(uri), name),
+                               self.target_for(dest)])
+            for abase in sorted(self.idx.rec_roots):
+                uri = abase or self.root_base
+                labels.append([_blaze_hash(self.resource_id(uri), ""),
+                               self.target_for(uri)])
+            drain()
+            seen_sub: set[tuple[str, str]] = set()
+            while True:
+                # draining a label target can reach new external docs
+                # that contribute further anchors — iterate to fixpoint
+                fresh = [p for p in self._sub_anchors
+                         if p not in seen_sub]
+                if not fresh:
+                    break
+                for uri, name in fresh:
+                    seen_sub.add((uri, name))
+                    labels.append([_blaze_hash(self.resource_id(uri),
+                                               name),
+                                   self.target_for(uri)])
+                drain()
         track = (not self.fast) or self.marks_props or self.marks_items
-        return [JSON_VERSION, dynamic, track, targets, []]
+        return [JSON_VERSION, self._dynamic[0], track, targets, labels]
 
     def _emit_destination(self, dest: str) -> list:
         base, _, frag = dest.partition("#")
@@ -973,8 +1103,23 @@ class _Emitter:
             res_ptr = self.idx.resources.get(dest)
             if res_ptr is None:
                 res_ptr = self.idx.resources.get(base)
+            if res_ptr is None:
+                res_ptr = self.idx.resources.get(self._idx_base(base))
             if res_ptr is not None:
-                tptr = res_ptr + frag if frag.startswith("/") else res_ptr
+                if frag.startswith("/"):
+                    tptr = res_ptr + frag
+                elif frag:
+                    from urllib.parse import unquote
+                    name = unquote(frag)
+                    ikey = self._idx_base(base)
+                    tptr = self.idx.anchors.get((ikey, name))
+                    if tptr is None:
+                        tptr = self.idx.dyn_anchors.get((ikey, name))
+                    if tptr is None:
+                        raise TemplateError(
+                            f"unresolvable anchor: {dest}")
+                else:
+                    tptr = res_ptr
                 node = self.node_at(tptr)
                 return self.emit_subschema(node, tptr)
         # config resolve remap
@@ -996,6 +1141,15 @@ class _Emitter:
         sub._pending = self._pending
         sub.marks_props = sub.marks_props or self.marks_props
         sub.marks_items = sub.marks_items or self.marks_items
+        sub._dynamic = self._dynamic
+        sub._sub_anchors = self._sub_anchors
+        if sub.idx is not None:
+            for (abase, name), aptr in sub.idx.dyn_anchors.items():
+                if aptr == sub.idx.resources.get(abase, ""):
+                    self._sub_anchors.append(
+                        (abase or sub.root_base, name))
+            for abase in sub.idx.rec_roots:
+                self._sub_anchors.append((abase or sub.root_base, ""))
         return sub.emit_subschema(doc, "")
 
 

@@ -304,3 +304,98 @@ console.log(JSON.stringify(bad));
     bad = json.loads(r.stdout.strip().splitlines()[-1])
     detail = [(k, msg, payload[k]["instance"]) for k, msg in bad[:5]]
     assert not bad, f"{len(bad)}/{len(cases)} divergences; first: {detail}"
+
+
+# $dynamicRef / $recursiveRef templates: bookended anchors jump to the
+# outermost dynamic-scope declaration; non-bookended refs stay static.
+_TREE = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "$id": "https://ex.example/tree", "$dynamicAnchor": "node",
+         "type": "object",
+         "properties": {"data": True,
+                        "children": {"type": "array",
+                                     "items": {"$dynamicRef": "#node"}}}}
+_DYN_CASES = [
+    ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$id": "https://ex.example/root", "$dynamicAnchor": "node",
+      "type": "object",
+      "properties": {"data": True,
+                     "children": {"type": "array",
+                                  "items": {"$dynamicRef": "#node"}}}},
+     None,
+     [({"children": [{"children": []}]}, True),
+      ({"children": [5]}, False),
+      ({"children": [{"children": [{"data": 1}]}]}, True)]),
+    ({"$schema": "https://json-schema.org/draft/2019-09/schema",
+      "$recursiveAnchor": True, "type": "object",
+      "properties": {"child": {"$recursiveRef": "#"}}},
+     None,
+     [({"child": {"child": {}}}, True), ({"child": 3}, False),
+      ({}, True)]),
+    # the spec's strict-tree: the outer resource re-declares the node
+    # anchor, so every recursive jump lands on the strict variant
+    ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$id": "https://ex.example/strict-tree",
+      "$dynamicAnchor": "node",
+      "$ref": "https://ex.example/tree",
+      "unevaluatedProperties": False},
+     {"https://ex.example/tree": _TREE},
+     [({"children": [{"daat": 1}]}, False),
+      ({"children": [{"data": 1}]}, True),
+      ({"children": [{"children": [{"daat": 1}]}]}, False)]),
+    # non-bookended: $dynamicRef to a plain $anchor behaves statically
+    ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$id": "https://ex.example/nb",
+      "$defs": {"x": {"$anchor": "thing", "type": "integer"}},
+      "properties": {"v": {"$dynamicRef": "#thing"}}},
+     None, [({"v": 3}, True), ({"v": "s"}, False)]),
+    # $recursiveRef without the bookend: static jump to the root
+    ({"$schema": "https://json-schema.org/draft/2019-09/schema",
+      "type": "object",
+      "properties": {"child": {"$recursiveRef": "#"}}},
+     None, [({"child": {}}, True), ({"child": 3}, False)]),
+    # dynamic anchor declared at a non-root pointer
+    ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+      "$defs": {"x": {"$dynamicAnchor": "leaf", "type": "string"}},
+      "properties": {"v": {"$dynamicRef": "#leaf"}}},
+     None, [({"v": "ok"}, True), ({"v": 7}, False)]),
+]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node missing")
+def test_dynamic_ref_templates_match_engine(tmp_path):
+    payload = []
+    for schema, resources, pairs in _DYN_CASES:
+        checker = compile_schema(schema, resources=resources)
+        for inst, want in pairs:
+            assert bool(checker.is_valid(inst)) is want, (schema, inst)
+            for fast in (False, True):
+                tmpl = compile_template(
+                    schema, default_id="file:///x/s.json",
+                    resources=resources, fast=fast)
+                payload.append({"template": tmpl, "instance": inst,
+                                "want": want})
+    (tmp_path / "dcases.json").write_text(json.dumps(payload))
+    script = tmp_path / "ddiff.mjs"
+    script.write_text(f"""
+import {{ readFileSync }} from "node:fs";
+import {{ Blaze }} from "{BLAZE_JS}";
+const cases = JSON.parse(readFileSync("{tmp_path}/dcases.json", "utf-8"));
+const bad = [];
+for (let k = 0; k < cases.length; k++) {{
+  const c = cases[k];
+  let got;
+  try {{
+    got = new Blaze(c.template).validate(c.instance);
+  }} catch (e) {{
+    bad.push([k, "throw: " + e.message]);
+    continue;
+  }}
+  if (got !== c.want) bad.push([k, "got " + got + " want " + c.want]);
+}}
+console.log(JSON.stringify(bad));
+""")
+    r = subprocess.run(["node", str(script)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    bad = json.loads(r.stdout.strip().splitlines()[-1])
+    assert not bad, f"{len(bad)}/{len(payload)} divergences: {bad[:5]}"
