@@ -90,6 +90,12 @@ class LintSchemasBatch:
             raw = col[i].as_py()
             sid = ids[i].as_py()
             if raw is None:
+                # emit an accounting row so every input id appears in the
+                # findings table (consistent with __parse_error__ rows)
+                sids.append(sid)
+                rids.append("__null__")
+                locs.append("")
+                msgs.append("null schema document")
                 continue
             try:
                 doc = json.loads(raw) if isinstance(raw, str) else raw

@@ -188,7 +188,8 @@ class MetaschemaBatch:
                 continue
             out_valid.append(bool(ok))
             out_n.append(0 if ok else len(entries))
-            out_first.append(None if ok else entries[0].message[:200])
+            out_first.append(
+                entries[0].message[:200] if (not ok and entries) else None)
         return pa.table({
             "schema_id": pa.array(out_ids, type=pa.string()),
             "valid": pa.array(out_valid, type=pa.bool_()),

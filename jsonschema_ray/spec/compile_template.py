@@ -366,7 +366,9 @@ class _Emitter:
                             f"{ptr}/format", [V_JSON, v])]))
 
     def _kw_minLength(self, v, sch, ptr, out):
-        if not isinstance(v, int) or isinstance(v, bool):
+        # blaze skips the instruction entirely when the bound is <= 0
+        # (default_compiler_draft3.h compiler_draft3_validation_minlength)
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
             return
         out.append(self.instr(
             "AssertionStringSizeGreater", ["minLength"],
@@ -565,7 +567,7 @@ class _Emitter:
                                   f"{ptr}/multipleOf", [V_JSON, v]))
 
     def _kw_minItems(self, v, sch, ptr, out):
-        if isinstance(v, int) and not isinstance(v, bool):
+        if isinstance(v, int) and not isinstance(v, bool) and v > 0:
             out.append(self.instr(
                 "AssertionArraySizeGreater", ["minItems"],
                 f"{ptr}/minItems", [V_UNSIGNED, v - 1]))
@@ -577,7 +579,7 @@ class _Emitter:
                 f"{ptr}/maxItems", [V_UNSIGNED, v + 1]))
 
     def _kw_minProperties(self, v, sch, ptr, out):
-        if isinstance(v, int) and not isinstance(v, bool):
+        if isinstance(v, int) and not isinstance(v, bool) and v > 0:
             out.append(self.instr(
                 "AssertionObjectSizeGreater", ["minProperties"],
                 f"{ptr}/minProperties", [V_UNSIGNED, v - 1]))

@@ -57,6 +57,14 @@ def _to_bool(mask: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return mask.fill_null(False).to_numpy(zero_copy_only=False)
 
 
+def _int_fits(v: int, typ: pa.DataType) -> bool:
+    """Whether integer ``v`` is representable in Arrow integer type ``typ``."""
+    bits = typ.bit_width
+    if pa.types.is_unsigned_integer(typ):
+        return 0 <= v < (1 << bits)
+    return -(1 << (bits - 1)) <= v < (1 << (bits - 1))
+
+
 def _cmp(op: str) -> Callable[..., Any]:
     return {
         "eq": pc.equal, "ne": pc.not_equal,
@@ -145,19 +153,46 @@ def compile_predicate(spec: dict[str, Any]) -> Kernel:
         vals = spec["values"]
         if all(isinstance(v, (int, float)) and not isinstance(v, bool)
                for v in vals):
-            # numeric sets use equality chains, not pc.is_in: Arrow's
-            # set lookup is bitwise on floats (-0.0 misses 0.0 / an
-            # int64 set misses a float column), while JSON equality is
-            # numeric
-            uniq = sorted({float(v) for v in vals})
+            # Numeric sets dispatch on the COLUMN type at kernel time.
+            # Float columns use an equality chain (Arrow set lookup is
+            # bitwise: an int64 value-set misses a float column, and
+            # -0.0 misses 0.0, while JSON equality is numeric). Integer
+            # columns must stay EXACT: casting to float would silently
+            # round values outside ±2^53 (and pc.equal(int64, double)
+            # promotes the column, raising ArrowInvalid on huge ints),
+            # so they use pc.is_in over an integer value-set. Boolean
+            # and non-numeric columns never equal a JSON number.
+            int_vals = sorted({
+                int(v) for v in vals
+                if isinstance(v, int) or float(v).is_integer()
+            })
+            # a double equals integer v only when v is exactly
+            # representable as a double; drop the rest from the chain
+            float_vals = sorted({
+                float(v) for v in vals
+                if not isinstance(v, int) or int(float(v)) == v
+            })
 
-            def k_in_num(t: pa.Table, _vs=uniq):
+            def k_in_num(t: pa.Table, _iv=int_vals, _fv=float_vals):
                 col = _col(t, field)
-                acc = None
-                for v in _vs:
-                    hit = pc.equal(col, v)
-                    acc = hit if acc is None else pc.or_(acc, hit)
-                return _to_bool(acc)
+                typ = col.type
+                if pa.types.is_integer(typ):
+                    fits = [v for v in _iv
+                            if _int_fits(v, typ)]
+                    if not fits:
+                        return np.zeros(len(t), dtype=bool)
+                    return _to_bool(pc.is_in(
+                        col, value_set=pa.array(fits, type=typ)))
+                if pa.types.is_floating(typ):
+                    acc = None
+                    for v in _fv:
+                        hit = pc.equal(col, v)
+                        acc = hit if acc is None else pc.or_(acc, hit)
+                    if acc is None:
+                        return np.zeros(len(t), dtype=bool)
+                    return _to_bool(acc)
+                # bool / string / list / … — a JSON number equals none
+                return np.zeros(len(t), dtype=bool)
             return k_in_num
         values = pa.array(vals)
         return lambda t: _to_bool(pc.is_in(_col(t, field), value_set=values))

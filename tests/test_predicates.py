@@ -128,3 +128,52 @@ def test_type_null_parity_kernel_vs_python():
     assert kern.tolist() == [True, False]
     assert evaluate_predicate_python(spec, {"x": None}) is True
     assert evaluate_predicate_python(spec, {"x": "a"}) is False
+
+
+def test_is_in_numeric_integer_columns_stay_exact():
+    """ADVICE r2: the numeric is_in kernel must not promote integer
+    columns to double — values outside ±2^53 crashed pc.equal with
+    ArrowInvalid even when the enum values were small, and exactness
+    was lost. Integer columns use pc.is_in over an int value-set."""
+    big = 2 ** 60
+    t = pa.table({"x": pa.array([5, big, 7, None], type=pa.int64())})
+    k = compile_predicate({"op": "is_in", "field": "x", "values": [5, 7]})
+    assert k(t).tolist() == [True, False, True, False]
+    # a >2^53 enum member matches exactly (float rounding must not leak in)
+    k2 = compile_predicate(
+        {"op": "is_in", "field": "x", "values": [big, 2.5]})
+    assert k2(t).tolist() == [False, True, False, False]
+    assert evaluate_predicate_python(
+        {"op": "is_in", "field": "x", "values": [big, 2.5]}, {"x": big})
+    # neighbouring huge value must NOT match (double would collapse them)
+    k3 = compile_predicate(
+        {"op": "is_in", "field": "x", "values": [big + 1]})
+    assert k3(t).tolist() == [False, False, False, False]
+
+
+def test_is_in_numeric_boolean_and_string_columns():
+    """Boolean (and other non-numeric) columns short-circuit to
+    all-false against a numeric enum — pc.equal(bool, double) has no
+    kernel and previously raised ArrowNotImplementedError."""
+    tb = pa.table({"x": pa.array([True, False, None])})
+    k = compile_predicate({"op": "is_in", "field": "x", "values": [1, 0]})
+    assert k(tb).tolist() == [False, False, False]
+    assert evaluate_predicate_python(
+        {"op": "is_in", "field": "x", "values": [1, 0]}, {"x": True}) is False
+    ts = pa.table({"x": pa.array(["5"])})
+    k2 = compile_predicate({"op": "is_in", "field": "x", "values": [5]})
+    assert k2(ts).tolist() == [False]
+
+
+def test_is_in_numeric_float_columns_numeric_equality():
+    """Float columns keep numeric (not bitwise) equality: -0.0 matches
+    enum 0, int enum members match zero-fraction reals, and integer
+    enum members not representable as double never false-positive."""
+    tf = pa.table({"x": pa.array([-0.0, 1.5, 2.0, None], type=pa.float64())})
+    k = compile_predicate({"op": "is_in", "field": "x", "values": [0, 1.5]})
+    assert k(tf).tolist() == [True, True, False, False]
+    tg = pa.table({"x": pa.array([float(2 ** 60)], type=pa.float64())})
+    assert compile_predicate(
+        {"op": "is_in", "field": "x", "values": [2 ** 60 + 1]})(tg).tolist() == [False]
+    assert compile_predicate(
+        {"op": "is_in", "field": "x", "values": [2 ** 60]})(tg).tolist() == [True]
