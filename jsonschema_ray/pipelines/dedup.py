@@ -318,77 +318,173 @@ def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
 def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
                            threshold: float = 0.7, num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 3,
-                           seed: int = 1) -> pa.Table:
+                           seed: int = 1,
+                           broadcast_max_pairs: int | None = None) -> pa.Table:
     """End-to-end near-dup detection: MinHash-LSH candidates → exact
     n-gram-Jaccard verification.
 
-    Scale shape: the driver only ever holds (a) candidate KEY ids (8
-    bytes each) and (b) the candidate TEXTS, broadcast once via
-    ``ray.put`` — the Jaccard computation itself runs distributed as a
-    ``map_batches`` over the pairs dataset. Candidates are a tiny
-    fraction of the corpus by LSH construction; if a corpus ever makes
-    the candidate text set itself too big to broadcast, replace the
-    broadcast with two ``Dataset.join``s (pairs⋈texts on key_a, then
-    key_b) — same verification kernel, shuffle instead of broadcast."""
+    Scale shape: below ``VERIFY_BROADCAST_MAX_PAIRS`` candidates, the
+    texts are broadcast once via ``ray.put`` and verification runs
+    distributed over pair partitions; above it (high-duplication
+    corpora where candidates are O(corpus)), texts are attached with
+    two distributed ``Dataset.join``s (pairs ⋈ texts on key_a, then
+    key_b) and the same Jaccard kernel runs per joined batch — the
+    driver never holds candidate ids or texts on that path."""
     pairs = minhash_candidate_pairs(
         source, key_col, text_col, num_perm, bands, seed).materialize()
     return _verify_candidate_pairs(source, key_col, text_col, pairs,
-                                   shingle_k, threshold)
+                                   shingle_k, threshold,
+                                   broadcast_max_pairs=broadcast_max_pairs)
+
+
+#: Above this many candidate pairs the verifier stops broadcasting
+#: candidate texts through the driver and fetches them with two
+#: distributed joins instead. High-duplication corpora (crawl dumps
+#: routinely exceed 30% near-dup) make the candidate set O(corpus),
+#: so the broadcast path must stay a small-set optimization only.
+VERIFY_BROADCAST_MAX_PAIRS = 50_000
 
 
 def _verify_candidate_pairs(source: Any, key_col: str, text_col: str,
                             pairs, shingle_k: int, threshold: float,
-                            with_counts: bool = False) -> pa.Table:
-    """Exact-Jaccard verification of a (key_a, key_b) candidate Dataset:
-    broadcast the candidate TEXTS once (ids pulled thin, texts fetched
-    via a vectorized semi-join), verify distributed over pair
-    partitions. Shared by the MinHash-LSH and PPJoin-prefix paths."""
+                            with_counts: bool = False,
+                            broadcast_max_pairs: int | None = None) -> pa.Table:
+    """Exact-Jaccard verification of a (key_a, key_b) candidate Dataset.
+    Shared by the MinHash-LSH and PPJoin-prefix paths.
+
+    Two execution shapes, chosen by candidate volume:
+
+    - **small** (≤ ``broadcast_max_pairs`` pairs): candidate ids are
+      pulled thin, the matching texts fetched via a vectorized
+      semi-join and broadcast once with ``ray.put``; verification runs
+      distributed over pair partitions against the shared dict.
+    - **large**: two distributed ``Dataset.join``s attach ``text_a``
+      and ``text_b`` to each pair (pairs ⋈ texts on ``key_a``, then on
+      ``key_b``); the identical Jaccard kernel then runs per joined
+      batch. The driver never holds candidate ids or texts — only the
+      final verified pairs.
+    """
     import ray
 
+    if broadcast_max_pairs is None:
+        broadcast_max_pairs = VERIFY_BROADCAST_MAX_PAIRS
     cols = ["key_a", "key_b"] + (["n_common"] if with_counts else [])
     empty = pa.table({**{c: pa.array([], type=pa.int64()) for c in cols},
                       "jaccard": pa.array([], type=pa.float64())})
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return empty
-
-    # thin driver pull: ids only
-    cand_ids: set = set()
-    for b in pairs.select_columns(["key_a", "key_b"]).iter_batches(
-            batch_format="pyarrow"):
-        cand_ids.update(b.column("key_a").to_pylist())
-        cand_ids.update(b.column("key_b").to_pylist())
-    id_set = pa.array(sorted(cand_ids))
 
     src = as_source(source)
 
-    def pick(t: pa.Table) -> pa.Table:
-        col = t.column(key_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        return t.filter(pc.is_in(col, value_set=id_set))
+    if n_pairs > broadcast_max_pairs:
+        out = _verify_pairs_joined(src, key_col, text_col, pairs, n_pairs,
+                                   shingle_k, threshold, cols, empty)
+    else:
+        # thin driver pull: ids only (≤ 2·n_pairs, bounded by the gate)
+        cand_ids: set = set()
+        for b in pairs.select_columns(["key_a", "key_b"]).iter_batches(
+                batch_format="pyarrow"):
+            cand_ids.update(b.column("key_a").to_pylist())
+            cand_ids.update(b.column("key_b").to_pylist())
+        id_set = pa.array(sorted(cand_ids))
 
-    cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
-        pick, batch_format="pyarrow").to_pandas()
-    texts_ref = ray.put(dict(zip(cand_rows[key_col], cand_rows[text_col])))
+        def pick(t: pa.Table) -> pa.Table:
+            col = t.column(key_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return t.filter(pc.is_in(col, value_set=id_set))
 
-    def verify_batch(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)  # zero-copy from local object store
-        rows = verify_jaccard(
-            texts,
-            list(zip(t.column("key_a").to_pylist(),
-                     t.column("key_b").to_pylist())),
-            shingle_k=shingle_k, threshold=threshold)
-        if not rows:
-            return empty
-        return pa.Table.from_pylist(rows).select(
-            cols + ["jaccard"]).cast(empty.schema)
+        cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
+            pick, batch_format="pyarrow").to_pandas()
+        texts_ref = ray.put(dict(zip(cand_rows[key_col],
+                                     cand_rows[text_col])))
 
-    out = pairs.map_batches(verify_batch, batch_format="pyarrow")
+        def verify_batch(t: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)  # zero-copy from local store
+            rows = verify_jaccard(
+                texts,
+                list(zip(t.column("key_a").to_pylist(),
+                         t.column("key_b").to_pylist())),
+                shingle_k=shingle_k, threshold=threshold)
+            if not rows:
+                return empty
+            return pa.Table.from_pylist(rows).select(
+                cols + ["jaccard"]).cast(empty.schema)
+
+        out = pairs.map_batches(verify_batch, batch_format="pyarrow")
     # verified pairs are the final (small) result — stream to driver
     batches = list(out.iter_batches(batch_format="pyarrow"))
     if not batches:
         return empty
     return pa.concat_tables(batches).combine_chunks()
+
+
+def _verify_pairs_joined(src, key_col: str, text_col: str, pairs,
+                         n_pairs: int, shingle_k: int, threshold: float,
+                         cols: list, empty: pa.Table):
+    """Distributed text fetch for candidate verification: pairs ⋈ texts
+    on key_a, then on key_b, then the exact-Jaccard kernel per joined
+    batch. Used above ``VERIFY_BROADCAST_MAX_PAIRS`` so the driver
+    never materializes O(corpus) candidate ids/texts."""
+    texts = src.dataset(columns=[key_col, text_col])
+    n_part = max(2, min(64, n_pairs // 25_000 + 2))
+    thin = pairs.select_columns(["key_a", "key_b"])
+
+    def tidy(alias: str):
+        # Ray's hash join coalesces the right key into the left key
+        # column; drop it defensively if it survived, and alias the
+        # fetched text column out of the way of the second join.
+        def f(t: pa.Table) -> pa.Table:
+            if key_col in t.column_names and key_col not in (
+                    "key_a", "key_b"):
+                t = t.drop_columns([key_col])
+            return t.rename_columns(
+                [alias if c == text_col else c for c in t.column_names])
+        return f
+
+    j1 = thin.join(texts, join_type="inner", num_partitions=n_part,
+                   on=("key_a",), right_on=(key_col,),
+                   left_suffix="", right_suffix="_r1") \
+        .map_batches(tidy("__text_a"), batch_format="pyarrow")
+    j2 = j1.join(texts, join_type="inner", num_partitions=n_part,
+                 on=("key_b",), right_on=(key_col,),
+                 left_suffix="", right_suffix="_r2") \
+        .map_batches(tidy("__text_b"), batch_format="pyarrow")
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        ka = t.column("key_a").to_pylist()
+        kb = t.column("key_b").to_pylist()
+        ta = t.column("__text_a").to_pylist()
+        tb = t.column("__text_b").to_pylist()
+        cache: dict = {}
+
+        def sh(key, text) -> set:
+            s = cache.get(key)
+            if s is None:
+                toks = text.split()
+                s = cache[key] = {tuple(toks[i:i + shingle_k])
+                                  for i in range(
+                                      max(0, len(toks) - shingle_k + 1))}
+            return s
+
+        rows = []
+        for a, b, xa, xb in zip(ka, kb, ta, tb):
+            sa, sb = sh(a, xa), sh(b, xb)
+            if not sa and not sb:
+                j, i = 1.0, 0
+            else:
+                i = len(sa & sb)
+                j = i / max(1, len(sa | sb))
+            if j >= threshold:
+                rows.append({"key_a": a, "key_b": b, "n_common": i,
+                             "jaccard": round(j, 4)})
+        if not rows:
+            return empty
+        return pa.Table.from_pylist(rows).select(
+            cols + ["jaccard"]).cast(empty.schema)
+
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def dup_clusters(pairs, keys=None) -> dict:
@@ -794,7 +890,9 @@ def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
                                text_col: str = "text", shingle_k: int = 3,
                                threshold: float = 0.5,
                                n_buckets: int | None = None,
-                               token_hash=hash64) -> pa.Table:
+                               token_hash=hash64,
+                               broadcast_max_pairs: int | None = None
+                               ) -> pa.Table:
     """Exact n-gram Jaccard join via PPJoin prefix filtering: candidate
     pairs from ``ngram_prefix_candidates`` (no false negatives), exact
     verification via the shared broadcast-texts verifier. Returns the
@@ -805,7 +903,8 @@ def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
                                    threshold, n_buckets,
                                    token_hash=token_hash).materialize()
     return _verify_candidate_pairs(source, key_col, text_col, cand,
-                                   shingle_k, threshold, with_counts=True)
+                                   shingle_k, threshold, with_counts=True,
+                                   broadcast_max_pairs=broadcast_max_pairs)
 
 
 def decontaminate(source: Any, benchmark_texts, key_col: str = "doc_id",

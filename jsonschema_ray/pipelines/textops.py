@@ -413,20 +413,34 @@ def repetition_signals(source, key_col: str = "doc_id",
         kern, batch_format="pyarrow")
 
 
+#: Default vocabulary cap for unigram-LM scoring: the driver/broadcast
+#: table never exceeds this many (token, count) rows no matter the
+#: corpus size. Standard LM practice — tokens outside the top-K score
+#: the max-surprise (count=1) bucket.
+UNIGRAM_VOCAB_TOP_K = 1_000_000
+
+
 def unigram_lm_scores(source, key_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text",
+                      vocab_top_k: int | None = UNIGRAM_VOCAB_TOP_K):
     """Unigram-LM quality score per document (the CCNet-style LM
     filtering signal, computed from the corpus itself): two passes —
 
-    1. global token counts: per-block collapsed (token, n) partials,
-       merged on the driver (bounded by VOCABULARY size, not corpus;
-       for open vocabularies swap in the ``token_topk`` Misra-Gries
-       path + an OOV bucket);
+    1. global token counts: per-block collapsed (token, n) partials →
+       DISTRIBUTED ``groupby("token").sum`` → top-K truncation by
+       (count desc, token asc) via distributed sort+limit, so the
+       driver holds at most ``vocab_top_k`` rows even when the corpus
+       vocabulary is web-scale (10⁸–10⁹ distinct tokens);
     2. broadcast the quantized per-token surprisal table
        ``q(tok) = floor(1e6·ln(N_total/count) + 0.5)`` (libm ``log``
        == DuckDB ``ln``), score each doc as the INTEGER sum of its
        tokens' q — integer arithmetic makes the result independent of
        summation order, so the oracle hash is exact.
+
+    Tokens dropped by the truncation score the max-surprise bucket
+    (count=1); when the vocabulary fits under the cap — always true at
+    test scale — results are bit-identical to the untruncated exact
+    computation, which keeps the SQL oracle green.
 
     → (key, n_tokens, lm_score); higher = more surprising/rarer
     tokens. The per-token table ships once via ``ray.put``."""
@@ -448,23 +462,39 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
         return pa.table({"token": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    import pandas as pd
-
-    parts = [b.to_pandas() for b in
-             src.dataset(columns=[text_col]).map_batches(
-                 partial, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
-    vocab = pd.concat(parts).groupby("token")["n"].sum() if parts \
-        else pd.Series(dtype=np.int64)
-    total = int(vocab.sum())
-    toks_sorted = np.sort(vocab.index.to_numpy().astype(object))
-    cnt_sorted = vocab.loc[toks_sorted].to_numpy().astype(np.int64)
+    parts = src.dataset(columns=[text_col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    # distributed merge: the full vocabulary never visits the driver
+    vocab_ds = parts.groupby("token").sum("n").materialize()
+    total = int(parts.sum("n") or 0)
+    truncated = False
+    if vocab_top_k is not None and vocab_ds.count() > vocab_top_k:
+        truncated = True
+        vocab_ds = vocab_ds.sort(["sum(n)", "token"],
+                                 descending=[True, False]) \
+            .limit(vocab_top_k)
+    vb = [b for b in vocab_ds.iter_batches(batch_format="pyarrow")]
+    if vb:
+        vt = pa.concat_tables(vb).combine_chunks()
+        toks = vt.column("token").to_numpy(zero_copy_only=False)
+        cnts = vt.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(toks)          # searchsorted needs token order
+        toks_sorted, cnt_sorted = toks[order], cnts[order]
+    else:
+        toks_sorted = np.array([], dtype=object)
+        cnt_sorted = np.array([], dtype=np.int64)
     q = np.array([math.floor(1e6 * math.log(total / int(c)) + 0.5)
                   for c in cnt_sorted], dtype=np.int64)
-    table_ref = ray.put((toks_sorted, q))
+    # out-of-vocabulary tokens (dropped by truncation) take the
+    # max-surprise count=1 bucket; without truncation every corpus
+    # token is in vocab, and the guard keeps legacy score-0 semantics
+    oov_q = math.floor(1e6 * math.log(total) + 0.5) \
+        if (truncated and total > 0) else 0
+    table_ref = ray.put((toks_sorted, q, oov_q))
 
     def score(t: pa.Table) -> pa.Table:
-        toks, qv = ray.get(table_ref)
+        toks, qv, oov = ray.get(table_ref)
         keys = t.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -472,10 +502,15 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
         parent = np.repeat(np.arange(len(counts)), counts)
         scores = np.zeros(len(counts), np.int64)
         if len(fl):
-            idx = np.searchsorted(toks, fl)
-            idx = np.clip(idx, 0, len(toks) - 1)
-            hit = toks[idx] == fl       # guard: unseen token scores 0
+            idx = np.searchsorted(toks, fl) if len(toks) \
+                else np.zeros(len(fl), dtype=np.int64)
+            idx = np.clip(idx, 0, max(0, len(toks) - 1))
+            hit = toks[idx] == fl if len(toks) \
+                else np.zeros(len(fl), dtype=bool)
             np.add.at(scores, parent[hit], qv[idx[hit]])
+            if oov:
+                np.add.at(scores, parent[~hit],
+                          np.full(int((~hit).sum()), oov, np.int64))
         return pa.table({
             key_col: keys,
             "n_tokens": pa.array(counts.astype(np.int64)),
