@@ -155,8 +155,16 @@ def _scaling(sf_dir: str, n_docs: int) -> dict:
                     BENCH_HEADLINE_ONLY="1", BENCH_DOCS="1000000")
     subprocess.run([sys.executable, os.path.abspath(__file__)],
                    env=warm_env, capture_output=True, text=True)
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # Variance hardening (round-2 verdict #3): the lo side is stable
+    # run-to-run but the hi side swings up to 2x on minute-scale host
+    # contention; run the hi side 3x and take the MEDIAN so one noisy
+    # process does not decide the criterion. Each process is itself
+    # min-of-2 warm in-process passes.
+    r_lo = run(lo)
+    hi_runs = [run(hi) for _ in range(3)]
+    hi_secs = sorted(r["value"] for r in hi_runs)
+    t_lo, t_hi = r_lo["value"], hi_secs[1]
+    r_hi = next(r for r in hi_runs if r["value"] == t_hi)
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -164,6 +172,7 @@ def _scaling(sf_dir: str, n_docs: int) -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
+        "sec_hi_runs": hi_secs,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "sf": sf_dir, "n_docs": n_docs,

@@ -524,6 +524,172 @@ def dup_clusters(pairs, keys=None) -> dict:
     return out
 
 
+#: Above this many verified duplicate pairs, ``dup_clusters_table``
+#: switches from driver union-find to the distributed alternating
+#: large-star/small-star algorithm.
+CLUSTERS_DRIVER_MAX_PAIRS = 500_000
+
+
+def dup_clusters_table(pairs, *, driver_max_pairs: int | None = None,
+                       max_rounds: int = 64) -> pa.Table:
+    """Connected components over a verified duplicate-pair Dataset →
+    Arrow table (key, root), root = min key of the component.
+
+    Small pair sets (≤ ``driver_max_pairs``) use the exact driver
+    union-find (`dup_clusters`). Larger sets run the alternating
+    large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): O(log n) rounds of groupby
+    shuffles, converging to star graphs rooted at each component's
+    minimum key — the driver only ever holds per-round (count, hash)
+    scalars and the final labels. Both paths produce identical labels.
+    """
+    import ray.data as rd
+
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+    if driver_max_pairs is None:
+        driver_max_pairs = CLUSTERS_DRIVER_MAX_PAIRS
+    n_pairs = pairs.count()
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "root": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        return empty
+    if n_pairs <= driver_max_pairs:
+        edges = []
+        for b in pairs.select_columns(["key_a", "key_b"]).iter_batches(
+                batch_format="pyarrow"):
+            edges.extend(zip(b.column("key_a").to_pylist(),
+                             b.column("key_b").to_pylist()))
+        clusters = dup_clusters(edges)
+        keys = sorted(clusters)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "root": pa.array([int(clusters[k]) for k in keys],
+                                          pa.int64())})
+    return _dup_clusters_star(pairs, n_pairs, max_rounds)
+
+
+def _dup_clusters_star(pairs, n_pairs: int, max_rounds: int) -> pa.Table:
+    """Alternating large-star/small-star label propagation (distributed
+    path of ``dup_clusters_table``).
+
+    Two hash-partitioned shuffles per round, with all per-bucket work
+    vectorized pandas (``groupby().min()`` + index lookups) — never
+    per-CENTER Python (100k single-edge groups through ``map_groups``
+    is a scale-killer) and never Ray's Join operator (unstable under
+    iterated use). Partitioning is by hash(center): the one skew case
+    is the final star of a giant duplicate component, whose root
+    bucket holds that component's (child, root) rows — 16 bytes/row;
+    acceptable up to ~10^8-row components, beyond which salting the
+    star center would be needed."""
+    import os
+
+    import pandas as pd
+
+    n_buckets = max(8, min(256, n_pairs // 100_000 + 8))
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("key_a").to_numpy(zero_copy_only=False)
+        b = t.column("key_b").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(hi[keep].astype(np.int64)),
+                         "b": pa.array(lo[keep].astype(np.int64))})
+
+    # edges as (a, b) with a > b: parent pointers toward smaller keys
+    edges = pairs.select_columns(["key_a", "key_b"]).map_batches(
+        canon, batch_format="pyarrow").materialize()
+
+    def _pb(x: np.ndarray) -> np.ndarray:
+        return ((x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(n_buckets)
+
+    def sym_pb(t: pa.Table) -> pa.Table:
+        # symmetrize and partition by the large-star CENTER u
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b]).astype(np.int64)
+        v = np.concatenate([b, a]).astype(np.int64)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "pb": pa.array(_pb(u).astype(np.int32))})
+
+    def ls_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all edges of every center in this bucket are present; emit
+        # (v, min(Γ(u) ∪ {u})) for each strictly-larger neighbor v
+        g = g[["u", "v"]].drop_duplicates()
+        mins = g.groupby("u")["v"].min()
+        m = pd.Series(np.minimum(mins.to_numpy(), mins.index.to_numpy()),
+                      index=mins.index)
+        sel = g[g["v"].to_numpy() > g["u"].to_numpy()]
+        return pd.DataFrame({
+            "a": sel["v"].to_numpy(np.int64),
+            "b": m.loc[sel["u"]].to_numpy(np.int64)}).drop_duplicates()
+
+    def edge_pb(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        return t.append_column("pb", pa.array(_pb(a).astype(np.int32)))
+
+    def ss_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # edges directed (a > b); per center a: m = min(Γ⁻(a)); emit
+        # (child, m) for children != m plus the center's own (a, m)
+        g = g[["a", "b"]].drop_duplicates()
+        mins = g.groupby("a")["b"].min()
+        mm = mins.loc[g["a"]].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        keep = b != mm
+        return pd.DataFrame({
+            "a": np.concatenate([b[keep],
+                                 mins.index.to_numpy(np.int64)]),
+            "b": np.concatenate([mm[keep],
+                                 mins.to_numpy(np.int64)])})
+
+    def edge_stats(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x517CC1B7))
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "h": pa.array([int(h.sum(dtype=np.uint64))
+                                        % (1 << 63)], pa.int64())})
+
+    debug = bool(os.environ.get("CC_DEBUG"))
+    prev = None
+    for rnd in range(max_rounds):
+        ls = edges.map_batches(sym_pb, batch_format="pyarrow") \
+            .groupby("pb").map_groups(ls_bucket, batch_format="pandas")
+        edges = ls.map_batches(edge_pb, batch_format="pyarrow") \
+            .groupby("pb").map_groups(ss_bucket, batch_format="pandas") \
+            .materialize()
+        n_e, h_e = 0, 0
+        for st in edges.map_batches(edge_stats, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            n_e += int(pc.sum(st.column("n")).as_py() or 0)
+            h_e = (h_e + int(pc.sum(st.column("h")).as_py() or 0)) % (1 << 63)
+        if debug:
+            import time as _t
+            print(f"[cc] round={rnd} edges={n_e} hash={h_e} "
+                  f"t={_t.time():.1f}", flush=True)
+        if prev == (n_e, h_e):
+            break
+        prev = (n_e, h_e)
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds")
+
+    # converged star edges are (child, root); add the roots' self rows
+    rows = [b for b in edges.iter_batches(batch_format="pyarrow")]
+    if not rows:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "root": pa.array([], pa.int64())})
+    t = pa.concat_tables(rows).combine_chunks()
+    child = t.column("a").to_numpy(zero_copy_only=False)
+    root = t.column("b").to_numpy(zero_copy_only=False)
+    roots = np.setdiff1d(np.unique(root), child)
+    keys = np.concatenate([child, roots])
+    vals = np.concatenate([root, roots])
+    order = np.argsort(keys)
+    return pa.table({"key": pa.array(keys[order].astype(np.int64)),
+                     "root": pa.array(vals[order].astype(np.int64))})
+
+
 def dedup_survivors(source: Any, clusters: dict, key_col: str):
     """Filter a dataset down to cluster survivors (key == its root) —
     the 'per-group first' step of near-dup dedup, applied distributed

@@ -1488,18 +1488,16 @@ def q_near_dup_clusters(sf_dir: str):
     (the canonical dedup survivor). SQL-oracled against a recursive-CTE
     transitive closure over the exact all-pairs Jaccard edge set — so a
     green row certifies pair recall AND the union-find."""
-    from jsonschema_ray.pipelines.dedup import (dup_clusters,
+    from jsonschema_ray.pipelines.dedup import (dup_clusters_table,
                                                 minhash_verified_pairs)
     from jsonschema_ray.sources.readers import ParquetSource
 
     pairs = minhash_verified_pairs(
         ParquetSource(_pq(sf_dir, "documents")), "doc_id", threshold=0.5)
-    clusters = dup_clusters(zip(pairs.column("key_a").to_pylist(),
-                                pairs.column("key_b").to_pylist()))
-    keys = sorted(clusters)
-    return pa.table({"doc_id": pa.array(keys, pa.int64()),
-                     "root": pa.array([int(clusters[k]) for k in keys],
-                                      pa.int64())})
+    labels = dup_clusters_table(pairs)  # driver union-find at this size;
+    # the distributed large-star/small-star path engages above
+    # CLUSTERS_DRIVER_MAX_PAIRS with identical labels
+    return labels.rename_columns(["doc_id", "root"])
 
 
 def q_simhash(sf_dir: str):

@@ -757,3 +757,44 @@ def test_unigram_lm_vocab_truncation(ray_session):
     ]
     assert capped["lm_score"].tolist() == expect
     assert capped["n_tokens"].tolist() == exact["n_tokens"].tolist()
+
+
+def test_dup_clusters_distributed_parity(ray_session):
+    """VERDICT r2 #6: the distributed large-star/small-star connected
+    components must label exactly like the driver union-find, root =
+    min key of the component."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import dup_clusters, dup_clusters_table
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    a = rng.integers(0, n, 2500)
+    b = rng.integers(0, n, 2500)
+    tb = pa.table({"key_a": pa.array(a, pa.int64()),
+                   "key_b": pa.array(b, pa.int64())})
+    dist = dup_clusters_table(rd.from_arrow(tb), driver_max_pairs=0)
+    uf = dup_clusters(list(zip(a.tolist(), b.tolist())))
+    got = dict(zip(dist.column("key").to_pylist(),
+                   dist.column("root").to_pylist()))
+    assert got == {k: int(v) for k, v in uf.items()}
+    # small path returns the identical table
+    small = dup_clusters_table(rd.from_arrow(tb))
+    assert small.equals(dist)
+
+
+def test_dup_clusters_pathological_chain(ray_session):
+    """A 10^5-edge chain (diameter 10^5) resolves in O(log n) shuffle
+    rounds without the driver materializing anything beyond the final
+    labels — the case that breaks naive min-propagation."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import dup_clusters_table
+
+    N = 100_000
+    tb = pa.table({"key_a": np.arange(1, N + 1, dtype=np.int64),
+                   "key_b": np.arange(N, dtype=np.int64)})
+    out = dup_clusters_table(rd.from_arrow(tb), driver_max_pairs=0)
+    assert out.num_rows == N + 1
+    assert set(out.column("root").to_pylist()) == {0}
+    assert sorted(out.column("key").to_pylist()) == list(range(N + 1))
