@@ -328,7 +328,8 @@ def cmd_validate(args) -> int:
             format_assertion=getattr(args, "format_assertion", False),
             verbose=getattr(args, "verbose", False),
             debug=getattr(args, "debug", False),
-            header=getattr(args, "header", None))
+            header=getattr(args, "header", None),
+            http=getattr(args, "http", False))
         return run_reference_validate(ns)
 
     if getattr(args, "instance", None):
@@ -2425,12 +2426,28 @@ def cmd_bundle(args) -> int:
                 if doc is not None:
                     return doc
             if getattr(args, "http", False):
-                from jsonschema_ray.sources.fetch import fetch_schema
+                import json as _json
 
+                from jsonschema_ray.sources.fetch import (FetchStatusError,
+                                                          fetch_schema)
+                from jsonschema_ray.spec.clierrors import (EXIT_OTHER_INPUT,
+                                                           JSONParseError)
+
+                # failure surfaces mirror validate --http (reference
+                # test/ci fail_bundle_http_*): non-200 → exit 6 + uri,
+                # unparseable body → JSON parse error (exit 6)
                 try:
-                    return fetch_schema(uri)
-                except Exception:  # noqa: BLE001 — unresolvable: signal
-                    return None
+                    return fetch_schema(
+                        uri, headers=getattr(args, "header", None))
+                except FetchStatusError:
+                    err = CLIError("Failed to fetch schema")
+                    err.fields = {"uri": uri}
+                    err.exit_code = EXIT_OTHER_INPUT
+                    raise err from None
+                except _json.JSONDecodeError as exc:
+                    raise JSONParseError(exc.lineno, exc.colno) from None
+                except OSError:
+                    return None  # unreachable host: unresolvable
             return None
 
         cfg_dd = None
@@ -2624,7 +2641,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-H", "--header", action="append", default=[])
     c.set_defaults(fn=cmd_compile)
 
-    v = sub.add_parser("validate")
+    v = sub.add_parser("validate", add_help=False)
     v.add_argument("inputs", nargs="*", default=[])
     v.add_argument("--instance", nargs="+",
                    help="single-instance mode: validate JSON/YAML "
@@ -2671,6 +2688,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("-j", dest="json_short", action="store_true",
                    help=argparse.SUPPRESS)
     v.add_argument("-H", "--header", action="append", default=[])
+    v.add_argument("-h", "--http", action="store_true")
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--extension", action="append", default=[],
                    help="when an input is a directory, only scan files "

@@ -38,18 +38,61 @@ def _parse_doc(text: str) -> Any:
         return yaml.safe_load(text)
 
 
-def fetch_schema(uri: str, *, timeout: float = 10.0) -> Any:
-    """Fetch one schema document by URI (http/https/file)."""
-    from urllib.parse import urlparse
-    from urllib.request import urlopen
+class FetchStatusError(Exception):
+    """Non-200 HTTP response (the reference's HTTPStatusError,
+    resolver.h http_fetch)."""
 
-    scheme = urlparse(uri).scheme
-    if scheme not in ("http", "https", "file"):
+    def __init__(self, uri: str, status: int):
+        super().__init__(f"GET {uri} -> HTTP {status}")
+        self.uri = uri
+        self.status = status
+
+
+def parse_http_headers(headers) -> list[tuple[str, str]]:
+    """``["Name: Value", ...]`` → [(name, value)] (resolver.h
+    parse_http_header)."""
+    out = []
+    for h in headers or []:
+        name, _, value = str(h).partition(":")
+        out.append((name.strip(), value.strip()))
+    return out
+
+
+def fetch_schema(uri: str, *, timeout: float = 10.0,
+                 headers: list[str] | None = None) -> Any:
+    """Fetch one schema document by URI (http/https/file).
+
+    ``headers``: raw ``--header`` values ("Name: Value"), sent with
+    every HTTP request like the reference's collect_http_headers
+    (``/root/reference/src/resolver.h:120-140``). YAML is parsed when
+    the response content-type says yaml or the path ends .yaml/.yml
+    (resolver.h http_fetch content-type dispatch); otherwise strict
+    JSON, so parse failures surface line/column like the reference.
+    A non-200 status raises :class:`FetchStatusError`."""
+    from urllib.error import HTTPError
+    from urllib.parse import urlparse
+    from urllib.request import Request, urlopen
+
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("http", "https", "file"):
         raise ValueError(f"unsupported URI scheme in {uri!r} "
                          "(http, https, file)")
-    with urlopen(uri, timeout=timeout) as resp:  # noqa: S310 — explicit opt-in
-        raw = resp.read()
-    return _parse_doc(raw.decode("utf-8"))
+    req = Request(uri, headers=dict(parse_http_headers(headers)))
+    try:
+        with urlopen(req, timeout=timeout) as resp:  # noqa: S310 — explicit
+            raw = resp.read()
+            ctype = str(resp.headers.get("content-type") or "") \
+                if getattr(resp, "headers", None) is not None else ""
+    except HTTPError as exc:
+        raise FetchStatusError(uri, exc.code) from None
+    text = raw.decode("utf-8")
+    if "yaml" in ctype.lower() or parsed.path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text)
+    if parsed.scheme == "file":
+        return _parse_doc(text)  # files keep JSON-then-YAML probing
+    return json.loads(text)
 
 
 def _safe_name(uri: str) -> str:

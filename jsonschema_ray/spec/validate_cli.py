@@ -377,9 +377,12 @@ def _run(args, json_mode: bool) -> int:
         _register_embedded(rdoc)
 
     # resolve external refs transitively: registry hit, disk file
-    # (sibling-relative), else the reference's unresolvable-ref error
+    # (sibling-relative), live fetch under --http, else the
+    # reference's unresolvable-ref error
     _resolve_external_refs(schema, schema_default_id, resources,
-                           schema_display)
+                           schema_display,
+                           http=getattr(args, "http", False),
+                           headers=getattr(args, "header", None))
 
     # compile-time regex strictness (fail_invalid_regex exit 4)
     _check_regexes(schema, schema_display,
@@ -729,7 +732,9 @@ def _resolve_entrypoint(schema, ep: str, schema_display: str,
 
 
 def _resolve_external_refs(doc, default_id: str, resources: dict,
-                           schema_display: str, _depth: int = 0) -> None:
+                           schema_display: str, _depth: int = 0, *,
+                           http: bool = False,
+                           headers: list | None = None) -> None:
     from urllib.parse import urljoin
 
     from jsonschema_ray.spec.clierrors import ExternalRefError
@@ -738,7 +743,48 @@ def _resolve_external_refs(doc, default_id: str, resources: dict,
     if _depth > 16 or not isinstance(doc, (dict, list)):
         return
 
-    def walk(node, base):
+    def fetch_remote(dbase: str, ptr: str):
+        # --http: live resolution of remote $refs, reference
+        # resolver.h CustomResolver::operator() → fetch_schema →
+        # http_fetch (headers attached, YAML by content-type, strict
+        # JSON otherwise). Failure surfaces mirror the reference's
+        # test/ci expectations: non-200 → exit 6 with the uri; a
+        # non-JSON body → "Failed to parse the JSON document"
+        # (exit 6); a fetched document that is not a schema →
+        # "The JSON document is not a valid JSON Schema" (exit 4)
+        # anchored at the referencing keyword's location.
+        import json as _json
+
+        from jsonschema_ray.sources.fetch import (FetchStatusError,
+                                                  fetch_schema)
+        from jsonschema_ray.spec.clierrors import (EXIT_OTHER_INPUT,
+                                                   EXIT_SCHEMA_INPUT,
+                                                   JSONParseError)
+        try:
+            sub = fetch_schema(dbase, headers=headers)
+        except FetchStatusError:
+            err = CLIError("Failed to fetch schema")
+            err.fields = {"uri": dbase}
+            err.exit_code = EXIT_OTHER_INPUT
+            raise err from None
+        except _json.JSONDecodeError as exc:
+            raise JSONParseError(exc.lineno, exc.colno) from None
+        except OSError:
+            err = CLIError("Failed to fetch schema")
+            err.fields = {"uri": dbase}
+            err.exit_code = EXIT_OTHER_INPUT
+            raise err from None
+        if not isinstance(sub, (dict, bool)):
+            err = CLIError(
+                "The JSON document is not a valid JSON Schema")
+            err.fields = {"identifier": dbase,
+                          "filePath": schema_display,
+                          "location": ptr}
+            err.exit_code = EXIT_SCHEMA_INPUT
+            raise err
+        return sub
+
+    def walk(node, base, ptr):
         if isinstance(node, dict):
             nid = node.get("$id") or node.get("id")
             if isinstance(nid, str) and "://" in urljoin(base, nid):
@@ -759,25 +805,36 @@ def _resolve_external_refs(doc, default_id: str, resources: dict,
                             resources[dbase.rstrip("#")] = sub
                             _resolve_external_refs(
                                 sub, dbase, resources, schema_display,
-                                _depth + 1)
+                                _depth + 1, http=http, headers=headers)
                         else:
                             err = ExternalRefError(
                                 dbase, filePath=schema_display)
                             err.hint = ("This is likely because the "
                                         "file does not exist")
                             raise err
+                    elif http and dbase.startswith(("http://",
+                                                    "https://")):
+                        sub = fetch_remote(dbase, f"{ptr}/$ref")
+                        resources[dbase.rstrip("#")] = sub
+                        _resolve_external_refs(
+                            sub, dbase, resources, schema_display,
+                            _depth + 1, http=http, headers=headers)
                     else:
                         raise ExternalRefError(dbase,
                                                filePath=schema_display)
             for k, val in node.items():
                 if k in ("enum", "const"):
                     continue
-                walk(val, base)
+                walk(val, base, f"{ptr}/{_esc_ptr(k)}")
         elif isinstance(node, list):
-            for val in node:
-                walk(val, base)
+            for i, val in enumerate(node):
+                walk(val, base, f"{ptr}/{i}")
 
-    walk(doc, default_id)
+    walk(doc, default_id, "")
+
+
+def _esc_ptr(s: str) -> str:
+    return s.replace("~", "~0").replace("/", "~1")
 
 
 def _check_regexes(doc, schema_display: str, base_dir: str,

@@ -95,7 +95,8 @@ def _find_config(cwd: str) -> str | None:
         cur = parent
 
 
-def _read_remote(uri: str, http: bool):
+def _read_remote(uri: str, http: bool,
+                 headers: list[str] | None = None):
     if uri.startswith("file://"):
         path = uri[len("file://"):]
         with open(path) as f:
@@ -109,7 +110,7 @@ def _read_remote(uri: str, http: bool):
     if http and uri.startswith(("http://", "https://")):
         from jsonschema_ray.sources.fetch import fetch_schema
 
-        return fetch_schema(uri)
+        return fetch_schema(uri, headers=headers)
     raise FileNotFoundError(uri)
 
 
@@ -303,11 +304,13 @@ def run_install(cwd: str, positional: list[str], *, frozen: bool = False,
     try:
         if frozen:
             code = _frozen_pass(deps, ldeps, base, out, verbose=verbose,
-                                http=http, resolve_map=resolve_map,
+                                http=http, headers=headers,
+                                resolve_map=resolve_map,
                                 debug=debug)
         else:
             code = _install_pass(deps, ldeps, base, out, force=force,
                                  verbose=verbose, http=http,
+                                 headers=headers,
                                  resolve_map=resolve_map, debug=debug)
             if code == EXIT_OK:
                 from jsonschema_ray.spec.format import prettify_json
@@ -323,6 +326,7 @@ def run_install(cwd: str, positional: list[str], *, frozen: bool = False,
 
 
 def _frozen_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
+                 headers: list[str] | None = None,
                  verbose: bool, http: bool, resolve_map: dict,
                  debug: bool = False) -> int:
     problems = 0
@@ -345,7 +349,8 @@ def _frozen_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
             # missing vendored file: refetch, then verify the WRITTEN
             # bytes against the lock (no lock rewrite in frozen mode)
             digest = _install_one(uri, dest_abs, out, verbose=verbose,
-                                  http=http, resolve_map=resolve_map,
+                                  http=http, headers=headers,
+                                  resolve_map=resolve_map,
                                   debug=debug)
             if digest != entry.get("hash"):
                 out.error_event(
@@ -367,6 +372,7 @@ def _frozen_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
 
 
 def _install_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
+                  headers: list[str] | None = None,
                   force: bool, verbose: bool, http: bool,
                   resolve_map: dict, debug: bool = False) -> int:
     for uri in sorted(deps):
@@ -380,7 +386,8 @@ def _install_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
             out.event("up-to-date", "Up to date", uri, uri=uri)
             continue
         digest = _install_one(uri, dest_abs, out, verbose=verbose,
-                              http=http, resolve_map=resolve_map,
+                              http=http, headers=headers,
+                              resolve_map=resolve_map,
                               debug=debug)
         ldeps[uri] = {"path": path, "hash": digest,
                       "hashAlgorithm": "sha256"}
@@ -398,6 +405,7 @@ def _install_pass(deps: dict, ldeps: dict, base: str, out: _Out, *,
 
 def _install_one(uri: str, dest_abs: str, out: _Out, *,
                  verbose: bool, http: bool, resolve_map: dict,
+                 headers: list[str] | None = None,
                  debug: bool = False, index: int = 1,
                  total: int = 1) -> str:
     """Fetch + bundle + write one dependency; returns the sha256 of
@@ -420,14 +428,17 @@ def _install_one(uri: str, dest_abs: str, out: _Out, *,
         if target_uri.startswith("file://"):
             dbg("Attempting to read file reference from disk: "
                 f"{target_uri[len('file://'):]}")
-        return _read_remote(target_uri, http)
+        # install is ALWAYS remote-enabled, independent of --http:
+        # the reference's dependency_fetch passes remote=true
+        # unconditionally (command_install.cc:42)
+        return _read_remote(target_uri, True, headers)
 
     dbg(stage("fetch/start"))
     out.event("fetching", "Fetching", uri, uri=uri)
     try:
         remote = _read(uri)
     except Exception:  # noqa: BLE001 — unresolvable dependency
-        out.error_event(uri, "Failed to fetch the schema")
+        out.error_event(uri, "Failed to fetch schema")
         raise _StopInstall(EXIT_INPUT) from None
     dbg(stage("fetch/end"))
 
