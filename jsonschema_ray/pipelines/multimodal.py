@@ -5,10 +5,11 @@ feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages (model/codec state loads once per actor in
 ``__init__``). Formats implementable without external libraries are
 decoded for REAL: PCM WAV (RIFF parse), binary netpbm, PNG (stdlib
-zlib + scanline unfiltering — ``decode_png``), and baseline JPEG
-(full T.81 Huffman + IDCT decode, ``functions/jpeg.py``). Only
-genuinely codec-bound formats (mp4/H.264, progressive JPEG) are
-STUBBED: with
+zlib + scanline unfiltering — ``decode_png``), baseline AND
+progressive JPEG (full T.81 Huffman + IDCT decode incl. Annex G
+successive approximation, ``functions/jpeg.py``), and mp4 container
+metadata with real stts/stsz/stss sample tables (``parse_mp4``).
+Only H.264 frame-data decode is STUBBED: with
 ``allow_fake=True`` (default) a deterministic fake decoder parses the
 synthetic payload header; with ``allow_fake=False`` the stage raises
 ``NotImplementedError`` at construction, making the dependency
@@ -210,9 +211,10 @@ def frame_sample_offsets(n_frames: np.ndarray, k: int, seed: int = 3
 # ---------------------------------------------------------------------------
 # REAL decoders needing no codec libraries: WAV (RIFF/PCM — pure
 # header+frame parsing), binary netpbm P5/P6 images, PNG (stdlib zlib
-# inflate + per-scanline unfiltering), and baseline JPEG (full T.81
-# entropy decode + IDCT, functions/jpeg.py). Only mp4/H.264 and
-# progressive JPEG stay behind the stub above.
+# inflate + per-scanline unfiltering), baseline + progressive JPEG
+# (full T.81 entropy decode + IDCT, functions/jpeg.py), and mp4
+# container metadata/sample tables (parse_mp4 below). Only H.264
+# frame data stays behind the stub above.
 # ---------------------------------------------------------------------------
 
 def synth_wav_bytes(seed: int, sr: int = 8000, max_ms: int = 200) -> bytes:
@@ -580,10 +582,14 @@ class DecodeImageFeatures:
                 .append_column("thumb", pa.array(thumbs, pa.binary())))
 
 
-def synth_jpeg_bytes(seed: int, max_dim: int = 48) -> bytes:
-    """Deterministic REAL baseline JPEG payload (4:2:0, quality 85):
-    seeded gradient image through ``functions/jpeg.encode_jpeg``."""
-    from jsonschema_ray.functions.jpeg import encode_jpeg
+def synth_jpeg_bytes(seed: int, max_dim: int = 48,
+                     progressive: bool = False) -> bytes:
+    """Deterministic REAL JPEG payload (4:2:0, quality 85): seeded
+    gradient image through ``functions/jpeg.encode_jpeg`` — or a
+    progressive (SOF2, successive-approximation) stream via
+    ``encode_progressive`` when requested."""
+    from jsonschema_ray.functions.jpeg import (encode_jpeg,
+                                               encode_progressive)
 
     rng = np.random.default_rng(seed)
     w = 16 + int(rng.integers(0, max_dim - 16))
@@ -593,6 +599,8 @@ def synth_jpeg_bytes(seed: int, max_dim: int = 48) -> bytes:
                     (yy * 255 // max(1, h - 1)),
                     ((xx + 2 * yy + int(rng.integers(0, 256))) % 256)],
                    axis=-1).astype(np.uint8)
+    if progressive:
+        return encode_progressive(img, quality=85, subsample=True)
     return encode_jpeg(img, quality=85, subsample=True)
 
 
@@ -614,7 +622,10 @@ def real_media_table(n: int, seed: int = 7) -> pa.Table:
             payloads.append(synth_png_bytes(seed * 100003 + i))
         else:
             mimes.append("image/jpeg")
-            payloads.append(synth_jpeg_bytes(seed * 100003 + i))
+            # alternate baseline / progressive streams so both T.81
+            # decode paths run against the corpus
+            payloads.append(
+                synth_jpeg_bytes(seed * 100003 + i, progressive=i % 8 == 7))
     return pa.Table.from_arrays(
         [pa.array(refs, pa.string()), pa.array(mimes, pa.string()),
          pa.array(payloads, pa.binary())], schema=MEDIA_SCHEMA)
@@ -675,7 +686,23 @@ def synth_mp4_bytes(seed: int) -> bytes:
     avc1 = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
                + struct.pack(">HH", w, h) + b"\x00" * 50)
     stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
-    stbl = box(b"stbl", stsd)
+    # REAL sample tables (ISO 14496-12 §8.6/8.7): 24 fps timing, per-
+    # sample sizes, one chunk, keyframes every 12 samples
+    delta = timescale // 24
+    n_samples = max(1, duration // delta)
+    stts = box(b"stts", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">II", n_samples, delta))
+    sizes = rng.integers(200, 1500, n_samples).astype(">u4")
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples)
+               + sizes.tobytes())
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">III", 1, n_samples, 1))
+    stco = box(b"stco", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">I", 0))
+    keyframes = np.arange(1, n_samples + 1, 12, dtype=">u4")
+    stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
+               + keyframes.tobytes())
+    stbl = box(b"stbl", stsd + stts + stsz + stsc + stco + stss)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)
@@ -697,7 +724,10 @@ def parse_mp4(payload: bytes):
         return None
     out = {"duration_s": 0.0, "timescale": 0, "n_tracks": 0,
            "video_codec": "", "width": 0, "height": 0,
-           "has_mdat": False}
+           "has_mdat": False, "n_samples": 0, "n_keyframes": 0,
+           "sample_bytes": 0, "fps": 0.0}
+    sample_ticks = 0
+    media_ts = 0
     seen_ftyp = False
     # (start, end) scan ranges; containers push their body
     stack = [(0, len(payload))]
@@ -744,7 +774,39 @@ def parse_mp4(payload: bytes):
                     out["video_codec"] = fourcc.decode("ascii")
                     ww, hh = struct.unpack_from(">HH", payload, entry + 32)
                     out["width"], out["height"] = ww, hh
+            elif typ == b"mdhd" and body + 20 <= end:
+                ver = payload[body]
+                if ver == 1 and body + 32 <= end:
+                    media_ts, = struct.unpack_from(">I", payload, body + 20)
+                elif ver == 0:
+                    media_ts, = struct.unpack_from(">I", payload, body + 12)
+            elif typ == b"stts" and body + 8 <= end:
+                (ecount,) = struct.unpack_from(">I", payload, body + 4)
+                q = body + 8
+                for _ in range(min(ecount, 100_000)):
+                    if q + 8 > pos + size:
+                        break
+                    cnt, delta = struct.unpack_from(">II", payload, q)
+                    out["n_samples"] += cnt
+                    sample_ticks += cnt * delta
+                    q += 8
+            elif typ == b"stsz" and body + 12 <= end:
+                fixed, cnt = struct.unpack_from(">II", payload, body + 4)
+                if fixed:
+                    out["sample_bytes"] += fixed * cnt
+                else:
+                    q = body + 12
+                    avail = min(cnt, (pos + size - q) // 4)
+                    if avail > 0:
+                        sizes = np.frombuffer(payload, ">u4", avail, q)
+                        out["sample_bytes"] += int(sizes.sum())
+            elif typ == b"stss" and body + 8 <= end:
+                (ecount,) = struct.unpack_from(">I", payload, body + 4)
+                out["n_keyframes"] += ecount
             pos += size
+    if out["n_samples"] and sample_ticks and media_ts:
+        out["fps"] = round(out["n_samples"]
+                           / (sample_ticks / media_ts), 3)
     return out if seen_ftyp and out["n_tracks"] else None
 
 
@@ -765,6 +827,10 @@ class DecodeVideoMeta:
         trk = np.zeros(n, np.int32)
         wd = np.zeros(n, np.int32)
         ht = np.zeros(n, np.int32)
+        nsamp = np.zeros(n, np.int64)
+        nkey = np.zeros(n, np.int64)
+        fps = np.zeros(n, np.float64)
+        sbytes = np.zeros(n, np.int64)
         codec: list = [""] * n
         for i, p in enumerate(payloads):
             m = parse_mp4(p)
@@ -775,8 +841,14 @@ class DecodeVideoMeta:
             trk[i] = m["n_tracks"]
             wd[i], ht[i] = m["width"], m["height"]
             codec[i] = m["video_codec"]
-        # deterministic frame sampling at a nominal 25 fps
-        frames = np.maximum((dur * 25).astype(np.int64), 0)
+            nsamp[i] = m["n_samples"]
+            nkey[i] = m["n_keyframes"]
+            fps[i] = m["fps"]
+            sbytes[i] = m["sample_bytes"]
+        # frame sampling over REAL stts sample counts when the sample
+        # tables exist; legacy 25 fps estimate otherwise
+        frames = np.where(nsamp > 0, nsamp,
+                          np.maximum((dur * 25).astype(np.int64), 0))
         offs = frame_sample_offsets(frames, self.sample_k)
         return (batch.drop_columns(["payload"])
                 .append_column("decode_ok", pa.array(ok))
@@ -785,6 +857,10 @@ class DecodeVideoMeta:
                 .append_column("video_codec", pa.array(codec, pa.string()))
                 .append_column("width", pa.array(wd))
                 .append_column("height", pa.array(ht))
+                .append_column("n_samples", pa.array(nsamp))
+                .append_column("n_keyframes", pa.array(nkey))
+                .append_column("fps", pa.array(fps))
+                .append_column("sample_bytes", pa.array(sbytes))
                 .append_column("frame_samples",
                                pa.array(offs, pa.list_(pa.int64()))))
 

@@ -1620,17 +1620,22 @@ def q_metaschema_scale(sf_dir: str):
 
 
 def q_media_features_real(sf_dir: str):
-    """* rows-only: REAL multimodal decode — PCM WAV (RIFF parse, DSP
-    features: duration/rms/peak/zcr) and binary PPM (pixel stats +
-    nearest-neighbor thumbnail) over a deterministic generated corpus,
-    as actor-pool ``map_batches`` stages. PNG also decodes for real
-    (stdlib zlib + scanline unfiltering). No SQL oracle (payload bytes
-    aren't a DuckDB view); round-trip + stdlib cross-checks live in
-    ``tests/test_multimodal.py``. Codec-bound formats (jpeg/mp4)
-    remain explicitly stubbed."""
+    """* rows-only: REAL multimodal decode as actor-pool
+    ``map_batches`` stages, long-format (stage, media_ref, decode_ok,
+    metric) union across three pipelines — audio: PCM WAV (RIFF parse,
+    rms metric); image: PPM / PNG (zlib + unfiltering) / JPEG with
+    BOTH baseline and progressive T.81 streams in the corpus
+    (pix_mean metric); video: mp4 box walk with REAL stts/stsz/stss
+    sample tables (fps metric). No SQL oracle (payload bytes aren't a
+    DuckDB view); round-trip + stdlib cross-checks live in
+    ``tests/test_multimodal.py`` and ``tests/test_jpeg.py``. Only
+    H.264 frame-data decode remains stubbed."""
     import pyarrow.parquet as pq
 
-    from jsonschema_ray.pipelines.multimodal import (real_media_table,
+    from jsonschema_ray.pipelines.multimodal import (image_features,
+                                                     real_media_table,
+                                                     synth_mp4_bytes,
+                                                     video_meta,
                                                      wav_features)
     from jsonschema_ray.sources.readers import DatasetSource
 
@@ -1639,11 +1644,35 @@ def q_media_features_real(sf_dir: str):
     n = max(64, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
             // 4)
     src = DatasetSource(rd.from_arrow(real_media_table(n)).repartition(8))
-    out = wav_features(src, concurrency=(1, 4))
-    return out.map_batches(
-        lambda t: t.filter(t.column("decode_ok")), batch_format="pyarrow") \
-        .select_columns(["media_ref", "sample_rate", "duration_s", "rms",
-                         "zcr"])
+
+    def long_form(stage: str, metric_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.column(metric_col).cast(pa.float64())
+            return pa.table({
+                "stage": pa.array([stage] * len(t), pa.string()),
+                "media_ref": t.column("media_ref"),
+                "decode_ok": t.column("decode_ok"),
+                "metric": m,
+            })
+        return f
+
+    wav = wav_features(src, concurrency=(1, 4)) \
+        .map_batches(long_form("audio", "rms"), batch_format="pyarrow")
+    img = image_features(src, concurrency=(1, 4)) \
+        .map_batches(long_form("image", "pix_mean"),
+                     batch_format="pyarrow")
+    vid_tbl = pa.table({
+        "media_ref": pa.array([f"media://v{i:015x}"
+                               for i in range(n // 4)], pa.string()),
+        "mime": pa.array(["video/mp4"] * (n // 4), pa.string()),
+        "payload": pa.array([synth_mp4_bytes(7 * 100003 + i)
+                             for i in range(n // 4)], pa.binary()),
+    })
+    vid = video_meta(DatasetSource(rd.from_arrow(vid_tbl).repartition(4)),
+                     concurrency=(1, 4)) \
+        .map_batches(long_form("video", "fps"), batch_format="pyarrow")
+    return wav.union(img).union(vid).map_batches(
+        lambda t: t.filter(t.column("decode_ok")), batch_format="pyarrow")
 
 
 def q_profile_interleaved(sf_dir: str):

@@ -102,3 +102,54 @@ def test_image_features_stage_handles_jpeg(ray_session):
     assert (jp["width"] >= 16).all() and (jp["channels"] == 3).all()
     assert (jp["pix_std"] > 0).all()
     assert (jp["thumb"].str.len() == 64).all()
+
+
+F3 = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+      "doc/rust/html/embedded-book/assets/f3.jpg")
+
+
+def test_progressive_roundtrip_matrix():
+    """Progressive decode is bit-identical to baseline decode of the
+    same quantized coefficients, across spectral-selection-only and
+    multi-level successive-approximation scan scripts, gray/color,
+    4:4:4/4:2:0, and non-multiple-of-8 dims; external validation of
+    the decoder comes from the real-world third-party file below."""
+    from jsonschema_ray.functions.jpeg import encode_progressive
+
+    rng = np.random.default_rng(0)
+    cases = [((8, 8), False), ((24, 32), False), ((24, 32, 3), False),
+             ((24, 32, 3), True), ((37, 53, 3), True)]
+    scripts = [(0, (0,), ((1, 63),)),
+               (1, (2, 1, 0), ((1, 5), (6, 63))),
+               (2, (3, 2, 1, 0), ((1, 2), (3, 10), (11, 63)))]
+    for shape, sub in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsample=sub))
+        for dc_al, ac_als, bands in scripts:
+            prog = decode_jpeg(encode_progressive(
+                img, quality=80, subsample=sub, dc_al=dc_al,
+                ac_als=ac_als, bands=bands))
+            assert prog is not None, (shape, sub, dc_al)
+            assert np.array_equal(base, prog), (shape, sub, dc_al)
+
+
+def test_progressive_gradient_content():
+    """Low-entropy content exercises long EOB runs across blocks."""
+    from jsonschema_ray.functions.jpeg import encode_progressive
+
+    img = _gradient(48, 64)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsample=False))
+    prog = decode_jpeg(encode_progressive(img, quality=90,
+                                          subsample=False))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(F3),
+                    reason="real-world progressive fixture not on disk")
+def test_progressive_real_world_file():
+    """A real progressive JPEG (third-party encoder, 4:2:2 sampling,
+    10-scan script with AC refinement) decodes to plausible pixels."""
+    img = decode_jpeg(open(F3, "rb").read())
+    assert img is not None
+    assert img.shape == (477, 720, 3)
+    assert 60 < img.mean() < 180 and img.std() > 20
