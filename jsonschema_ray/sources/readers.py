@@ -54,11 +54,17 @@ class LanceSource(DocSource):
 
     def dataset(self, columns: Sequence[str] | None = None):
         import importlib.util
+        import sys
 
         import ray.data as rd
 
-        if not hasattr(rd, "read_lance") \
-                or importlib.util.find_spec("lance") is None:
+        have_lance = "lance" in sys.modules   # incl. injected test shim
+        if not have_lance:
+            try:
+                have_lance = importlib.util.find_spec("lance") is not None
+            except ValueError:
+                have_lance = True
+        if not hasattr(rd, "read_lance") or not have_lance:
             raise NotImplementedError(
                 "Lance reader needs the `pylance` package (absent in this "
                 "sandbox); the same pipelines run on ParquetSource, which "

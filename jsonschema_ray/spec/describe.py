@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 import os
 import re
+
+from jsonschema_ray.spec.ecmaregex import ecma_compile as _ecma
 from dataclasses import dataclass
 from typing import Any
 from urllib.parse import urljoin
@@ -656,7 +658,7 @@ class Explainer:
             return True
         ok = True
         for pattern, sub in v.items():
-            rx = re.compile(pattern)
+            rx = _ecma(pattern)
             for name, val in inst.items():
                 if rx.search(name) is None:
                     continue
@@ -677,8 +679,8 @@ class Explainer:
         if not isinstance(inst, dict):
             return True
         props = sch.get("properties") or {}
-        pats = [re.compile(p) for p in (sch.get("patternProperties")
-                                        or {})]
+        pats = [_ecma(p) for p in (sch.get("patternProperties")
+                                   or {})]
         ok = True
         for name, val in inst.items():
             if name in props or any(p.search(name) for p in pats):
@@ -920,7 +922,7 @@ class Explainer:
                     scopes) -> bool:
         if not isinstance(inst, str):
             return True
-        if re.search(v, inst) is not None:
+        if _ecma(v).search(inst) is not None:
             return True
         # under propertyNames the failing value IS a property name
         # (blaze evaluator_describe.cc:414 "The property name ...")

@@ -966,7 +966,10 @@ class CompiledSchema:
                         errs.append((path, "maxLength", f"length {n} > {hi}"))
             checks.append(c_len)
         if "pattern" in sch:
-            rx = re.compile(sch["pattern"])  # SEARCH semantics, per spec
+            from jsonschema_ray.spec.ecmaregex import ecma_compile
+            # SEARCH semantics per spec; ECMA/PCRE2-faithful compile
+            # (DOTALL, DOLLAR_ENDONLY, \p classes — spec/ecmaregex.py)
+            rx = ecma_compile(sch["pattern"])
             def c_pat(v, path, errs, ann, rx=rx):
                 if isinstance(v, str) and rx.search(v) is None:
                     errs.append((path, "pattern",
@@ -1021,7 +1024,8 @@ class CompiledSchema:
 
         props = {k: self._compile(s, f"{ptr}/properties/{k}")
                  for k, s in sch.get("properties", {}).items()}
-        pprops = [(re.compile(p), self._compile(s, f"{ptr}/patternProperties/{p}"))
+        from jsonschema_ray.spec.ecmaregex import ecma_compile
+        pprops = [(ecma_compile(p), self._compile(s, f"{ptr}/patternProperties/{p}"))
                   for p, s in sch.get("patternProperties", {}).items()]
         addl = self._compile(sch["additionalProperties"],
                              f"{ptr}/additionalProperties") \

@@ -856,17 +856,19 @@ def _check_regexes(doc, schema_display: str, base_dir: str,
 
     def walk(node, ptr):
         if isinstance(node, dict):
+            from jsonschema_ray.spec.ecmaregex import ecma_compile
+
             pat = node.get("pattern")
             if isinstance(pat, str):
                 try:
-                    _re.compile(pat)
+                    ecma_compile(pat)
                 except _re.error:
                     raise bad(pat, f"{ptr}/pattern") from None
             pp = node.get("patternProperties")
             if isinstance(pp, dict):
                 for p in pp:
                     try:
-                        _re.compile(p)
+                        ecma_compile(p)
                     except _re.error:
                         esc = p.replace("~", "~0").replace("/", "~1")
                         raise bad(
