@@ -1277,6 +1277,32 @@ def q_minhash_verified(sf_dir: str):
                                   "doc_id", threshold=0.5)
 
 
+def q_minhash_verified_joined(sf_dir: str):
+    """Same result contract as ``minhash_verified`` but FORCED through
+    the distributed two-join text-fetch path (broadcast disabled) —
+    the 100-TB shape where candidates are O(corpus). Green under the
+    same all-pairs SQL oracle certifies the join path end to end."""
+    from jsonschema_ray.pipelines.dedup import minhash_verified_pairs
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return minhash_verified_pairs(ParquetSource(_pq(sf_dir, "documents")),
+                                  "doc_id", threshold=0.5,
+                                  broadcast_max_pairs=0)
+
+
+def q_unigram_lm_topk(sf_dir: str):
+    """Unigram-LM with a REAL top-K vocabulary truncation (K=5 of the
+    corpus's 31 distinct tokens): kept tokens score exactly, dropped
+    tokens take the max-surprise count=1 bucket. SQL-oracled with the
+    same ranked-truncation re-stated in DuckDB — certifies the
+    distributed groupby→sort→limit vocabulary path in the driver gate."""
+    from jsonschema_ray.pipelines.textops import unigram_lm_scores
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return unigram_lm_scores(ParquetSource(_pq(sf_dir, "documents")),
+                             vocab_top_k=5)
+
+
 _HLL_COLS = (  # (table, column, exercises)
     ("documents", "text", "linear-counting branch"),
     ("events", "event_id", "linear-counting near the 2.5m cut"),
@@ -1480,6 +1506,33 @@ SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
        CAST(CAST(mh AS UBIGINT) AS VARCHAR) AS fp
 FROM sel
 """
+
+
+def q_dup_clusters_scale(sf_dir: str):
+    """Connected components through the DISTRIBUTED large-star/small-
+    star path (``dup_clusters_table`` with the driver union-find
+    disabled): a deterministic segmented-chain edge set derived from
+    doc_ids (segments broken every 13th node) resolves to min-label
+    roots. SQL-oracled against a DuckDB recursive-CTE transitive
+    closure — a green row certifies the distributed label propagation
+    end to end, not just pytest parity."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import dup_clusters_table
+    from jsonschema_ray.raycompat import read_parquet_clean
+
+    ids = read_parquet_clean(_pq(sf_dir, "documents"), columns=["doc_id"])
+    max_id = int(ids.max("doc_id"))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ((d + 1) % 13 != 0) & (d + 1 <= max_id)
+        return pa.table({"key_a": pa.array(d[keep].astype("int64")),
+                         "key_b": pa.array((d[keep] + 1).astype("int64"))})
+
+    pairs = ids.map_batches(edges, batch_format="pyarrow")
+    out = dup_clusters_table(pairs, driver_max_pairs=0)
+    return out.rename_columns(["key", "root"])
 
 
 def q_near_dup_clusters(sf_dir: str):
@@ -1884,6 +1937,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_verified": q_minhash_verified,
     "ngram_jaccard": q_ngram_jaccard,
     "near_dup_clusters": q_near_dup_clusters,
+    "dup_clusters_scale": q_dup_clusters_scale,
+    "minhash_verified_joined": q_minhash_verified_joined,
+    "unigram_lm_topk": q_unigram_lm_topk,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1902,6 +1958,35 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,
 }
+
+MINHASH_VERIFIED_SQL = r"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM (SELECT * FROM tp WHERE tok <> '')
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sets AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
 
 ORACLE: dict[str, str] = {
     "exact_quantiles":
@@ -2272,37 +2357,52 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     # engine reports LSH candidates that verify, the oracle reports
     # every true near-dup pair — matching it certifies LSH recall = 1.0
     # on this corpus, not just verification correctness.
-    "minhash_verified": r"""
-WITH tp AS (
-  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
-  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
-        FROM documents)
-), sh AS (
-  SELECT doc_id,
-         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-           AS shingle
-  FROM (SELECT * FROM tp WHERE tok <> '')
-  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-  QUALIFY lead(tok, 2) OVER w IS NOT NULL
-), sets AS (
-  SELECT DISTINCT doc_id, shingle FROM sh
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS i
-  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT key_a, key_b,
-       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = key_a
-JOIN sizes sb ON sb.doc_id = key_b
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-""",
+    "minhash_verified": MINHASH_VERIFIED_SQL,
     # Connected components over the exact all-pairs Jaccard>=0.5 edges
     # via recursive-CTE transitive closure; root = min reachable key.
     # Oracles pair recall AND the engine's union-find clustering.
+    "minhash_verified_joined": MINHASH_VERIFIED_SQL,
+    "unigram_lm_topk": r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+), vocab AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), keep AS (
+  SELECT t, c FROM vocab ORDER BY c DESC, t ASC LIMIT 5
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(floor(1e6 * ln(CAST(tot.n AS DOUBLE) / COALESCE(k.c, 1))
+                    + 0.5) AS BIGINT) AS q
+  FROM tok LEFT JOIN keep k ON k.t = tok.t CROSS JOIN tot
+)
+SELECT d.doc_id,
+       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.lm, 0) AS BIGINT) AS lm_score
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(q) AS lm FROM scored GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+""",
+    "dup_clusters_scale": r"""
+WITH RECURSIVE e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b
+  FROM documents
+  WHERE (doc_id + 1) % 13 != 0
+    AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+),
+n(key) AS (SELECT a FROM e UNION SELECT b FROM e),
+reach(key, node) AS (
+  SELECT key, key FROM n
+  UNION
+  SELECT r.key, CASE WHEN e.a = r.node THEN e.b ELSE e.a END
+  FROM reach r JOIN e ON e.a = r.node OR e.b = r.node
+)
+SELECT key, MIN(node) AS root FROM reach GROUP BY key ORDER BY key
+""",
     "near_dup_clusters": r"""
 WITH RECURSIVE tp AS (
   SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok

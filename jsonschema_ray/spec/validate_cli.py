@@ -856,20 +856,25 @@ def _check_regexes(doc, schema_display: str, base_dir: str,
 
     def walk(node, ptr):
         if isinstance(node, dict):
-            from jsonschema_ray.spec.ecmaregex import ecma_compile
+            from jsonschema_ray.spec.ecmaregex import (
+                UnsupportedRegexError, ecma_compile)
 
+            # UnsupportedRegexError (PCRE2-valid but inexpressible in
+            # Python re, e.g. mixed-length lookbehind) surfaces here as
+            # the invalid-regex error rather than crashing — a
+            # documented divergence, never a silent semantic shift
             pat = node.get("pattern")
             if isinstance(pat, str):
                 try:
                     ecma_compile(pat)
-                except _re.error:
+                except (_re.error, UnsupportedRegexError):
                     raise bad(pat, f"{ptr}/pattern") from None
             pp = node.get("patternProperties")
             if isinstance(pp, dict):
                 for p in pp:
                     try:
                         ecma_compile(p)
-                    except _re.error:
+                    except (_re.error, UnsupportedRegexError):
                         esc = p.replace("~", "~0").replace("/", "~1")
                         raise bad(
                             p, f"{ptr}/patternProperties/{esc}"
