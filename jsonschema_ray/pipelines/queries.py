@@ -216,40 +216,42 @@ def q_val_spans_documents(sf_dir: str):
     (kind_enum, text_requires_text, media_requires_ref,
     media_ref_format, offset_nonnegative, offset_monotonic)."""
     from jsonschema_ray.sources.synth import SPAN_SCHEMA
-    from jsonschema_ray.spec.compile import CompiledRowChecker
     from jsonschema_ray.spec.plan import default_plan
 
     plan = default_plan().filtered(exclude=["doc_id_unique", "media_ref_exists"])
     plan_json = plan.to_json()
+    # stateless TASKS with the per-worker checker cache, not an actor
+    # pool: actor pools put the callable in the object store and a
+    # late restart after GC fails (ray issue 53727) — observed once as
+    # a RaySystemError in a 55-query marathon session
+    from jsonschema_ray.stages.validator import _cached_checker
+    cache_key = f"derive:{plan.plan_hash()}"
 
-    class DeriveAndCheck:
-        def __init__(self):
-            self.checker = CompiledRowChecker(plan_json)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
-            struct = pa.StructArray.from_arrays(
-                [pa.array(kind, type=pa.string()),
-                 pa.array(text, type=pa.string(), from_pandas=True),
-                 pa.array(ref, type=pa.string(), from_pandas=True),
-                 pa.array(offset, type=pa.int32())],
-                fields=list(SPAN_SCHEMA))
-            offsets32 = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
-            spans = pa.ListArray.from_arrays(
-                pa.array(offsets32, type=pa.int32()), struct)
-            docs = pa.table({"doc_id": pa.array(ids.astype("U20")),
-                             "spans": spans})
-            v = self.checker.violations(docs)
-            return pa.table({
-                "doc_id": v.column("doc_id"),
-                "rule_id": v.column("rule_id"),
-                "span_index": v.column("span_index").cast(pa.int64()),
-            })
+    def derive_and_check(t: pa.Table) -> pa.Table:
+        checker = _cached_checker(cache_key, plan_json, None,
+                                  "doc_id", "spans")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(kind, type=pa.string()),
+             pa.array(text, type=pa.string(), from_pandas=True),
+             pa.array(ref, type=pa.string(), from_pandas=True),
+             pa.array(offset, type=pa.int32())],
+            fields=list(SPAN_SCHEMA))
+        offsets32 = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets32, type=pa.int32()), struct)
+        docs = pa.table({"doc_id": pa.array(ids.astype("U20")),
+                         "spans": spans})
+        v = checker.violations(docs)
+        return pa.table({
+            "doc_id": v.column("doc_id"),
+            "rule_id": v.column("rule_id"),
+            "span_index": v.column("span_index").cast(pa.int64()),
+        })
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-    return ds.map_batches(DeriveAndCheck, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    return ds.map_batches(derive_and_check, batch_format="pyarrow")
 
 
 _SPANS_SQL_CTE = """
@@ -795,26 +797,27 @@ def q_val_schema_documents(sf_dir: str):
     is compiled to vectorized CheckPlan rules (schema_to_plan) and run
     via the standard row checker. Returns (doc_id, rule_id) violation
     keys; the oracle re-states each generated rule as plain SQL."""
-    from jsonschema_ray.spec.compile import CompiledRowChecker
     from jsonschema_ray.spec.jschema import schema_to_plan
+    from jsonschema_ray.stages.validator import _cached_checker
 
-    plan_json = schema_to_plan(_DOCS_SCHEMA).to_json()
+    plan = schema_to_plan(_DOCS_SCHEMA)
+    plan_json = plan.to_json()
+    cache_key = f"docschema:{plan.plan_hash()}"
 
-    class Check:
-        def __init__(self):
-            self.checker = CompiledRowChecker(
-                plan_json, doc_id_col="doc_id", spans_col="spans")
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = self.checker.violations(t)
-            return pa.table({
-                "doc_id": v.column("doc_id").cast(pa.int64()),
-                "rule_id": v.column("rule_id"),
-            })
+    def check(t: pa.Table) -> pa.Table:
+        # stateless tasks + per-worker cache (see q_val_spans_documents
+        # for why actor pools are avoided here)
+        checker = _cached_checker(cache_key, plan_json, None,
+                                  "doc_id", "spans")
+        v = checker.violations(t)
+        return pa.table({
+            "doc_id": v.column("doc_id").cast(pa.int64()),
+            "rule_id": v.column("rule_id"),
+        })
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "source", "n_chars"])
-    return ds.map_batches(Check, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(check, batch_format="pyarrow")
 
 
 def q_events_top_per_user(sf_dir: str):
