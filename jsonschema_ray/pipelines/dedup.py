@@ -1073,6 +1073,100 @@ def ngram_jaccard_prefix_pairs(source: Any, key_col: str,
                                    broadcast_max_pairs=broadcast_max_pairs)
 
 
+def boilerplate_ngram_stats(source: Any, key_col: str = "doc_id",
+                            text_col: str = "text", shingle_k: int = 3,
+                            min_docs: int = 10,
+                            max_ngrams: int = 1_000_000,
+                            token_hash=hash64):
+    """Cross-document boilerplate scrub signal (the MassiveText/Gopher
+    repeated-passage heuristic): word ``shingle_k``-grams appearing in
+    ≥ ``min_docs`` DISTINCT documents form the boilerplate set; each
+    document reports its total k-gram instances and how many hit it
+    (the filtering signal upstream quality gates consume).
+
+    Scale shape: pass 1 collapses per-batch distinct (shingle, doc)
+    pairs to (shingle_hash, n_docs) partials, merges them with a
+    DISTRIBUTED ``groupby.sum``, thresholds, and caps the broadcast
+    set at ``max_ngrams`` by (doc-count desc, hash asc) via a
+    distributed sort+limit — the driver never holds more than the cap.
+    Pass 2 streams the corpus once against the broadcast sorted-hash
+    array (searchsorted per batch; no shuffle, no join).
+
+    → Dataset (key, n_grams, n_boiler) for EVERY document. With
+    ``token_hash=md5_hash64`` the whole operator re-derives bit-exact
+    in DuckDB (same FNV rolling chain as MinHash/decontaminate)."""
+    import ray
+    import ray.data as rd
+
+    src = as_source(source)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        z = np.empty(len(d), dtype=[("h", np.uint64), ("d", np.int64)])
+        z["h"], z["d"] = h, d
+        uz = np.unique(z)                       # distinct (shingle, doc)
+        hh, nn = np.unique(uz["h"], return_counts=True)
+        # int64 BIT-CAST: Ray's shuffle cannot round-trip uint64 values
+        # above 2^63 (they fall back to Python objects and crash Arrow
+        # re-inference); the view is order-consistent on both sides
+        return pa.table({"h": pa.array(hh.view(np.int64)),
+                         "n": pa.array(nn.astype(np.int64))})
+
+    parts = src.dataset(columns=[text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    counts = parts.groupby("h").sum("n")
+
+    def threshold(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("sum(n)"), min_docs)
+        return t.filter(keep)
+
+    boiler_ds = counts.map_batches(threshold,
+                                   batch_format="pyarrow").materialize()
+    if boiler_ds.count() > max_ngrams:
+        boiler_ds = boiler_ds.sort(["sum(n)", "h"],
+                                   descending=[True, False]) \
+            .limit(max_ngrams)
+    hs: list = []
+    for b in boiler_ds.iter_batches(batch_format="pyarrow"):
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+    boiler = np.sort(np.concatenate(hs)) if hs \
+        else np.empty(0, np.int64)
+    boiler_ref = ray.put(boiler)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bs = ray.get(boiler_ref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        total = np.bincount(d, minlength=t.num_rows) if len(d) \
+            else np.zeros(t.num_rows, np.int64)
+        if len(h) and len(bs):
+            h64 = h.view(np.int64)              # same bit-cast as pass 1
+            idx = np.searchsorted(bs, h64)
+            hit = (idx < len(bs)) \
+                & (bs[np.minimum(idx, len(bs) - 1)] == h64)
+            nb = np.bincount(d[hit], minlength=t.num_rows)
+        else:
+            nb = np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "n_grams": pa.array(total.astype(np.int64)),
+            "n_boiler": pa.array(nb.astype(np.int64)),
+        })
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        flag, batch_format="pyarrow")
+
+
 def decontaminate(source: Any, benchmark_texts, key_col: str = "doc_id",
                   text_col: str = "text", shingle_k: int = 5,
                   token_hash=hash64):

@@ -1197,6 +1197,63 @@ GROUP BY sh.doc_id
 """
 
 
+def _boilerplate_sql(k: int = 3, min_docs: int = 5) -> str:
+    """Oracle for q_boilerplate_ngrams: the decontamination FNV chain
+    with the benchmark set replaced by 'k-grams in ≥ min_docs distinct
+    documents' (the MassiveText repeated-passage heuristic)."""
+    F, TWO64 = 1099511628211, 1 << 64
+    joins = "\n  ".join(
+        f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+        for j in range(1, k))
+    fold = "CAST(t0.h AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, {fold} AS s
+  FROM th t0
+  {joins}
+), boiler AS (
+  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c FROM sh GROUP BY s)
+  WHERE c >= {min_docs}
+), per_doc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE b.s IS NOT NULL) AS BIGINT)
+           AS n_boiler
+  FROM sh LEFT JOIN boiler b USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def q_boilerplate_ngrams(sf_dir: str):
+    """Cross-document boilerplate word-3-gram scrub signal: grams in
+    ≥5 distinct docs form the boilerplate set (distributed distinct-doc
+    counting → threshold → capped broadcast), each doc reports total
+    vs boilerplate gram instances. Bit-exactly SQL-oracled via the
+    md5/FNV shingle chain."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import boilerplate_ngram_stats
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return boilerplate_ngram_stats(
+        ParquetSource(_pq(sf_dir, "documents")), "doc_id",
+        shingle_k=3, min_docs=5, token_hash=md5_hash64)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs (doc_id ≥ 20) sharing any word
     5-gram with the 'benchmark' slice (doc_id < 20); broadcast shingle
@@ -1935,6 +1992,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
@@ -2327,6 +2385,7 @@ GROUP BY 1
     "langid": _langid_sql(),
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
+    "boilerplate_ngrams": _boilerplate_sql(),
     "ann_topk": _ann_sql(),
     "near_dup_embeddings": _near_dup_emb_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is

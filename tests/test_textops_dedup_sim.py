@@ -798,3 +798,40 @@ def test_dup_clusters_pathological_chain(ray_session):
     assert out.num_rows == N + 1
     assert set(out.column("root").to_pylist()) == {0}
     assert sorted(out.column("key").to_pylist()) == list(range(N + 1))
+
+
+def test_boilerplate_ngram_stats(ray_session):
+    """MassiveText-style repeated-passage scrub: 3-grams in >= min_docs
+    distinct documents are boilerplate; per-doc instance counts are
+    exact (independently recomputed here), and the max_ngrams cap
+    keeps only the most-shared grams."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import boilerplate_ngram_stats
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    boiler = "click here to subscribe now"
+    rows = [(i, f"{boiler} unique tail {i} word{i}") for i in range(6)]
+    rows += [(10, "entirely different content with no repeats"),
+             (11, "a b"),            # < 3 tokens → zero grams
+             (12, f"prefix {boiler} suffix")]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+
+    out = boilerplate_ngram_stats(src, min_docs=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    by = dict(zip(out["doc_id"], zip(out["n_grams"], out["n_boiler"])))
+    # docs 0-5 (9 tokens → 7 grams): 5 grams are shared by >= 5 docs
+    # (the 3 inside the phrase + 'subscribe now unique' and
+    # 'now unique tail', both common to docs 0-5); the 2 grams ending
+    # in the per-doc tail are unique
+    for i in range(6):
+        assert by[i] == (7, 5), (i, by[i])
+    assert by[10] == (4, 0)
+    assert by[11] == (0, 0)
+    # doc 12: only the 3 grams fully inside the shared phrase qualify
+    assert by[12] == (5, 3)
+
+    # cap: keep only the single most-shared gram → fewer boiler hits
+    capped = boilerplate_ngram_stats(src, min_docs=5, max_ngrams=1) \
+        .to_pandas()
+    assert capped.set_index("doc_id").loc[0, "n_boiler"] == 1
