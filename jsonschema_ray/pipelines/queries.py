@@ -1254,6 +1254,18 @@ def q_boilerplate_ngrams(sf_dir: str):
         shingle_k=3, min_docs=5, token_hash=md5_hash64)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """int8 affine scalar quantization of the embeddings table: per-
+    dimension [lo,hi] from distributed min/max partials, codes =
+    floor((x-lo)·254/(hi-lo)+0.5)-127. Long-format (vec_id, dim, code)
+    integers → exact value-hash vs the same arithmetic in SQL."""
+    from jsonschema_ray.pipelines.similarity import quantize_embeddings
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return quantize_embeddings(
+        ParquetSource(_pq(sf_dir, "embeddings")))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs (doc_id ≥ 20) sharing any word
     5-gram with the 'benchmark' slice (doc_id < 20); broadcast shingle
@@ -1993,6 +2005,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "embedding_quantize": q_embedding_quantize,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
@@ -2386,6 +2399,23 @@ GROUP BY 1
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
     "boilerplate_ngrams": _boilerplate_sql(),
+    "embedding_quantize": r"""
+WITH e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), rng AS (
+  SELECT dim, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+  FROM e GROUP BY dim
+)
+SELECT e.vec_id,
+       CAST(e.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN rng.hi = rng.lo THEN 0
+            ELSE floor((e.x - rng.lo) * (254.0 / (rng.hi - rng.lo))
+                       + 0.5) - 127 END AS BIGINT) AS code
+FROM e JOIN rng USING (dim)
+""",
     "ann_topk": _ann_sql(),
     "near_dup_embeddings": _near_dup_emb_sql(),
     # simhash re-derived bit-by-bit in SQL: the engine's token hash is

@@ -399,3 +399,131 @@ def cosine_pairs_exact(source: Any, threshold: float = 0.9, *,
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# int8 affine quantization — the standard 4× memory lever for ANN at
+# scale: per-dimension [lo, hi] affine codes in [-127, 127], computed
+# with mergeable per-block min/max partials (the driver only ever
+# holds 2×D floats per block result), then a vectorized encode pass.
+# ---------------------------------------------------------------------------
+
+def embedding_dim_ranges(source: Any, *, emb_col: str = "embedding"
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (lo, hi) over the corpus: per-block vectorized
+    min/max partials merged on the driver — O(blocks × D) driver work,
+    independent of row count."""
+    src = as_source(source)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _stack(t.column(emb_col))
+        if not len(m):
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"lo": pa.array([m.min(axis=0).tolist()]),
+                         "hi": pa.array([m.max(axis=0).tolist()])})
+
+    lo = hi = None
+    for b in src.dataset(columns=[emb_col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            blo = np.asarray(b.column("lo")[i].as_py(), np.float64)
+            bhi = np.asarray(b.column("hi")[i].as_py(), np.float64)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+    if lo is None:
+        raise ValueError("empty embedding corpus")
+    return lo, hi
+
+
+def _quant_codes(m: np.ndarray, lo: np.ndarray, hi: np.ndarray
+                 ) -> np.ndarray:
+    """Affine int8 encode: floor((x-lo)·254/(hi-lo) + 0.5) - 127,
+    constant dims code to 0. Round-half-up (floor(+0.5)) so the exact
+    arithmetic re-derives in SQL."""
+    span = hi - lo
+    scale = np.where(span > 0, 254.0 / np.where(span > 0, span, 1.0), 0.0)
+    return (np.floor((m - lo) * scale + 0.5) - 127 * (span > 0)) \
+        .astype(np.int8)
+
+
+def quantize_embeddings(source: Any, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        ranges: tuple | None = None):
+    """→ Dataset (id, dim [1-based], code int8-valued) long-format
+    quantized corpus. ``ranges``: precomputed (lo, hi) — pass the
+    training split's ranges to quantize a serving split consistently."""
+    import ray
+
+    src = as_source(source)
+    lo, hi = ranges if ranges is not None else embedding_dim_ranges(
+        source, emb_col=emb_col)
+    ref = ray.put((lo, hi))
+
+    def encode(t: pa.Table) -> pa.Table:
+        qlo, qhi = ray.get(ref)
+        m = _stack(t.column(emb_col))
+        codes = _quant_codes(m, qlo, qhi)
+        n, d = codes.shape
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: pa.array(np.repeat(
+                ids.to_numpy(zero_copy_only=False), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), n)),
+            "code": pa.array(codes.reshape(-1).astype(np.int64)),
+        })
+
+    return src.dataset(columns=[id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+def quantized_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   ranges: tuple | None = None,
+                   exclude_ids=None) -> pa.Table:
+    """Asymmetric quantized cosine top-k: corpus vectors are int8-
+    dequantized per batch, the float query stays exact — the standard
+    scalar-quantization serving shape (encode once, scan codes). Per-
+    batch partial top-k keeps ≤k rows/block to the driver, like
+    ``brute_force_topk``."""
+    import heapq
+
+    import ray
+
+    src = as_source(source)
+    lo, hi = ranges if ranges is not None else embedding_dim_ranges(
+        source, emb_col=emb_col)
+    span = hi - lo
+    scale = np.where(span > 0, span / 254.0, 0.0)
+    q = np.asarray(query_vec, np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    ref = ray.put((lo, hi, scale, qn))
+    excl = frozenset(exclude_ids or ())
+
+    def part(t: pa.Table) -> pa.Table:
+        qlo, qhi, qscale, qq = ray.get(ref)
+        m = _stack(t.column(emb_col))
+        codes = _quant_codes(m, qlo, qhi).astype(np.float64)
+        deq = (codes + 127.0 * (qhi > qlo)) * qscale + qlo
+        deq = _normalize(deq)
+        cos = deq @ qq
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if excl:
+            mask = np.array([i not in excl for i in ids])
+            cos, ids = cos[mask], ids[mask]
+        top = np.argsort(-cos)[:k]
+        return pa.table({id_col: pa.array(ids[top]),
+                         "cos_sim": pa.array(cos[top])})
+
+    rows: list = []
+    for b in src.dataset(columns=[id_col, emb_col]).map_batches(
+            part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        rows.extend(zip(b.column("cos_sim").to_pylist(),
+                        b.column(id_col).to_pylist()))
+    best = heapq.nlargest(k, rows)
+    return pa.table({id_col: pa.array([i for _, i in best]),
+                     "cos_sim": pa.array([c for c, _ in best])})

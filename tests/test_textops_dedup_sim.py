@@ -835,3 +835,34 @@ def test_boilerplate_ngram_stats(ray_session):
     capped = boilerplate_ngram_stats(src, min_docs=5, max_ngrams=1) \
         .to_pandas()
     assert capped.set_index("doc_id").loc[0, "n_boiler"] == 1
+
+
+def test_quantized_topk_recall(ray_session):
+    """int8 asymmetric quantized top-k: high recall vs exact cosine
+    top-k, and the dequantization error is bounded by the step size."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import (
+        _quant_codes, brute_force_topk, embedding_dim_ranges,
+        quantized_topk)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    t, m = _emb_table(n=400, d=32, seed=9)
+    src = DatasetSource(rd.from_arrow(t))
+    q = m[7].astype(np.float64)
+
+    exact = brute_force_topk(src, q, k=10, exclude_ids={7})
+    approx = quantized_topk(src, q, k=10, exclude_ids={7})
+    overlap = len(set(exact.column("vec_id").to_pylist())
+                  & set(approx.column("vec_id").to_pylist()))
+    assert overlap >= 8, overlap          # recall@10 ≥ 0.8 at int8/d=32
+
+    lo, hi = embedding_dim_ranges(src)
+    codes = _quant_codes(m.astype(np.float64), lo, hi)
+    assert codes.min() >= -127 and codes.max() <= 127
+    span = hi - lo
+    deq = (codes.astype(np.float64) + 127.0 * (span > 0)) \
+        * np.where(span > 0, span / 254.0, 0.0) + lo
+    err = np.abs(deq - m.astype(np.float64))
+    step = np.where(span > 0, span / 254.0, 0.0)
+    assert (err <= step / 2 + 1e-9).all()
