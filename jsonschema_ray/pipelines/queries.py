@@ -1254,6 +1254,26 @@ def q_boilerplate_ngrams(sf_dir: str):
         shingle_k=3, min_docs=5, token_hash=md5_hash64)
 
 
+def q_dedup_survivors_e2e(sf_dir: str):
+    """The COMPLETE near-dup corpus dedup, end to end: MinHash-LSH
+    candidates → exact Jaccard verify (≥0.5) → connected components →
+    drop every non-root member → surviving (doc_id, n_chars). Oracled
+    against the all-pairs exact edges + recursive-CTE closure in SQL,
+    so one green row certifies the whole chain."""
+    from jsonschema_ray.pipelines.dedup import (dedup_survivors,
+                                                dup_clusters,
+                                                minhash_verified_pairs)
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    src = ParquetSource(_pq(sf_dir, "documents"))
+    pairs = minhash_verified_pairs(src, "doc_id", threshold=0.5)
+    clusters = dup_clusters(zip(pairs.column("key_a").to_pylist(),
+                                pairs.column("key_b").to_pylist()))
+    out = dedup_survivors(
+        ParquetSource(_pq(sf_dir, "documents")), clusters, "doc_id")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_embedding_quantize(sf_dir: str):
     """int8 affine scalar quantization of the embeddings table: per-
     dimension [lo,hi] from distributed min/max partials, codes =
@@ -2006,6 +2026,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_survivors_e2e": q_dedup_survivors_e2e,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
@@ -2454,6 +2475,27 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     # via recursive-CTE transitive closure; root = min reachable key.
     # Oracles pair recall AND the engine's union-find clustering.
     "minhash_verified_joined": MINHASH_VERIFIED_SQL,
+    # full near-dup dedup: exact pair edges -> recursive closure ->
+    # drop non-root members; certifies LSH recall + clustering +
+    # survivor filtering in one row
+    "dedup_survivors_e2e": (
+        "WITH RECURSIVE pairs AS (" + MINHASH_VERIFIED_SQL + "),\n"
+        "n(key) AS (SELECT key_a FROM pairs UNION SELECT key_b FROM pairs),\n"
+        "reach(key, node) AS (\n"
+        "  SELECT key, key FROM n\n"
+        "  UNION\n"
+        "  SELECT r.key, CASE WHEN p.key_a = r.node THEN p.key_b"
+        " ELSE p.key_a END\n"
+        "  FROM reach r JOIN pairs p ON p.key_a = r.node"
+        " OR p.key_b = r.node\n"
+        "),\n"
+        "losers AS (\n"
+        "  SELECT key FROM (SELECT key, MIN(node) AS root FROM reach"
+        " GROUP BY key) WHERE root != key\n"
+        ")\n"
+        "SELECT d.doc_id, d.n_chars FROM documents d\n"
+        "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
+    ),
     "unigram_lm_topk": r"""
 WITH tok AS (
   SELECT doc_id, t FROM (
