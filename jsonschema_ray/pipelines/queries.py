@@ -837,6 +837,28 @@ def q_events_top_per_user(sf_dir: str):
     return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-source document cap (the crawl-curation 'domain capping'
+    step: at most K=15 docs per source, preferring longer documents,
+    deterministic tiebreak): ROW_NUMBER() <= K per partition as a
+    ``groupby(source).map_groups`` over sorted groups. Partitioning
+    assumption: one source's docs fit one group; a web-scale hot
+    domain would need a per-partition pre-cap (keep K per block, then
+    the global cap — a strict superset passes through)."""
+    import pandas as pd
+
+    K = 15
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(K)
+        return g[["doc_id", "source", "n_chars"]]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source",
+                                             "n_chars"])
+    return ds.groupby("source").map_groups(cap, batch_format="pandas")
+
+
 def q_events_sessionize(sf_dir: str):
     """Sessionization (streaming-shaped op, SURVEY.md §2.9): 30-minute
     inactivity gap splits sessions; per-user counts via
@@ -2027,6 +2049,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "embedding_quantize": q_embedding_quantize,
     "dedup_survivors_e2e": q_dedup_survivors_e2e,
+    "domain_cap": q_domain_cap,
     "dedup_prefix_groups": q_dedup_prefix_groups,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified": q_minhash_verified,
@@ -2420,6 +2443,14 @@ GROUP BY 1
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
     "boilerplate_ngrams": _boilerplate_sql(),
+    "domain_cap": r"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 15
+""",
     "embedding_quantize": r"""
 WITH e AS (
   SELECT vec_id,

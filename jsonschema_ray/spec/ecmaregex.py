@@ -24,7 +24,6 @@ semantic shift). Differential corpus: ``tests/test_ecmaregex.py``.
 from __future__ import annotations
 
 import re
-import sys
 import unicodedata
 from functools import lru_cache
 

@@ -16,7 +16,6 @@ the translation layer two ways:
 from __future__ import annotations
 
 import json
-import os
 import re
 import shutil
 import subprocess
