@@ -1417,6 +1417,18 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 tf-idf terms: distributed document-frequency
+    groupby (per-block deduplicated (doc,token) partials) → broadcast
+    idf table → vectorized per-batch tf + top-k. Integer-quantized
+    scores make the driver hash exact vs DuckDB (same libm log)."""
+    from jsonschema_ray.pipelines.textops import tfidf_top_terms
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return tfidf_top_terms(ParquetSource(_pq(sf_dir, "documents")),
+                           key_col="doc_id", k=3)
+
+
 _HLL_COLS = (  # (table, column, exercises)
     ("documents", "text", "linear-counting branch"),
     ("events", "event_id", "linear-counting near the 2.5m cut"),
@@ -2058,6 +2070,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dup_clusters_scale": q_dup_clusters_scale,
     "minhash_verified_joined": q_minhash_verified_joined,
     "unigram_lm_topk": q_unigram_lm_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2527,6 +2540,29 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "tfidf_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), df AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), n AS (SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.t AS token, tf.tf, df.df,
+         CAST(floor(1e6 * (tf.tf * ln((n.n + 1.0) / (df.df + 1.0)))
+                    + 0.5) AS BIGINT) AS tfidf_q
+  FROM tf JOIN df ON df.t = tf.t CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf_q DESC, token ASC) AS rnk
+  FROM scored)
+SELECT doc_id, token, tf, df, tfidf_q, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+""",
     "unigram_lm_topk": r"""
 WITH tok AS (
   SELECT doc_id, t FROM (

@@ -521,6 +521,125 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
         score, batch_format="pyarrow")
 
 
+TFIDF_VOCAB_TOP_K = 1_000_000
+
+
+def tfidf_top_terms(source, key_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    vocab_top_k: int | None = TFIDF_VOCAB_TOP_K):
+    """Per-document top-``k`` terms by tf-idf — the classic keyword /
+    salience extraction stage of a curation pipeline. Two passes:
+
+    1. document frequency: per-block collapsed (token, df) partials
+       (each doc's tokens deduplicated IN the block, so the shuffle
+       carries one row per distinct (block, token)) → distributed
+       ``groupby("token").sum`` — the vocabulary never visits the
+       driver untruncated; above ``vocab_top_k`` it is cut by
+       (df desc, token asc) via distributed sort+limit, exactly like
+       :func:`unigram_lm_scores`' vocabulary. Dropped rare tokens
+       take df=0 → the idf formula's +1 smoothing keeps them finite
+       (max-idf bucket), standard practice.
+    2. broadcast the (token, df) table once via ``ray.put``; each
+       batch recomputes its per-doc tf (docs never straddle blocks —
+       the pairs are derived per row), scores
+       ``tfidf = tf · ln((N+1)/(df+1))`` in float64 and keeps the
+       top ``k`` rows per doc by (score desc, token asc).
+
+    Scores are quantized to ``floor(1e6·x + 0.5)`` integers so the
+    driver's order-insensitive value hash is exact vs DuckDB (same
+    libm ``log``). → (key, token, tf, df, tfidf_q, rank).
+    """
+    import pandas as pd
+    import ray
+
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts, flat = _tokenize_flat(t.column(text_col))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        parent = np.repeat(np.arange(len(counts)), counts)
+        # distinct (doc, token) pairs, then count docs per token
+        pairs = pd.DataFrame({"p": parent, "t": flat}).drop_duplicates()
+        vc = pairs["t"].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
+
+    ds_text = src.dataset(columns=[text_col])
+    n_docs = int(ds_text.count())
+    df_ds = ds_text.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("token").sum("df").materialize()
+    if vocab_top_k is not None and df_ds.count() > vocab_top_k:
+        df_ds = df_ds.sort(["sum(df)", "token"],
+                           descending=[True, False]).limit(vocab_top_k)
+    vb = list(df_ds.iter_batches(batch_format="pyarrow"))
+    if vb:
+        vt = pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b for b in vb]).combine_chunks()
+        toks = vt.column("token").to_numpy(zero_copy_only=False)
+        dfs = vt.column("sum(df)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(toks)
+        toks_sorted, df_sorted = toks[order], dfs[order]
+    else:
+        toks_sorted = np.array([], dtype=object)
+        df_sorted = np.array([], dtype=np.int64)
+    table_ref = ray.put((toks_sorted, df_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, dfv = ray.get(table_ref)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kv = keys.to_numpy(zero_copy_only=False)
+        counts, flat = _tokenize_flat(t.column(text_col))
+        empty = pa.table({
+            key_col: pa.array([], keys.type),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "tfidf_q": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())})
+        if not len(flat):
+            return empty
+        parent = np.repeat(np.arange(len(counts)), counts)
+        tf = pd.DataFrame({"p": parent, "t": flat}) \
+            .groupby(["p", "t"], sort=False).size().reset_index(name="tf")
+        pv = tf["p"].to_numpy()
+        tv = tf["t"].to_numpy()
+        tfv = tf["tf"].to_numpy().astype(np.int64)
+        if len(toks):
+            idx = np.clip(np.searchsorted(toks, tv), 0, len(toks) - 1)
+            hit = toks[idx] == tv
+            dfx = np.where(hit, dfv[idx], 0).astype(np.int64)
+        else:
+            dfx = np.zeros(len(tv), np.int64)
+        sc = tfv * np.log((n_docs + 1.0) / (dfx + 1.0))
+        q = np.floor(1e6 * sc + 0.5).astype(np.int64)
+        # top-k per doc by (score desc, token asc): lexsort is stable
+        ordr = np.lexsort((tv, -q, pv))
+        pvo = pv[ordr]
+        first = np.flatnonzero(np.r_[True, pvo[1:] != pvo[:-1]])
+        rank = (np.arange(len(pvo))
+                - np.repeat(first, np.diff(np.r_[first, len(pvo)])) + 1)
+        keep = ordr[rank <= k]
+        return pa.table({
+            key_col: pa.array(kv[pv[keep]], keys.type),
+            "token": pa.array(tv[keep], pa.string()),
+            "tf": pa.array(tfv[keep]),
+            "df": pa.array(dfx[keep]),
+            "tfidf_q": pa.array(q[keep]),
+            "rank": pa.array(rank[rank <= k].astype(np.int64))})
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
 def add_compression_ratio(batch: pa.Table, text_col: str = "text",
                           level: int = 6) -> pa.Table:
     """Gopher/RedPajama-style repetitiveness signal: deflate size /

@@ -866,3 +866,61 @@ def test_quantized_topk_recall(ray_session):
     err = np.abs(deq - m.astype(np.float64))
     step = np.where(span > 0, span / 254.0, 0.0)
     assert (err <= step / 2 + 1e-9).all()
+
+
+def test_tfidf_top_terms():
+    """tf-idf: corpus-wide tokens get low idf, doc-unique tokens rank
+    first; ranks are contiguous per doc and scores match the
+    independently recomputed quantized formula."""
+    import math
+
+    from jsonschema_ray.pipelines.textops import tfidf_top_terms
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    t = _docs_table([
+        (1, "shared shared apple"),
+        (2, "shared banana banana"),
+        (3, "shared"),
+    ])
+    out = tfidf_top_terms(DatasetSource(rd.from_arrow(t)), k=2) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    n = 3
+
+    def q(tf, df):
+        return math.floor(1e6 * (tf * math.log((n + 1) / (df + 1))) + 0.5)
+
+    # doc 1: apple (tf=1, df=1) beats shared (tf=2, df=3)
+    d1 = out[out.doc_id == 1]
+    assert d1["token"].tolist() == ["apple", "shared"]
+    assert d1["tfidf_q"].tolist() == [q(1, 1), q(2, 3)]
+    assert d1["rank"].tolist() == [1, 2]
+    # doc 2: banana tf=2 dominates
+    d2 = out[out.doc_id == 2]
+    assert d2["token"].tolist() == ["banana", "shared"]
+    assert d2["tfidf_q"].tolist() == [q(2, 1), q(1, 3)]
+    # doc 3 has only one term
+    assert out[out.doc_id == 3]["token"].tolist() == ["shared"]
+
+
+def test_tfidf_vocab_truncation():
+    """With vocab_top_k=1 only the highest-df token keeps its real df;
+    all others take the df=0 max-idf bucket."""
+    import math
+
+    from jsonschema_ray.pipelines.textops import tfidf_top_terms
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    import ray.data as rd
+
+    t = _docs_table([(1, "shared rare"), (2, "shared"), (3, "shared")])
+    out = tfidf_top_terms(DatasetSource(rd.from_arrow(t)), k=2,
+                          vocab_top_k=1) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    n = 3
+    d1 = out[out.doc_id == 1].set_index("token")
+    assert d1.loc["shared", "df"] == 3
+    assert d1.loc["rare", "df"] == 0          # truncated out of vocab
+    assert d1.loc["rare", "tfidf_q"] == \
+        math.floor(1e6 * math.log(n + 1) + 0.5)
