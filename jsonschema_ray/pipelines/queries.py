@@ -1417,6 +1417,30 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_psi_drift(sf_dir: str):
+    """Distribution-drift check #2 (north-star family): PSI between
+    the even/odd event_id cohorts of events.value over 10 equal-width
+    bins — two streaming aggregate passes, ≤10 partial rows per block
+    shuffled, integer-quantized contributions for an exact hash."""
+    from jsonschema_ray.pipelines.stats import psi_drift
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return psi_drift(ParquetSource(_pq(sf_dir, "events")),
+                     value_col="value", key_col="event_id")
+
+
+def q_ks_drift(sf_dir: str):
+    """Distribution-drift check #3: EXACT two-sample KS statistic in
+    integer arithmetic (ECDF gaps as cross-multiplied counts) — the
+    sort ships collapsed (value, nb, nc) rows only, each sorted block
+    reduces to 5 scalars, the driver combines O(#blocks)."""
+    from jsonschema_ray.pipelines.stats import ks_drift
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return ks_drift(ParquetSource(_pq(sf_dir, "events")),
+                    value_col="value", key_col="event_id")
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top-3 tf-idf terms: distributed document-frequency
     groupby (per-block deduplicated (doc,token) partials) → broadcast
@@ -2071,6 +2095,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_verified_joined": q_minhash_verified_joined,
     "unigram_lm_topk": q_unigram_lm_topk,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "psi_drift": q_psi_drift,
+    "ks_drift": q_ks_drift,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2540,6 +2566,59 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "psi_drift": r"""
+WITH src AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+), mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM src),
+assigned AS (
+  SELECT CASE WHEN mm.hi > mm.lo
+              THEN LEAST(9, GREATEST(0, CAST(floor(
+                   (value - mm.lo) / (mm.hi - mm.lo) * 10.0) AS BIGINT)))
+              ELSE 0 END AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isb
+  FROM src CROSS JOIN mm
+), g AS (
+  SELECT r.range AS bin,
+         CAST(COALESCE(SUM(a.isb), 0) AS BIGINT) AS base_n,
+         CAST(COALESCE(SUM(1 - a.isb), 0) AS BIGINT) AS cur_n
+  FROM range(0, 10) r LEFT JOIN assigned a ON a.bin = r.range
+  GROUP BY r.range
+), tot AS (
+  SELECT CAST(SUM(base_n) AS DOUBLE) AS tb,
+         CAST(SUM(cur_n) AS DOUBLE) AS tc FROM g)
+SELECT bin, base_n, cur_n,
+       CAST(floor(1e6 * (
+         ((cur_n + 0.5) / (tot.tc + 5.0) - (base_n + 0.5) / (tot.tb + 5.0))
+         * ln(((cur_n + 0.5) / (tot.tc + 5.0))
+              / ((base_n + 0.5) / (tot.tb + 5.0)))) + 0.5) AS BIGINT)
+       AS psi_q
+FROM g CROSS JOIN tot
+""",
+    "ks_drift": r"""
+WITH u AS (
+  SELECT value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS b
+  FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT CAST(SUM(b) AS BIGINT) AS nb,
+         CAST(COUNT(*) - SUM(b) AS BIGINT) AS nc FROM u
+), g AS (
+  SELECT v, CAST(SUM(b) AS BIGINT) AS gb,
+         CAST(COUNT(*) - SUM(b) AS BIGINT) AS gc
+  FROM u GROUP BY v
+), c AS (
+  SELECT SUM(gb) OVER (ORDER BY v) AS cb,
+         SUM(gc) OVER (ORDER BY v) AS cc FROM g
+), m AS (
+  SELECT CAST(MAX(ABS(cb * (SELECT nc FROM tot)
+                      - cc * (SELECT nb FROM tot))) AS BIGINT) AS ks_num
+  FROM c)
+SELECT (SELECT nb FROM tot) AS nb, (SELECT nc FROM tot) AS nc, ks_num,
+       CAST(floor(1e6 * (CAST(ks_num AS DOUBLE)
+            / (CAST((SELECT nb FROM tot) AS BIGINT)
+               * (SELECT nc FROM tot))) + 0.5) AS BIGINT) AS ks_q
+FROM m
+""",
     "tfidf_top_terms": r"""
 WITH tok AS (
   SELECT doc_id, t FROM (

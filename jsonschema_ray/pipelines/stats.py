@@ -579,3 +579,186 @@ def exact_quantiles_by(
     return pa.table({key: pa.array(ks, pa.string()),
                      "q": pa.array(qv, pa.float64()),
                      "value": pa.array(vv, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two cohorts: PSI (binned) and exact KS.
+# ---------------------------------------------------------------------------
+
+def psi_drift(source: Any, value_col: str, key_col: str,
+              n_bins: int = 10, modulus: int = 2) -> pa.Table:
+    """Population Stability Index between two deterministic cohorts of
+    one table (baseline = ``key % modulus == 0``, current = the rest)
+    over equal-width bins of ``value_col`` — the classic production
+    drift monitor (PSI > 0.2 ⇒ investigate).
+
+    Two streaming passes, no shuffle of the data itself:
+
+    1. global min/max (Arrow aggregate);
+    2. per-batch ``np.bincount`` partials per cohort → tiny
+       ``groupby(bin).sum`` (≤ ``n_bins`` rows per block leave the
+       node).
+
+    PSI contributions use Laplace-smoothed shares
+    ``p = (n + 0.5) / (N + n_bins/2)`` so empty bins stay finite, and
+    are quantized to ``floor(1e6·x + 0.5)`` integers (same libm log as
+    DuckDB) for an exact driver hash.
+
+    → (bin, base_n, cur_n, psi_q) ordered by bin.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    src = as_source(source)
+    ds = src.dataset(columns=[key_col, value_col])
+
+    lohi = ds.aggregate(Min(value_col), Max(value_col))
+    lo = float(lohi[f"min({value_col})"])
+    hi = float(lohi[f"max({value_col})"])
+    span = hi - lo
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        vals = t.column(value_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        mask = pc.and_(pc.is_valid(keys), pc.is_valid(vals)) \
+            .to_numpy(zero_copy_only=False)
+        k = keys.to_numpy(zero_copy_only=False)[mask]
+        v = vals.to_numpy(zero_copy_only=False)[mask].astype(np.float64)
+        if span > 0:
+            b = np.floor((v - lo) / span * float(n_bins))
+            b = np.clip(b, 0, n_bins - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        is_base = (k.astype(np.int64) % modulus) == 0
+        nb = np.bincount(b[is_base], minlength=n_bins)
+        nc = np.bincount(b[~is_base], minlength=n_bins)
+        return pa.table({
+            "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+            "base_n": pa.array(nb.astype(np.int64)),
+            "cur_n": pa.array(nc.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").sum(["base_n", "cur_n"])
+    t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in agg.iter_batches(batch_format="pyarrow")])
+    t = t.sort_by("bin")
+    nb = t.column("sum(base_n)").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nc = t.column("sum(cur_n)").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tot_b, tot_c = int(nb.sum()), int(nc.sum())
+    q = np.zeros(len(nb), np.int64)
+    for i in range(len(nb)):
+        pb = (nb[i] + 0.5) / (tot_b + n_bins * 0.5)
+        pcur = (nc[i] + 0.5) / (tot_c + n_bins * 0.5)
+        q[i] = math.floor(1e6 * ((pcur - pb) * math.log(pcur / pb)) + 0.5)
+    return pa.table({
+        "bin": t.column("bin").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        "base_n": nb, "cur_n": nc, "psi_q": q})
+
+
+def ks_drift(source: Any, value_col: str, key_col: str,
+             modulus: int = 2) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the same
+    two cohorts, computed in integer arithmetic so the result is
+    bit-reproducible in SQL:
+
+    ``D = max over distinct v of |CB(v)·NC − CC(v)·NB| / (NB·NC)``
+
+    Pipeline: per-batch (value, nb, nc) collapse → distributed
+    ``groupby(value).sum`` → range ``sort(value)`` → ONE summary row
+    per sorted block.  The key identity: within a block the ECDF gap is
+    ``prefix + f_i`` with ``f_i`` the block-local integer gap, so the
+    block max is reached at ``max f_i`` or ``min f_i`` — each block
+    ships 5 scalars and the driver combines O(#blocks) summaries
+    (ordered by block min value; blocks are range-partitioned so that
+    order is the value order, and distinct values never straddle the
+    collapse).  int64 is exact while both cohort counts stay < 2^31
+    (≈2.1 G rows per side); beyond that the per-block cumsums need the
+    int128 path (documented, not needed at sandbox scale).
+
+    → one row (nb, nc, ks_num, ks_q) with ``ks_q = floor(1e6·D+0.5)``.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    src = as_source(source)
+    ds = src.dataset(columns=[key_col, value_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = t.column(key_col)
+        vals = t.column(value_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        mask = pc.and_(pc.is_valid(keys), pc.is_valid(vals)) \
+            .to_numpy(zero_copy_only=False)
+        k = keys.to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        v = vals.to_numpy(zero_copy_only=False)[mask].astype(np.float64)
+        base = ((k % modulus) == 0).astype(np.int64)
+        df = pd.DataFrame({"value": v, "nb": base, "nc": 1 - base}) \
+            .groupby("value", sort=False).sum().reset_index()
+        return pa.table({"value": pa.array(df["value"].to_numpy()),
+                         "nb": pa.array(df["nb"].to_numpy(np.int64)),
+                         "nc": pa.array(df["nc"].to_numpy(np.int64))})
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").sum(["nb", "nc"]).materialize()
+    tot = grouped.aggregate(Sum("sum(nb)"), Sum("sum(nc)"))
+    NB = int(tot["sum(sum(nb))"] or 0)
+    NC = int(tot["sum(sum(nc))"] or 0)
+    if NB == 0 or NC == 0:
+        return pa.table({"nb": pa.array([NB], pa.int64()),
+                         "nc": pa.array([NC], pa.int64()),
+                         "ks_num": pa.array([0], pa.int64()),
+                         "ks_q": pa.array([0], pa.int64())})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        nb = t.column("sum(nb)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = t.column("sum(nc)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(v):
+            return pa.table({"vmin": pa.array([], pa.float64()),
+                             "tb": pa.array([], pa.int64()),
+                             "tc": pa.array([], pa.int64()),
+                             "fmax": pa.array([], pa.int64()),
+                             "fmin": pa.array([], pa.int64())})
+        # sort() range-partitions but the block itself is sorted too;
+        # re-assert local order for safety (cheap on a block)
+        o = np.argsort(v, kind="stable")
+        nb, nc = nb[o], nc[o]
+        f = np.cumsum(nb) * NC - np.cumsum(nc) * NB
+        return pa.table({"vmin": pa.array([float(v.min())], pa.float64()),
+                         "tb": pa.array([int(nb.sum())], pa.int64()),
+                         "tc": pa.array([int(nc.sum())], pa.int64()),
+                         "fmax": pa.array([int(f.max())], pa.int64()),
+                         "fmin": pa.array([int(f.min())], pa.int64())})
+
+    rows = grouped.sort("value").map_batches(
+        summarize, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vmin"])
+    ks_num = 0
+    pb = pcur = 0
+    for r in rows:
+        c = pb * NC - pcur * NB
+        ks_num = max(ks_num, abs(c + r["fmax"]), abs(c + r["fmin"]))
+        pb += r["tb"]
+        pcur += r["tc"]
+    ks_q = math.floor(1e6 * (ks_num / (NB * NC)) + 0.5)
+    return pa.table({"nb": pa.array([NB], pa.int64()),
+                     "nc": pa.array([NC], pa.int64()),
+                     "ks_num": pa.array([ks_num], pa.int64()),
+                     "ks_q": pa.array([ks_q], pa.int64())})

@@ -238,3 +238,63 @@ def test_exact_quantiles_by_group_matches_duckdb(ray_session):
     with pytest.raises(ValueError):
         exact_quantiles_by(DatasetSource(rd.from_arrow(t)), "g", "x", qs,
                            max_groups=2)
+
+
+def test_psi_drift_planted(ray_session):
+    """Cohorts drawn from different ranges produce a large PSI; equal
+    cohorts produce ~0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import psi_drift
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = 2000
+    # even ids: value in [0, 1); odd ids: value in [9, 10) → max drift
+    ids = list(range(n))
+    vals = [(i % 10) / 10.0 if i % 2 == 0 else 9.0 + (i % 10) / 10.0
+            for i in ids]
+    t = pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "value": pa.array(vals, pa.float64())})
+    out = psi_drift(DatasetSource(rd.from_arrow(t)), "value", "event_id")
+    assert out.num_rows == 10
+    total = sum(out.column("psi_q").to_pylist()) / 1e6
+    assert total > 2.0           # canonical "major shift" is only 0.2
+    # identical cohorts → PSI ≈ 0 (ln(1)=0 everywhere)
+    t2 = pa.table({"event_id": pa.array(ids, pa.int64()),
+                   "value": pa.array([float(i % 7) for i in ids])})
+    out2 = psi_drift(DatasetSource(rd.from_arrow(t2)), "value", "event_id")
+    tot2 = sum(abs(x) for x in out2.column("psi_q").to_pylist()) / 1e6
+    assert tot2 < 0.02
+
+
+def test_ks_drift_exact(ray_session):
+    """KS on a planted case equals the hand-computed statistic and
+    matches a brute-force ECDF evaluation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import ks_drift
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(7)
+    nb_, nc_ = 400, 600
+    a = rng.normal(0.0, 1.0, nb_)            # baseline cohort
+    b = rng.normal(0.7, 1.2, nc_)            # shifted cohort
+    ids = np.r_[np.arange(nb_) * 2, np.arange(nc_) * 2 + 1]
+    vals = np.r_[a, b]
+    t = pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "value": pa.array(vals, pa.float64())})
+    out = ks_drift(DatasetSource(rd.from_arrow(t).repartition(7)),
+                   "value", "event_id")
+    row = {c: out.column(c).to_pylist()[0] for c in out.schema.names}
+    assert (row["nb"], row["nc"]) == (nb_, nc_)
+    # brute force: exact integer ECDF gap over distinct values
+    vs = np.unique(vals)
+    cb = np.searchsorted(np.sort(a), vs, side="right")
+    cc = np.searchsorted(np.sort(b), vs, side="right")
+    expect = int(np.max(np.abs(cb.astype(object) * nc_
+                               - cc.astype(object) * nb_)))
+    assert row["ks_num"] == expect
+    assert row["ks_q"] == int(np.floor(1e6 * (expect / (nb_ * nc_)) + 0.5))
