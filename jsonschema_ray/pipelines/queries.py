@@ -1417,6 +1417,20 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_rebalance_sources(sf_dir: str):
+    """Corpus-mix rebalancing: every language downsampled to the
+    smallest language's size (en is 3.4x fr in the testdata) by a
+    deterministic hash rate derived from a small per-stratum count
+    groupby (the two-pass curation feedback loop); the sample itself
+    is a zero-shuffle per-batch filter."""
+    from jsonschema_ray.pipelines.sampling import rebalance_sources
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return rebalance_sources(ParquetSource(_pq(sf_dir, "documents")),
+                             key_col="doc_id", strata_col="lang",
+                             columns=["doc_id", "lang"])
+
+
 def q_psi_drift(sf_dir: str):
     """Distribution-drift check #2 (north-star family): PSI between
     the even/odd event_id cohorts of events.value over 10 equal-width
@@ -2097,6 +2111,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "psi_drift": q_psi_drift,
     "ks_drift": q_ks_drift,
+    "rebalance_sources": q_rebalance_sources,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2566,6 +2581,20 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "rebalance_sources": r"""
+WITH cnt AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+), mn AS (SELECT MIN(c) AS m FROM cnt),
+rate AS (
+  SELECT lang,
+         CAST(floor(1000000 * (CAST(mn.m AS DOUBLE) / c)) AS BIGINT)
+         AS ppm
+  FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.lang, r.ppm AS rate_ppm
+FROM documents d JOIN rate r ON r.lang = d.lang
+WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+           AS BIGINT) < r.ppm
+""",
     "psi_drift": r"""
 WITH src AS (
   SELECT event_id, value FROM events WHERE value IS NOT NULL

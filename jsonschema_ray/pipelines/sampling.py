@@ -164,3 +164,49 @@ def weighted_hash_sample(source: Any, key_col: str, weight_col: str,
     cols = sorted({key_col, weight_col} | set(columns or []))
     return src.dataset(columns=cols).map_batches(
         pick, batch_format="pyarrow")
+
+
+def rebalance_sources(source: Any, key_col: str, strata_col: str,
+                      n_buckets: int = 1_000_000, hash_fn: str = "md5",
+                      columns: Sequence[str] | None = None):
+    """Source-mix rebalancing: downsample every stratum (source,
+    language, domain …) to the size of the SMALLEST one, producing a
+    uniform mix — the two-pass feedback loop of corpus curation:
+
+    1. per-stratum counts via distributed ``groupby(strata).count()``
+       (strata are low-cardinality by definition — the driver holds one
+       row per source, never per document);
+    2. derive a deterministic rate ``ppm_s = floor(1e6·min_count/c_s)``
+       per stratum and keep a row iff ``hash(key) mod 1e6 < ppm_s`` —
+       a pure per-batch filter, zero shuffle of the data itself,
+       reproducible across re-runs and cluster sizes.
+
+    With ``hash_fn="md5"`` the decision is bit-exactly re-derivable in
+    DuckDB (``md5_number_lower``). → rows of the kept sample with a
+    ``rate_ppm`` column appended.
+    """
+    src = as_source(source)
+    cnt_rows = src.dataset(columns=[strata_col]) \
+        .groupby(strata_col).count().take_all()
+    counts = {r[strata_col]: int(r["count()"]) for r in cnt_rows}
+    if not counts:
+        raise ValueError("empty input: no strata to rebalance")
+    m = min(counts.values())
+    cuts = {s: int(np.floor(n_buckets * (m / c)))
+            for s, c in counts.items()}
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        b = _bucket_of(keys, n_buckets, hash_fn)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(strata.astype(object), return_inverse=True)
+        cut = np.array([cuts.get(u, 0) for u in uniq], dtype=np.int64)[inv]
+        keep = b < cut
+        return t.filter(pa.array(keep)).append_column(
+            "rate_ppm", pa.array(cut[keep], pa.int64()))
+
+    cols = sorted({key_col, strata_col} | set(columns or []))
+    return src.dataset(columns=cols).map_batches(
+        pick, batch_format="pyarrow")

@@ -119,3 +119,30 @@ def test_weighted_hash_sample_proportional_and_stable(ray_session):
     with pytest.raises(ValueError):
         weighted_hash_sample(DatasetSource(rd.from_arrow(t)), "k", "w",
                              rate_per_unit=0.0)
+
+
+def test_rebalance_sources(ray_session):
+    """Skewed strata are downsampled toward the smallest stratum:
+    expected kept-count per stratum ≈ min_count, decisions are a pure
+    function of the key (stable under repartition)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.sampling import rebalance_sources
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "src": pa.array([r[1] for r in rows], pa.string())})
+    out = rebalance_sources(DatasetSource(rd.from_arrow(t)),
+                            "doc_id", "src").to_pandas()
+    kept = out.groupby("src")["doc_id"].count()
+    assert kept["small"] == 100                    # ppm=1e6 keeps all
+    assert 60 <= kept["big"] <= 140                # ≈100 expected
+    assert (out[out.src == "small"]["rate_ppm"] == 1_000_000).all()
+    assert (out[out.src == "big"]["rate_ppm"] == 111_111).all()
+    # stability: different block layout → identical sample
+    out2 = rebalance_sources(
+        DatasetSource(rd.from_arrow(t).repartition(13)),
+        "doc_id", "src").to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
