@@ -1417,6 +1417,19 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 200-token context windows within
+    deterministic 64-doc shards (shard = doc_id // 64) — the training
+    batch-construction step; the sequential scan is O(shard) local
+    work inside groupby(shard).map_groups, oracled by a recursive CTE
+    replaying the same first-fit recurrence."""
+    from jsonschema_ray.pipelines.textops import pack_sequences
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return pack_sequences(ParquetSource(_pq(sf_dir, "documents")),
+                          key_col="doc_id", cap=200, shard_size=64)
+
+
 def q_rebalance_sources(sf_dir: str):
     """Corpus-mix rebalancing: every language downsampled to the
     smallest language's size (en is 3.4x fr in the testdata) by a
@@ -2112,6 +2125,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "psi_drift": q_psi_drift,
     "ks_drift": q_ks_drift,
     "rebalance_sources": q_rebalance_sources,
+    "pack_sequences": q_pack_sequences,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2581,6 +2595,27 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "pack_sequences": r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id // 64 AS shard,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id // 64
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+         CASE WHEN p.acc + d.n_tokens <= 200
+              THEN p.pack ELSE p.pack + 1 END,
+         CASE WHEN p.acc + d.n_tokens <= 200
+              THEN p.acc + d.n_tokens ELSE d.n_tokens END
+  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+SELECT doc_id, shard, pack, n_tokens FROM packed
+""",
     "rebalance_sources": r"""
 WITH cnt AS (
   SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang

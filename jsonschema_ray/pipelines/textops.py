@@ -663,3 +663,59 @@ def add_compression_ratio(batch: pa.Table, text_col: str = "text",
             out[i] = len(zlib.compress(raw, level)) / len(raw)
     return batch.append_column("compression_ratio",
                                pa.array(np.round(out, 6)))
+
+
+def pack_sequences(source, key_col: str = "doc_id",
+                   text_col: str = "text", cap: int = 200,
+                   shard_size: int = 64):
+    """Greedy sequence packing — the training-batch construction step
+    that bins documents into fixed token-budget context windows
+    (first-fit in key order, a doc longer than ``cap`` gets its own
+    pack). Packing is inherently sequential, so the scalable contract
+    is DETERMINISTIC SHARDS: ``shard = key // shard_size`` packs
+    independently — shard boundaries are a pure function of the key,
+    so results are stable across re-runs, block layouts and cluster
+    sizes, and each shard's greedy scan is O(shard_size) local work
+    under ``groupby(shard).map_groups`` (shards are sized thousands of
+    docs at scale: bounded group count, never one group per doc).
+
+    → (key, shard, pack, n_tokens): ``pack`` is the 0-based pack index
+    within the shard.
+    """
+    import pandas as pd
+
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n = _count_re(t.column(text_col), TOKEN_RE).cast(pa.int64())
+        shard = pc.divide(keys, shard_size)
+        return pa.table({key_col: keys,
+                         "shard": shard.cast(pa.int64()),
+                         "n_tokens": n})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col)
+        n = g["n_tokens"].to_numpy()
+        packs = np.zeros(len(n), np.int64)
+        acc = 0
+        p = 0
+        for i, x in enumerate(n):      # sequential by definition;
+            if i and acc + x <= cap:   # O(shard_size) local scalars
+                acc += x
+            else:
+                p += i > 0
+                acc = x
+            packs[i] = p
+        return pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             "shard": g["shard"].to_numpy(),
+                             "pack": packs,
+                             "n_tokens": n})
+
+    return src.dataset(columns=[key_col, text_col]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack, batch_format="pandas")

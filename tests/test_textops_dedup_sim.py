@@ -924,3 +924,41 @@ def test_tfidf_vocab_truncation():
     assert d1.loc["rare", "df"] == 0          # truncated out of vocab
     assert d1.loc["rare", "tfidf_q"] == \
         math.floor(1e6 * math.log(n + 1) + 0.5)
+
+
+def test_pack_sequences(ray_session):
+    """First-fit greedy packing: budget never exceeded except by a
+    single oversized doc; packs within a shard are contiguous; shard
+    boundaries are key-deterministic (stable under repartition)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.textops import pack_sequences
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rows = [(i, "tok " * (10 + (i * 7) % 90)) for i in range(200)]
+    t = _docs_table(rows)
+    out = pack_sequences(DatasetSource(rd.from_arrow(t)), cap=120,
+                         shard_size=50) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 200
+    # per-(shard, pack) token sums obey the cap unless singleton
+    g = out.groupby(["shard", "pack"])
+    for (_, _), grp in g:
+        assert grp["n_tokens"].sum() <= 120 or len(grp) == 1
+    # greedy = first-fit: doc i+1 opens a new pack ONLY if it overflows
+    for s, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        acc = 0
+        for i, (_, r) in enumerate(grp.iterrows()):
+            if i and acc + r["n_tokens"] <= 120:
+                acc += r["n_tokens"]
+                assert r["pack"] == prev_pack
+            else:
+                acc = r["n_tokens"]
+            prev_pack = r["pack"]
+    # stability under a different block layout
+    out2 = pack_sequences(
+        DatasetSource(rd.from_arrow(t).repartition(11)), cap=120,
+        shard_size=50).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out2.equals(out)
