@@ -1417,6 +1417,21 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """* rows-only: distributed Lloyd's k-means over the embeddings
+    table — deterministic by construction (int64-quantized vectors ⇒
+    exact associative partial sums; no RNG: init = k lowest-id
+    vectors), so the result is bit-stable across cluster sizes and
+    block layouts even though the algorithm is iterative and hence not
+    SQL-expressible. Distributed ≡ local numpy is pinned in
+    ``tests/test_textops_dedup_sim.py``."""
+    from jsonschema_ray.pipelines.similarity import kmeans_embeddings
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return kmeans_embeddings(ParquetSource(_pq(sf_dir, "embeddings")),
+                             k=8, iters=4)
+
+
 def q_pack_sequences(sf_dir: str):
     """Greedy sequence packing into 200-token context windows within
     deterministic 64-doc shards (shard = doc_id // 64) — the training
@@ -2126,6 +2141,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ks_drift": q_ks_drift,
     "rebalance_sources": q_rebalance_sources,
     "pack_sequences": q_pack_sequences,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,

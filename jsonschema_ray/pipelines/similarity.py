@@ -527,3 +527,116 @@ def quantized_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
     best = heapq.nlargest(k, rows)
     return pa.table({id_col: pa.array([i for _, i in best]),
                      "cos_sim": pa.array([c for c, _ in best])})
+
+
+def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      scale_bits: int = 20) -> pa.Table:
+    """Distributed Lloyd's k-means over an embedding column, fully
+    DETERMINISTIC at any cluster size / block layout / merge order:
+
+    - vectors are quantized once to int64 grid points
+      (``round(x · 2^scale_bits)``) — integer partial sums are exact
+      and associative, so the per-iteration distributed
+      ``groupby(cluster).sum`` over the ``d`` component columns gives
+      bit-identical centroids no matter how Ray orders the merge (the
+      float path would drift with block arrival order);
+    - init: the embeddings of the ``k`` smallest ids (deterministic,
+      no RNG);
+    - each iteration streams the data once: per-batch argmin
+      assignment (numpy matmul against the broadcast centroid matrix,
+      ties → lowest cluster index) → k×(d+2) integer partial rows per
+      block → small distributed groupby; the driver holds k·d scalars
+      only.
+
+    → (cluster, size, inertia_q) with ``inertia_q`` the exact integer
+    sum of per-point ``floor(1e6·dist² + 0.5)`` contributions (same
+    associativity argument). int64 stays exact while
+    n_points·2^(2·scale_bits) < 2^63 — at web scale drop scale_bits.
+
+    Iterative (non-SQL-expressible) ⇒ rows-only driver check;
+    distributed ≡ local numpy is pinned in tests.
+    """
+    import ray
+
+    src = as_source(source)
+    ds = src.dataset(columns=[id_col, emb_col]).materialize()
+    scale = float(1 << scale_bits)
+
+    # --- deterministic init: k lowest-id vectors --------------------
+    seed = ds.sort(id_col).limit(k)
+    m0 = _stack(pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in seed.iter_batches(batch_format="pyarrow")])
+        .column(emb_col))
+    cent_q = np.round(m0 * scale).astype(np.int64)          # (k, d)
+    d = cent_q.shape[1]
+    cnt = np.ones(k, np.int64)                               # counts=1 proxy
+    cent = cent_q.astype(np.float64)                         # scaled floats
+
+    sum_cols = [f"s{j}" for j in range(d)]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent / cnt[:, None])              # (k, d) scaled
+
+        def assign_partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)                                # (k, d)
+            x = np.round(_stack(t.column(emb_col)) * scale)  # int grid,
+            # kept float64 for the matmul (exact: |q| << 2^53)
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            xi = x.astype(np.int64)
+            out = {"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                   "n": pa.array(np.bincount(a, minlength=k)
+                                 .astype(np.int64))}
+            sums = np.zeros((k, xi.shape[1]), np.int64)
+            np.add.at(sums, a, xi)
+            for j in range(xi.shape[1]):
+                out[f"s{j}"] = pa.array(sums[:, j])
+            return pa.table(out)
+
+        agg = ds.map_batches(assign_partial, batch_format="pyarrow") \
+            .groupby("cluster").sum(["n"] + sum_cols)
+        t = pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b for b in agg.iter_batches(batch_format="pyarrow")]) \
+            .sort_by("cluster")
+        cnt_new = t.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sums = np.stack([t.column(f"sum(s{j})")
+                         .to_numpy(zero_copy_only=False).astype(np.int64)
+                         for j in range(d)], axis=1)
+        # empty cluster keeps its previous centroid (classic rule)
+        keep = cnt_new == 0
+        cnt = np.where(keep, cnt, cnt_new)
+        cent = np.where(keep[:, None], cent, sums.astype(np.float64))
+
+    cent_ref = ray.put(cent / cnt[:, None])
+
+    def final_partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = np.round(_stack(t.column(emb_col)) * scale)
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        # distances back on the UNIT scale for the quantized inertia
+        contrib = np.floor(1e6 * (d2[np.arange(len(a)), a]
+                                  / (scale * scale)) + 0.5).astype(np.int64)
+        iq = np.zeros(k, np.int64)
+        np.add.at(iq, a, contrib)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                         "size": pa.array(np.bincount(a, minlength=k)
+                                          .astype(np.int64)),
+                         "inertia_q": pa.array(iq)})
+
+    agg = ds.map_batches(final_partial, batch_format="pyarrow") \
+        .groupby("cluster").sum(["size", "inertia_q"])
+    t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in agg.iter_batches(batch_format="pyarrow")]) \
+        .sort_by("cluster")
+    return pa.table({
+        "cluster": t.column("cluster").cast(pa.int64()),
+        "size": t.column("sum(size)").cast(pa.int64()),
+        "inertia_q": t.column("sum(inertia_q)").cast(pa.int64())})

@@ -962,3 +962,62 @@ def test_pack_sequences(ray_session):
         shard_size=50).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
     assert out2.equals(out)
+
+
+def _kmeans_local(X, k, iters, scale_bits=20):
+    """Reference Lloyd's on the same integer grid, plain numpy."""
+    scale = float(1 << scale_bits)
+    Xq = np.round(X.astype(np.float64) * scale)
+    cent = Xq[:k].copy()
+    cnt = np.ones(k)
+    for _ in range(iters):
+        c = cent / cnt[:, None]
+        d2 = ((Xq * Xq).sum(1)[:, None] - 2.0 * (Xq @ c.T)
+              + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        cnt_new = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.zeros((k, Xq.shape[1]))
+        np.add.at(sums, a, Xq)
+        keep = cnt_new == 0
+        cnt = np.where(keep, cnt, cnt_new)
+        cent = np.where(keep[:, None], cent, sums)
+    c = cent / cnt[:, None]
+    d2 = ((Xq * Xq).sum(1)[:, None] - 2.0 * (Xq @ c.T)
+          + (c * c).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    contrib = np.floor(
+        1e6 * (d2[np.arange(len(a)), a] / (scale * scale)) + 0.5) \
+        .astype(np.int64)
+    iq = np.zeros(k, np.int64)
+    np.add.at(iq, a, contrib)
+    return np.bincount(a, minlength=k), iq
+
+
+def test_kmeans_embeddings_distributed_equals_local(ray_session):
+    """Integer-grid k-means: the distributed pipeline must be
+    BIT-identical to plain numpy (sizes and quantized inertia), and
+    stable under a different block layout — the determinism claim the
+    rows-only driver check rests on."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import kmeans_embeddings
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(3)
+    k, n, d = 5, 400, 16
+    centers = rng.normal(0, 5, (k, d))
+    X = (centers[rng.integers(0, k, n)]
+         + rng.normal(0, 0.3, (n, d))).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X),
+                                        pa.list_(pa.float32()))})
+    exp_sizes, exp_iq = _kmeans_local(X, k, 3)
+    for parts in (2, 9):
+        out = kmeans_embeddings(
+            DatasetSource(rd.from_arrow(t).repartition(parts)),
+            k=k, iters=3).to_pandas()
+        assert out["size"].tolist() == exp_sizes.tolist()
+        assert out["inertia_q"].tolist() == exp_iq.tolist()
+    # Lloyd's keeps every point assigned and no cluster dies
+    assert sum(exp_sizes) == n and min(exp_sizes) > 0
