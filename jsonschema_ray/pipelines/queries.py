@@ -1417,6 +1417,43 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_quality_filter(sf_dir: str):
+    """Operator composition: exact distributed quantiles (p10/p90 of
+    n_chars, selection WITHOUT a global sort) feed a broadcast
+    range-filter — the percentile-based outlier scrub of corpus
+    curation. The quantile pass streams histograms; the filter is a
+    zero-shuffle per-batch mask."""
+    from jsonschema_ray.pipelines.stats import exact_quantiles
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    src = ParquetSource(_pq(sf_dir, "documents"))
+    qt = exact_quantiles(src, "n_chars", [0.1, 0.9])
+    lo, hi = qt.column("value").to_pylist()
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars")
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        m = pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi))
+        return t.filter(m)
+
+    return src.dataset(columns=["doc_id", "n_chars"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-group standardization: exact integer moment sums per
+    event_type (one tiny row per group shuffles) broadcast back for a
+    zero-shuffle |z|>2 flagging pass, z quantized for an exact
+    cross-engine hash."""
+    from jsonschema_ray.pipelines.stats import zscore_outliers
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return zscore_outliers(ParquetSource(_pq(sf_dir, "events")),
+                           value_col="value", group_col="event_type",
+                           threshold=2.0, id_col="event_id")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """* rows-only: distributed Lloyd's k-means over the embeddings
     table — deterministic by construction (int64-quantized vectors ⇒
@@ -2142,6 +2179,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rebalance_sources": q_rebalance_sources,
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "quality_filter": q_quality_filter,
+    "zscore_outliers": q_zscore_outliers,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2611,6 +2650,36 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "quality_filter": r"""
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.1) AS lo,
+         quantile_disc(n_chars, 0.9) AS hi
+  FROM documents)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= q.lo AND n_chars <= q.hi
+""",
+    "zscore_outliers": r"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(100.0 * value + 0.5) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s,
+         CAST(SUM(vc * vc) AS BIGINT) AS ss
+  FROM v GROUP BY event_type
+), st AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         CAST(ss AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+  FROM mom)
+SELECT v.event_id, v.event_type, v.vc AS value_c,
+       CAST(floor(1e4 * ((v.vc - st.mean) / sqrt(st.var)) + 0.5)
+            AS BIGINT) AS z_q
+FROM v JOIN st ON st.event_type = v.event_type
+WHERE ABS((v.vc - st.mean) / sqrt(st.var)) > 2.0
+""",
     "pack_sequences": r"""
 WITH RECURSIVE d AS (
   SELECT doc_id, doc_id // 64 AS shard,

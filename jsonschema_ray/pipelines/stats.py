@@ -762,3 +762,88 @@ def ks_drift(source: Any, value_col: str, key_col: str,
                      "nc": pa.array([NC], pa.int64()),
                      "ks_num": pa.array([ks_num], pa.int64()),
                      "ks_q": pa.array([ks_q], pa.int64())})
+
+
+def zscore_outliers(source: Any, value_col: str, group_col: str,
+                    threshold: float = 2.0, id_col: str | None = None
+                    ) -> "Any":
+    """Per-group standardization + outlier flagging: two passes —
+
+    1. per-group moments as EXACT integer sums of cent-scaled values
+       (``v_c = floor(100·v + 0.5)``): per-batch (group, n, sum_c,
+       sumsq_c) partials → small distributed groupby (one row per
+       group) — deterministic under any merge order, unlike float
+       accumulation;
+    2. broadcast the tiny moments table; flag rows with
+       ``|v_c − mean| / sqrt(var)| > threshold`` per batch (zero
+       shuffle), emitting the quantized z ``floor(1e4·z + 0.5)``.
+
+    Groups are low-cardinality dimensions (event types, sources); a
+    high-cardinality group key would use the same partials with a
+    broadcast-join tier like the referential checks.
+    → (id, group, value_c, z_q) for flagged rows only.
+    """
+    import ray
+
+    src = as_source(source)
+    cols = [c for c in {value_col, group_col, id_col} if c]
+    ds = src.dataset(columns=sorted(cols))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~pd.isna(g) & ~np.isnan(v)
+        vc = np.floor(100.0 * v[ok] + 0.5).astype(np.int64)
+        df = pd.DataFrame({"g": g[ok], "n": 1, "s": vc, "ss": vc * vc}) \
+            .groupby("g", sort=False).sum().reset_index()
+        return pa.table({group_col: pa.array(df["g"], pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64)),
+                         "s": pa.array(df["s"].to_numpy(np.int64)),
+                         "ss": pa.array(df["ss"].to_numpy(np.int64))})
+
+    mom = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).sum(["n", "s", "ss"]).take_all()
+    stats = {}
+    for r in mom:
+        n, s, ss = int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(ss)"])
+        mean = s / n
+        var = ss / n - mean * mean
+        stats[r[group_col]] = (mean, var)
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        vc = np.floor(100.0 * v + 0.5)
+        gobj = g.astype(object)
+        valid_g = np.array([x is not None for x in gobj], dtype=bool)
+        gx = np.where(valid_g, gobj, "")      # sentinel for unique()
+        uniq, inv = np.unique(gx.astype(object), return_inverse=True)
+        mean = np.array([st.get(u, (0.0, 0.0))[0] for u in uniq])[inv]
+        var = np.array([st.get(u, (0.0, 1.0))[1] for u in uniq])[inv]
+        sd = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vc - mean) / sd
+        keep = np.abs(z) > threshold
+        keep &= np.isfinite(z)
+        # null group / null value rows are outside the cohort entirely
+        keep &= valid_g
+        keep &= ~np.isnan(v)
+        cols_out = {}
+        if id_col:
+            ids = t.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            cols_out[id_col] = ids.filter(pa.array(keep))
+        cols_out[group_col] = pa.array(g[keep], pa.string())
+        cols_out["value_c"] = pa.array(vc[keep].astype(np.int64))
+        cols_out["z_q"] = pa.array(
+            np.floor(1e4 * z[keep] + 0.5).astype(np.int64))
+        return pa.table(cols_out)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

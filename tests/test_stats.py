@@ -298,3 +298,25 @@ def test_ks_drift_exact(ray_session):
                                - cc.astype(object) * nb_)))
     assert row["ks_num"] == expect
     assert row["ks_q"] == int(np.floor(1e6 * (expect / (nb_ * nc_)) + 0.5))
+
+
+def test_zscore_outliers_planted(ray_session):
+    """A planted extreme value is flagged with the right sign; in-band
+    values are not; null group/value rows never appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.stats import zscore_outliers
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    vals = [10.0 + (i % 5) / 10.0 for i in range(100)] + [99.0, None]
+    grps = ["a"] * 101 + [None]
+    ids = list(range(102))
+    t = pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "event_type": pa.array(grps, pa.string()),
+                  "value": pa.array(vals, pa.float64())})
+    out = zscore_outliers(DatasetSource(rd.from_arrow(t)), "value",
+                          "event_type", threshold=2.0,
+                          id_col="event_id").to_pandas()
+    assert out["event_id"].tolist() == [100]      # only the planted spike
+    assert out["z_q"].iloc[0] > 20000             # z >> 2 quantized 1e4
