@@ -1417,6 +1417,19 @@ def q_unigram_lm_topk(sf_dir: str):
                              vocab_top_k=5)
 
 
+def q_embedding_decontaminate(sf_dir: str):
+    """Semantic decontamination: corpus vectors (label≠0) within
+    cosine 0.4 of ANY benchmark vector (label=0) are flagged with
+    their best benchmark attribution — benchmark matrix broadcast
+    once, zero-shuffle matmul scan (the embedding analog of the
+    n-gram decontaminate query)."""
+    from jsonschema_ray.pipelines.similarity import embedding_decontaminate
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return embedding_decontaminate(
+        ParquetSource(_pq(sf_dir, "embeddings")), threshold=0.4)
+
+
 def q_quality_filter(sf_dir: str):
     """Operator composition: exact distributed quantiles (p10/p90 of
     n_chars, selection WITHOUT a global sort) feed a broadcast
@@ -2180,6 +2193,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "quality_filter": q_quality_filter,
+    "embedding_decontaminate": q_embedding_decontaminate,
     "zscore_outliers": q_zscore_outliers,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "hll_registers": q_hll_registers,
@@ -2650,6 +2664,23 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         "SELECT d.doc_id, d.n_chars FROM documents d\n"
         "WHERE d.doc_id NOT IN (SELECT key FROM losers)"
     ),
+    "embedding_decontaminate": r"""
+WITH b AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label = 0
+), c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label <> 0
+), s AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cs
+  FROM c CROSS JOIN b
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, bench_id ASC) AS rn
+  FROM s)
+SELECT vec_id, bench_id, ROUND(cs, 4) AS cos_sim
+FROM r WHERE rn = 1 AND cs >= 0.4
+""",
     "quality_filter": r"""
 WITH q AS (
   SELECT quantile_disc(n_chars, 0.1) AS lo,

@@ -640,3 +640,69 @@ def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
         "cluster": t.column("cluster").cast(pa.int64()),
         "size": t.column("sum(size)").cast(pa.int64()),
         "inertia_q": t.column("sum(inertia_q)").cast(pa.int64())})
+
+
+def embedding_decontaminate(source: Any, threshold: float = 0.4, *,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            label_col: str = "label",
+                            bench_label: int = 0) -> "Any":
+    """Embedding-space decontamination: flag corpus vectors whose
+    cosine to ANY benchmark vector (``label == bench_label``) reaches
+    ``threshold`` — the semantic analog of the n-gram
+    ``decontaminate`` scrub (eval-set leakage that paraphrasing hides
+    from exact n-grams).
+
+    Benchmarks are small by definition: the benchmark matrix is
+    collected once (sorted by id for deterministic tie-breaks),
+    normalized, and shipped via ``ray.put``; the corpus pass is a
+    zero-shuffle per-batch matmul keeping only flagged rows — the
+    same broadcast-side pattern as the referential checks. At a
+    benchmark too large for one worker heap, the matrix would chunk
+    into column groups (same loop, bounded memory).
+
+    → (vec_id, bench_id, cos_sim) per flagged corpus vector, with the
+    single best (highest-cosine, lowest-id) benchmark attribution,
+    ``cos_sim`` rounded to 4 decimals (DuckDB-comparable).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    src = as_source(source)
+    cols = [id_col, emb_col, label_col]
+
+    bench = src.dataset(columns=cols) \
+        .filter(expr=f"{label_col} == {bench_label!r}") \
+        .sort(id_col)
+    bt = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in bench.iter_batches(batch_format="pyarrow")])
+    bids = bt.column(id_col).to_numpy(zero_copy_only=False)
+    bm = _normalize(_stack(bt.column(emb_col)))
+    ref = ray.put((bids, bm))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids_b, m_b = ray.get(ref)
+        labels = t.column(label_col)
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        keep_corpus = pc.not_equal(labels, bench_label)
+        t = t.filter(keep_corpus)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "bench_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if not len(ids) or not len(ids_b):
+            return empty
+        x = _normalize(_stack(t.column(emb_col)))
+        sims = x @ m_b.T                       # (n, n_bench)
+        best = np.argmax(sims, axis=1)         # ties → lowest bench id
+        mx = sims[np.arange(len(ids)), best]
+        flag = mx >= threshold
+        return pa.table({
+            id_col: pa.array(ids[flag], pa.int64()),
+            "bench_id": pa.array(bids[best[flag]], pa.int64()),
+            "cos_sim": pa.array(np.round(mx[flag], 4), pa.float64())})
+
+    return src.dataset(columns=cols).map_batches(
+        scan, batch_format="pyarrow")

@@ -1021,3 +1021,37 @@ def test_kmeans_embeddings_distributed_equals_local(ray_session):
         assert out["inertia_q"].tolist() == exp_iq.tolist()
     # Lloyd's keeps every point assigned and no cluster dies
     assert sum(exp_sizes) == n and min(exp_sizes) > 0
+
+
+def test_embedding_decontaminate_planted(ray_session):
+    """A corpus vector equal to a benchmark vector is flagged with
+    cos≈1 and attributed to the right benchmark id; orthogonal ones
+    pass clean; benchmark rows never appear in the output."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import embedding_decontaminate
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    d = 8
+    eye = np.eye(d, dtype=np.float32)
+    rows = []
+    # benchmark set: axes 0 and 1 (label 0)
+    rows.append((0, eye[0], 0))
+    rows.append((1, eye[1], 0))
+    # corpus: a copy of bench axis 0, a near-copy of axis 1, orthogonal
+    rows.append((10, eye[0], 3))
+    near = (0.9 * eye[1] + 0.1 * eye[2]).astype(np.float32)
+    rows.append((11, near, 3))
+    rows.append((12, eye[4], 3))
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([list(map(float, r[1])) for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32())})
+    out = embedding_decontaminate(
+        DatasetSource(rd.from_arrow(t).repartition(3)), threshold=0.8) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["vec_id"].tolist() == [10, 11]
+    assert out["bench_id"].tolist() == [0, 1]
+    assert out["cos_sim"].iloc[0] == 1.0
+    assert 0.95 < out["cos_sim"].iloc[1] < 1.0
