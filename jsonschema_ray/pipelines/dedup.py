@@ -1218,3 +1218,103 @@ def decontaminate(source: Any, benchmark_texts, key_col: str = "doc_id",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def repeated_substrings(source: Any, key_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 3,
+                        min_docs: int = 2, max_ngrams: int = 1_000_000,
+                        token_hash=hash64):
+    """Cross-document repeated-PASSAGE spans (the ExactSubstr dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", bounded to word ``shingle_k``-gram resolution):
+    for every document, the maximal token spans all of whose k-grams
+    also occur in ≥ ``min_docs`` distinct documents — the spans an
+    ExactSubstr pass would cut.
+
+    Scale shape = :func:`boilerplate_ngram_stats`' two passes (distinct
+    (shingle, doc) partials → distributed ``groupby.sum`` → threshold →
+    capped broadcast of the repeated-hash set), plus a vectorized
+    gaps-and-islands merge of hit positions into maximal spans inside
+    pass 2 — still zero shuffle of the text, one row per emitted span.
+
+    → (key, start_tok, end_tok, n_shingles): token-index span
+    [start_tok, end_tok) with ``end_tok = last_shingle + shingle_k``.
+    With ``token_hash=md5_hash64`` bit-exact in SQL (FNV chain +
+    window-function islands)."""
+    import ray
+
+    src = as_source(source)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        z = np.empty(len(d), dtype=[("h", np.uint64), ("d", np.int64)])
+        z["h"], z["d"] = h, d
+        uz = np.unique(z)
+        hh, nn = np.unique(uz["h"], return_counts=True)
+        return pa.table({"h": pa.array(hh.view(np.int64)),
+                         "n": pa.array(nn.astype(np.int64))})
+
+    counts = src.dataset(columns=[text_col]).map_batches(
+        partial, batch_format="pyarrow").groupby("h").sum("n")
+    rep_ds = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("sum(n)"), min_docs)),
+        batch_format="pyarrow").materialize()
+    if rep_ds.count() > max_ngrams:
+        rep_ds = rep_ds.sort(["sum(n)", "h"],
+                             descending=[True, False]).limit(max_ngrams)
+    hs = [b.column("h").to_numpy(zero_copy_only=False)
+          for b in rep_ds.iter_batches(batch_format="pyarrow")]
+    rep = np.sort(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+    rep_ref = ray.put(rep)
+
+    def spans(t: pa.Table) -> pa.Table:
+        bs = ray.get(rep_ref)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kv = keys.to_numpy(zero_copy_only=False)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        empty = pa.table({key_col: keys.slice(0, 0),
+                          "start_tok": pa.array([], pa.int64()),
+                          "end_tok": pa.array([], pa.int64()),
+                          "n_shingles": pa.array([], pa.int64())})
+        if not len(h) or not len(bs):
+            return empty
+        # within-doc shingle position: valid shingles are consecutive
+        # token starts, so rank-within-doc over the flat stream IS the
+        # 0-based token index of the shingle start
+        idx = np.arange(len(d))
+        first = np.r_[True, d[1:] != d[:-1]]
+        runlen = np.diff(np.r_[idx[first], len(d)])
+        r = idx - np.repeat(idx[first], runlen)
+        h64 = h.view(np.int64)
+        pos = np.searchsorted(bs, h64)
+        hit = (pos < len(bs)) & (bs[np.minimum(pos, len(bs) - 1)] == h64)
+        if not hit.any():
+            return empty
+        hd, hr = d[hit], r[hit]
+        new = np.r_[True, (hd[1:] != hd[:-1]) | (hr[1:] != hr[:-1] + 1)]
+        gid = np.cumsum(new) - 1
+        starts = hr[new]
+        ends = hr[np.r_[new[1:], True]] + shingle_k
+        nsh = np.bincount(gid)
+        docs = hd[new]
+        return pa.table({
+            key_col: keys.take(pa.array(docs)),
+            "start_tok": pa.array(starts.astype(np.int64)),
+            "end_tok": pa.array(ends.astype(np.int64)),
+            "n_shingles": pa.array(nsh.astype(np.int64))})
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        spans, batch_format="pyarrow")

@@ -1261,6 +1261,60 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def _repeated_substr_sql(k: int = 3, min_docs: int = 2) -> str:
+    """Oracle for q_repeated_substrings: the boilerplate FNV shingle
+    chain + gaps-and-islands merge of repeated-gram positions into
+    maximal spans."""
+    F, TWO64 = 1099511628211, 1 << 64
+    joins = "\n  ".join(
+        f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+        for j in range(1, k))
+    fold = "CAST(t0.h AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, t0.r - 1 AS pos, {fold} AS s
+  FROM th t0
+  {joins}
+), rep AS (
+  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c FROM sh GROUP BY s)
+  WHERE c >= {min_docs}
+), hits AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN rep USING (s)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {k} AS BIGINT) AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def q_repeated_substrings(sf_dir: str):
+    """ExactSubstr-lite (Lee et al. 2022 dedup signal): maximal token
+    spans whose every word-3-gram recurs in ≥2 distinct documents —
+    two boilerplate-shaped passes plus a vectorized gaps-and-islands
+    span merge; the text itself never shuffles."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import repeated_substrings
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return repeated_substrings(ParquetSource(_pq(sf_dir, "documents")),
+                               key_col="doc_id", shingle_k=3, min_docs=2,
+                               token_hash=md5_hash64)
+
+
 def q_boilerplate_ngrams(sf_dir: str):
     """Cross-document boilerplate word-3-gram scrub signal: grams in
     ≥5 distinct docs form the boilerplate set (distributed distinct-doc
@@ -2175,6 +2229,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "repeated_substrings": q_repeated_substrings,
     "embedding_quantize": q_embedding_quantize,
     "dedup_survivors_e2e": q_dedup_survivors_e2e,
     "domain_cap": q_domain_cap,
@@ -2580,6 +2635,7 @@ GROUP BY 1
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
     "boilerplate_ngrams": _boilerplate_sql(),
+    "repeated_substrings": _repeated_substr_sql(),
     "domain_cap": r"""
 SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,

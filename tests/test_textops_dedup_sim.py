@@ -1055,3 +1055,32 @@ def test_embedding_decontaminate_planted(ray_session):
     assert out["bench_id"].tolist() == [0, 1]
     assert out["cos_sim"].iloc[0] == 1.0
     assert 0.95 < out["cos_sim"].iloc[1] < 1.0
+
+
+def test_repeated_substrings_planted(ray_session):
+    """A passage shared verbatim by two docs is returned as ONE maximal
+    span in each (correct token offsets); unshared text yields no
+    spans; a within-doc-only repeat does NOT qualify (min_docs counts
+    DISTINCT docs)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import repeated_substrings
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    shared = "lorem ipsum dolor sit amet consectetur"      # 6 tokens
+    rows = [
+        (1, f"prefix one two {shared} suffix alpha"),       # span @3..9
+        (2, f"{shared} trailing words here"),               # span @0..6
+        (3, "totally unrelated text with no overlap"),
+        (4, "echo echo echo echo echo echo echo echo"),     # intra-doc only
+    ]
+    out = repeated_substrings(
+        DatasetSource(rd.from_arrow(_docs_table(rows)).repartition(2)),
+        shingle_k=3, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    d1 = out[out.doc_id == 1].iloc[0]
+    assert (d1["start_tok"], d1["end_tok"]) == (3, 9)
+    assert d1["n_shingles"] == 4                  # 6 tokens → 4 3-grams
+    d2 = out[out.doc_id == 2].iloc[0]
+    assert (d2["start_tok"], d2["end_tok"]) == (0, 6)
