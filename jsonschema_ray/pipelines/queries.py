@@ -2108,6 +2108,47 @@ class _DerivedInterleavedSource(DocSource):
         return ds
 
 
+def q_span_kind_stats(sf_dir: str):
+    """Interleaved-table span profile: per span KIND — span count,
+    distinct-doc count, null text/media_ref tallies, offset min/max —
+    over the derived interleaved table. Docs never straddle blocks, so
+    per-batch distinct (kind, doc) pairs are globally distinct and the
+    shuffle carries ≤ 5 stat rows per block."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from jsonschema_ray.functions.listops import flatten_spans
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, parent, _si = flatten_spans(t, "spans")
+        df = pd.DataFrame({
+            "kind": flat.column("kind").to_numpy(zero_copy_only=False),
+            "doc": parent,
+            "null_text": pc.is_null(flat.column("text"))
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "null_ref": pc.is_null(flat.column("media_ref"))
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "off": flat.column("offset").to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby("kind", sort=False).agg(
+            n_spans=("doc", "size"), n_docs=("doc", "nunique"),
+            null_text=("null_text", "sum"), null_ref=("null_ref", "sum"),
+            off_min=("off", "min"), off_max=("off", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    src = _DerivedInterleavedSource(_pq(sf_dir, "documents"))
+    agg = src.dataset().map_batches(partial, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("null_text", alias_name="null_text"),
+            Sum("null_ref", alias_name="null_ref"),
+            Min("off_min", alias_name="off_min"),
+            Max("off_max", alias_name="off_max"))
+    return agg.sort("kind")
+
+
 def q_flagship_validate(sf_dir: str):
     """The north-rule flagship, SQL-oracled end to end: the FULL default
     CheckPlan (span kernels + dataset-scope uniqueness shuffle +
@@ -2267,6 +2308,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,
+    "span_kind_stats": q_span_kind_stats,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -2992,6 +3034,36 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
     # val_spans_documents, plus the uniqueness group-by and the
     # referential arm (catalog = {_GOOD_REF}, so bad refs are exactly
     # the planted (did+si)%13 spans).
+    "span_kind_stats": """
+WITH spans AS (
+  SELECT d.doc_id AS did, s AS si,
+         (d.doc_id*7 + s*3) % 5 AS k,
+         list_extract(['text','image','audio','table','video'],
+                      CAST((d.doc_id*7 + s*3) % 5 AS INTEGER) + 1)
+           AS kind,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0
+                   AND (d.doc_id + s) % 11 = 0 THEN NULL
+              WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN 'tok'
+              ELSE NULL END AS txt,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN NULL
+              WHEN (d.doc_id + s) % 13 = 0 THEN 'http://bad'
+              ELSE 'media://0123456789abcdef' END AS ref,
+         CASE WHEN (d.doc_id % 23)=0 AND s=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s=1 THEN 0
+              ELSE s*5 END AS off
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT did) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE txt IS NULL) AS BIGINT) AS null_text,
+       CAST(COUNT(*) FILTER (WHERE ref IS NULL) AS BIGINT) AS null_ref,
+       CAST(MIN(off) AS BIGINT) AS off_min,
+       CAST(MAX(off) AS BIGINT) AS off_max
+FROM spans GROUP BY kind ORDER BY kind
+""",
     "flagship_validate": """
 WITH spans AS (
   SELECT d.doc_id AS did,
