@@ -998,6 +998,18 @@ def q_quality_counts(sf_dir: str):
         counts, batch_format="pyarrow")
 
 
+def q_gopher_rules(sf_dir: str):
+    """The full Gopher quality-filter rule set (Rae et al. 2021) as a
+    zero-shuffle vectorized map: integer rule counts + one bool flag per
+    rule + overall ``passes`` — every ratio an exact integer
+    cross-multiplication, so the oracle hash is dtype-exact."""
+    from jsonschema_ray.pipelines.textops import add_gopher_flags
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: add_gopher_flags(t).drop_columns(["text"]),
+                     batch_format="pyarrow")
+
+
 def q_repetition_signals(sf_dir: str):
     """Gopher-style word-2-gram repetition signals (integer outputs →
     dtype-exact DuckDB oracle: per-doc gram counts re-derived with a
@@ -2266,6 +2278,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repetition_signals": q_repetition_signals,
     "unigram_lm": q_unigram_lm,
     "quality_counts": q_quality_counts,
+    "gopher_rules": q_gopher_rules,
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
@@ -2502,6 +2515,45 @@ ORACLE: dict[str, str] = {
         r"len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
         r"len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop "
         "FROM documents",
+    # the Gopher rule set: same RE2 patterns, integer cross-multiplied
+    # ratio tests, one regexp_matches per stopword for DISTINCT presence
+    "gopher_rules": r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+         CAST(length(t) - len(regexp_extract_all(t, '\s')) AS BIGINT)
+           AS word_chars,
+         CAST(len(regexp_extract_all(t, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(regexp_extract_all(t, '#'))
+              + len(regexp_extract_all(t, '\.\.\.|…')) AS BIGINT)
+           AS n_symbols,
+         CAST((CASE WHEN regexp_matches(t, '\bthe\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bbe\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bto\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bof\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\band\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bthat\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bhave\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(t, '\bwith\b') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_stop_distinct
+  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols,
+       n_stop_distinct,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+         AS flag_mean_word_len,
+       (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+       (5 * n_alpha_words >= 4 * n_words) AS flag_alpha_words,
+       (n_stop_distinct >= 2) AS flag_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_distinct >= 2) AS passes
+FROM c
+""",
     # word-2-gram repetition signals: ordered tokens re-derived via
     # row_number, grams via the r+1 self-join, integer char totals —
     # same tie-break (count DESC, gram ASC) as the engine kernel

@@ -88,6 +88,65 @@ def add_langid(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(pred, type=pa.string()))
 
 
+# the Gopher rule-set stopwords (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", quality-filtering appendix — public rule set)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def add_gopher_flags(batch: pa.Table, text_col: str = "text",
+                     min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+    """The Gopher quality-filter rule set as exact integer arithmetic
+    (Rae et al. 2021): word-count bounds, mean word length in [3, 10],
+    symbol-to-word ratio (``#`` / ellipsis) ≤ 0.1, ≥80% of words
+    containing an alphabetic character, and ≥2 distinct stopwords
+    present.  Every ratio test is an integer cross-multiplication
+    (``3·n ≤ chars ≤ 10·n``) so the flags hash identically across
+    engines — no float thresholds.  Pure vectorized RE2 kernels, zero
+    shuffle; appends count columns + one bool flag per rule + ``passes``.
+    """
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.fill_null("")
+    i64 = pa.int64()
+    n_words = pc.count_substring_regex(col, TOKEN_RE).cast(i64)
+    word_chars = pc.subtract(
+        pc.utf8_length(col).cast(i64),
+        pc.count_substring_regex(col, r"\s").cast(i64))
+    n_alpha = pc.count_substring_regex(
+        col, r"[^\s]*[A-Za-z][^\s]*").cast(i64)
+    n_symbols = pc.add(
+        pc.count_substring(col, "#").cast(i64),
+        pc.count_substring_regex(col, r"\.\.\.|…").cast(i64))
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = pc.match_substring_regex(col, rf"\b{w}\b").cast(i64)
+        n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+    def _mul(a, k):
+        return pc.multiply(a, pa.scalar(k, type=i64))
+
+    f_words = pc.and_(pc.greater_equal(n_words, min_words),
+                      pc.less_equal(n_words, max_words))
+    f_mean = pc.and_(pc.less_equal(_mul(n_words, 3), word_chars),
+                     pc.less_equal(word_chars, _mul(n_words, 10)))
+    f_symbol = pc.less_equal(_mul(n_symbols, 10), n_words)
+    f_alpha = pc.greater_equal(_mul(n_alpha, 5), _mul(n_words, 4))
+    f_stop = pc.greater_equal(n_stop, 2)
+    passes = pc.and_(pc.and_(pc.and_(f_words, f_mean),
+                             pc.and_(f_symbol, f_alpha)), f_stop)
+    for name, arr in [("n_words", n_words), ("word_chars", word_chars),
+                      ("n_alpha_words", n_alpha), ("n_symbols", n_symbols),
+                      ("n_stop_distinct", n_stop),
+                      ("flag_word_count", f_words),
+                      ("flag_mean_word_len", f_mean),
+                      ("flag_symbol_ratio", f_symbol),
+                      ("flag_alpha_words", f_alpha),
+                      ("flag_stopwords", f_stop), ("passes", passes)]:
+        batch = batch.append_column(name, arr)
+    return batch
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
     """64-bit document fingerprint: hash of the full text (content

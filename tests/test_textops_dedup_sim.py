@@ -1084,3 +1084,32 @@ def test_repeated_substrings_planted(ray_session):
     assert d1["n_shingles"] == 4                  # 6 tokens → 4 3-grams
     d2 = out[out.doc_id == 2].iloc[0]
     assert (d2["start_tok"], d2["end_tok"]) == (0, 6)
+
+
+def test_gopher_flags_rules():
+    from jsonschema_ray.pipelines.textops import add_gopher_flags
+
+    good = "the cat and dog have fun with food " * 8   # 64 words, stopwords
+    symbols = "### " * 30 + "word " * 10               # symbol-heavy
+    nonalpha = "123 456 789 " * 20                     # no alpha words
+    short = "tiny doc"
+    longwords = " ".join(["supercalifragilistic"] * 60)  # mean len > 10
+    t = _docs_table([(1, good), (2, symbols), (3, nonalpha), (4, short),
+                     (5, longwords), (6, None), (7, "dots... and more...")])
+    out = add_gopher_flags(t, min_words=20)
+
+    def col(name):
+        return out.column(name).to_pylist()
+
+    assert col("n_words")[0] == 64 and col("n_words")[5] == 0
+    assert col("flag_word_count") == [True, True, True, False, True,
+                                      False, False]
+    # 90 '#' chars vs 40 words → ratio 2.25 > 0.1
+    assert col("n_symbols")[1] == 90 and not col("flag_symbol_ratio")[1]
+    assert col("n_symbols")[6] == 2                     # two '...' runs
+    assert col("flag_alpha_words")[2] is False          # 0/60 alpha
+    assert col("flag_alpha_words")[0] is True
+    assert not col("flag_mean_word_len")[4]             # mean 20 chars
+    assert col("n_stop_distinct")[0] == 4               # the,and,have,with
+    assert col("flag_stopwords")[0] is True
+    assert col("passes") == [True, False, False, False, False, False, False]
