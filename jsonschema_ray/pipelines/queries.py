@@ -1705,6 +1705,45 @@ def q_ngram_jaccard(sf_dir: str):
                                "doc_id", threshold=0.4)
 
 
+def q_cms_registers(sf_dir: str):
+    """Count-min sketch register certificate: the full fixed-memory
+    frequency-sketch pipeline (per-block nonzero cells → one small
+    ``groupby(cell).sum`` — the shuffle carries registers, never
+    tokens) with the md5 token hash, so every register re-derives
+    bit-exactly in DuckDB.  Same approximate-sketch/exact-state split
+    as ``hll_registers``."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import cms_token_registers
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return cms_token_registers(ParquetSource(_pq(sf_dir, "documents")),
+                               token_hash=md5_hash64)
+
+
+def q_cms_topk(sf_dir: str):
+    """Heavy-hitter estimation THROUGH the count-min sketch: true top-20
+    token counts (exact thin-shuffle top-k) side by side with their CMS
+    point estimates (min over rows) — the oracle re-derives both, which
+    pins the estimate ≥ truth guarantee cross-engine.  Driver holds the
+    bounded register table (≤ depth·width rows) + 20 tokens."""
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import (cms_estimate,
+                                                  cms_token_registers,
+                                                  token_topk)
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    src = ParquetSource(_pq(sf_dir, "documents"))
+    regs = cms_token_registers(src, token_hash=md5_hash64).to_pandas()
+    top = token_topk(src, k=20).to_pandas()
+    est = cms_estimate(regs, top["token"].to_numpy(),
+                       token_hash=md5_hash64)
+    return pd.DataFrame({"token": top["token"],
+                         "n_true": top["n"].astype("int64"),
+                         "n_est": est.astype("int64")})
+
+
 def q_token_topk(sf_dir: str):
     """Exact top-20 token frequencies (thin (token, n) partial shuffle,
     never the text; deterministic n-desc/token-asc tie-break). The
@@ -2309,6 +2348,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
+    "cms_registers": q_cms_registers,
+    "cms_topk": q_cms_topk,
     "chunk_documents": q_chunk_documents,
     "redact_text": q_redact_text,
     "stratified_sample": q_stratified_sample,
@@ -2636,6 +2677,67 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+    # count-min registers: same md5 token hash, same multiply-SHIFT row
+    # hash (high 10 bits of the mod-2^64 product; splitmix64/xxhash64
+    # mixing primes). uint64 wraparound emulated WITHOUT INT128 overflow
+    # by a 32-bit split multiply: h·a mod 2^64 =
+    # ((hi·a mod 2^32)·2^32 + lo·a) mod 2^64, every term < 2^97.
+    "cms_registers": r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS t
+  FROM documents
+), th AS (
+  SELECT CAST(md5_number_lower(t) AS HUGEINT) AS h FROM tok WHERE t <> ''
+), k(r, a, b) AS (
+  VALUES (0, CAST(11400714819323198485 AS HUGEINT), CAST(1 AS HUGEINT)),
+         (1, CAST(14029467366897019727 AS HUGEINT), CAST(3 AS HUGEINT)),
+         (2, CAST(1609587929392839161 AS HUGEINT), CAST(5 AS HUGEINT)),
+         (3, CAST(2870177450012600261 AS HUGEINT), CAST(7 AS HUGEINT))
+)
+SELECT CAST(k.r AS BIGINT) AS r,
+       CAST(((((h // 4294967296) * k.a) % 4294967296) * 4294967296
+             + (h % 4294967296) * k.a + k.b)
+            % 18446744073709551616 // 18014398509481984 AS BIGINT) AS c,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM th CROSS JOIN k
+GROUP BY 1, 2
+""",
+    # heavy hitters THROUGH the sketch: exact top-20 + CMS min-over-rows
+    # point estimates from the same register state
+    "cms_topk": r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS t
+  FROM documents
+), th AS (
+  SELECT t, CAST(md5_number_lower(t) AS HUGEINT) AS h
+  FROM tok WHERE t <> ''
+), k(r, a, b) AS (
+  VALUES (0, CAST(11400714819323198485 AS HUGEINT), CAST(1 AS HUGEINT)),
+         (1, CAST(14029467366897019727 AS HUGEINT), CAST(3 AS HUGEINT)),
+         (2, CAST(1609587929392839161 AS HUGEINT), CAST(5 AS HUGEINT)),
+         (3, CAST(2870177450012600261 AS HUGEINT), CAST(7 AS HUGEINT))
+), regs AS (
+  SELECT k.r AS r,
+         CAST(((((h // 4294967296) * k.a) % 4294967296) * 4294967296
+               + (h % 4294967296) * k.a + k.b)
+              % 18446744073709551616 // 18014398509481984 AS BIGINT) AS c,
+         count(*) AS cnt
+  FROM th CROSS JOIN k GROUP BY 1, 2
+), top AS (
+  SELECT t AS token, CAST(md5_number_lower(t) AS HUGEINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM th GROUP BY t ORDER BY n_true DESC, token LIMIT 20
+)
+SELECT top.token, top.n_true, CAST(MIN(regs.cnt) AS BIGINT) AS n_est
+FROM top CROSS JOIN k
+JOIN regs ON regs.r = k.r
+         AND regs.c = CAST(((((top.h // 4294967296) * k.a) % 4294967296)
+                            * 4294967296
+                            + (top.h % 4294967296) * k.a + k.b)
+                           % 18446744073709551616
+                           // 18014398509481984 AS BIGINT)
+GROUP BY 1, 2
 """,
     # counts are taken on the PROGRESSIVELY scrubbed text (email on the
     # original, url after email redaction, ip after url redaction) —

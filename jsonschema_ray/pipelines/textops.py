@@ -778,3 +778,100 @@ def pack_sequences(source, key_col: str = "doc_id",
     return src.dataset(columns=[key_col, text_col]) \
         .map_batches(prep, batch_format="pyarrow") \
         .groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# count-min sketch row-hash constants: public 64-bit mixing primes
+# (splitmix64 / xxhash64) — fixed, no RNG, so the sketch state is
+# deterministic and SQL-replicable
+CMS_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+         0x165667B19E3779F9, 0x27D4EB2F165667C5)
+CMS_B = (1, 3, 5, 7)
+
+
+def cms_token_registers(source, text_col: str = "text", depth: int = 4,
+                        width: int = 1024, token_hash=hash64):
+    """Count-min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005) — the fixed-memory frequency summary for
+    heavy-hitter estimation when the exact `groupby(token)` shuffle is
+    too wide.  Register state is EXACT and mergeable: each block emits
+    its ≤ depth·width nonzero cells ``(cell, cnt)``; one small
+    ``groupby(cell).sum`` merges them (the shuffle carries registers,
+    never tokens).  With ``token_hash=md5_hash64`` every register
+    re-derives bit-exactly in DuckDB (same row-hash affine constants),
+    so the sketch STATE is SQL-oracled even though its estimates are
+    approximate — same certificate pattern as the HLL registers.
+
+    → Dataset (r, c, cnt): nonzero registers, r = row, c = column.
+    Driver/consumer footprint is bounded by depth·width regardless of
+    corpus size."""
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    if depth > len(CMS_A):
+        raise ValueError(f"depth <= {len(CMS_A)} supported")
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    a = np.array(CMS_A[:depth], np.uint64)
+    b = np.array(CMS_B[:depth], np.uint64)
+    # multiply-SHIFT row hash (Dietzfelbinger): take the HIGH bits of
+    # the wrapped product — the low bits of h·a depend only on the low
+    # bits of h, which would make the depth rows collide together
+    shift = np.uint64(64 - (width.bit_length() - 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, flat = _tokenize_flat(col)
+        h = token_hash(flat) if len(flat) else np.empty(0, np.uint64)
+        cells: list[np.ndarray] = []
+        counts: list[np.ndarray] = []
+        with np.errstate(over="ignore"):
+            for r in range(depth):
+                pos = ((h * a[r] + b[r]) >> shift).astype(np.int64)
+                cnt = np.bincount(pos, minlength=width)
+                nz = np.flatnonzero(cnt)
+                cells.append(nz + r * width)
+                counts.append(cnt[nz])
+        cell = np.concatenate(cells) if cells else np.empty(0, np.int64)
+        cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = as_source(source).dataset(columns=[text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").sum("cnt")
+
+    def split(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r": pa.array(cell // width, pa.int64()),
+            "c": pa.array(cell % width, pa.int64()),
+            "cnt": t.column("sum(cnt)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow").sort(["r", "c"])
+
+
+def cms_estimate(registers, tokens, depth: int = 4, width: int = 1024,
+                 token_hash=hash64) -> np.ndarray:
+    """Point-estimate token counts from a CMS register table
+    (min over rows) — registers is the (r, c, cnt) output of
+    :func:`cms_token_registers` as a pyarrow Table / pandas frame."""
+    import pandas as pd
+
+    if isinstance(registers, pa.Table):
+        registers = registers.to_pandas()
+    dense = np.zeros((depth, width), np.int64)
+    dense[registers["r"].to_numpy(), registers["c"].to_numpy()] = \
+        registers["cnt"].to_numpy()
+    toks = np.asarray(tokens, dtype=object)
+    h = token_hash(toks) if len(toks) else np.empty(0, np.uint64)
+    est = np.full(len(toks), np.iinfo(np.int64).max, np.int64)
+    shift = np.uint64(64 - (width.bit_length() - 1))
+    with np.errstate(over="ignore"):
+        for r in range(depth):
+            pos = ((h * np.uint64(CMS_A[r]) + np.uint64(CMS_B[r]))
+                   >> shift).astype(np.int64)
+            est = np.minimum(est, dense[r, pos])
+    return est

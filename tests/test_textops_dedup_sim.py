@@ -1113,3 +1113,40 @@ def test_gopher_flags_rules():
     assert col("n_stop_distinct")[0] == 4               # the,and,have,with
     assert col("flag_stopwords")[0] is True
     assert col("passes") == [True, False, False, False, False, False, False]
+
+
+def test_cms_registers_and_estimate(ray_session):
+    import collections
+
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import (CMS_A, CMS_B, cms_estimate,
+                                                  cms_token_registers)
+
+    rows = [(i, f"tok{i % 7} common tok{i % 13} filler{i}") for i in range(200)]
+    t = _docs_table(rows)
+    regs = cms_token_registers(t, token_hash=md5_hash64).to_pandas()
+
+    # register state == a local single-pass sketch (merge exactness)
+    true = collections.Counter(w for _, s in rows for w in s.split())
+    toks = np.array(sorted(true), dtype=object)
+    h = md5_hash64(toks)
+    dense = np.zeros((4, 1024), np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(4):
+            pos = ((h * np.uint64(CMS_A[r]) + np.uint64(CMS_B[r]))
+                   >> np.uint64(54)).astype(np.int64)
+            np.add.at(dense[r], pos, [true[w] for w in toks])
+    got = np.zeros((4, 1024), np.int64)
+    got[regs["r"], regs["c"]] = regs["cnt"]
+    assert (got == dense).all()
+    # every row's register mass equals the token-instance total
+    assert (got.sum(axis=1) == sum(true.values())).all()
+
+    # CMS guarantee: estimate >= truth, and the depth-4 rows are
+    # independent enough that 'common' (count 200) estimates exactly
+    est = cms_estimate(regs, toks, token_hash=md5_hash64)
+    truth = np.array([true[w] for w in toks])
+    assert (est >= truth).all()
+    assert est[list(toks).index("common")] == 200
