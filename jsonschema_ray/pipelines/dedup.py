@@ -1220,6 +1220,97 @@ def decontaminate(source: Any, benchmark_texts, key_col: str = "doc_id",
         flag, batch_format="pyarrow")
 
 
+# Bloom bit-position hash constants: public splitmix64/xxhash64 mixing
+# primes (same family as the count-min row hashes) — fixed, SQL-replicable
+_BLOOM_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+            0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_BLOOM_B = (1, 3, 5, 7)
+
+
+def bloom_decontaminate(source: Any, benchmark_source: Any,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        shingle_k: int = 5, n_bits: int = 1 << 16,
+                        depth: int = 4, token_hash=hash64):
+    """Benchmark decontamination through a BLOOM FILTER — the
+    fixed-memory variant of :func:`decontaminate` for when the
+    benchmark itself is large (full held-out-suite scrubs): instead of
+    broadcasting the exact benchmark shingle-hash set (O(benchmark)),
+    both sides agree on a ``n_bits`` filter, so the broadcast is a
+    constant 2^16 bits regardless of benchmark size.
+
+    Build side is DISTRIBUTED: the benchmark streams through
+    ``map_batches`` emitting each block's distinct bit positions
+    (≤ ``n_bits`` rows/block); one distributed distinct bounds the
+    driver pull at ``n_bits`` int32s no matter how big the benchmark.
+    Scan side: broadcast bit array via ``ray.put``, corpus streams
+    once, a shingle instance is flagged iff all ``depth`` positions
+    are set. Counts INCLUDE Bloom false positives — deterministically,
+    so with ``token_hash=md5_hash64`` the whole operator (FNV shingle
+    chain + multiply-shift bit positions) re-derives bit-exactly in
+    DuckDB.
+
+    → Dataset (key, n_flagged) for documents with ≥1 flagged shingle
+    instance."""
+    import ray
+
+    if depth > len(_BLOOM_A):
+        raise ValueError(f"depth <= {len(_BLOOM_A)} supported")
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    a = np.array(_BLOOM_A[:depth], np.uint64)
+    b = np.array(_BLOOM_B[:depth], np.uint64)
+    shift = np.uint64(64 - (n_bits.bit_length() - 1))
+
+    def positions(h: np.ndarray) -> np.ndarray:
+        """(len(h), depth) int64 bit positions (multiply-shift)."""
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [((h * a[i] + b[i]) >> shift).astype(np.int64)
+                 for i in range(depth)], axis=1)
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        pos = np.unique(positions(h)) if len(h) \
+            else np.empty(0, np.int64)
+        return pa.table({"pos": pa.array(pos, pa.int32())})
+
+    bench_ds = as_source(benchmark_source).dataset(columns=[text_col]) \
+        .map_batches(bench_partial, batch_format="pyarrow")
+    bits = np.zeros(n_bits, dtype=bool)
+    set_pos = bench_ds.unique("pos")           # ≤ n_bits rows by design
+    if set_pos:
+        bits[np.asarray(set_pos, dtype=np.int64)] = True
+    bits_ref = ray.put(bits)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bv = ray.get(bits_ref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if not len(h):
+            return pa.table({key_col: keys.slice(0, 0),
+                             "n_flagged": pa.array([], pa.int64())})
+        hit = bv[positions(h)].all(axis=1)
+        n = np.bincount(d[hit], minlength=t.num_rows)
+        sel = np.flatnonzero(n > 0)
+        return pa.table({
+            key_col: keys.take(pa.array(sel)),
+            "n_flagged": pa.array(n[sel].astype(np.int64)),
+        })
+
+    return as_source(source).dataset(columns=[key_col, text_col]) \
+        .map_batches(flag, batch_format="pyarrow")
+
+
 def repeated_substrings(source: Any, key_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 3,
                         min_docs: int = 2, max_ngrams: int = 1_000_000,

@@ -1396,6 +1396,83 @@ def q_decontaminate(sf_dir: str):
                          token_hash=md5_hash64)
 
 
+def q_bloom_decontaminate(sf_dir: str):
+    """Fixed-memory decontamination: the same benchmark/corpus split as
+    ``decontaminate`` but through a 2^16-bit Bloom filter — distributed
+    build (per-block distinct bit positions → distributed distinct),
+    constant-size broadcast, per-doc flagged-instance counts INCLUDING
+    the filter's deterministic false positives, so the whole operator
+    (FNV shingle chain + multiply-shift bit positions) re-derives
+    bit-exactly in DuckDB."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import bloom_decontaminate
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("doc_id"), 20)), batch_format="pyarrow")
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("doc_id"), 20)),
+            batch_format="pyarrow")
+    return bloom_decontaminate(DatasetSource(corpus), DatasetSource(bench),
+                               shingle_k=5, token_hash=md5_hash64)
+
+
+def _bloom_decontam_sql(k: int = 5, bench_lt: int = 20,
+                        n_bits: int = 1 << 16, depth: int = 4) -> str:
+    """Oracle for q_bloom_decontaminate: the `_decontam_sql` FNV shingle
+    chain, with the exact benchmark set replaced by the Bloom filter's
+    bit positions — multiply-shift high bits of the mod-2^64 affine
+    product, uint64 wraparound emulated via the 32-bit split multiply
+    (every intermediate < 2^97, no INT128 overflow)."""
+    F, TWO64 = 1099511628211, 1 << 64
+    joins = "\n  ".join(
+        f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+        for j in range(1, k))
+    fold = "CAST(t0.h AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+    ks = ",\n         ".join(
+        f"({i}, CAST({a} AS HUGEINT), CAST({b} AS HUGEINT))"
+        for i, (a, b) in enumerate(zip(
+            (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)[:depth],
+            (1, 3, 5, 7)[:depth])))
+    pos = (f"(((s // 4294967296) * kk.a) % 4294967296) * 4294967296"
+           f" + (s % 4294967296) * kk.a + kk.b")
+    pos = f"CAST((({pos}) % {TWO64}) // {TWO64 // n_bits} AS BIGINT)"
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, row_number() OVER () AS inst, {fold} AS s
+  FROM th t0
+  {joins}
+), kk(i, a, b) AS (
+  VALUES {ks}
+), bloom AS (
+  SELECT DISTINCT {pos} AS p
+  FROM sh CROSS JOIN kk WHERE doc_id < {bench_lt}
+), hits AS (
+  SELECT sh.doc_id, sh.inst
+  FROM sh CROSS JOIN kk
+  JOIN bloom ON bloom.p = {pos}
+  WHERE sh.doc_id >= {bench_lt}
+  GROUP BY sh.doc_id, sh.inst
+  HAVING count(*) = {depth}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+FROM hits GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -2321,6 +2398,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repeated_substrings": q_repeated_substrings,
     "embedding_quantize": q_embedding_quantize,
@@ -2830,6 +2908,7 @@ GROUP BY 1
     "langid": _langid_sql(),
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
+    "bloom_decontaminate": _bloom_decontam_sql(),
     "boilerplate_ngrams": _boilerplate_sql(),
     "repeated_substrings": _repeated_substr_sql(),
     "domain_cap": r"""

@@ -1150,3 +1150,30 @@ def test_cms_registers_and_estimate(ray_session):
     truth = np.array([true[w] for w in toks])
     assert (est >= truth).all()
     assert est[list(toks).index("common")] == 200
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import bloom_decontaminate, decontaminate
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rng = np.random.default_rng(11)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "jade"]
+    rows = [(i, " ".join(rng.choice(vocab, size=30))) for i in range(60)]
+    rows += [(100, "prefix words then " + bench_text + " and a tail"),
+             (101, "no overlap at all here truly none whatsoever present")]
+    corpus = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    bench = DatasetSource(rd.from_arrow(_docs_table([(0, bench_text)])))
+
+    got = bloom_decontaminate(corpus, bench, shingle_k=5).to_pandas()
+    flagged = dict(zip(got["doc_id"], got["n_flagged"]))
+    assert flagged.get(100, 0) >= 6          # 6 shared 5-grams
+    assert 101 not in flagged
+
+    # Bloom counts dominate the exact operator's (no false negatives)
+    exact = decontaminate(corpus, [bench_text], shingle_k=5).to_pandas()
+    ex = dict(zip(exact["doc_id"], exact["n_contaminated"]))
+    for k, v in ex.items():
+        assert flagged.get(k, 0) >= v
