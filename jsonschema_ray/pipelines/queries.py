@@ -1610,6 +1610,19 @@ def q_zscore_outliers(sf_dir: str):
                            threshold=2.0, id_col="event_id")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup over the embeddings table: deterministic k-means (k=8)
+    + within-cluster cosine pruning at 0.9, keeping the
+    lowest-centroid-similarity representative. Iterative k-means ⇒
+    rows-only driver check; distributed ≡ local and planted-duplicate
+    pruning are pinned in tests."""
+    from jsonschema_ray.pipelines.similarity import semdedup
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return semdedup(ParquetSource(_pq(sf_dir, "embeddings")),
+                    k=8, iters=5, threshold=0.9)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """* rows-only: distributed Lloyd's k-means over the embeddings
     table — deterministic by construction (int64-quantized vectors ⇒
@@ -2418,6 +2431,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rebalance_sources": q_rebalance_sources,
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup": q_semdedup,
     "quality_filter": q_quality_filter,
     "embedding_decontaminate": q_embedding_decontaminate,
     "zscore_outliers": q_zscore_outliers,

@@ -529,41 +529,15 @@ def quantized_topk(source: Any, query_vec: np.ndarray, k: int = 10, *,
                      "cos_sim": pa.array([c for c, _ in best])})
 
 
-def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
-                      id_col: str = "vec_id", emb_col: str = "embedding",
-                      scale_bits: int = 20) -> pa.Table:
-    """Distributed Lloyd's k-means over an embedding column, fully
-    DETERMINISTIC at any cluster size / block layout / merge order:
-
-    - vectors are quantized once to int64 grid points
-      (``round(x · 2^scale_bits)``) — integer partial sums are exact
-      and associative, so the per-iteration distributed
-      ``groupby(cluster).sum`` over the ``d`` component columns gives
-      bit-identical centroids no matter how Ray orders the merge (the
-      float path would drift with block arrival order);
-    - init: the embeddings of the ``k`` smallest ids (deterministic,
-      no RNG);
-    - each iteration streams the data once: per-batch argmin
-      assignment (numpy matmul against the broadcast centroid matrix,
-      ties → lowest cluster index) → k×(d+2) integer partial rows per
-      block → small distributed groupby; the driver holds k·d scalars
-      only.
-
-    → (cluster, size, inertia_q) with ``inertia_q`` the exact integer
-    sum of per-point ``floor(1e6·dist² + 0.5)`` contributions (same
-    associativity argument). int64 stays exact while
-    n_points·2^(2·scale_bits) < 2^63 — at web scale drop scale_bits.
-
-    Iterative (non-SQL-expressible) ⇒ rows-only driver check;
-    distributed ≡ local numpy is pinned in tests.
-    """
+def _kmeans_fit(ds, k: int, iters: int, *, id_col: str, emb_col: str,
+                scale: float) -> tuple[np.ndarray, np.ndarray]:
+    """The deterministic distributed Lloyd's iteration shared by
+    :func:`kmeans_embeddings` and :func:`semdedup`: int64-grid exact
+    partial sums, k-lowest-id init, per-iteration stream + k-row
+    groupby. Returns (cent, cnt): SCALED centroid component sums and
+    counts — unit centroids are ``cent / cnt[:, None] / scale``."""
     import ray
 
-    src = as_source(source)
-    ds = src.dataset(columns=[id_col, emb_col]).materialize()
-    scale = float(1 << scale_bits)
-
-    # --- deterministic init: k lowest-id vectors --------------------
     seed = ds.sort(id_col).limit(k)
     m0 = _stack(pa.concat_tables(
         [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
@@ -612,6 +586,44 @@ def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
         cnt = np.where(keep, cnt, cnt_new)
         cent = np.where(keep[:, None], cent, sums.astype(np.float64))
 
+    return cent, cnt
+
+
+def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      scale_bits: int = 20) -> pa.Table:
+    """Distributed Lloyd's k-means over an embedding column, fully
+    DETERMINISTIC at any cluster size / block layout / merge order:
+
+    - vectors are quantized once to int64 grid points
+      (``round(x · 2^scale_bits)``) — integer partial sums are exact
+      and associative, so the per-iteration distributed
+      ``groupby(cluster).sum`` over the ``d`` component columns gives
+      bit-identical centroids no matter how Ray orders the merge (the
+      float path would drift with block arrival order);
+    - init: the embeddings of the ``k`` smallest ids (deterministic,
+      no RNG);
+    - each iteration streams the data once: per-batch argmin
+      assignment (numpy matmul against the broadcast centroid matrix,
+      ties → lowest cluster index) → k×(d+2) integer partial rows per
+      block → small distributed groupby; the driver holds k·d scalars
+      only.
+
+    → (cluster, size, inertia_q) with ``inertia_q`` the exact integer
+    sum of per-point ``floor(1e6·dist² + 0.5)`` contributions (same
+    associativity argument). int64 stays exact while
+    n_points·2^(2·scale_bits) < 2^63 — at web scale drop scale_bits.
+
+    Iterative (non-SQL-expressible) ⇒ rows-only driver check;
+    distributed ≡ local numpy is pinned in tests.
+    """
+    import ray
+
+    src = as_source(source)
+    ds = src.dataset(columns=[id_col, emb_col]).materialize()
+    scale = float(1 << scale_bits)
+    cent, cnt = _kmeans_fit(ds, k, iters, id_col=id_col, emb_col=emb_col,
+                            scale=scale)
     cent_ref = ray.put(cent / cnt[:, None])
 
     def final_partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
@@ -640,6 +652,93 @@ def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
         "cluster": t.column("cluster").cast(pa.int64()),
         "size": t.column("sum(size)").cast(pa.int64()),
         "inertia_q": t.column("sum(inertia_q)").cast(pa.int64())})
+
+
+def semdedup(source: Any, k: int = 8, iters: int = 5,
+             threshold: float = 0.95, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", scale_bits: int = 20,
+             max_cluster: int = 100_000):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then prune semantic duplicates WITHIN each cluster
+    — pairs with cosine ≥ ``threshold`` — keeping, per the paper, the
+    point with the LOWEST cosine similarity to its cluster centroid
+    (ties → lowest id). Pairwise comparison never crosses clusters, so
+    the all-pairs cost is Σ|c|² not N²; the paper picks k ~ √N so
+    clusters stay bounded.
+
+    Shape: the deterministic :func:`_kmeans_fit` iteration (int64-grid
+    exact sums, no RNG) → one assignment pass adds ``cluster`` →
+    ``groupby(cluster).map_groups`` runs the vectorized within-cluster
+    matmul (k groups, each a real matrix — the group count is k, never
+    'many tiny pandas groups'). A cluster larger than ``max_cluster``
+    is truncated to its lowest-similarity prefix with ``n_dropped``
+    accounted in the output rather than silently scanned O(|c|²).
+
+    A point is pruned iff a DOMINATING near-duplicate exists in its
+    cluster: cos(p, q) ≥ threshold and (centroid_sim, id) of q <
+    (centroid_sim, id) of p. Deterministic at any block layout
+    (distributed ≡ local pinned in tests); iterative k-means ⇒
+    rows-only driver check.
+
+    → Dataset (vec_id, cluster, centroid_sim_q, keep, n_dropped) —
+    ``centroid_sim_q``: cosine to centroid quantized to int64 1e-6
+    grid (hash-stable), ``n_dropped``: truncated tail size of the
+    point's cluster (0 = exact)."""
+    import pandas as pd
+    import ray
+
+    src = as_source(source)
+    ds = src.dataset(columns=[id_col, emb_col]).materialize()
+    scale = float(1 << scale_bits)
+    cent, cnt = _kmeans_fit(ds, k, iters, id_col=id_col, emb_col=emb_col,
+                            scale=scale)
+    cu = cent / cnt[:, None] / scale                     # unit-scale (k, d)
+    cn = cu / np.maximum(np.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
+    cent_ref = ray.put((cu, cn))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c, cnorm = ray.get(cent_ref)
+        x = _stack(t.column(emb_col)).astype(np.float64)
+        xq = np.round(x * scale)                         # same grid as fit
+        cq = c * scale
+        d2 = ((xq * xq).sum(1)[:, None] - 2.0 * (xq @ cq.T)
+              + (cq * cq).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        csim = (xn * cnorm[a]).sum(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            emb_col: t.column(emb_col),
+            "cluster": pa.array(a.astype(np.int64)),
+            "centroid_sim_q": pa.array(
+                np.floor(1e6 * csim + 0.5).astype(np.int64)),
+        })
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic within-cluster order: centroid_sim asc, id asc —
+        # a point can only be dominated by an EARLIER point in this order
+        g = g.sort_values(["centroid_sim_q", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        csq = g["centroid_sim_q"].to_numpy()
+        cl = int(g["cluster"].iloc[0])
+        n = len(g)
+        n_dropped = max(0, n - max_cluster)
+        m = min(n, max_cluster)
+        x = np.stack(g[emb_col].to_numpy()[:m]).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        sims = xn @ xn.T                                 # (m, m)
+        dominated = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        keep = np.ones(n, dtype=bool)
+        keep[:m] = ~dominated
+        # truncated tail (if any) is conservatively kept, accounted
+        return pd.DataFrame({
+            id_col: ids, "cluster": np.full(n, cl, np.int64),
+            "centroid_sim_q": csq, "keep": keep,
+            "n_dropped": np.full(n, n_dropped, np.int64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(prune, batch_format="pandas")
 
 
 def embedding_decontaminate(source: Any, threshold: float = 0.4, *,

@@ -1177,3 +1177,40 @@ def test_bloom_decontaminate_superset_of_exact(ray_session):
     ex = dict(zip(exact["doc_id"], exact["n_contaminated"]))
     for k, v in ex.items():
         assert flagged.get(k, 0) >= v
+
+
+def test_semdedup_planted_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.similarity import semdedup
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(120, 8)).astype(np.float32)
+    m[100] = m[10] * 1.7          # exact direction dup (cos = 1)
+    m[101] = m[20] + 0.001 * rng.normal(size=8).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(120), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in m],
+                                        type=pa.list_(pa.float32()))})
+
+    outs = []
+    for nparts in (1, 7):
+        src = DatasetSource(rd.from_arrow(t).repartition(nparts))
+        df = semdedup(src, k=4, iters=3, threshold=0.95).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        outs.append(df)
+    # block layout must not change a single row
+    assert outs[0].equals(outs[1])
+
+    df = outs[0]
+    keep = dict(zip(df["vec_id"], df["keep"]))
+    # each planted dup pair loses exactly one member
+    assert keep[10] != keep[100]
+    assert keep[20] != keep[101]
+    assert (df["n_dropped"] == 0).all()
+    # dominance rule: the kept member has the lower (centroid_sim, id)
+    cs = dict(zip(df["vec_id"], df["centroid_sim_q"]))
+    for a, b in [(10, 100), (20, 101)]:
+        kept = a if keep[a] else b
+        lost = b if keep[a] else a
+        assert (cs[kept], kept) < (cs[lost], lost)
