@@ -1419,6 +1419,80 @@ def q_bloom_decontaminate(sf_dir: str):
                                shingle_k=5, token_hash=md5_hash64)
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores: hashed-unigram (8192 buckets) target
+    (doc_id < 20) vs raw (doc_id ≥ 20) log-ratio model; per-doc score
+    is an exact int64 micro-nat dot product — block-layout-invariant
+    and bit-replicated in DuckDB (md5 bucket hash + identical double
+    expression for the quantized log-ratios)."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import dsir_scores
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    tgt = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("doc_id"), 20)), batch_format="pyarrow")
+    raw = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("doc_id"), 20)),
+            batch_format="pyarrow")
+    return dsir_scores(DatasetSource(raw), DatasetSource(tgt),
+                       token_hash=md5_hash64)
+
+
+def _dsir_sql(bench_lt: int = 20, n_buckets: int = 8192) -> str:
+    """Oracle for q_dsir_scores: md5 token hash + multiply-shift bucket
+    (split-multiply mod-2^64 emulation), Laplace-smoothed per-bucket
+    ln-ratio quantized to micro-nats with the IDENTICAL double
+    expression as numpy, integer dot product per document."""
+    TWO64 = 1 << 64
+    shift_div = TWO64 // n_buckets
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
+    AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id,
+         CAST((((CAST(md5_number_lower(tok) AS HUGEINT) // 4294967296)
+                * 11400714819323198485) % 4294967296) * 4294967296
+               + (CAST(md5_number_lower(tok) AS HUGEINT) % 4294967296)
+               * 11400714819323198485 + 1 AS HUGEINT) % {TWO64}
+           // {shift_div} AS b
+  FROM tp WHERE tok <> ''
+), tgt AS (
+  SELECT b, count(*) AS c FROM tb WHERE doc_id < {bench_lt} GROUP BY b
+), raw AS (
+  SELECT b, count(*) AS c FROM tb WHERE doc_id >= {bench_lt} GROUP BY b
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS t_tot,
+         (SELECT COALESCE(SUM(c), 0) FROM raw) AS r_tot
+), lam AS (
+  SELECT ob.b,
+         CAST(floor(1e6 * (ln((COALESCE(tgt.c, 0) + CAST(1 AS DOUBLE))
+                              / (t_tot + {n_buckets}))
+                           - ln((COALESCE(raw.c, 0) + CAST(1 AS DOUBLE))
+                                / (r_tot + {n_buckets}))) + 0.5)
+           AS BIGINT) AS l
+  FROM (SELECT DISTINCT b FROM tb) ob
+  LEFT JOIN tgt ON tgt.b = ob.b
+  LEFT JOIN raw ON raw.b = ob.b
+  CROSS JOIN tot
+), doc AS (
+  SELECT doc_id, b, count(*) AS c FROM tb WHERE doc_id >= {bench_lt}
+  GROUP BY doc_id, b
+), scored AS (
+  SELECT doc.doc_id, CAST(SUM(doc.c * lam.l) AS BIGINT) AS score_q,
+         CAST(SUM(doc.c) AS BIGINT) AS n_tokens
+  FROM doc JOIN lam ON lam.b = doc.b GROUP BY doc.doc_id
+)
+SELECT d.doc_id, COALESCE(s.score_q, 0) AS score_q,
+       COALESCE(s.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+WHERE d.doc_id >= {bench_lt}
+"""
+
+
 def _bloom_decontam_sql(k: int = 5, bench_lt: int = 20,
                         n_bits: int = 1 << 16, depth: int = 4) -> str:
     """Oracle for q_bloom_decontaminate: the `_decontam_sql` FNV shingle
@@ -2412,6 +2486,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "dsir_scores": q_dsir_scores,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repeated_substrings": q_repeated_substrings,
     "embedding_quantize": q_embedding_quantize,
@@ -2923,6 +2998,7 @@ GROUP BY 1
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
     "bloom_decontaminate": _bloom_decontam_sql(),
+    "dsir_scores": _dsir_sql(),
     "boilerplate_ngrams": _boilerplate_sql(),
     "repeated_substrings": _repeated_substr_sql(),
     "domain_cap": r"""

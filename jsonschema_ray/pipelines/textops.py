@@ -875,3 +875,89 @@ def cms_estimate(registers, tokens, depth: int = 4, width: int = 1024,
                    >> shift).astype(np.int64)
             est = np.minimum(est, dense[r, pos])
     return est
+
+
+def dsir_scores(source, target_source, key_col: str = "doc_id",
+                text_col: str = "text", n_buckets: int = 8192,
+                token_hash=hash64):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw-corpus document by the log importance weight
+    of a hashed-unigram bag-of-words model fit on a small TARGET
+    distribution, ``score(x) = Σ_b c_b(x) · (ln p̂_b − ln q̂_b)`` with
+    Laplace-smoothed bucket probabilities.
+
+    Scale shape: both bucket-count passes are per-block ``bincount``
+    partials merged by one ``groupby(bucket).sum`` — the driver holds
+    exactly ``2·n_buckets`` integers no matter the corpus size; the
+    per-bucket log-ratios are quantized ONCE to int64 micro-nats, so
+    the per-document score is an exact associative INTEGER dot product
+    (block layout cannot perturb it) broadcast via one ``ray.put``.
+    With ``token_hash=md5_hash64`` the bucket ids and every count
+    re-derive in DuckDB; the micro-nat table is the one float step,
+    identical double expressions on both engines.
+
+    → Dataset (key, score_q, n_tokens) over the RAW corpus; select by
+    top-k/threshold on ``score_q`` downstream."""
+    import ray
+
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    a = np.uint64(CMS_A[0])
+    b = np.uint64(CMS_B[0])
+    shift = np.uint64(64 - (n_buckets.bit_length() - 1))
+
+    def buckets(col) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts, flat = _tokenize_flat(col)
+        h = token_hash(flat) if len(flat) else np.empty(0, np.uint64)
+        with np.errstate(over="ignore"):
+            pos = ((h * a + b) >> shift).astype(np.int64)
+        return counts, pos
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, pos = buckets(t.column(text_col))
+        cnt = np.bincount(pos, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    def side_counts(src) -> np.ndarray:
+        agg = as_source(src).dataset(columns=[text_col]) \
+            .map_batches(count_partial, batch_format="pyarrow") \
+            .groupby("bucket").sum("cnt")
+        out = np.zeros(n_buckets, np.int64)
+        for bt in agg.iter_batches(batch_format="pyarrow"):
+            tb = pa.Table.from_batches([bt]) \
+                if isinstance(bt, pa.RecordBatch) else bt
+            out[tb.column("bucket").to_numpy(zero_copy_only=False)] = \
+                tb.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        return out
+
+    tgt = side_counts(target_source)
+    raw = side_counts(source)
+    t_tot, r_tot = int(tgt.sum()), int(raw.sum())
+    # identical double expression as the SQL oracle: division, ln,
+    # subtract, scale, floor(+0.5)
+    lam = np.floor(1e6 * (np.log((tgt + 1.0) / (t_tot + n_buckets))
+                          - np.log((raw + 1.0) / (r_tot + n_buckets)))
+                   + 0.5).astype(np.int64)
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lv = ray.get(lam_ref)
+        counts, pos = buckets(t.column(text_col))
+        doc_of = np.repeat(np.arange(t.num_rows), counts)
+        sc = np.zeros(t.num_rows, np.int64)
+        np.add.at(sc, doc_of, lv[pos])
+        return pa.table({
+            key_col: t.column(key_col),
+            "score_q": pa.array(sc),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        })
+
+    return as_source(source).dataset(columns=[key_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")

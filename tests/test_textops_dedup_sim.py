@@ -1214,3 +1214,33 @@ def test_semdedup_planted_and_layout_invariant(ray_session):
         kept = a if keep[a] else b
         lost = b if keep[a] else a
         assert (cs[kept], kept) < (cs[lost], lost)
+
+
+def test_dsir_scores_prefer_target_like(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.textops import dsir_scores
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    tgt_rows = [(i, "physics quantum field theory lagrangian symmetry")
+                for i in range(5)]
+    raw_rows = [(100, "quantum field symmetry physics theory papers"),
+                (101, "recipe flour butter sugar oven baking tray"),
+                (102, "physics lagrangian quantum things")]
+    raw_rows += [(200 + i, "misc filler words entirely off topic")
+                 for i in range(10)]
+    tgt = DatasetSource(rd.from_arrow(_docs_table(tgt_rows)))
+
+    outs = []
+    for nparts in (1, 5):
+        raw = DatasetSource(
+            rd.from_arrow(_docs_table(raw_rows)).repartition(nparts))
+        df = dsir_scores(raw, tgt).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])          # exact integer: layout-proof
+
+    s = dict(zip(outs[0]["doc_id"], outs[0]["score_q"]))
+    # target-like docs outscore off-topic ones
+    assert s[100] > s[101] and s[102] > s[101]
+    assert s[100] > s[200]
