@@ -1493,6 +1493,71 @@ WHERE d.doc_id >= {bench_lt}
 """
 
 
+# GPT-2-style BPE pre-tokenizer pattern, RE2-safe (the upstream pattern's
+# trailing-space lookahead is dropped: RE2 has no lookahead, and the \s+
+# fallback subsumes it for counting purposes)
+BPE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex (letters /
+    numbers / punctuation runs + contraction suffixes) counted per
+    document next to the whitespace count — the standard
+    training-budget estimator. One vectorized RE2 pass, zero shuffle;
+    DuckDB runs the identical pattern."""
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ws_tokens": pc.count_substring_regex(col, r"\S+")
+            .cast(pa.int64()),
+            "n_bpe_pretokens": pc.count_substring_regex(
+                col, BPE_PRETOKEN_RE).cast(pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(counts, batch_format="pyarrow")
+
+
+def q_normalize_text(sf_dir: str):
+    """Curation-grade text normalization: NFC → lowercase → whitespace
+    collapse → trim, emitted with a changed flag and the normalized
+    length — the canonicalization pass that precedes exact dedup in web
+    pipelines. Pure vectorized Arrow kernels (utf8_normalize /
+    utf8_lower / RE2 replace), zero shuffle; DuckDB mirrors with
+    nfc_normalize/lower/regexp_replace."""
+    def norm(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        n = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(col, form="NFC")),
+            r"\s+", " "))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_text": n,
+            "changed": pc.not_equal(n, col),
+            "n_chars_norm": pc.utf8_length(n).cast(pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(norm, batch_format="pyarrow")
+
+
+def q_dsir_select(sf_dir: str):
+    """The DSIR SELECTION step: top-100 raw-corpus documents by
+    importance score (exact int64 micro-nats, doc_id tie-break) — the
+    deterministic stand-in for gumbel-top-k resampling. Distributed
+    sort+limit over the score table; the text never moves."""
+    return q_dsir_scores(sf_dir).sort(
+        ["score_q", "doc_id"], descending=[True, False]).limit(100)
+
+
 def _bloom_decontam_sql(k: int = 5, bench_lt: int = 20,
                         n_bits: int = 1 << 16, depth: int = 4) -> str:
     """Oracle for q_bloom_decontaminate: the `_decontam_sql` FNV shingle
@@ -2487,6 +2552,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
     "dsir_scores": q_dsir_scores,
+    "dsir_select": q_dsir_select,
+    "bpe_token_count": q_bpe_token_count,
+    "normalize_text": q_normalize_text,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repeated_substrings": q_repeated_substrings,
     "embedding_quantize": q_embedding_quantize,
@@ -2999,6 +3067,28 @@ GROUP BY 1
     "decontaminate": _decontam_sql(),
     "bloom_decontaminate": _bloom_decontam_sql(),
     "dsir_scores": _dsir_sql(),
+    "dsir_select": _dsir_sql() + "ORDER BY score_q DESC, d.doc_id LIMIT 100",
+    "bpe_token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS BIGINT) AS n_bpe_pretokens
+FROM documents
+""",
+    "normalize_text": r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                           '\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                           '\s+', ' ', 'g')) <> COALESCE(text, '')
+         AS changed,
+       CAST(length(trim(regexp_replace(lower(nfc_normalize(
+            COALESCE(text, ''))), '\s+', ' ', 'g'))) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+""",
     "boilerplate_ngrams": _boilerplate_sql(),
     "repeated_substrings": _repeated_substr_sql(),
     "domain_cap": r"""
