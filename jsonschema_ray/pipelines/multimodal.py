@@ -648,6 +648,174 @@ def image_features(source: Any, *, concurrency=(1, 8), batch_size: int = 256):
         batch_size=batch_size, batch_format="pyarrow")
 
 
+def _decode_any_image(p: bytes | None):
+    """Dispatch by magic bytes: PNG / JPEG / netpbm → HxWxC uint8."""
+    from jsonschema_ray.functions.jpeg import decode_jpeg
+
+    if p is not None and p[:8] == _PNG_SIG:
+        return decode_png(p)
+    if p is not None and p[:2] == b"\xFF\xD8":
+        return decode_jpeg(p)
+    return decode_netpbm(p)
+
+
+_DCT32 = None
+
+
+def _resize_area(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Box-filter (area-average) downscale to (oh, ow) float64 — the
+    anti-aliased resize pHash needs; nearest-neighbour SAMPLING would
+    alias high-frequency content and make the hash encode-sensitive."""
+    h, w = gray.shape
+    g = gray.astype(np.float64)
+    rb = (np.arange(oh + 1) * h) // oh        # row bin edges
+    cb = (np.arange(ow + 1) * w) // ow
+    rs = np.add.reduceat(g, rb[:-1], axis=0)
+    rc = np.add.reduceat(rs, cb[:-1], axis=1)
+    area = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    return rc / np.maximum(area, 1)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit PERCEPTUAL image hash (classic pHash): grayscale →
+    32×32 → orthonormal 2-D DCT-II → the low-frequency 8×8 block →
+    bit_i = coeff_i > median(block \\ DC). Deterministic (pure numpy
+    matmul DCT, no codec libs); robust to re-encoding/quality changes,
+    which exact byte hashes are blind to."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        j = np.arange(n)[None, :]
+        c = np.cos(np.pi * (2 * j + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        c[0] *= np.sqrt(0.5)
+        _DCT32 = c
+    if img.ndim == 3 and img.shape[2] >= 3:
+        # ITU-R 601 luma — matches JPEG's Y channel, so 4:2:0 chroma
+        # subsampling noise doesn't leak into the hash
+        gray = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2])
+    else:
+        gray = img[:, :, 0].astype(np.float64) if img.ndim == 3 \
+            else img.astype(np.float64)
+    g = _resize_area(gray, 32, 32)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class DecodeImagePhash:
+    """Actor stage: decode (PNG/JPEG/netpbm by magic) → pHash →
+    (key, phash int64 bit-view, chunk0..chunk7) — the eight 8-bit
+    chunks are the Hamming-≤7 LSH buckets (pigeonhole: distance ≤ 7
+    flips bits in at most 7 chunks, so one chunk must match; 7 covers
+    the standard pHash same-image radius for re-encodes)."""
+
+    N_CHUNKS = 8
+
+    def __init__(self, key_col: str = "media_ref"):
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        ph = np.zeros(n, np.uint64)
+        ok = np.zeros(n, bool)
+        for i, p in enumerate(payloads):
+            img = _decode_any_image(p)
+            if img is None:
+                continue
+            ok[i] = True
+            ph[i] = np.uint64(phash64(img))
+        keys = batch.column(self.key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        sel = pa.array(np.flatnonzero(ok))
+        ph = ph[ok]
+        cols = {self.key_col: keys.take(sel),
+                "phash": pa.array(ph.view(np.int64))}
+        for c in range(self.N_CHUNKS):
+            cols[f"chunk{c}"] = pa.array(
+                ((ph >> np.uint64(8 * c)) & np.uint64(0xFF))
+                .astype(np.int32))
+        return pa.table(cols)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via byte unpack."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def phash_near_dup(source: Any, key_col: str = "media_ref",
+                   max_hamming: int = 7, max_bucket: int = 1024, *,
+                   concurrency=(1, 8), batch_size: int = 256):
+    """Perceptual near-duplicate IMAGE pairs: decode → pHash →
+    8-bit-chunk LSH → in-bucket exact Hamming verify. EXHAUSTIVE for
+    ``max_hamming ≤ 7`` (pigeonhole over the 8 chunks — the standard
+    pHash same-image radius); payload bytes never shuffle — only
+    (key, phash, chunk) rows do, and the verify needs nothing but the
+    64-bit hashes already in the bucket group. 8-bit chunks mean
+    bucket occupancy ~N/256 per chunk — dense corpora hit the
+    deterministic ``max_bucket`` truncation (``n_dropped`` accounted);
+    a production radius-≤7 index would shard each chunk bucket by a
+    second chunk (multi-index hashing) before the pair expansion.
+
+    → Dataset (key_a, key_b, hamming, n_dropped), deduped across
+    buckets."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    src = as_source(source)
+    hashed = src.dataset().map_batches(
+        DecodeImagePhash, fn_constructor_kwargs={"key_col": key_col},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in range(DecodeImagePhash.N_CHUNKS):
+            parts.append(pa.table({
+                key_col: t.column(key_col),
+                "phash": t.column("phash"),
+                "c": pa.array(np.full(t.num_rows, c, np.int32)),
+                "cv": t.column(f"chunk{c}"),
+            }))
+        return pa.concat_tables(parts)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[key_col].to_numpy(), kind="mergesort")
+        ks = g[key_col].to_numpy()[order]
+        hs = g["phash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        dropped = 0
+        if len(ks) > max_bucket:
+            dropped = len(ks) - max_bucket
+            ks, hs = ks[:max_bucket], hs[:max_bucket]
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": ks[:0], "key_b": ks[:0],
+                                 "hamming": np.array([], np.int64),
+                                 "n_dropped": np.array([], np.int64)})
+        i, j = np.triu_indices(len(ks), k=1)
+        ham = _popcount64(hs[i] ^ hs[j])
+        keep = ham <= max_hamming
+        i, j, ham = i[keep], j[keep], ham[keep]
+        nd = np.zeros(len(i), np.int64)
+        if dropped and len(i):
+            nd[0] = dropped
+        return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
+                             "hamming": ham, "n_dropped": nd})
+
+    pairs = hashed.map_batches(chunk_rows, batch_format="pyarrow") \
+        .groupby(["c", "cv"]).map_groups(pairs_of_group,
+                                         batch_format="pandas")
+    return pairs.groupby(["key_a", "key_b"]).aggregate(
+        Min("hamming", alias_name="hamming"),
+        Sum("n_dropped", alias_name="n_dropped"))
+
+
 # ---------------------------------------------------------------------------
 # MP4 / ISO-BMFF container parsing (metadata level — REAL, no codec).
 # Box structure per ISO/IEC 14496-12: length-prefixed fourcc tree.

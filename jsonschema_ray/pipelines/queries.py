@@ -2248,6 +2248,37 @@ def q_metaschema_scale(sf_dir: str):
     return out.rename(columns={"count()": "docs"})
 
 
+def q_phash_near_dup(sf_dir: str):
+    """* rows-only: perceptual-hash near-duplicate image pairs over a
+    deterministic REAL-JPEG corpus with planted re-encodes (baseline vs
+    progressive streams of the same pixels). Actor-pool decode → pHash
+    (luma, area resize, 32×32 DCT) → 8-bit-chunk Hamming LSH →
+    in-bucket exact verify; payload bytes never shuffle. No SQL oracle
+    (binary payloads aren't a DuckDB view); re-encode invariance and
+    pair exactness are pinned in ``tests/test_multimodal.py``."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (phash_near_dup,
+                                                     synth_jpeg_bytes)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = max(64, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+            // 8)
+    refs, payloads = [], []
+    for i in range(n):
+        refs.append(f"jpg{i:06d}")
+        payloads.append(synth_jpeg_bytes(seed=i))
+        if i % 5 == 0:
+            refs.append(f"prog{i:06d}")
+            payloads.append(synth_jpeg_bytes(seed=i, progressive=True))
+    t = pa.table({"media_ref": pa.array(refs),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = phash_near_dup(DatasetSource(rd.from_arrow(t).repartition(8)))
+    return out.sort(["key_a", "key_b"])
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode as actor-pool
     ``map_batches`` stages, long-format (stage, media_ref, decode_ok,
@@ -2594,6 +2625,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_embeddings": q_near_dup_embeddings,
     "profile_interleaved": q_profile_interleaved,
     "media_features_real": q_media_features_real,
+    "phash_near_dup": q_phash_near_dup,
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,

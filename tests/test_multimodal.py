@@ -345,3 +345,46 @@ def test_media_corpus_contains_progressive_jpeg():
         kinds.add("progressive" if sof else "baseline")
         assert decode_jpeg(payload) is not None
     assert kinds == {"baseline", "progressive"}
+
+
+def test_phash_near_dup_reencodes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.functions.jpeg import encode_jpeg
+    from jsonschema_ray.pipelines.multimodal import (encode_png, phash64,
+                                                     phash_near_dup,
+                                                     synth_jpeg_bytes,
+                                                     _decode_any_image)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    yy, xx = np.mgrid[0:40, 0:48]
+    # smooth low-frequency content (pHash's domain: re-encoded photos,
+    # not adversarial sawtooth wraps)
+    img = np.stack([
+        127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        127 + 100 * np.cos((xx + yy) / 11.0),
+        xx * 255 / 47.0,
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    rows = [("q85", encode_jpeg(img, quality=85)),
+            ("q60", encode_jpeg(img, quality=60)),
+            ("png", encode_png(img))]
+    rows += [(f"bg{i}", synth_jpeg_bytes(seed=100 + i)) for i in range(20)]
+    t = pa.table({"media_ref": pa.array([r[0] for r in rows]),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+
+    # pHash invariance across re-encodes of the SAME pixels
+    hs = {k: phash64(_decode_any_image(p)) for k, p in rows[:3]}
+    assert bin(hs["q85"] ^ hs["png"]).count("1") <= 7
+    assert bin(hs["q85"] ^ hs["q60"]).count("1") <= 7
+
+    out = phash_near_dup(
+        DatasetSource(rd.from_arrow(t).repartition(4))).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in
+           zip(out["key_a"], out["key_b"])}
+    assert {("png", "q85"), ("png", "q60"), ("q60", "q85")} <= got
+    # background gradients with different seeds must not all collide
+    assert len(got) < 20
+    assert (out["hamming"] <= 7).all()
+    assert (out["n_dropped"] == 0).all()
