@@ -237,6 +237,30 @@ def synth_wav_bytes(seed: int, sr: int = 8000, max_ms: int = 200) -> bytes:
     return buf.getvalue()
 
 
+def synth_rich_wav_bytes(seed: int, scale: float = 1.0, sr: int = 8000,
+                         n: int = 4000) -> bytes:
+    """Deterministic multi-sine + noise PCM WAV (richer spectrum than
+    ``synth_wav_bytes`` — enough band structure for fingerprinting);
+    ``scale`` re-encodes the same signal at a different amplitude."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / sr
+    s = sum(np.sin(2 * np.pi * f * t + ph) * a for f, ph, a in
+            zip(rng.uniform(80, 2000, 4), rng.uniform(0, 6, 4),
+                rng.uniform(0.1, 0.3, 4)))
+    s = s + 0.01 * rng.standard_normal(n)
+    pcm = (np.clip(s * scale, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synth_ppm_bytes(seed: int, max_dim: int = 48) -> bytes:
     """Deterministic binary P6 PPM: a seeded gradient image."""
     rng = np.random.default_rng(seed)
@@ -814,6 +838,127 @@ def phash_near_dup(source: Any, key_col: str = "media_ref",
     return pairs.groupby(["key_a", "key_b"]).aggregate(
         Min("hamming", alias_name="hamming"),
         Sum("n_dropped", alias_name="n_dropped"))
+
+
+def _hk_band_edges(frame: int, n_bands: int) -> np.ndarray:
+    """Deterministic log-spaced rfft-bin edges (n_bands+1), strictly
+    increasing (each edge at least 1 bin past the previous)."""
+    raw = np.geomspace(2, frame // 2, n_bands + 1)
+    edges = np.empty(n_bands + 1, np.int64)
+    prev = 0
+    for i, v in enumerate(raw):
+        prev = max(prev + 1, int(round(v)))
+        edges[i] = prev
+    return edges
+
+
+def audio_fingerprint(samples: np.ndarray, frame: int = 256,
+                      hop: int = 128, n_bands: int = 17) -> np.ndarray:
+    """Haitsma–Kalker robust audio sub-fingerprints ("A Highly Robust
+    Audio Fingerprinting System", ISMIR 2002): per overlapping window,
+    FFT energy in log-spaced bands; bit m = sign of the band-energy
+    difference's TIME derivative, ``(E[n,m]−E[n,m+1]) −
+    (E[n−1,m]−E[n−1,m+1])``. Sign-of-difference is invariant to
+    amplitude scaling and robust to re-encoding. → int32 array of
+    16-bit sub-fingerprints, one per frame after the first."""
+    n = (len(samples) - frame) // hop + 1
+    if n < 2:
+        return np.empty(0, np.int32)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(samples[idx] * win, axis=1)) ** 2
+    edges = _hk_band_edges(frame, n_bands)
+    e = np.add.reduceat(spec, edges[:-1], axis=1)[:, :n_bands]
+    d = e[:, :-1] - e[:, 1:]
+    bits = (d[1:] - d[:-1]) > 0                      # (n-1, 16)
+    weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+    return (bits @ weights).astype(np.int32)
+
+
+class AudioFingerprintStage:
+    """Actor stage: WAV decode → H-K sub-fingerprints → one row per
+    (key, frame, fp). Undecodable payloads emit nothing."""
+
+    def __init__(self, key_col: str = "media_ref"):
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        keys = batch.column(self.key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        out_i, out_f, out_fp = [], [], []
+        for i, p in enumerate(payloads):
+            dec = decode_wav(p)
+            if dec is None:
+                continue
+            fps = audio_fingerprint(dec[2])
+            out_i.append(np.full(len(fps), i, np.int64))
+            out_f.append(np.arange(len(fps), dtype=np.int32))
+            out_fp.append(fps)
+        if not out_i:
+            return pa.table({self.key_col: keys.slice(0, 0),
+                             "frame": pa.array([], pa.int32()),
+                             "fp": pa.array([], pa.int32())})
+        sel = np.concatenate(out_i)
+        return pa.table({
+            self.key_col: keys.take(pa.array(sel)),
+            "frame": pa.array(np.concatenate(out_f)),
+            "fp": pa.array(np.concatenate(out_fp)),
+        })
+
+
+def audio_near_dup(source: Any, key_col: str = "media_ref",
+                   min_shared: int = 5, max_bucket: int = 1024, *,
+                   concurrency=(1, 8), batch_size: int = 256):
+    """Audio near-duplicate pairs: decode → H-K sub-fingerprints →
+    bucket by fingerprint VALUE (position-invariant) → per-bucket pair
+    expansion over DISTINCT keys → pairs sharing ≥ ``min_shared``
+    distinct sub-fingerprints. Payload bytes never shuffle — only
+    (key, fp) rows. Degenerate buckets (e.g. silence frames shared by
+    everything) are truncated deterministically with ``n_dropped``
+    accounting, same policy as every LSH stage here.
+
+    → Dataset (key_a, key_b, n_shared, n_dropped)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    src = as_source(source)
+    rows = src.dataset().map_batches(
+        AudioFingerprintStage, fn_constructor_kwargs={"key_col": key_col},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(g[key_col].to_numpy())
+        dropped = 0
+        if len(ks) > max_bucket:
+            dropped = len(ks) - max_bucket
+            ks = ks[:max_bucket]
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": ks[:0], "key_b": ks[:0],
+                                 "n_dropped": np.array([], np.int64)})
+        i, j = np.triu_indices(len(ks), k=1)
+        nd = np.zeros(len(i), np.int64)
+        if dropped:
+            nd[0] = dropped
+        return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
+                             "n_dropped": nd})
+
+    pairs = rows.groupby("fp").map_groups(pairs_of_group,
+                                          batch_format="pandas")
+    agg = pairs.groupby(["key_a", "key_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Sum("n_dropped", alias_name="n_dropped"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_shared"),
+                                         min_shared))
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -2279,6 +2279,37 @@ def q_phash_near_dup(sf_dir: str):
     return out.sort(["key_a", "key_b"])
 
 
+def q_audio_near_dup(sf_dir: str):
+    """* rows-only: Haitsma–Kalker audio-fingerprint near-dup pairs
+    over a deterministic multi-sine WAV corpus with planted
+    amplitude-rescaled re-encodes. Actor-pool decode → 16-bit
+    sub-fingerprints → fingerprint-value buckets → pairs sharing ≥ 8
+    distinct sub-fingerprints; payloads never shuffle. Scale-invariance
+    pinned in ``tests/test_multimodal.py``."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (audio_near_dup,
+                                                     synth_rich_wav_bytes)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = max(32, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+            // 16)
+    refs, payloads = [], []
+    for i in range(n):
+        refs.append(f"wav{i:06d}")
+        payloads.append(synth_rich_wav_bytes(seed=i))
+        if i % 7 == 0:
+            refs.append(f"dup{i:06d}")
+            payloads.append(synth_rich_wav_bytes(seed=i, scale=0.7))
+    t = pa.table({"media_ref": pa.array(refs),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = audio_near_dup(DatasetSource(rd.from_arrow(t).repartition(8)),
+                         min_shared=8)
+    return out.sort(["key_a", "key_b"])
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode as actor-pool
     ``map_batches`` stages, long-format (stage, media_ref, decode_ok,
@@ -2626,6 +2657,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "profile_interleaved": q_profile_interleaved,
     "media_features_real": q_media_features_real,
     "phash_near_dup": q_phash_near_dup,
+    "audio_near_dup": q_audio_near_dup,
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,

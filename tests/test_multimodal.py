@@ -388,3 +388,56 @@ def test_phash_near_dup_reencodes(ray_session):
     assert len(got) < 20
     assert (out["hamming"] <= 7).all()
     assert (out["n_dropped"] == 0).all()
+
+
+def test_audio_fingerprint_near_dup(ray_session):
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (audio_fingerprint,
+                                                     audio_near_dup)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    sr = 8000
+
+    def signal(seed, n=4000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sr
+        s = sum(np.sin(2 * np.pi * f * t + ph) * a for f, ph, a in
+                zip(rng.uniform(80, 2000, 4), rng.uniform(0, 6, 4),
+                    rng.uniform(0.1, 0.3, 4)))
+        return s + 0.01 * rng.standard_normal(n)
+
+    def wav(s):
+        pcm = (np.clip(s, -1, 1) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    base = signal(1)
+    # amplitude scaling: H-K sign bits are scale-invariant up to
+    # 16-bit requantization noise
+    fa = audio_fingerprint((np.clip(base, -1, 1) * 32767)
+                           .astype("<i2") / 32768.0)
+    fb = audio_fingerprint((np.clip(base * 0.7, -1, 1) * 32767)
+                           .astype("<i2") / 32768.0)
+    assert (fa == fb).mean() > 0.7
+
+    rows = [("orig", wav(base)), ("scaled", wav(base * 0.7)),
+            ("other", wav(signal(2))), ("third", wav(signal(3)))]
+    t = pa.table({"media_ref": pa.array([r[0] for r in rows]),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = audio_near_dup(DatasetSource(rd.from_arrow(t)),
+                         min_shared=8).to_pandas()
+    got = {tuple(sorted((a, b))): n for a, b, n in
+           zip(out["key_a"], out["key_b"], out["n_shared"])}
+    assert ("orig", "scaled") in got and got[("orig", "scaled")] >= 8
+    assert ("orig", "other") not in got
