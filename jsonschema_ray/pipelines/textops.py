@@ -824,33 +824,36 @@ def cms_token_registers(source, text_col: str = "text", depth: int = 4,
             col = col.combine_chunks()
         _, flat = _tokenize_flat(col)
         h = token_hash(flat) if len(flat) else np.empty(0, np.uint64)
-        cells: list[np.ndarray] = []
-        counts: list[np.ndarray] = []
+        # one fused bincount over cell = r·width + pos for all rows
         with np.errstate(over="ignore"):
-            for r in range(depth):
-                pos = ((h * a[r] + b[r]) >> shift).astype(np.int64)
-                cnt = np.bincount(pos, minlength=width)
-                nz = np.flatnonzero(cnt)
-                cells.append(nz + r * width)
-                counts.append(cnt[nz])
-        cell = np.concatenate(cells) if cells else np.empty(0, np.int64)
-        cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
-        return pa.table({"cell": pa.array(cell, pa.int64()),
-                         "cnt": pa.array(cnt.astype(np.int64))})
+            pos = ((h[None, :] * a[:, None] + b[:, None]) >> shift)
+        cell_all = (pos + (np.arange(depth, dtype=np.uint64) * np.uint64(width))[:, None]).ravel()
+        cnt = np.bincount(cell_all.astype(np.int64),
+                          minlength=depth * width)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
 
     agg = as_source(source).dataset(columns=[text_col]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("cell").sum("cnt")
 
     def split(t: pa.Table) -> pa.Table:
-        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "cell": t.column("cell"),
+            "cnt": t.column("sum(cnt)").cast(pa.int64()),
+        }).sort_by("cell")              # local: blocks stay ordered
+        cell = out.column("cell").to_numpy(zero_copy_only=False)
         return pa.table({
             "r": pa.array(cell // width, pa.int64()),
             "c": pa.array(cell % width, pa.int64()),
-            "cnt": t.column("sum(cnt)").cast(pa.int64()),
+            "cnt": out.column("cnt"),
         })
 
-    return agg.map_batches(split, batch_format="pyarrow").sort(["r", "c"])
+    # no global sort: Ray's sort-based aggregate already emits blocks
+    # in cell order, and cell = r·width + c is monotone in (r, c); a
+    # dedicated Sort would be a third all-to-all just to re-derive it
+    return agg.map_batches(split, batch_format="pyarrow")
 
 
 def cms_estimate(registers, tokens, depth: int = 4, width: int = 1024,

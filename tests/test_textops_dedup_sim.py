@@ -1244,3 +1244,35 @@ def test_dsir_scores_prefer_target_like(ray_session):
     # target-like docs outscore off-topic ones
     assert s[100] > s[101] and s[102] > s[101]
     assert s[100] > s[200]
+
+
+def test_session3_ops_empty_and_null_inputs(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import bloom_decontaminate
+    from jsonschema_ray.pipelines.textops import (add_gopher_flags,
+                                                  cms_token_registers,
+                                                  dsir_scores)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([None, None], pa.string())})
+    src = DatasetSource(rd.from_arrow(nulls))
+
+    g = add_gopher_flags(nulls)
+    assert g.column("n_words").to_pylist() == [0, 0]
+    assert g.column("passes").to_pylist() == [False, False]
+
+    regs = cms_token_registers(src).to_pandas()
+    assert len(regs) == 0
+
+    bench = DatasetSource(rd.from_arrow(_docs_table([(0, "a b c d e f")])))
+    out = bloom_decontaminate(src, bench, shingle_k=5).to_pandas()
+    assert len(out) == 0
+    # and an EMPTY benchmark side flags nothing in a real corpus
+    out2 = bloom_decontaminate(bench, src, shingle_k=5).to_pandas()
+    assert len(out2) == 0
+
+    sc = dsir_scores(src, bench).to_pandas().sort_values("doc_id")
+    assert sc["score_q"].tolist() == [0, 0]
+    assert sc["n_tokens"].tolist() == [0, 0]
