@@ -73,3 +73,51 @@ def run_checkpointed(
         "docs": docs_all, "violations": viol_all,
         "passed": viol_all == 0, "plan_hash": phash,
     }
+
+
+def run_transform_checkpointed(
+    input_paths: Sequence[str],
+    out_dir: str,
+    transform,
+    *,
+    fingerprint: str,
+    shard_size: int = 8,
+) -> dict[str, Any]:
+    """Resumable execution of ANY per-shard-independent transform —
+    the map family (quality flags, token counts, normalization,
+    redaction, chunking, Bloom scans / DSIR scoring against a FIXED
+    broadcast model): ``transform(src: ParquetSource) -> Dataset``.
+
+    Same manifest discipline as :func:`run_checkpointed`: each shard's
+    output parquet lands in ``out/shard=<i>/`` with a lineage manifest
+    (input files, ``fingerprint``, output row count, wall time) and a
+    ``_SUCCESS`` marker written last; resume skips shards whose
+    committed fingerprint matches. ``fingerprint`` must capture
+    everything the output depends on (operator version + parameters +
+    any broadcast model hash) — change it and every shard recomputes.
+
+    Cross-shard operators (dedup joins, global groupbys) can't be
+    sharded this way by definition; checkpoint their per-shard PARTIAL
+    stage with this runner and re-run the small global merge.
+
+    Returns {shards, ran, skipped, rows}."""
+    shards = mf.plan_shards(list(input_paths), shard_size)
+    done = skipped = 0
+    for i, files in enumerate(shards):
+        if mf.is_complete(out_dir, i, fingerprint):
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        m = transform(ParquetSource(files)).materialize()
+        rows = m.count()
+        d = mf.shard_dir(out_dir, i)
+        shutil.rmtree(d, ignore_errors=True)  # stale partials from a crash
+        m.write_parquet(d)
+        mf.commit_shard(out_dir, mf.ShardManifest(
+            shard=i, inputs=files, plan_hash=fingerprint,
+            docs=rows, violations=0,
+            wall_sec=round(time.perf_counter() - t0, 3)))
+        done += 1
+    rows_all = sum(m["docs"] for m in mf.load_manifests(out_dir))
+    return {"shards": len(shards), "ran": done, "skipped": skipped,
+            "rows": rows_all}
