@@ -150,7 +150,7 @@ def _tokenize_flat(texts: np.ndarray | pa.Array) -> tuple[np.ndarray, np.ndarray
 
 
 def _shingle_hashes(texts: np.ndarray, k: int,
-                    token_hash=hash64) -> tuple[np.ndarray, np.ndarray]:
+                    token_hash=hash64, return_pos: bool = False):
     """Word k-shingle hashes for a batch: returns (doc_idx, shingle_hash)
     flattened over all docs. Tokenization is Arrow ``utf8_split_whitespace``
     (vectorized); shingle hash is a rolling combine of token hashes over
@@ -163,6 +163,9 @@ def _shingle_hashes(texts: np.ndarray, k: int,
     # rolling k-gram combine: h[i] ^ rot(h[i+1]) ^ ... within same doc
     n = len(th)
     if n == 0:
+        if return_pos:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                    np.empty(0, np.int64))
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     with np.errstate(over="ignore"):
         acc = th.copy()
@@ -176,6 +179,8 @@ def _shingle_hashes(texts: np.ndarray, k: int,
             same[n - j:] = False
             acc = acc * np.uint64(1099511628211) + shifted  # FNV-ish combine
             valid &= same
+    if return_pos:
+        return doc_of_tok[valid], acc[valid], np.flatnonzero(valid)
     return doc_of_tok[valid], acc[valid]
 
 

@@ -1558,6 +1558,93 @@ def q_dsir_select(sf_dir: str):
         ["score_q", "doc_id"], descending=[True, False]).limit(100)
 
 
+def q_repetition_suite(sf_dir: str):
+    """The full Gopher within-doc repetition signal set: top-{2,3,4}
+    n-gram char coverage + duplicate-{5..10}-gram char coverage, all
+    exact integers (consumers form the threshold fractions). Zero
+    shuffle — 9 vectorized passes over the batch-flat token stream;
+    the md5/FNV chain re-derives every column in DuckDB."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.textops import repetition_suite
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return repetition_suite(ParquetSource(_pq(sf_dir, "documents")),
+                            token_hash=md5_hash64)
+
+
+def _repetition_suite_sql() -> str:
+    """Oracle for q_repetition_suite: per n in 2..10 an n-token
+    self-join gram CTE carrying the FNV fold hash (engine tie-break)
+    and the gram char length; top-gram by (count desc, fold asc),
+    duplicate coverage by DISTINCT covered token rows (no double
+    counting, same as the engine's per-token marking)."""
+    F, TWO64 = 1099511628211, 1 << 64
+    parts = []
+    finals = []
+    for n in range(2, 11):
+        joins = "\n  ".join(
+            f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+            for j in range(1, n))
+        fold = "CAST(t0.h AS HUGEINT)"
+        wlen = "t0.l"
+        for j in range(1, n):
+            fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+            wlen += f" + t{j}.l"
+        parts.append(f"""g{n} AS (
+  SELECT t0.doc_id, t0.r, {fold} AS f, {wlen} + {n - 1} AS w
+  FROM th t0
+  {joins}
+), c{n} AS (
+  SELECT doc_id, f, count(*) AS cnt, MIN(w) AS w
+  FROM g{n} GROUP BY doc_id, f
+)""")
+        if n <= 4:
+            parts.append(f"""t{n}x AS (
+  SELECT doc_id, CAST(cnt * w AS BIGINT) AS chars
+  FROM (SELECT doc_id, cnt, w,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, f ASC) AS rk
+        FROM c{n}) WHERE rk = 1
+)""")
+            finals.append(
+                f"COALESCE(t{n}x.chars, 0) AS top{n}_chars")
+        else:
+            parts.append(f"""d{n}x AS (
+  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS chars FROM (
+    SELECT DISTINCT g.doc_id, t.r, t.l
+    FROM g{n} g
+    JOIN c{n} c ON c.doc_id = g.doc_id AND c.f = g.f AND c.cnt >= 2
+    JOIN th t ON t.doc_id = g.doc_id
+            AND t.r BETWEEN g.r AND g.r + {n - 1}
+  ) GROUP BY doc_id
+)""")
+            finals.append(
+                f"COALESCE(d{n}x.chars, 0) AS dup{n}_chars")
+    sel_joins = "\n".join(
+        f"LEFT JOIN t{n}x ON t{n}x.doc_id = d.doc_id" if n <= 4 else
+        f"LEFT JOIN d{n}x ON d{n}x.doc_id = d.doc_id"
+        for n in range(2, 11))
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         md5_number_lower(tok) AS h, length(tok) AS l
+  FROM tp WHERE tok <> ''
+), tc AS (
+  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS tok_chars FROM th
+  GROUP BY doc_id
+), {", ".join(parts)}
+SELECT d.doc_id, COALESCE(tc.tok_chars, 0) AS tok_chars,
+       {", ".join(finals)}
+FROM documents d
+LEFT JOIN tc ON tc.doc_id = d.doc_id
+{sel_joins}
+"""
+
+
 def _bloom_decontam_sql(k: int = 5, bench_lt: int = 20,
                         n_bits: int = 1 << 16, depth: int = 4) -> str:
     """Oracle for q_bloom_decontaminate: the `_decontam_sql` FNV shingle
@@ -2609,6 +2696,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_lm": q_unigram_lm,
     "quality_counts": q_quality_counts,
     "gopher_rules": q_gopher_rules,
+    "repetition_suite": q_repetition_suite,
     "langid": q_langid,
     "dedup_exact_summary": q_dedup_exact_summary,
     "decontaminate": q_decontaminate,
@@ -3130,6 +3218,7 @@ GROUP BY 1
     "minhash_pairs": _minhash_sql(),
     "decontaminate": _decontam_sql(),
     "bloom_decontaminate": _bloom_decontam_sql(),
+    "repetition_suite": _repetition_suite_sql(),
     "dsir_scores": _dsir_sql(),
     "dsir_select": _dsir_sql() + "ORDER BY score_q DESC, d.doc_id LIMIT 100",
     "bpe_token_count": r"""

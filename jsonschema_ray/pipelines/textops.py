@@ -964,3 +964,89 @@ def dsir_scores(source, target_source, key_col: str = "doc_id",
 
     return as_source(source).dataset(columns=[key_col, text_col]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def repetition_suite(source, key_col: str = "doc_id",
+                     text_col: str = "text", token_hash=hash64):
+    """The FULL Gopher within-document repetition rule set (Rae et al.
+    2021, Table A1 — the signals behind the dup-fraction filters):
+
+    - ``top{2,3,4}_chars``: characters covered by the doc's most
+      frequent word n-gram (count × gram char length; ties broken by
+      the gram's chain hash — deterministic without materializing gram
+      strings, and replicable in SQL);
+    - ``dup{5..10}_chars``: characters of tokens covered by ANY
+      duplicated word n-gram instance (per-token marking, so
+      overlapping instances never double-count);
+    - ``tok_chars``: the denominator (total token characters).
+
+    All integer outputs — consumers form the Gopher fractions/
+    thresholds without float hashes. One vectorized pass per n over
+    the batch-flat token stream (9 passes), zero shuffle. With
+    ``token_hash=md5_hash64`` the whole suite re-derives in DuckDB.
+    """
+    from jsonschema_ray.pipelines.dedup import _shingle_hashes, _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.to_numpy(zero_copy_only=False)
+        counts, flat = _tokenize_flat(texts)
+        nd = t.num_rows
+        lens = pc.utf8_length(pa.array(flat, pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.empty(0, np.int64)
+        cs = np.concatenate([[0], np.cumsum(lens)])
+        doc_of = np.repeat(np.arange(nd), counts)
+        out = {key_col: t.column(key_col),
+               "tok_chars": pa.array(np.bincount(
+                   doc_of, weights=lens, minlength=nd).astype(np.int64))}
+
+        for n in range(2, 11):
+            top = np.zeros(nd, np.int64)
+            dup = np.zeros(nd, np.int64)
+            d, f, p = _shingle_hashes(texts, n, token_hash=token_hash,
+                                      return_pos=True)
+            if len(f):
+                win = cs[p + n] - cs[p] + (n - 1)      # gram char length
+                order = np.lexsort((f, d))
+                ds_, fs, ps, ws = d[order], f[order], p[order], win[order]
+                grp = np.empty(len(fs), bool)
+                grp[0] = True
+                grp[1:] = (ds_[1:] != ds_[:-1]) | (fs[1:] != fs[:-1])
+                gid = np.cumsum(grp) - 1
+                cnt = np.bincount(gid)
+                if n <= 4:
+                    # top gram per doc: count desc, fold-hash asc; the
+                    # lexsort above orders folds asc within doc, so the
+                    # FIRST group with max count per doc wins the tie
+                    starts = np.flatnonzero(grp)
+                    gdoc, gw = ds_[starts], ws[starts]
+                    gchars = cnt * gw
+                    o2 = np.lexsort((fs[starts], -cnt, gdoc))
+                    first = np.empty(len(o2), bool)
+                    gd2 = gdoc[o2]
+                    first[0] = True
+                    first[1:] = gd2[1:] != gd2[:-1]
+                    top[gd2[first]] = gchars[o2][first]
+                else:
+                    # mark tokens covered by instances of dup grams
+                    dup_inst = cnt[gid] >= 2
+                    if dup_inst.any():
+                        pd_, dd = ps[dup_inst], ds_[dup_inst]
+                        m = len(lens)
+                        diff = np.zeros(m + 1, np.int64)
+                        np.add.at(diff, pd_, 1)
+                        np.add.at(diff, pd_ + n, -1)
+                        covered = np.cumsum(diff[:-1]) > 0
+                        dup = np.bincount(doc_of[covered],
+                                          weights=lens[covered],
+                                          minlength=nd).astype(np.int64)
+            name = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
+            out[name] = pa.array(top if n <= 4 else dup)
+        return pa.table(out)
+
+    return as_source(source).dataset(columns=[key_col, text_col]) \
+        .map_batches(per_batch, batch_format="pyarrow")

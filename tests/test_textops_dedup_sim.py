@@ -1276,3 +1276,31 @@ def test_session3_ops_empty_and_null_inputs(ray_session):
     sc = dsir_scores(src, bench).to_pandas().sort_values("doc_id")
     assert sc["score_q"].tolist() == [0, 0]
     assert sc["n_tokens"].tolist() == [0, 0]
+
+
+def test_repetition_suite_hand_computed(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.textops import repetition_suite
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    rows = [
+        (1, "a b a b a b"),                  # top2 "a b" ×3, len 3 → 9
+        (2, "x y z w v x y z w v q"),        # dup5 "x y z w v" ×2
+        (3, "all tokens unique here now"),
+        (4, None),
+    ]
+    src = DatasetSource(rd.from_arrow(_docs_table(rows)))
+    df = repetition_suite(src).to_pandas().set_index("doc_id")
+
+    assert df.loc[1, "tok_chars"] == 6
+    assert df.loc[1, "top2_chars"] == 9        # 3 instances × ("a b"=3)
+    assert df.loc[1, "top3_chars"] == 10       # "a b a" ×2 × len 5
+    # doc2: the repeated 5-gram covers all tokens except the final 'q'
+    assert df.loc[2, "dup5_chars"] == 10       # 10 covered 1-char tokens
+    assert df.loc[2, "dup6_chars"] == 0
+    assert df.loc[3, "dup5_chars"] == 0
+    # a doc of unique tokens: every 2-gram count is 1 → the fold-hash
+    # tie-break picks ONE gram; its chars = 1 × (len_a + len_b + 1)
+    assert df.loc[3, "top2_chars"] in (10, 13, 11, 8)
+    assert df.loc[4].tolist() == [0] * 10
