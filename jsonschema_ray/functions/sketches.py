@@ -73,6 +73,22 @@ def md5_hash64(values: np.ndarray) -> np.ndarray:
     return hu[inv]
 
 
+def md5_hash64_upper(values: np.ndarray) -> np.ndarray:
+    """First 8 digest bytes, little-endian — bit-identical to DuckDB's
+    ``md5_number_upper``; the independent partner hash to
+    :func:`md5_hash64` for Kirsch–Mitzenmacher double hashing."""
+    import hashlib
+
+    if len(values) == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(values.astype(object), return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8],
+                        "little") for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
 class HyperLogLog:
     """Dense HLL, p=12 (4096 registers, ~1.6% relative error)."""
 
@@ -291,27 +307,37 @@ class BloomFilter:
     independent 64-bit hashes (Kirsch–Mitzenmacher double hashing) —
     fully vectorized."""
 
-    def __init__(self, n_bits: int, k: int):
+    def __init__(self, n_bits: int, k: int, hash_mode: str = "fast"):
         if n_bits <= 0 or k <= 0:
             raise ValueError("n_bits and k must be positive")
+        if hash_mode not in ("fast", "md5"):
+            raise ValueError("hash_mode must be 'fast' or 'md5'")
         self.n_bits = int(n_bits)
         self.k = int(k)
+        self.hash_mode = hash_mode
         self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
 
     @classmethod
-    def for_capacity(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+    def for_capacity(cls, n_items: int, fpp: float = 0.01,
+                     hash_mode: str = "fast") -> "BloomFilter":
         """Standard sizing: m = -n·ln(p)/ln(2)², k = m/n·ln(2)."""
         n_items = max(1, int(n_items))
         m = int(np.ceil(-n_items * np.log(fpp) / (np.log(2) ** 2)))
         k = max(1, int(round(m / n_items * np.log(2))))
-        return cls(m, k)
+        return cls(m, k, hash_mode)
 
     def _positions(self, values: np.ndarray) -> np.ndarray:
-        h1 = hash64(values, seed=0)
-        h2 = hash64(values, seed=1) | np.uint64(1)    # odd → full cycle
+        if self.hash_mode == "md5":
+            # DuckDB-replicable pair: (md5_number_lower, md5_number_upper)
+            h1 = md5_hash64(values)
+            h2 = md5_hash64_upper(values) | np.uint64(1)
+        else:
+            h1 = hash64(values, seed=0)
+            h2 = hash64(values, seed=1) | np.uint64(1)  # odd → full cycle
         i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + i * h2[None, :])
-                % np.uint64(self.n_bits))             # (k, n)
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.n_bits))         # (k, n)
 
     def add(self, values: np.ndarray) -> "BloomFilter":
         pos = self._positions(values).ravel()
@@ -334,12 +360,14 @@ class BloomFilter:
         return self
 
     def serialize(self) -> bytes:
-        head = np.array([self.n_bits, self.k], dtype=np.int64).tobytes()
+        mode = 1 if self.hash_mode == "md5" else 0
+        head = np.array([self.n_bits, self.k, mode],
+                        dtype=np.int64).tobytes()
         return head + self.bits.tobytes()
 
     @classmethod
     def deserialize(cls, raw: bytes) -> "BloomFilter":
-        n_bits, k = np.frombuffer(raw, np.int64, 2)
-        bf = cls(int(n_bits), int(k))
-        bf.bits = np.frombuffer(raw, np.uint64, offset=16).copy()
+        n_bits, k, mode = np.frombuffer(raw, np.int64, 3)
+        bf = cls(int(n_bits), int(k), "md5" if mode == 1 else "fast")
+        bf.bits = np.frombuffer(raw, np.uint64, offset=24).copy()
         return bf

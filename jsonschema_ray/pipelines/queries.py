@@ -114,6 +114,64 @@ def q_val_ref_orders(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
+def q_val_ref_orders_bloom(sf_dir: str):
+    """Referential check, 10^12-TRIAGE tier: the same
+    orders→restricted-customer check through the distributed Bloom
+    filter (per-block partials → OR tree-merge → one broadcast probe
+    pass). With ``hash_mode='md5'`` the Kirsch–Mitzenmacher positions
+    are ``md5_number_lower/upper``, so DuckDB re-derives the exact BIT
+    ARRAY and therefore the exact violation set — certain violations
+    only; the ≈fpp that slip the probe slip identically in SQL. The
+    one-sided guarantee itself (flagged ⊆ true, slip ≈ fpp) is pinned
+    in ``tests/test_validate.py``."""
+    from jsonschema_ray.pipelines.validate import (bloom_ref_check,
+                                                   build_catalog_bloom)
+    from jsonschema_ray.sources.readers import DatasetSource, ParquetSource
+
+    def restrict(t: pa.Table) -> pa.Table:
+        kn = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(kn % 10 != 0))
+
+    cat = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(restrict, batch_format="pyarrow")
+    bloom = build_catalog_bloom(DatasetSource(cat), "c_custkey",
+                                hash_mode="md5")
+    return bloom_ref_check(
+        ParquetSource(_pq(sf_dir, "orders")), "o_custkey", bloom,
+        columns=["o_orderkey"])
+
+
+VAL_REF_ORDERS_BLOOM_SQL = r"""
+WITH cat AS (
+  SELECT c_custkey AS v FROM customer WHERE c_custkey % 10 <> 0
+), mk AS (
+  SELECT CAST(CEIL(-n * LN(0.01) / (LN(2) * LN(2))) AS BIGINT) AS m,
+         CAST(ROUND(CEIL(-n * LN(0.01) / (LN(2) * LN(2))) / n * LN(2))
+           AS BIGINT) AS k
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM cat)
+), ks AS (
+  SELECT unnest(generate_series(0, (SELECT k FROM mk) - 1)) AS i
+), bits AS (
+  SELECT DISTINCT
+    CAST(((CAST(md5_number_lower(CAST(v AS VARCHAR)) AS HUGEINT)
+           + i * (CAST(md5_number_upper(CAST(v AS VARCHAR)) AS HUGEINT)
+                  | CAST(1 AS HUGEINT)))
+          % 18446744073709551616) % (SELECT m FROM mk) AS BIGINT) AS p
+  FROM cat CROSS JOIN ks
+), probe AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(((CAST(md5_number_lower(CAST(o_custkey AS VARCHAR)) AS HUGEINT)
+           + i * (CAST(md5_number_upper(CAST(o_custkey AS VARCHAR))
+                       AS HUGEINT) | CAST(1 AS HUGEINT)))
+          % 18446744073709551616) % (SELECT m FROM mk) AS BIGINT) AS p
+  FROM orders CROSS JOIN ks
+)
+SELECT DISTINCT probe.o_orderkey, probe.o_custkey
+FROM probe LEFT JOIN bits ON bits.p = probe.p
+WHERE bits.p IS NULL
+"""
+
+
 def q_val_ref_orders_join(sf_dir: str):
     """Referential check, LARGE-catalog flavour (SURVEY §2.4 #42): the
     same orders→restricted-customer check as ``q_val_ref_orders``, but
@@ -2672,6 +2730,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "val_nchars_range": q_val_nchars_range,
     "val_unique_user": q_val_unique_user,
     "val_ref_orders": q_val_ref_orders,
+    "val_ref_orders_bloom": q_val_ref_orders_bloom,
     "val_ref_orders_join": q_val_ref_orders_join,
     "val_spans_documents": q_val_spans_documents,
     "val_props_payload": q_val_props_payload,
@@ -2811,6 +2870,7 @@ ORACLE: dict[str, str] = {
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_custkey NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
+    "val_ref_orders_bloom": VAL_REF_ORDERS_BLOOM_SQL,
     "val_ref_orders_join":
         "SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, "
         "'ref_custkey' AS rule_id, CAST(-1 AS INTEGER) AS span_index, "

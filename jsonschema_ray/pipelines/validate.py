@@ -563,7 +563,8 @@ def fast_validate(
 
 def build_catalog_bloom(catalog_source: Any, col: str, *,
                         fpp: float = 0.01,
-                        batch_size: int = 1 << 16):
+                        batch_size: int = 1 << 16,
+                        hash_mode: str = "fast"):
     """Distributed Bloom build: per-batch partial filters (identical
     shape, sized once from the catalog row count) OR-merge
     associatively — no shuffle, one pre-merge level bounds what the
@@ -577,11 +578,11 @@ def build_catalog_bloom(catalog_source: Any, col: str, *,
     src = as_source(catalog_source)
     ds = src.dataset(columns=[col])
     n = ds.count()
-    proto = BloomFilter.for_capacity(n, fpp)
+    proto = BloomFilter.for_capacity(n, fpp, hash_mode)
     n_bits, k = proto.n_bits, proto.k
 
     def partial(t: pa.Table) -> pa.Table:
-        bf = BloomFilter(n_bits, k)
+        bf = BloomFilter(n_bits, k, hash_mode)
         arr = t.column(col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -605,7 +606,7 @@ def build_catalog_bloom(catalog_source: Any, col: str, *,
             .map_batches(merge_block, batch_format="pyarrow",
                          batch_size=None)
             .take_all())
-    out = BloomFilter(n_bits, k)
+    out = BloomFilter(n_bits, k, hash_mode)
     for r in rows:
         out.merge(BloomFilter.deserialize(r["bloom"]))
     return out
