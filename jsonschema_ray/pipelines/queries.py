@@ -938,6 +938,38 @@ def q_events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_events_debounce(sf_dir: str):
+    """Streaming debounce/throttle (§2.9): drop an event arriving
+    within 60 s of the previous event of the same (user, type) —
+    LAG semantics, the standard duplicate-burst suppressor. One hash
+    shuffle on a user-hash BUCKET (256 real groups, never
+    one-pandas-frame-per-user), vectorized shift/compare inside each
+    bucket; ties broken by event_id exactly as the SQL window."""
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        pb = (hash64(u) % np.uint64(256)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        same = (g["user_id"].eq(g["user_id"].shift())
+                & g["event_type"].eq(g["event_type"].shift()))
+        close = (g["ts"] - g["ts"].shift()) < pd.Timedelta(seconds=60)
+        keep = ~(same & close)
+        out = g.loc[keep, ["event_id", "user_id", "event_type"]]
+        return out.reset_index(drop=True)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("pb").map_groups(debounce, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (pipelines/joins.py operators)
 # ---------------------------------------------------------------------------
@@ -2747,6 +2779,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly": q_events_hourly,
     "events_hopping": q_events_hopping,
     "events_sessionize": q_events_sessionize,
+    "events_debounce": q_events_debounce,
     "events_top_per_user": q_events_top_per_user,
     "asof_clicks": q_asof_clicks,
     "interval_windows": q_interval_windows,
@@ -2994,6 +3027,14 @@ ORACLE: dict[str, str] = {
         "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, "
         "count(*) AS n_events "
         "FROM e GROUP BY user_id",
+    "events_debounce": """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events)
+WHERE pts IS NULL OR ts - pts >= INTERVAL 60 SECOND
+""",
     "token_count":
         r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
         "FROM documents",
