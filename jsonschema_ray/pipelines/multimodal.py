@@ -1027,6 +1027,262 @@ def synth_mp4_bytes(seed: int) -> bytes:
     return ftyp + moov + mdat
 
 
+def synth_mjpeg_mp4_bytes(seed: int, n_frames: int = 9,
+                          quality: int = 85) -> bytes:
+    """Deterministic mp4 whose mdat holds REAL JPEG video samples
+    (Motion JPEG — the 'jpeg' sample entry of ISO 14496-12 + QTFF):
+    per-frame seeded smooth image with a per-frame brightness ramp,
+    encoded through ``functions/jpeg.encode_jpeg``. Single chunk,
+    per-sample stsz, keyframes every 3rd sample in stss. Re-encoding
+    the same seed at another ``quality`` yields a perceptually
+    identical, byte-different video — the video near-dup fixture."""
+    from jsonschema_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    w, h = 96, 80        # large enough that the pHash area-resize
+    yy, xx = np.mgrid[0:h, 0:w]   # genuinely averages (stable hash)
+    p1, p2 = rng.uniform(8, 25), rng.uniform(8, 25)
+    a1, a2 = rng.uniform(0, 6), rng.uniform(0, 6)
+    cx, cy = rng.uniform(20, 76), rng.uniform(15, 65)
+    r = rng.uniform(8, 20)
+    blob = 255.0 * (((xx - cx) ** 2 + (yy - cy) ** 2) < r * r)
+    base = np.stack([
+        127 + 110 * np.sin(xx / p1 + a1) * np.cos(yy / p2 + a2),
+        np.minimum(255, 0.5 * blob + 90 + 80 * np.cos((xx - yy) / p2 + a1)),
+        blob * 0.7 + xx * 150.0 / (w - 1),
+    ], axis=-1)
+    frames = []
+    for f in range(n_frames):
+        img = (base + 6.0 * f).clip(0, 255).astype(np.uint8)
+        frames.append(encode_jpeg(img, quality=quality, subsample=True))
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    timescale, delta = 1000, 125                   # 8 fps
+    duration = delta * n_frames
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x5I", 7, 0, 0, 1, 0, duration)
+               + b"\x00" * 52 + struct.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, timescale,
+                                    duration, 0x55C4, 0))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"V\x00")
+    entry = box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", w, h) + b"\x00" * 50)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">II", n_frames, delta))
+    sizes = np.array([len(f) for f in frames], dtype=">u4")
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_frames)
+               + sizes.tobytes())
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">III", 1, n_frames, 1))
+    keyframes = np.arange(1, n_frames + 1, 3, dtype=">u4")
+    stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
+               + keyframes.tobytes())
+    # stco needs the absolute mdat-body offset: assemble moov with a
+    # placeholder first (stco size is fixed, so the layout is stable)
+    def build(off: int) -> bytes:
+        stco = box(b"stco", struct.pack(">B3xI", 0, 1)
+                   + struct.pack(">I", off))
+        stbl = box(b"stbl", stsd + stts + stsz + stsc + stco + stss)
+        return box(b"moov", mvhd + box(b"trak", tkhd + box(
+            b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+
+    moov_len = len(build(0))
+    off = len(ftyp) + moov_len + 8                 # mdat body start
+    mdat = box(b"mdat", b"".join(frames))
+    return ftyp + build(off) + mdat
+
+
+def mp4_sample_table(payload: bytes):
+    """Extract the single-chunk sample layout from an ISO-BMFF stream:
+    → (offsets, sizes, keyframe_indices) as numpy arrays (absolute
+    file offsets; keyframe indices 0-based), or None when the stream
+    isn't parseable / uses a multi-chunk layout this extractor doesn't
+    model."""
+    if payload is None or len(payload) < 16:
+        return None
+    sizes = chunk_off = keys = None
+    stack = [(0, len(payload))]
+    guard = 0
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            guard += 1
+            if guard > 10_000:
+                return None
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4: pos + 8]
+            body = pos + 8
+            if size < 8 or pos + size > end:
+                return None
+            if typ in _MP4_CONTAINERS:
+                stack.append((body, pos + size))
+            elif typ == b"stsz" and body + 12 <= end:
+                fixed, cnt = struct.unpack_from(">II", payload, body + 4)
+                if fixed:
+                    sizes = np.full(cnt, fixed, np.int64)
+                else:
+                    avail = min(cnt, (pos + size - body - 12) // 4)
+                    sizes = np.frombuffer(payload, ">u4", avail,
+                                          body + 12).astype(np.int64)
+            elif typ == b"stco" and body + 8 <= end:
+                (cnt,) = struct.unpack_from(">I", payload, body + 4)
+                if cnt != 1:
+                    return None                    # multi-chunk: not modeled
+                (chunk_off,) = struct.unpack_from(">I", payload, body + 8)
+            elif typ == b"stss" and body + 8 <= end:
+                (cnt,) = struct.unpack_from(">I", payload, body + 4)
+                avail = min(cnt, (pos + size - body - 8) // 4)
+                keys = np.frombuffer(payload, ">u4", avail,
+                                     body + 8).astype(np.int64) - 1
+            pos += size
+    if sizes is None or chunk_off is None:
+        return None
+    offsets = chunk_off + np.concatenate([[0], np.cumsum(sizes[:-1])])
+    if keys is None:
+        keys = np.arange(len(sizes))
+    return offsets, sizes, keys
+
+
+class VideoKeyframePhash:
+    """Actor stage: mp4 → sample table → KEYFRAME JPEG samples →
+    real decode → pHash — one row per (key, kf_index, phash,
+    chunk0..7). Motion-JPEG samples decode through the same T.81
+    decoder as still images; non-JPEG codecs yield no rows (their
+    frame decode stays codec territory)."""
+
+    def __init__(self, key_col: str = "media_ref", max_keyframes: int = 16):
+        self.key_col = key_col
+        self.max_keyframes = max_keyframes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions.jpeg import decode_jpeg
+
+        payloads = batch.column("payload").to_pylist()
+        keys = batch.column(self.key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        sel, kf_idx, hashes = [], [], []
+        for i, p in enumerate(payloads):
+            st = mp4_sample_table(p)
+            if st is None:
+                continue
+            offs, szs, kf = st
+            for j in kf[: self.max_keyframes]:
+                if j >= len(offs):
+                    continue
+                raw = p[offs[j]: offs[j] + szs[j]]
+                if raw[:2] != b"\xFF\xD8":
+                    continue
+                img = decode_jpeg(raw)
+                if img is None:
+                    continue
+                sel.append(i)
+                kf_idx.append(int(j))
+                hashes.append(phash64(img))
+        ph = np.array(hashes, np.uint64) if hashes else np.empty(0, np.uint64)
+        cols = {self.key_col: keys.take(pa.array(sel, pa.int64())),
+                "kf_index": pa.array(kf_idx, pa.int32()),
+                "phash": pa.array(ph.view(np.int64))}
+        for c in range(DecodeImagePhash.N_CHUNKS):
+            cols[f"chunk{c}"] = pa.array(
+                ((ph >> np.uint64(8 * c)) & np.uint64(0xFF))
+                .astype(np.int32))
+        return pa.table(cols)
+
+
+def video_near_dup(source: Any, key_col: str = "media_ref",
+                   max_hamming: int = 7, min_frames: int = 2,
+                   max_bucket: int = 1024, *,
+                   concurrency=(1, 8), batch_size: int = 64):
+    """Video near-duplicate pairs via KEYFRAME pHash consensus: real
+    MJPEG keyframe decode → per-frame 64-bit pHash → the image LSH
+    (8-bit chunks, exhaustive ≤7 per frame) → frame pairs → videos
+    sharing ≥ ``min_frames`` near-identical keyframes. Payload bytes
+    never shuffle; frame rows do.
+
+    → Dataset (key_a, key_b, n_frames, n_dropped)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    src = as_source(source)
+    frames = src.dataset().map_batches(
+        VideoKeyframePhash, fn_constructor_kwargs={"key_col": key_col},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        # frame identity = (video key, kf index) packed into one string
+        vk = t.column(key_col).to_pylist()
+        ki = t.column("kf_index").to_pylist()
+        fk = pa.array([f"{v}\x00{k}" for v, k in zip(vk, ki)])
+        parts = []
+        for c in range(DecodeImagePhash.N_CHUNKS):
+            parts.append(pa.table({
+                "fkey": fk, "phash": t.column("phash"),
+                "c": pa.array(np.full(t.num_rows, c, np.int32)),
+                "cv": t.column(f"chunk{c}"),
+            }))
+        return pa.concat_tables(parts)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["fkey"].to_numpy(), kind="mergesort")
+        ks = g["fkey"].to_numpy()[order]
+        hs = g["phash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        dropped = 0
+        if len(ks) > max_bucket:
+            dropped = len(ks) - max_bucket
+            ks, hs = ks[:max_bucket], hs[:max_bucket]
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": ks[:0], "key_b": ks[:0],
+                                 "n_dropped": np.array([], np.int64)})
+        i, j = np.triu_indices(len(ks), k=1)
+        ham = _popcount64(hs[i] ^ hs[j])
+        keep = ham <= max_hamming
+        i, j = i[keep], j[keep]
+        va = np.array([ks[x].split("\x00")[0] for x in i], dtype=object)
+        vb = np.array([ks[x].split("\x00")[0] for x in j], dtype=object)
+        cross = va != vb
+        i, j, va, vb = i[cross], j[cross], va[cross], vb[cross]
+        swap = va > vb
+        ka = np.where(swap, vb, va)
+        kb = np.where(swap, va, vb)
+        # one row per (video pair, frame pair); cross-bucket dupes are
+        # collapsed by the distinct aggregate downstream
+        fa = np.array([ks[x] for x in i], dtype=object)
+        fb = np.array([ks[x] for x in j], dtype=object)
+        nd = np.zeros(len(i), np.int64)
+        if dropped and len(i):
+            nd[0] = dropped
+        return pd.DataFrame({"key_a": ka, "key_b": kb,
+                             "fa": np.where(swap, fb, fa),
+                             "fb": np.where(swap, fa, fb),
+                             "n_dropped": nd})
+
+    pairs = frames.map_batches(chunk_rows, batch_format="pyarrow") \
+        .groupby(["c", "cv"]).map_groups(pairs_of_group,
+                                         batch_format="pandas")
+    # dedupe frame pairs found in several chunks, then count per video
+    fp = pairs.groupby(["key_a", "key_b", "fa", "fb"]).aggregate(
+        Sum("n_dropped", alias_name="n_dropped"))
+    agg = fp.groupby(["key_a", "key_b"]).aggregate(
+        Count(alias_name="n_frames"),
+        Sum("n_dropped", alias_name="n_dropped"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_frames"),
+                                         min_frames))
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
 def parse_mp4(payload: bytes):
     """REAL ISO-BMFF metadata parse → dict(duration_s, timescale,
     n_tracks, video_codec, width, height, has_mdat) or None if the
@@ -1083,7 +1339,8 @@ def parse_mp4(payload: bytes):
                 (esize,) = struct.unpack_from(">I", payload, entry)
                 fourcc = payload[entry + 4: entry + 8]
                 if esize >= 86 and fourcc in (b"avc1", b"hvc1", b"hev1",
-                                              b"mp4v", b"vp09", b"av01"):
+                                              b"mp4v", b"vp09", b"av01",
+                                              b"jpeg", b"mjpa"):
                     out["video_codec"] = fourcc.decode("ascii")
                     ww, hh = struct.unpack_from(">HH", payload, entry + 32)
                     out["width"], out["height"] = ww, hh

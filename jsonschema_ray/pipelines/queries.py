@@ -2487,6 +2487,37 @@ def q_audio_near_dup(sf_dir: str):
     return out.sort(["key_a", "key_b"])
 
 
+def q_video_near_dup(sf_dir: str):
+    """* rows-only: video near-duplicate pairs over a deterministic
+    Motion-JPEG mp4 corpus (REAL frame decode: sample tables slice
+    real JPEG samples out of mdat, the T.81 decoder renders keyframes)
+    with planted quality-re-encoded duplicates. Keyframe pHash → image
+    LSH → ≥2-frame consensus. Frame-level exactness pinned in
+    ``tests/test_multimodal.py``."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (synth_mjpeg_mp4_bytes,
+                                                     video_near_dup)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = max(16, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+            // 32)
+    refs, payloads = [], []
+    for i in range(n):
+        refs.append(f"vid{i:06d}")
+        payloads.append(synth_mjpeg_mp4_bytes(seed=i))
+        if i % 5 == 0:
+            refs.append(f"dup{i:06d}")
+            payloads.append(synth_mjpeg_mp4_bytes(seed=i, quality=60))
+    t = pa.table({"media_ref": pa.array(refs),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = video_near_dup(DatasetSource(rd.from_arrow(t).repartition(8)),
+                         min_frames=2)
+    return out.sort(["key_a", "key_b"])
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode as actor-pool
     ``map_batches`` stages, long-format (stage, media_ref, decode_ok,
@@ -2838,6 +2869,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_features_real": q_media_features_real,
     "phash_near_dup": q_phash_near_dup,
     "audio_near_dup": q_audio_near_dup,
+    "video_near_dup": q_video_near_dup,
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,

@@ -441,3 +441,41 @@ def test_audio_fingerprint_near_dup(ray_session):
            zip(out["key_a"], out["key_b"], out["n_shared"])}
     assert ("orig", "scaled") in got and got[("orig", "scaled")] >= 8
     assert ("orig", "other") not in got
+
+
+def test_mjpeg_mp4_real_keyframe_decode_and_video_near_dup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.functions.jpeg import decode_jpeg
+    from jsonschema_ray.pipelines.multimodal import (mp4_sample_table,
+                                                     parse_mp4,
+                                                     synth_mjpeg_mp4_bytes,
+                                                     video_near_dup)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    v = synth_mjpeg_mp4_bytes(seed=4, n_frames=9)
+    meta = parse_mp4(v)
+    assert meta["video_codec"] == "jpeg" and meta["n_samples"] == 9
+    assert meta["n_keyframes"] == 3 and meta["has_mdat"]
+
+    offs, szs, kf = mp4_sample_table(v)
+    assert len(offs) == 9 and list(kf) == [0, 3, 6]
+    # every sample slices to a REAL decodable JPEG
+    for o, s in zip(offs, szs):
+        img = decode_jpeg(v[o:o + s])
+        assert img is not None and img.shape == (80, 96, 3)
+
+    rows = [("vidA", synth_mjpeg_mp4_bytes(seed=4, quality=85)),
+            ("vidB", synth_mjpeg_mp4_bytes(seed=4, quality=60)),
+            ("vidC", synth_mjpeg_mp4_bytes(seed=5, quality=85)),
+            ("vidD", synth_mjpeg_mp4_bytes(seed=6, quality=85))]
+    t = pa.table({"media_ref": pa.array([r[0] for r in rows]),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = video_near_dup(DatasetSource(rd.from_arrow(t)),
+                         min_frames=2).to_pandas()
+    got = {tuple(sorted((a, b))): n for a, b, n in
+           zip(out["key_a"], out["key_b"], out["n_frames"])}
+    assert ("vidA", "vidB") in got and got[("vidA", "vidB")] >= 2
+    assert ("vidA", "vidC") not in got
