@@ -479,3 +479,27 @@ def test_mjpeg_mp4_real_keyframe_decode_and_video_near_dup(ray_session):
            zip(out["key_a"], out["key_b"], out["n_frames"])}
     assert ("vidA", "vidB") in got and got[("vidA", "vidB")] >= 2
     assert ("vidA", "vidC") not in got
+
+
+def test_phash_bucket_cap_accounts_drops(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (phash_near_dup,
+                                                     synth_jpeg_bytes)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    # degenerate corpus: many byte-identical images → one dense bucket
+    payload = synth_jpeg_bytes(seed=1)
+    rows = [(f"im{i:03d}", payload) for i in range(12)]
+    t = pa.table({"media_ref": pa.array([r[0] for r in rows]),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = phash_near_dup(DatasetSource(rd.from_arrow(t)),
+                         max_bucket=8).to_pandas()
+    # truncation happened and was ACCOUNTED, never silent
+    assert out["n_dropped"].sum() > 0
+    # surviving pairs are hamming-0 identical images
+    assert (out["hamming"] == 0).all()
+    # the kept prefix (lexicographically smallest 8 keys) pairs fully
+    assert len(out) >= 8 * 7 // 2
