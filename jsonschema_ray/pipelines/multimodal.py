@@ -63,6 +63,32 @@ def synth_media_batch(refs: list[str] | np.ndarray, seed: int = 5) -> pa.Table:
         schema=MEDIA_SCHEMA)
 
 
+def real_media_for_refs(refs) -> pa.Table:
+    """REAL media payloads addressed BY media_ref (the deterministic
+    stand-in for an object-store fetch): the ref's hash picks modality
+    (WAV / PNG / JPEG) and synthesis seed, so any stage holding a ref
+    can materialize the same bytes — no global payload table needed."""
+    from jsonschema_ray.functions.sketches import hash64
+
+    refs = np.asarray(refs, dtype=object)
+    h = hash64(refs, seed=11)
+    kind = (h % np.uint64(3)).astype(np.int64)
+    seeds = ((h >> np.uint64(8)) % np.uint64(2**31)).astype(np.int64)
+    mimes = np.array(["audio/wav", "image/png", "image/jpeg"],
+                     dtype=object)[kind]
+    payloads = []
+    for k, s in zip(kind, seeds):
+        if k == 0:
+            payloads.append(synth_wav_bytes(int(s)))
+        elif k == 1:
+            payloads.append(synth_png_bytes(int(s)))
+        else:
+            payloads.append(synth_jpeg_bytes(int(s)))
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "mime": pa.array(mimes, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
 def _parse_header(payload: bytes) -> tuple[int, int]:
     if payload is None or len(payload) < 8 or payload[:4] != _MAGIC:
         return (0, 0)

@@ -2518,6 +2518,73 @@ def q_video_near_dup(sf_dir: str):
     return out.sort(["key_a", "key_b"])
 
 
+def q_interleaved_media_decode(sf_dir: str):
+    """* rows-only: the INTEGRATION pipeline the north star describes —
+    interleaved docs → media spans → distinct media_ref (thin
+    (ref, n_spans) shuffle; refs are catalog-bounded by construction)
+    → per-ref payload fetch (deterministic object-store stand-in:
+    :func:`real_media_for_refs`) → REAL decode (WAV/PNG/JPEG) → per-
+    mime decode stats. Payload bytes exist only inside the decode
+    stage's batches; the text/spans never meet the binary data."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.functions.listops import flatten_spans
+    from jsonschema_ray.pipelines.multimodal import (decode_netpbm,
+                                                     decode_png, decode_wav,
+                                                     real_media_for_refs)
+    from jsonschema_ray.sources.readers import SynthSource
+    from jsonschema_ray.sources.synth import GenConfig
+
+    n = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+    src = SynthSource(GenConfig(n_docs=max(500, n)))
+
+    def refs_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, _parent, _si = flatten_spans(t, "spans")
+        refs = flat.column("media_ref").drop_null()
+        refs = refs.filter(pc.starts_with(refs, "media://"))
+        vc = pd.Series(refs.to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({"media_ref": pa.array(vc.index, pa.string()),
+                         "n_spans": pa.array(vc.to_numpy(np.int64))})
+
+    def decode_stats(t: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions.jpeg import decode_jpeg
+
+        refs = t.column("media_ref").to_numpy(zero_copy_only=False)
+        media = real_media_for_refs(refs)
+        ok = np.zeros(len(refs), bool)
+        for i, (m, p) in enumerate(zip(media.column("mime").to_pylist(),
+                                       media.column("payload").to_pylist())):
+            if m == "audio/wav":
+                ok[i] = decode_wav(p) is not None
+            elif m == "image/png":
+                ok[i] = decode_png(p) is not None
+            elif m == "image/jpeg":
+                ok[i] = decode_jpeg(p) is not None
+            else:
+                ok[i] = decode_netpbm(p) is not None
+        return pa.table({
+            "mime": media.column("mime"),
+            "n_refs": pa.array(np.ones(len(refs), np.int64)),
+            "n_spans": t.column("sum(n_spans)").cast(pa.int64()),
+            "n_ok": pa.array(ok.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    refs = src.dataset(columns=["spans"]) \
+        .map_batches(refs_partial, batch_format="pyarrow") \
+        .groupby("media_ref").sum("n_spans")
+    stats = refs.map_batches(decode_stats, batch_format="pyarrow",
+                             batch_size=256) \
+        .groupby("mime").aggregate(Sum("n_refs", alias_name="n_refs"),
+                                   Sum("n_spans", alias_name="n_spans"),
+                                   Sum("n_ok", alias_name="n_ok"))
+    return stats.sort("mime")
+
+
 def q_media_features_real(sf_dir: str):
     """* rows-only: REAL multimodal decode as actor-pool
     ``map_batches`` stages, long-format (stage, media_ref, decode_ok,
@@ -2870,6 +2937,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_near_dup": q_phash_near_dup,
     "audio_near_dup": q_audio_near_dup,
     "video_near_dup": q_video_near_dup,
+    "interleaved_media_decode": q_interleaved_media_decode,
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,

@@ -503,3 +503,18 @@ def test_phash_bucket_cap_accounts_drops(ray_session):
     assert (out["hamming"] == 0).all()
     # the kept prefix (lexicographically smallest 8 keys) pairs fully
     assert len(out) >= 8 * 7 // 2
+
+
+def test_interleaved_media_decode_integration(ray_session):
+    from jsonschema_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["interleaved_media_decode"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert set(df["mime"]) == {"audio/wav", "image/png", "image/jpeg"}
+    # every fetched payload decodes through the REAL decoders
+    assert (df["n_ok"] == df["n_refs"]).all()
+    assert (df["n_spans"] >= df["n_refs"]).all()
+    # deterministic end to end
+    df2 = QUERIES["interleaved_media_decode"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert df.equals(df2)
