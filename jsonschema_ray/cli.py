@@ -572,6 +572,94 @@ def cmd_run(args) -> int:
     return EXIT_OK if out["passed"] else EXIT_VALIDATION
 
 
+CURATE_OPS = ("gopher", "token-count", "bpe-count", "quality",
+              "normalize", "redact", "langid", "repetition")
+
+
+def cmd_curate(args) -> int:
+    """``jsonschema curate`` — run a map-family curation operator
+    (Gopher rules, token counts, normalization, redaction, langid,
+    repetition suite) over parquet inputs with RESUMABLE sharded
+    output: per-shard parquet + lineage manifests via
+    ``run_transform_checkpointed``; re-running skips committed shards
+    with the same (op, params) fingerprint."""
+    import glob as _glob
+
+    from jsonschema_ray.pipelines.run import run_transform_checkpointed
+
+    _ensure_ray(args.num_cpus)
+    key, text = args.key_col, args.text_col
+    op = args.op
+
+    def transform(src):
+        import pyarrow as _pa
+
+        from jsonschema_ray.pipelines import textops as T
+
+        ds = src.dataset(columns=[key, text])
+        if op == "gopher":
+            return ds.map_batches(
+                lambda t: T.add_gopher_flags(t, text_col=text)
+                .drop_columns([text]), batch_format="pyarrow")
+        if op == "token-count":
+            return ds.map_batches(
+                lambda t: T.add_token_count(t, text_col=text)
+                .drop_columns([text]), batch_format="pyarrow")
+        if op == "bpe-count":
+            from jsonschema_ray.pipelines.queries import BPE_PRETOKEN_RE
+
+            def bpe(t: _pa.Table) -> _pa.Table:
+                import pyarrow.compute as _pc
+                col = t.column(text)
+                if isinstance(col, _pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return _pa.table({
+                    key: t.column(key),
+                    "n_bpe_pretokens": _pc.count_substring_regex(
+                        col.fill_null(""), BPE_PRETOKEN_RE)
+                    .cast(_pa.int64())})
+            return ds.map_batches(bpe, batch_format="pyarrow")
+        if op == "quality":
+            return ds.map_batches(
+                lambda t: T.add_quality(t, text_col=text)
+                .drop_columns([text]), batch_format="pyarrow")
+        if op == "normalize":
+            from jsonschema_ray.pipelines.queries import q_normalize_text  # noqa: F401
+            import pyarrow.compute as _pc
+
+            def norm(t: _pa.Table) -> _pa.Table:
+                col = t.column(text)
+                if isinstance(col, _pa.ChunkedArray):
+                    col = col.combine_chunks()
+                n = _pc.utf8_trim_whitespace(_pc.replace_substring_regex(
+                    _pc.utf8_lower(_pc.utf8_normalize(col.fill_null(""),
+                                                      form="NFC")),
+                    r"\s+", " "))
+                return _pa.table({key: t.column(key), "norm_text": n})
+            return ds.map_batches(norm, batch_format="pyarrow")
+        if op == "redact":
+            from jsonschema_ray.pipelines.textops import redact_text
+            return redact_text(src, key, text_col=text)
+        if op == "langid":
+            return ds.map_batches(
+                lambda t: T.add_langid(t, text_col=text)
+                .drop_columns([text]), batch_format="pyarrow")
+        if op == "repetition":
+            return T.repetition_suite(src, key_col=key, text_col=text)
+        raise SystemExit(f"unknown op: {op}")
+
+    files: list[str] = []
+    for pattern in args.inputs:
+        matched = sorted(_glob.glob(pattern))
+        files.extend(matched if matched else [pattern])
+    fp = f"curate/{op}/v1/key={key}/text={text}"
+    out = run_transform_checkpointed(files, args.out, transform,
+                                     fingerprint=fp,
+                                     shard_size=args.shard_size)
+    print(json.dumps({"op": op, **out}))
+    return EXIT_OK
+
+
 def cmd_metaschema(args) -> int:
     """``jsonschema metaschema`` — validate schemas against their own
     dialect's metaschema with the reference's exact failure output
@@ -2715,6 +2803,16 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--shard-size", type=int, default=8)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("inputs", nargs="+")
+    cu.add_argument("--op", required=True, choices=CURATE_OPS)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--key-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--shard-size", type=int, default=8)
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     e = sub.add_parser("encode")
     e.add_argument("inputs", nargs="*", default=[])

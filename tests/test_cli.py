@@ -669,3 +669,36 @@ def test_validate_resolve_preimport(tmp_path):
     r2 = run_cli("validate", "--schema", str(tmp_path / "schema.json"),
                  "--instance", str(good))
     assert r2.returncode == 1
+
+
+def test_curate_verb_resumable(tmp_path, ray_session):
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.cli import main
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"the cat and dog have fun with food {i}"
+                          for i in range(20)])}), p)
+    out = str(tmp_path / "out")
+    assert main(["curate", p, "--op", "gopher", "--out", out,
+                 "--shard-size", "1"]) == 0
+    man = json.load(open(glob.glob(out + "/shard=*/manifest.json")[0]))
+    assert man["docs"] == 20 and "curate/gopher" in man["plan_hash"]
+    # resume: skipped, nothing recomputed
+    assert main(["curate", p, "--op", "gopher", "--out", out,
+                 "--shard-size", "1"]) == 0
+    files = glob.glob(out + "/shard=*/*.parquet")
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert "passes" in t.column_names and t.num_rows == 20
+    # a second op writes to its own dir with its own fingerprint
+    out2 = str(tmp_path / "out2")
+    assert main(["curate", p, "--op", "normalize", "--out", out2]) == 0
+    t2 = pa.concat_tables([pq.read_table(f) for f in
+                           glob.glob(out2 + "/shard=*/*.parquet")])
+    assert "norm_text" in t2.column_names and t2.num_rows == 20
