@@ -2848,6 +2848,192 @@ def q_weighted_sample(sf_dir: str):
         rate_per_unit=1 / 5000).select_columns(["doc_id", "n_chars"])
 
 
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-style large-volume-order report: orders whose total
+    quantity exceeds 300 units, with customer attribution, top-100 by
+    order value. Scale shape: the only big-data work is a thin
+    (l_orderkey, qty_c) per-block Arrow combiner → distributed
+    groupby-sum; the HAVING filter cuts it to a tiny fraction (~0.3%
+    of orders at any SF), and the two attribution joins
+    (⋈orders, ⋈customer) run as distributed hash joins on that small
+    survivor stream — no driver materialization anywhere. Quantities
+    and prices in exact scaled cents."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "qty_c": _scale100(t.column("l_quantity"))})
+        return q.group_by("l_orderkey").aggregate([("qty_c", "sum")]) \
+            .rename_columns(["l_orderkey", "qty_c"])
+
+    big = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("qty_c", alias_name="sum_qty_c")) \
+        .filter(expr="sum_qty_c > 30000")
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "totalprice_c": _scale100(t.column("o_totalprice")),
+        })
+
+    orders = _read(sf_dir, "orders", columns=[
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(ord_project, batch_format="pyarrow")
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(2, min(32, cpus // 2))
+    joined = big.join(orders, join_type="inner", num_partitions=nparts,
+                      on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .join(customer, join_type="inner", num_partitions=nparts,
+              on=("o_custkey",), right_on=("c_custkey",))
+    return joined.select_columns([
+        "c_name", "o_custkey", "l_orderkey", "o_orderdate",
+        "totalprice_c", "sum_qty_c"]) \
+        .sort(["totalprice_c", "l_orderkey"], descending=[True, False]) \
+        .limit(100)
+
+
+def q_stats_profile_by_source(sf_dir: str):
+    """Per-GROUP column-stats profile (grouped Deequ-style completeness
+    / bounds / distinct checks): one row per documents.source with doc
+    count, null-text count, char bounds and distinct-lang count. Scale
+    shape: one pass; each block collapses to ≤|source×lang| partial
+    rows (count/nulls/min/max per pair), then two thin groupby stages
+    — (source,lang) then (source) — so the shuffle carries group
+    cardinality, never rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        base = pa.table({
+            "source": t.column("source"),
+            "lang": t.column("lang"),
+            "n_chars": t.column("n_chars"),
+            "is_null": pc.is_null(txt).cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = base.group_by(["source", "lang"]).aggregate(
+            [("one", "sum"), ("is_null", "sum"),
+             ("n_chars", "min"), ("n_chars", "max")])
+        return g.rename_columns(
+            ["source", "lang", "n_docs", "null_text",
+             "min_chars", "max_chars"])
+
+    pairs = _read(sf_dir, "documents",
+                  columns=["source", "lang", "n_chars", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("null_text", alias_name="null_text"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"))
+
+    def lang_flag(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return t.append_column(
+            "has_lang", pc.invert(pc.is_null(lang)).cast(pa.int64()))
+
+    return pairs.map_batches(lang_flag, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("null_text", alias_name="null_text"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+            Sum("has_lang", alias_name="n_lang"))
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index statistics build over documents: token →
+    document frequency + 5 smallest posting ids (see
+    textops.inverted_index for the bucketed-merge scale shape)."""
+    from jsonschema_ray.pipelines.textops import inverted_index
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return inverted_index(ParquetSource(_pq(sf_dir, "documents")),
+                          sample_k=5).select_columns(
+        ["token", "df", "top_docs"])
+
+
+def q_hll_by_group(sf_dir: str):
+    """GROUPED register-exact HLL: distinct user_id per event_type.
+    Extends the ``hll_registers`` certificate to grouped sketches —
+    the per-group estimate is approximate, the per-group register
+    STATE is exact, so it SQL-oracles. Scale shape: per block, values
+    hash (md5, DuckDB-replicable) to (group, register idx, rho) rows
+    collapsed block-locally; the shuffle then carries at most
+    |groups|×4096 thin rows into a Max aggregate; the driver only ever
+    holds the merged registers (|groups|×4096 bytes)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    from jsonschema_ray.functions.sketches import HyperLogLog, md5_hash64
+
+    P = HyperLogLog.P
+    M = HyperLogLog.M
+    LOW = np.uint64((1 << (64 - P)) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t.column("event_type")
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        uid = t.column("user_id")
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        mask = pc.invert(pc.is_null(uid))
+        gv = grp.filter(mask).to_numpy(zero_copy_only=False)
+        uv = uid.filter(mask).to_numpy(zero_copy_only=False)
+        if not len(uv):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = md5_hash64(uv)
+        idx = (h >> np.uint64(64 - P)).astype(np.int64)
+        w = (h & LOW).astype(np.float64)
+        # exact bit length of the low-(64-P) remainder: ints < 2^52
+        # are exactly representable in float64, so frexp's exponent IS
+        # the bit length; rho = (64-P) - bitlen + 1
+        _, exp = np.frexp(w)
+        rho = (64 - P) - exp + 1
+        d = pd.DataFrame({"event_type": gv, "idx": idx, "rho": rho})
+        m = d.groupby(["event_type", "idx"], sort=False)["rho"].max()
+        mi = m.index.to_frame(index=False)
+        return pa.table({"event_type": pa.array(mi["event_type"], pa.string()),
+                         "idx": pa.array(mi["idx"].to_numpy(), pa.int64()),
+                         "rho": pa.array(m.to_numpy().astype(np.int64))})
+
+    regs = _read(sf_dir, "events", columns=["event_type", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "idx"]) \
+        .aggregate(Max("rho", alias_name="rho")) \
+        .take_all()  # ≤ |groups|×4096 thin rows by construction
+
+    by_grp: dict[str, np.ndarray] = {}
+    for r in regs:
+        arr = by_grp.setdefault(r["event_type"], np.zeros(M, np.uint8))
+        arr[int(r["idx"])] = np.uint8(r["rho"])
+    rows = []
+    for g in sorted(by_grp):
+        hll = HyperLogLog(by_grp[g])
+        est = int(round(hll.estimate()))
+        hist = np.bincount(hll.registers)
+        rows += [{"event_type": g, "rho": int(rr), "n_registers": int(n),
+                  "distinct_est": est}
+                 for rr, n in enumerate(hist) if n]
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -2942,6 +3128,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "metaschema_scale": q_metaschema_scale,
     "flagship_validate": q_flagship_validate,
     "span_kind_stats": q_span_kind_stats,
+    "q18_large_orders": q_q18_large_orders,
+    "stats_profile_by_source": q_stats_profile_by_source,
+    "inverted_index": q_inverted_index,
+    "hll_by_group": q_hll_by_group,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -3881,6 +4071,75 @@ SELECT kdoc, 'doc_id_unique', CAST(-1 AS BIGINT),
                     THEN 'dup-' || CAST(doc_id % 3 AS VARCHAR)
                     ELSE CAST(doc_id AS VARCHAR) END AS kdoc
           FROM documents) GROUP BY kdoc HAVING count(*) > 1
+""",
+    "q18_large_orders": r"""
+SELECT c_name, o_custkey, o_orderkey AS l_orderkey, o_orderdate,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_c,
+       sum_qty_c
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_qty_c
+        FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) > 30000) q
+  ON o_orderkey = q.l_orderkey
+ORDER BY totalprice_c DESC, l_orderkey LIMIT 100
+""",
+    "stats_profile_by_source": r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS null_text,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+FROM documents GROUP BY source
+""",
+    "inverted_index": r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS tok
+    FROM documents) WHERE tok <> ''
+), ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM pairs
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS top_docs
+FROM ranked GROUP BY token
+""",
+    # grouped HLL: same md5 hash / (idx, rho) split / estimator as
+    # _hll_sql, with event_type threaded through every stage
+    "hll_by_group": r"""
+WITH hv AS (SELECT event_type,
+                   md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, CAST(h >> 52 AS INTEGER) AS idx,
+             53 - length(ltrim(bin(h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                               '0')) AS rho
+      FROM hv),
+regs AS (SELECT event_type, idx, MAX(rho) AS rho
+         FROM r GROUP BY event_type, idx),
+hist AS (SELECT event_type, rho, count(*) AS n
+         FROM regs GROUP BY event_type, rho
+         UNION ALL
+         SELECT event_type, 0 AS rho, 4096 - count(*) AS n
+         FROM regs GROUP BY event_type),
+est AS (SELECT event_type,
+               CASE WHEN e <= 2.5 * 4096.0 AND z > 0
+                    THEN 4096.0 * ln(4096.0 / z) ELSE e END AS v
+        FROM (SELECT event_type,
+                     (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                     / SUM(n * power(2.0, -rho)) AS e,
+                     COALESCE(SUM(CASE WHEN rho = 0 THEN n END), 0) AS z
+              FROM hist GROUP BY event_type))
+SELECT h.event_type, CAST(h.rho AS BIGINT) AS rho,
+       CAST(h.n AS BIGINT) AS n_registers,
+       CAST(ROUND(e.v, 0) AS BIGINT) AS distinct_est
+FROM hist h JOIN est e USING (event_type) WHERE h.n > 0
 """,
     # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings
     # / profile_interleaved: approximate by construction (LSH banding /
