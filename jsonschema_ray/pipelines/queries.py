@@ -970,6 +970,84 @@ def q_events_debounce(sf_dir: str):
         .groupby("pb").map_groups(debounce, batch_format="pandas")
 
 
+def q_events_funnel(sf_dir: str):
+    """Sequential-funnel conversion (§2.9 sequence analytics): users
+    progressing view → click → purchase, each step within 24 h of the
+    previous step's FIRST qualifying event (min-timestamp semantics —
+    deterministic, no per-path search). Scale shape: one thin hash
+    shuffle of (user, type, ts) rows into 256 user-hash buckets, all
+    three stages computed with vectorized pandas merges inside each
+    bucket; each bucket emits 3 partial-count rows, the final groupby
+    carries 768 rows total."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    W = pd.Timedelta(hours=24)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["view", "click", "purchase"]))
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        pb = (hash64(u) % np.uint64(256)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        s1 = g[g.event_type == "view"].groupby("user_id")["ts"].min() \
+            .rename("ts1").reset_index()
+        c = g[g.event_type == "click"].merge(s1, on="user_id")
+        c = c[(c.ts >= c.ts1) & (c.ts <= c.ts1 + W)]
+        s2 = c.groupby("user_id")["ts"].min().rename("ts2").reset_index()
+        p = g[g.event_type == "purchase"].merge(s2, on="user_id")
+        p = p[(p.ts >= p.ts2) & (p.ts <= p.ts2 + W)]
+        s3 = p.groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "stage": ["view", "view>click", "view>click>purchase"],
+            "n": np.array([len(s1), len(s2), len(s3)], np.int64)})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("pb").map_groups(funnel, batch_format="pandas") \
+        .groupby("stage").aggregate(Sum("n", alias_name="n_users"))
+
+
+def q_latest_per_key(sf_dir: str):
+    """CDC / upsert compaction: keep the latest record per key
+    (user_id, by ts desc then event_id desc — a total order). Scale
+    shape: each block first collapses to one candidate row per key it
+    holds (vectorized lexsort, no shuffle of losing rows), then one
+    hash shuffle into 256 key-hash buckets re-runs the identical
+    keep-first kernel — never one Python group per key (10^9 keys at
+    corpus scale)."""
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            ascending=[True, False, False],
+                            kind="mergesort")
+        out = df[~df["user_id"].duplicated()]
+        return out[cols].reset_index(drop=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = keep_latest(t.select(cols).to_pandas())
+        pb = (hash64(df["user_id"].to_numpy()) % np.uint64(256)) \
+            .astype(np.int32)
+        return pa.Table.from_pandas(df.assign(pb=pb),
+                                    preserve_index=False)
+
+    return _read(sf_dir, "events", columns=cols) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pb").map_groups(
+            lambda g: keep_latest(g), batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (pipelines/joins.py operators)
 # ---------------------------------------------------------------------------
@@ -3132,6 +3210,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stats_profile_by_source": q_stats_profile_by_source,
     "inverted_index": q_inverted_index,
     "hll_by_group": q_hll_by_group,
+    "events_funnel": q_events_funnel,
+    "latest_per_key": q_latest_per_key,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -4140,6 +4220,27 @@ SELECT h.event_type, CAST(h.rho AS BIGINT) AS rho,
        CAST(h.n AS BIGINT) AS n_registers,
        CAST(ROUND(e.v, 0) AS BIGINT) AS distinct_est
 FROM hist h JOIN est e USING (event_type) WHERE h.n > 0
+""",
+    "events_funnel": r"""
+WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.ts1
+         AND e.ts <= s1.ts1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.ts2
+         AND e.ts <= s2.ts2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+SELECT 'view' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL
+SELECT 'view>click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT 'view>click>purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+""",
+    "latest_per_key": r"""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
 """,
     # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings
     # / profile_interleaved: approximate by construction (LSH banding /

@@ -1369,3 +1369,65 @@ def test_hll_by_group_registers_exact(ray_session):
         est = int(sub["distinct_est"].iloc[0])
         true = len(np.unique(uid[grp == g]))
         assert abs(est - true) / true < 0.10  # ~1.6% expected at p=12
+
+
+def _events_dir(tmpdir, rows):
+    """rows: (event_id, user_id, ts_iso, event_type, value)."""
+    import os
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+def test_events_funnel_hand_computed(ray_session, tmp_path):
+    """Funnel min-timestamp semantics: a click BEFORE the first view
+    doesn't count; a purchase outside 24h of the first qualifying
+    click doesn't count."""
+    from jsonschema_ray.pipelines.queries import q_events_funnel
+
+    d = _events_dir(str(tmp_path), [
+        # user 1 converts fully: view @0h, click @1h, purchase @2h
+        (1, 1, "2024-01-01 00:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 01:00:00", "click", 0.0),
+        (3, 1, "2024-01-01 02:00:00", "purchase", 0.0),
+        # user 2: click precedes the only view -> stalls at stage 1
+        (4, 2, "2024-01-01 01:00:00", "click", 0.0),
+        (5, 2, "2024-01-01 02:00:00", "view", 0.0),
+        # user 3: view, click @23h (in), purchase 25h after click (out)
+        (6, 3, "2024-01-01 00:00:00", "view", 0.0),
+        (7, 3, "2024-01-01 23:00:00", "click", 0.0),
+        (8, 3, "2024-01-03 00:30:00", "purchase", 0.0),
+        # user 4: never views -> not even stage 1
+        (9, 4, "2024-01-01 00:00:00", "purchase", 0.0),
+    ])
+    out = q_events_funnel(d).to_pandas().set_index("stage")["n_users"]
+    assert out["view"] == 3
+    assert out["view>click"] == 2
+    assert out["view>click>purchase"] == 1
+
+
+def test_latest_per_key_hand_computed(ray_session, tmp_path):
+    """Keep-latest compaction: ties on ts broken by event_id desc;
+    exercised across multiple blocks so the two-stage (block partial →
+    bucket merge) path is what's tested."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.queries import q_latest_per_key
+
+    d = _events_dir(str(tmp_path), [
+        (1, 10, "2024-01-01 00:00:00", "view", 1.0),
+        (2, 10, "2024-01-02 00:00:00", "click", 2.0),   # latest for 10
+        (3, 11, "2024-01-01 05:00:00", "view", 3.0),
+        (4, 11, "2024-01-01 05:00:00", "view", 4.0),    # tie: id 4 wins
+        (5, 12, "2024-01-01 09:00:00", "error", 5.0),
+    ])
+    out = q_latest_per_key(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [2, 4, 5]
+    assert out["value"].tolist() == [2.0, 4.0, 5.0]
