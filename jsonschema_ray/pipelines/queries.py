@@ -1048,6 +1048,103 @@ def q_latest_per_key(sf_dir: str):
             lambda g: keep_latest(g), batch_format="pandas")
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix (§2.9 analytics): users cohorted by
+    signup week (Monday-truncated, = SQL date_trunc('week')), counted
+    once per (cohort, week-offset) they were active in. Scale shape:
+    one thin (user, type, ts) shuffle into 256 user-hash buckets;
+    inside each bucket the cohort join is a vectorized pandas merge;
+    each bucket emits pre-counted (w0, wk, n) partials and the final
+    groupby carries |cohorts×weeks| rows per bucket, never users."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    DAY_US = 86_400_000_000
+
+    def week_start(ts_us: np.ndarray) -> np.ndarray:
+        # Monday-aligned week index: 1970-01-01 is a Thursday, so
+        # day+3 is ≡0 (mod 7) exactly on Mondays — matches DuckDB's
+        # date_trunc('week'). Floor-divide handles pre-epoch too.
+        days = np.floor_divide(ts_us, DAY_US)
+        wk = np.floor_divide(days + 3, 7)
+        return (wk * 7 - 3) * DAY_US  # back to the Monday 00:00, in us
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        pb = (hash64(u) % np.uint64(256)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("int64")
+        g = g.assign(wstart=week_start(ts_us.to_numpy()))
+        su = g[g.event_type == "signup"].groupby("user_id")["wstart"] \
+            .min().rename("w0").reset_index()
+        act = g.merge(su, on="user_id")
+        act = act[act["wstart"] >= act["w0"]]
+        act = act.assign(
+            wk=((act["wstart"] - act["w0"]) // (7 * DAY_US)).astype(np.int64))
+        cells = act[["user_id", "w0", "wk"]].drop_duplicates() \
+            .groupby(["w0", "wk"]).size().rename("n").reset_index()
+        cells["w0"] = pd.to_datetime(cells["w0"], unit="us") \
+            .astype("datetime64[us]")
+        return cells
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("w0"), "w0",
+                            t.column("w0").cast(pa.timestamp("us")))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("pb").map_groups(retention, batch_format="pandas") \
+        .groupby(["w0", "wk"]).aggregate(Sum("n", alias_name="n_users")) \
+        .map_batches(cast_us, batch_format="pyarrow")
+
+
+def q_rollup_source_lang(sf_dir: str):
+    """OLAP rollup (GROUPING SETS (source,lang) → (source) → ()): doc
+    counts and char sums at all three levels from ONE input pass —
+    per-block Arrow combiner collapses to |source×lang| partials, one
+    thin groupby produces the leaf level, and the two super-aggregate
+    levels re-aggregate the LEAF TABLE (tiny), never the input.
+    ``level`` = GROUPING(source)*2 + GROUPING(lang) disambiguates
+    'ALL' labels from literal values."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "source": t.column("source"),
+            "lang": t.column("lang"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "chars": t.column("n_chars").cast(pa.int64()),
+        })
+        g = base.group_by(["source", "lang"]).aggregate(
+            [("n", "sum"), ("chars", "sum")])
+        return g.rename_columns(["source", "lang", "n", "chars"])
+
+    leaf = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("chars", alias_name="sum_chars"))
+
+    lt = leaf.take_all()  # ≤ |source×lang| rows by construction
+    import pandas as pd
+
+    lf = pd.DataFrame(lt)
+    lvl0 = lf.assign(level=np.int64(0))
+    lvl1 = lf.groupby("source", as_index=False)[["n_docs", "sum_chars"]] \
+        .sum().assign(lang="ALL", level=np.int64(1))
+    lvl3 = pd.DataFrame([{
+        "source": "ALL", "lang": "ALL",
+        "n_docs": int(lf["n_docs"].sum()),
+        "sum_chars": int(lf["sum_chars"].sum()), "level": np.int64(3)}])
+    out = pd.concat([lvl0, lvl1, lvl3], ignore_index=True)
+    return out[["level", "source", "lang", "n_docs", "sum_chars"]]
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (pipelines/joins.py operators)
 # ---------------------------------------------------------------------------
@@ -3212,6 +3309,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_by_group": q_hll_by_group,
     "events_funnel": q_events_funnel,
     "latest_per_key": q_latest_per_key,
+    "events_retention": q_events_retention,
+    "rollup_source_lang": q_rollup_source_lang,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -4241,6 +4340,26 @@ SELECT event_id, user_id, ts, event_type, value
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
+""",
+    "events_retention": r"""
+WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS w0
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id, su.w0,
+               CAST(date_diff('week', su.w0, date_trunc('week', e.ts))
+                    AS BIGINT) AS wk
+        FROM events e JOIN su USING (user_id)
+        WHERE date_trunc('week', e.ts) >= su.w0)
+SELECT w0, wk, CAST(count(*) AS BIGINT) AS n_users
+FROM act GROUP BY w0, wk
+""",
+    "rollup_source_lang": r"""
+SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS level,
+       COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
 """,
     # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings
     # / profile_interleaved: approximate by construction (LSH banding /
