@@ -3075,6 +3075,83 @@ def q_q18_large_orders(sf_dir: str):
         .limit(100)
 
 
+def q_q10_returned_items(sf_dir: str):
+    """TPC-H-Q10-style returned-item revenue report: top-20 customers
+    by revenue lost to returns in 1996Q1. Scale shape: both join
+    inputs are filtered+projected thin at the read (returnflag, date
+    range); one distributed hash join on orderkey; the per-customer
+    groupby rides a per-block combiner; customer attribution is a
+    second distributed join on the (small) survivor aggregate; the
+    25-row nation table is a broadcast numpy lookup, never a
+    shuffle."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    nname = nation.column("n_name").to_numpy(zero_copy_only=False)
+    nmap = np.empty(int(nk.max()) + 1, dtype=object)
+    nmap[nk] = nname
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "revenue_c": _scale100(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")))),
+        })
+
+    lineitem = _read(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_project, batch_format="pyarrow")
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_project, batch_format="pyarrow")
+
+    def cust_project(t: pa.Table) -> pa.Table:
+        nkey = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "n_name": pa.array(nmap[nkey], pa.string()),
+            "acctbal_c": _scale100(t.column("c_acctbal")),
+        })
+
+    customer = _read(sf_dir, "customer", columns=[
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"]) \
+        .map_batches(cust_project, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(2, min(32, cpus // 2))
+    rev = lineitem.join(orders, join_type="inner", num_partitions=nparts,
+                        on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .groupby("o_custkey").aggregate(Sum("revenue_c",
+                                            alias_name="revenue_c"))
+    return rev.join(customer, join_type="inner", num_partitions=nparts,
+                    on=("o_custkey",), right_on=("c_custkey",)) \
+        .select_columns(["o_custkey", "c_name", "n_name",
+                         "revenue_c", "acctbal_c"]) \
+        .sort(["revenue_c", "o_custkey"], descending=[True, False]) \
+        .limit(20)
+
+
 def q_stats_profile_by_source(sf_dir: str):
     """Per-GROUP column-stats profile (grouped Deequ-style completeness
     / bounds / distinct checks): one row per documents.source with doc
@@ -3311,6 +3388,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latest_per_key": q_latest_per_key,
     "events_retention": q_events_retention,
     "rollup_source_lang": q_rollup_source_lang,
+    "q10_returned_items": q_q10_returned_items,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -4351,6 +4429,19 @@ act AS (SELECT DISTINCT e.user_id, su.w0,
         WHERE date_trunc('week', e.ts) >= su.w0)
 SELECT w0, wk, CAST(count(*) AS BIGINT) AS n_users
 FROM act GROUP BY w0, wk
+""",
+    "q10_returned_items": r"""
+SELECT c_custkey AS o_custkey, c_name, n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name, acctbal_c
+ORDER BY revenue_c DESC, c_custkey LIMIT 20
 """,
     "rollup_source_lang": r"""
 SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS level,
