@@ -3075,6 +3075,41 @@ def q_q18_large_orders(sf_dir: str):
         .limit(100)
 
 
+def q_val_childless_orders(sf_dir: str):
+    """REVERSE-direction referential completeness: parent rows with no
+    children (orders that no lineitem references). The big side
+    (lineitem at 100 TB) can never broadcast, so the shape is a thin
+    tag-union anti-join: orders emit (key, 0), lineitem blocks emit
+    block-distinct (key, 1), one int64-key groupby takes Max(tag), and
+    parents whose max is 0 are the violations. Only 8-byte keys + a
+    tag ever shuffle."""
+    from ray.data.aggregate import Max
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "has_child": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        col = t.column("l_orderkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.unique(col)
+        return pa.table({
+            "o_orderkey": u,
+            "has_child": pa.array(np.ones(len(u), np.int8)),
+        })
+
+    a = _read(sf_dir, "orders", columns=["o_orderkey"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+    b = _read(sf_dir, "lineitem", columns=["l_orderkey"]) \
+        .map_batches(tag_lineitem, batch_format="pyarrow")
+    return a.union(b).groupby("o_orderkey") \
+        .aggregate(Max("has_child", alias_name="flag")) \
+        .filter(expr="flag == 0").select_columns(["o_orderkey"])
+
+
 def q_q10_returned_items(sf_dir: str):
     """TPC-H-Q10-style returned-item revenue report: top-20 customers
     by revenue lost to returns in 1996Q1. Scale shape: both join
@@ -3389,6 +3424,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_retention": q_events_retention,
     "rollup_source_lang": q_rollup_source_lang,
     "q10_returned_items": q_q10_returned_items,
+    "val_childless_orders": q_val_childless_orders,
 }
 
 MINHASH_VERIFIED_SQL = r"""
@@ -4429,6 +4465,11 @@ act AS (SELECT DISTINCT e.user_id, su.w0,
         WHERE date_trunc('week', e.ts) >= su.w0)
 SELECT w0, wk, CAST(count(*) AS BIGINT) AS n_users
 FROM act GROUP BY w0, wk
+""",
+    "val_childless_orders": r"""
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                         WHERE l_orderkey IS NOT NULL)
 """,
     "q10_returned_items": r"""
 SELECT c_custkey AS o_custkey, c_name, n_name,
