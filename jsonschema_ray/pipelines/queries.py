@@ -4498,3 +4498,11 @@ GROUP BY GROUPING SETS ((source, lang), (source), ())
     # multiprobe recall / sketch estimates) → rows-only driver check;
     # exactness of the underlying kernels is covered by pytest.
 }
+
+# TPC-H breadth module (the 12 remaining official-query shapes the
+# trimmed tables can express — see pipelines/tpch.py for the
+# adaptation notes and scale shapes).
+from jsonschema_ray.pipelines.tpch import TPCH_ORACLE, TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
+ORACLE.update(TPCH_ORACLE)
