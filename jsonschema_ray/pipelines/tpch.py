@@ -210,6 +210,170 @@ def q_q19_disjunctive_revenue(sf_dir: str):
                        ["revenue_c", "n_items"])
 
 
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+def q_q4_order_priority(sf_dir: str):
+    """TPC-H-Q4 (adapted: the "late delivery" EXISTS predicate is
+    ``l_returnflag='R'`` — no commit/receipt dates in the trimmed
+    schema): orders in a quarter with at least one flagged lineitem,
+    counted per priority. Scale shape: the EXISTS side collapses to
+    block-distinct orderkeys → a distinct-key groupby (thin 8-byte
+    keys), one distributed hash join against the date-filtered thin
+    orders projection, then a per-block combiner groupby on the
+    5-value priority column."""
+    from ray.data.aggregate import Count, Sum
+
+    lo = datetime.datetime(1996, 7, 1)
+    hi = datetime.datetime(1996, 10, 1)
+
+    def li_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        col = t.column("l_orderkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"l_orderkey": pc.unique(col)})
+
+    flagged = _read(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(li_distinct, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Count(alias_name="_n")) \
+        .select_columns(["l_orderkey"])
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(ord_project, batch_format="pyarrow")
+
+    joined = orders.join(flagged, join_type="inner",
+                         num_partitions=_nparts(),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    return joined.map_batches(combine, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n", alias_name="order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-priority split: join + conditional aggregation
+# ---------------------------------------------------------------------------
+
+def q_q12_linestatus_priority(sf_dir: str):
+    """TPC-H-Q12 (adapted: groups by ``l_linestatus`` — the trimmed
+    schema has no shipmode — with the ship-window filter on
+    l_shipdate): per-group counts of high- vs low-priority orders.
+    Scale shape: both join inputs project to 2 thin columns (the
+    orders side pre-computes ``is_high`` as int8 so the priority
+    string never shuffles); per-block combiner groupby after the
+    join carries 2 rows per block."""
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority")
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        is_high = pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH"))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "is_high": is_high.cast(pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_project, batch_format="pyarrow")
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+                     filter=(pc.field("l_shipdate") >= lo)
+                     & (pc.field("l_shipdate") < hi)) \
+        .map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(t.column("l_shipdate"), pa.scalar(hi))))
+            .select(["l_orderkey", "l_linestatus"]),
+            batch_format="pyarrow")
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=_nparts(),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        hi_ = t.column("is_high")
+        low = pc.subtract(1, hi_)
+        base = pa.table({"l_linestatus": t.column("l_linestatus"),
+                         "h": hi_, "l": low})
+        g = base.group_by("l_linestatus").aggregate(
+            [("h", "sum"), ("l", "sum")])
+        return g.rename_columns(["l_linestatus", "h", "l"])
+
+    return joined.map_batches(combine, batch_format="pyarrow") \
+        .groupby("l_linestatus") \
+        .aggregate(Sum("h", alias_name="high_line_count"),
+                   Sum("l", alias_name="low_line_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: left outer join, two-level
+# ---------------------------------------------------------------------------
+
+def q_q13_customer_distribution(sf_dir: str):
+    """TPC-H-Q13 (adapted: excluded orders are ``o_orderstatus='P'`` —
+    no o_comment in the trimmed schema): histogram of per-customer
+    order counts INCLUDING zero-order customers. Scale shape: the
+    left-outer join is a tag-union, not a join — customers emit
+    (custkey, 0), order blocks emit pre-counted (custkey, n) partials,
+    one thin groupby-sum yields c_count, and a second per-block-
+    combinered groupby yields the distribution. Nothing wider than
+    8-byte key + count ever shuffles, and the skew-prone join (every
+    order row) is avoided entirely."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "n": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("o_orderstatus"), "P")))
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({"c_custkey": vc.field("values").cast(pa.int64()),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+
+    per_cust = cust.union(orders).groupby("c_custkey") \
+        .aggregate(Sum("n", alias_name="c_count"))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        col = t.column("c_count")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({"c_count": vc.field("values").cast(pa.int64()),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    return per_cust.map_batches(dist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+
+
 TPCH_ORACLE: dict[str, str] = {
     "q6_forecast_revenue": r"""
 SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5)
@@ -243,10 +407,41 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """,
+    "q4_order_priority": r"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "q12_linestatus_priority": r"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    "q13_customer_distribution": r"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
 }
 
 TPCH_QUERIES = {
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q12_linestatus_priority": q_q12_linestatus_priority,
+    "q13_customer_distribution": q_q13_customer_distribution,
 }
