@@ -374,6 +374,191 @@ def q_q13_customer_distribution(sf_dir: str):
         .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
 
 
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+_Q7_A, _Q7_B = 3, 7  # nationkeys (NATION_3 / NATION_7)
+
+
+def q_q7_volume_shipping(sf_dir: str):
+    """TPC-H-Q7: bilateral trade volume between two nations by ship
+    year. Scale shape: supplier and customer nationkeys become
+    broadcast LUTs applied AT THE SCAN so both join inputs are
+    pre-filtered to the two nations (~8% of rows) and carry only
+    (key, nat-int8, year-int16, cents); one distributed hash join;
+    the 4-group combiner groupby is free."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    def lut(table: str, key: str, val: str) -> np.ndarray:
+        t = pq.read_table(_pq(sf_dir, table), columns=[key, val])
+        k = t.column(key).to_numpy()
+        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
+        out[k] = t.column(val).to_numpy()
+        return out
+
+    supp_nat = lut("supplier", "s_suppkey", "s_nationkey")
+    cust_nat = lut("customer", "c_custkey", "c_nationkey")
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def li_map(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(ship, pa.scalar(lo)),
+                       pc.less(ship, pa.scalar(hi)))
+        t = t.filter(keep)
+        s_nat = supp_nat[t.column("l_suppkey").to_numpy()]
+        m = (s_nat == _Q7_A) | (s_nat == _Q7_B)
+        t = t.filter(pa.array(m))
+        year = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_nat": pa.array(s_nat[m]),
+            "l_year": year,
+            "volume_c": _revenue_c(t)})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"],
+                     filter=(pc.field("l_shipdate") >= lo)
+                     & (pc.field("l_shipdate") < hi)) \
+        .map_batches(li_map, batch_format="pyarrow")
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        c_nat = cust_nat[t.column("o_custkey").to_numpy()]
+        m = (c_nat == _Q7_A) | (c_nat == _Q7_B)
+        t = t.filter(pa.array(m))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_nat": pa.array(c_nat[m])})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_map, batch_format="pyarrow")
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=_nparts(),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        s = t.column("s_nat").to_numpy()
+        c = t.column("c_nat").to_numpy()
+        t = t.filter(pa.array(s != c))
+        names = pc.binary_join_element_wise(
+            pa.array(np.full(t.num_rows, "NATION_"), pa.string()),
+            t.column("s_nat").cast(pa.string()), "")
+        cnames = pc.binary_join_element_wise(
+            pa.array(np.full(t.num_rows, "NATION_"), pa.string()),
+            t.column("c_nat").cast(pa.string()), "")
+        base = pa.table({"supp_nation": names, "cust_nation": cnames,
+                         "l_year": t.column("l_year"),
+                         "volume_c": t.column("volume_c")})
+        g = base.group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("volume_c", "sum")])
+        return g.rename_columns(
+            ["supp_nation", "cust_nation", "l_year", "volume_c"])
+
+    return joined.map_batches(combine, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("volume_c", alias_name="volume_c"))
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region, by year
+# ---------------------------------------------------------------------------
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H-Q8 (share emitted as exact (nation_c, total_c) integer
+    cents per year instead of a float division): NATION_8's share of
+    EUROPE-customer PROMO-part volume. Scale shape: three dimension
+    LUTs (part→is_promo bitmask, supplier→nationkey,
+    customer→in-region bitmask via the 25-row nation table); lineitem
+    pre-filters to PROMO parts at the scan (~1/6 survive); one
+    distributed hash join with orders pre-filtered to region+window;
+    per-block combiner groupby on the 2-value year."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    is_promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    is_promo[pk[pc.equal(part.column("p_type"), "PROMO").combine_chunks()
+                .to_numpy(zero_copy_only=False)]] = True
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    supp_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    supp_nat[sk] = supp.column("s_nationkey").to_numpy()
+
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_pq(sf_dir, "region"))
+    eu = region.filter(pc.equal(region.column("r_name"), "EUROPE")) \
+        .column("r_regionkey")[0].as_py()
+    eu_nations = set(
+        nation.filter(pc.equal(nation.column("n_regionkey"), eu))
+        .column("n_nationkey").to_pylist())
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy()
+    cust_in_eu = np.zeros(int(ck.max()) + 1, dtype=bool)
+    cust_in_eu[ck] = np.isin(cn, list(eu_nations))
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def li_map(t: pa.Table) -> pa.Table:
+        m = is_promo[t.column("l_partkey").to_numpy()]
+        t = t.filter(pa.array(m))
+        s_nat = supp_nat[t.column("l_suppkey").to_numpy()]
+        rev = _revenue_c(t)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "nation_c": pc.multiply(
+                rev, pa.array((s_nat == 8).astype(np.int64))),
+            "total_c": rev})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(lo)),
+                       pc.less(od, pa.scalar(hi)))
+        t = t.filter(keep)
+        m = cust_in_eu[t.column("o_custkey").to_numpy()]
+        t = t.filter(pa.array(m))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_year": pc.year(t.column("o_orderdate"))
+                         .cast(pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                   & (pc.field("o_orderdate") < hi)) \
+        .map_batches(ord_map, batch_format="pyarrow")
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=_nparts(),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.select(["o_year", "nation_c", "total_c"]) \
+            .group_by("o_year") \
+            .aggregate([("nation_c", "sum"), ("total_c", "sum")])
+        return g.rename_columns(["o_year", "nation_c", "total_c"])
+
+    return joined.map_batches(combine, batch_format="pyarrow") \
+        .groupby("o_year").aggregate(Sum("nation_c", alias_name="nation_c"),
+                                     Sum("total_c", alias_name="total_c"))
+
+
 TPCH_ORACLE: dict[str, str] = {
     "q6_forecast_revenue": r"""
 SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5)
@@ -435,6 +620,39 @@ FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
       GROUP BY c_custkey)
 GROUP BY c_count
 """,
+    "q7_volume_shipping": r"""
+SELECT 'NATION_' || CAST(n1.n_nationkey AS VARCHAR) AS supp_nation,
+       'NATION_' || CAST(n2.n_nationkey AS VARCHAR) AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS volume_c
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_nationkey = 3 AND n2.n_nationkey = 7)
+    OR (n1.n_nationkey = 7 AND n2.n_nationkey = 3))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+    "q8_market_share": r"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_nationkey = 8
+                THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS total_c
+FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND s_nationkey = n1.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = 'PROMO'
+GROUP BY 1
+""",
 }
 
 TPCH_QUERIES = {
@@ -444,4 +662,6 @@ TPCH_QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "q12_linestatus_priority": q_q12_linestatus_priority,
     "q13_customer_distribution": q_q13_customer_distribution,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
 }
