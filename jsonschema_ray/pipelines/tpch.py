@@ -559,6 +559,131 @@ def q_q8_market_share(sf_dir: str):
                                      Sum("total_c", alias_name="total_c"))
 
 
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: aggregate → global max → equality filter
+# ---------------------------------------------------------------------------
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H-Q15: the supplier(s) with maximum revenue in a quarter
+    (the view + scalar-subquery shape). Scale shape: per-block
+    combiner (suppkey, cents) → thin groupby-sum (|suppliers| rows);
+    the scalar subquery is a tree-reduced global Max (O(1) to the
+    driver); name attribution is a broadcast LUT over the supplier
+    dimension."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sname = np.empty(int(sk.max()) + 1, dtype=object)
+    sname[sk] = supp.column("s_name").to_numpy(zero_copy_only=False)
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(ship, pa.scalar(lo)),
+                       pc.less(ship, pa.scalar(hi)))
+        t = t.filter(keep)
+        base = pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "cents": _revenue_c(t)})
+        return base.group_by("l_suppkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["l_suppkey", "cents"])
+
+    rev = _read(sf_dir, "lineitem",
+                columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"],
+                filter=(pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("cents", alias_name="total_revenue_c"))
+
+    best = int(rev.max("total_revenue_c"))
+
+    def winners(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("total_revenue_c"), best))
+        keys = t.column("l_suppkey").to_numpy()
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(sname[keys], pa.string()),
+            "total_revenue_c": t.column("total_revenue_c")})
+
+    return rev.map_batches(winners, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated per-part average
+# ---------------------------------------------------------------------------
+
+def q_q17_small_quantity(sf_dir: str):
+    """TPC-H-Q17 (adapted: the part filter is brand + p_size ≤ 10 —
+    no p_container in the trimmed schema): revenue from lineitems
+    whose quantity is below 20% of their part's average. Scale shape:
+    the correlated AVG subquery becomes (pass 1) a combinered
+    per-part (sum_qty_c, n) aggregate over the brand-restricted
+    lineitem stream, then (pass 2) a distributed hash join of the
+    same thin stream against those averages — NOT a broadcast, so
+    the shape survives a part table of any size; the threshold
+    compare is the exact integer cross-multiplication
+    5·qty_c·n < sum_qty_c (no float division anywhere)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    sel = part.filter(pc.and_(pc.equal(part.column("p_brand"), "Brand#23"),
+                              pc.less_equal(part.column("p_size"), 10))) \
+        .column("p_partkey").combine_chunks()
+
+    def li_thin(t: pa.Table) -> pa.Table:
+        col = t.column("l_partkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = t.filter(pc.is_in(col, value_set=sel))
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "qty_c": _scale100(t.column("l_quantity")),
+                         "price_c": _scale100(t.column("l_extendedprice"))})
+
+    def read_thin():
+        return _read(sf_dir, "lineitem",
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice"]) \
+            .map_batches(li_thin, batch_format="pyarrow")
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        base = t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+        return base.select(["l_partkey", "qty_c", "one"]) \
+            .group_by("l_partkey") \
+            .aggregate([("qty_c", "sum"), ("one", "sum")]) \
+            .rename_columns(["l_partkey", "sq", "n"])
+
+    avgs = read_thin().map_batches(avg_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sum_qty_c"),
+                                        Sum("n", alias_name="n")) \
+        .rename_columns({"l_partkey": "p_key"})
+
+    joined = read_thin().join(avgs, join_type="inner",
+                              num_partitions=_nparts(),
+                              on=("l_partkey",), right_on=("p_key",))
+
+    def small(t: pa.Table) -> pa.Table:
+        keep = (5 * t.column("qty_c").to_numpy()
+                * t.column("n").to_numpy()) \
+            < t.column("sum_qty_c").to_numpy()
+        price = t.column("price_c").to_numpy()[keep]
+        return pa.table({
+            "price_sum_c": pa.array([int(price.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    return _scalar_row(joined.map_batches(small, batch_format="pyarrow"),
+                       ["price_sum_c", "n_items"])
+
+
 TPCH_ORACLE: dict[str, str] = {
     "q6_forecast_revenue": r"""
 SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5)
@@ -653,6 +778,34 @@ WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
   AND p_type = 'PROMO'
 GROUP BY 1
 """,
+    "q15_top_supplier": r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+""",
+    "q17_small_quantity": r"""
+WITH sel AS (SELECT p_partkey FROM part
+             WHERE p_brand = 'Brand#23' AND p_size <= 10),
+li AS (SELECT l_partkey,
+              CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qty_c,
+              CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c
+       FROM lineitem JOIN sel ON l_partkey = p_partkey),
+agg AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li GROUP BY l_partkey)
+SELECT CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS price_sum_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN agg USING (l_partkey)
+WHERE 5 * qty_c * n < sum_qty_c
+""",
 }
 
 TPCH_QUERIES = {
@@ -664,4 +817,6 @@ TPCH_QUERIES = {
     "q13_customer_distribution": q_q13_customer_distribution,
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity": q_q17_small_quantity,
 }
