@@ -684,6 +684,193 @@ def q_q17_small_quantity(sf_dir: str):
                        ["price_sum_c", "n_items"])
 
 
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: nested EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+def q_q21_waiting_supplier(sf_dir: str):
+    """TPC-H-Q21 (adapted: "late" is ``l_returnflag='R'`` — no
+    commit/receipt dates): suppliers who were the ONLY flagged
+    supplier on a multi-supplier F-status order. The official EXISTS /
+    NOT-EXISTS pair over other lineitems of the same order is
+    algebraized into two thin groupbys: (orderkey, suppkey)→max(flag)
+    dedupe, then per-order (n_supp, n_flagged, argmax-flagged-supp) —
+    EXISTS ⇔ n_supp ≥ 2, NOT EXISTS ⇔ n_flagged = 1. Scale shape:
+    block-level pair dedupe before each shuffle; the orders join runs
+    on the already-tiny per-order survivor stream; supplier names via
+    broadcast LUT."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max, Sum
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sname = np.empty(int(sk.max()) + 1, dtype=object)
+    sname[sk] = supp.column("s_name").to_numpy(zero_copy_only=False)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flag = pc.equal(t.column("l_returnflag"), "R").cast(pa.int64())
+        base = pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "flag": flag})
+        return base.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("flag", "max")]) \
+            .rename_columns(["l_orderkey", "l_suppkey", "flag"])
+
+    pairs = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Max("flag", alias_name="flag"))
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        f = t.column("flag")
+        fsupp = pc.multiply(t.column("l_suppkey").cast(pa.int64()), f)
+        base = pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "flag": f, "fsupp": fsupp})
+        return base.group_by("l_orderkey").aggregate(
+            [("one", "sum"), ("flag", "sum"), ("fsupp", "max")]) \
+            .rename_columns(["l_orderkey", "one", "flag", "fsupp"])
+
+    per_order = pairs.map_batches(order_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("one", alias_name="n_supp"),
+                   Sum("flag", alias_name="n_flagged"),
+                   Max("fsupp", alias_name="fsupp")) \
+        .filter(expr="n_supp >= 2 and n_flagged == 1")
+
+    f_orders = _read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderstatus"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+            .select(["o_orderkey"]), batch_format="pyarrow")
+
+    waits = per_order.join(f_orders, join_type="inner",
+                           num_partitions=_nparts(),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        col = t.column("fsupp")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({"fsupp": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = waits.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("fsupp").aggregate(Sum("n", alias_name="numwait"))
+
+    def name(t: pa.Table) -> pa.Table:
+        keys = t.column("fsupp").to_numpy()
+        return pa.table({"s_name": pa.array(sname[keys], pa.string()),
+                         "numwait": t.column("numwait")})
+
+    return agg.map_batches(name, batch_format="pyarrow") \
+        .sort(["numwait", "s_name"], descending=[True, False]).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global-sales-opportunity: scalar AVG subquery + anti-join
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = (1, 2, 3, 4, 5, 6, 7)
+_Q22_CUTOFF = datetime.datetime(2000, 1, 1)
+
+
+def q_q22_dormant_customers(sf_dir: str):
+    """TPC-H-Q22 (adapted: the phone country-code prefix becomes a
+    nationkey set — no c_phone — and, since every sf customer has
+    ≥1 order, "no orders" becomes "no orders since 2000-01-01"):
+    per-nation count + total balance of above-average-balance dormant
+    customers. Scale shape: the scalar AVG subquery is a tree-reduced
+    (sum, n) pair — the above-average test is the exact integer
+    cross-multiplication ac·n > sum, no float division; the NOT
+    EXISTS anti-join is a tag-union groupby (customers tag 0 with
+    their attributes, recent-order custkeys block-deduped tag 1;
+    Max-merge per custkey) so only 8-byte keys + small ints shuffle."""
+    from ray.data.aggregate import Max, Sum
+
+    nat_set = pa.array(np.array(_Q22_NATIONS, np.int64))
+
+    def cust_thin(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").cast(pa.int64())
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        t = t.append_column("nk", nk)
+        return t.filter(pc.is_in(nk, value_set=nat_set))
+
+    def read_cust():
+        return _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey", "c_acctbal"]) \
+            .map_batches(cust_thin, batch_format="pyarrow")
+
+    # phase 1 — the scalar subquery: sum/count of positive balances
+    def bal_partial(t: pa.Table) -> pa.Table:
+        ac = _scale100(t.column("c_acctbal")).to_numpy()
+        pos = ac[ac > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    stats = read_cust().map_batches(bal_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    tot, cnt = int(stats["s"] or 0), int(stats["n"] or 0)
+
+    # phase 2 — tag-union anti-join of rich customers vs recent orders
+    def rich(t: pa.Table) -> pa.Table:
+        ac = _scale100(t.column("c_acctbal")).to_numpy()
+        keep = ac * cnt > tot
+        t = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "cntrycode": t.column("nk"),
+                         "acctbal_c": pa.array(ac[keep]),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def recent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"),
+                                      pa.scalar(_Q22_CUTOFF)))
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.unique(col)
+        none = pa.nulls(len(u), pa.int64())
+        return pa.table({"c_custkey": u, "cntrycode": none,
+                         "acctbal_c": none,
+                         "tag": pa.array(np.ones(len(u), np.int64))})
+
+    cust = read_cust().map_batches(rich, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= _Q22_CUTOFF)) \
+        .map_batches(recent, batch_format="pyarrow")
+
+    merged = cust.union(orders).groupby("c_custkey") \
+        .aggregate(Max("tag", alias_name="has_order"),
+                   Max("cntrycode", alias_name="cntrycode"),
+                   Max("acctbal_c", alias_name="acctbal_c")) \
+        .map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(t.column("has_order"), 0),
+                pc.is_valid(t.column("cntrycode").combine_chunks()
+                            if isinstance(t.column("cntrycode"),
+                                          pa.ChunkedArray)
+                            else t.column("cntrycode")))),
+            batch_format="pyarrow")
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"cntrycode": t.column("cntrycode"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "ac": t.column("acctbal_c")})
+        return base.group_by("cntrycode").aggregate(
+            [("one", "sum"), ("ac", "sum")]) \
+            .rename_columns(["cntrycode", "one", "ac"])
+
+    return merged.map_batches(final_partial, batch_format="pyarrow") \
+        .groupby("cntrycode") \
+        .aggregate(Sum("one", alias_name="numcust"),
+                   Sum("ac", alias_name="totacctbal_c"))
+
+
 TPCH_ORACLE: dict[str, str] = {
     "q6_forecast_revenue": r"""
 SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5)
@@ -806,6 +993,38 @@ SELECT CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS price_sum_c,
 FROM li JOIN agg USING (l_partkey)
 WHERE 5 * qty_c * n < sum_qty_c
 """,
+    "q21_waiting_supplier": r"""
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flag
+  FROM lineitem GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, SUM(flag) AS n_flagged,
+         MAX(l_suppkey * flag) AS fsupp
+  FROM pairs GROUP BY 1),
+waits AS (
+  SELECT fsupp FROM per_o JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND n_supp >= 2 AND n_flagged = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM waits JOIN supplier ON s_suppkey = fsupp
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+""",
+    "q22_dormant_customers": r"""
+WITH pos AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS ac
+  FROM customer WHERE c_nationkey BETWEEN 1 AND 7),
+stats AS (SELECT CAST(SUM(ac) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n FROM pos WHERE ac > 0),
+sel AS (SELECT pos.* FROM pos, stats WHERE ac * n > s),
+dormant AS (
+  SELECT * FROM sel
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(ac) AS BIGINT) AS totacctbal_c
+FROM dormant GROUP BY cntrycode
+""",
 }
 
 TPCH_QUERIES = {
@@ -819,4 +1038,6 @@ TPCH_QUERIES = {
     "q8_market_share": q_q8_market_share,
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_quantity": q_q17_small_quantity,
+    "q21_waiting_supplier": q_q21_waiting_supplier,
+    "q22_dormant_customers": q_q22_dormant_customers,
 }
