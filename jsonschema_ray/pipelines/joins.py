@@ -137,6 +137,95 @@ def asof_join(left: Any, right: Any, *, by: str, on: str,
     return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
 
 
+def hash_join(left, right, *, on: str, right_on: str | None = None,
+              how: str = "inner", num_partitions: int | None = None,
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None):
+    """Distributed equi-join of two Datasets as a tag-union + bucketed
+    per-partition merge — the degenerate (no time axis) sibling of
+    ``asof_join``.
+
+    Why this exists next to ``Dataset.join``: Ray's native hash join
+    crashes when a shuffle partition receives ZERO blocks from one
+    side (``join.py:118`` finalize builds a schema-less empty table and
+    acero raises "No match ... for key field" — hit whenever the join
+    keys are sparse relative to ``num_partitions``, e.g. a heavily
+    pre-filtered fact stream at small SF). This implementation routes
+    both sides through one ``hash64(key) % P`` shuffle and merges each
+    partition with a vectorized pandas hash-merge; partitions that
+    receive rows from only one side simply merge against an empty
+    frame. Use ``Dataset.join`` when both sides are dense; use this
+    when either side can be sparse or empty.
+
+    Column names (other than the keys) must be disjoint between the
+    two sides. ``how='inner'`` preserves integer dtypes; other modes
+    would surface pandas NaN-widening and are not offered.
+    """
+    if how != "inner":
+        raise ValueError("hash_join supports how='inner' only")
+    import pandas as pd
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    right_key = right_on or on
+    parts = _num_partitions(num_partitions)
+
+    # Dataset.schema() can return None for lazy aggregate outputs
+    # without executing the pipeline — callers of such inputs pass the
+    # (known) Arrow schema explicitly instead.
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
+    if l_schema is None or r_schema is None:
+        raise ValueError("schema unavailable: pass left_schema/right_schema")
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - ({on} if on == right_key else set())
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    # unified shuffle schema (key columns kept per side; the merge
+    # equates them)
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    all_types = {**r_types, **l_types}
+
+    def tag(side: int, key_col: str, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            part = (hash64(keys) % np.uint64(parts)).astype(np.int32)
+            cols: dict[str, Any] = {
+                "__part": pa.array(part),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in all_cols:
+                cols[c] = t.column(c) if c in own \
+                    else pa.nulls(n, type=all_types[c])
+            return pa.table(cols)
+        return fn
+
+    unioned = left.map_batches(tag(0, on, l_cols),
+                               batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_key, r_cols),
+                          batch_format="pyarrow"))
+
+    out_cols = l_cols + [c for c in r_cols if c != right_key]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, l_cols]
+        r = g.loc[g["__side"] == 1, r_cols]
+        out = pd.merge(l, r, left_on=on, right_on=right_key, how="inner",
+                       suffixes=(None, None))
+        out = out[out_cols]
+        for c in out_cols:
+            want = all_types[c]
+            if pa.types.is_integer(want):
+                out[c] = out[c].astype(want.to_pandas_dtype())
+        return out
+
+    return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
 def broadcast_interval_join(source: Any, windows: "pa.Table", *,
                             time_col: str, window_id_col: str = "window_id",
                             start_col: str = "start", end_col: str = "end",

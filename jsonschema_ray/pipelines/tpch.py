@@ -667,9 +667,18 @@ def q_q17_small_quantity(sf_dir: str):
                                         Sum("n", alias_name="n")) \
         .rename_columns({"l_partkey": "p_key"})
 
-    joined = read_thin().join(avgs, join_type="inner",
-                              num_partitions=_nparts(),
-                              on=("l_partkey",), right_on=("p_key",))
+    # hash_join, not Dataset.join: the brand filter makes the join
+    # keys SPARSE (a handful of partkeys at small SF), which trips
+    # Ray's native join empty-partition finalize crash — see
+    # joins.hash_join's docstring.
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    joined = hash_join(
+        read_thin(), avgs, on="l_partkey", right_on="p_key",
+        num_partitions=_nparts(),
+        right_schema=pa.schema([("p_key", pa.int64()),
+                                ("sum_qty_c", pa.int64()),
+                                ("n", pa.int64())]))
 
     def small(t: pa.Table) -> pa.Table:
         keep = (5 * t.column("qty_c").to_numpy()

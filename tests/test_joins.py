@@ -136,3 +136,40 @@ def test_interval_join_no_matches_keeps_schema(ray_session):
                                  columns=["ts", "eid"])
     assert ds.count() == 0
     assert ds.schema().names == ["window_id", "ts", "eid"]
+
+
+def test_hash_join_sparse_keys_and_dtypes(ray_session):
+    # sparse keys (2 distinct) across many partitions — the regime
+    # where Ray's native Dataset.join finalize crashes on schema-less
+    # empty partitions (joins.hash_join docstring)
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 2, 2, 99],
+                         "v": np.arange(6, dtype=np.int64)})
+    right = pd.DataFrame({"rk": [1, 2, 3],
+                          "w": np.array([10, 20, 30], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="rk", num_partitions=16).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")[["k", "v", "w"]]
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(out.columns) == ["k", "v", "w"]
+    assert got.equals(want.sort_values(["k", "v"]).reset_index(drop=True))
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
+
+
+def test_hash_join_one_side_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "v": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                          "w": np.array([], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", num_partitions=8).to_pandas()
+    assert len(out) == 0
