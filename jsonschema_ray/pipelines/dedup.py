@@ -1414,3 +1414,76 @@ def repeated_substrings(source: Any, key_col: str = "doc_id",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         spans, batch_format="pyarrow")
+
+
+def passage_dedup(source, key_col: str = "doc_id", text_col: str = "text",
+                  passage_tokens: int = 10, num_buckets: int | None = None):
+    """Exact passage-level dedup (RefinedWeb/CCNet-style boilerplate
+    stripping): split every document into disjoint ``passage_tokens``-
+    token passages, keep each distinct passage ONLY at its globally
+    first occurrence (ordered by (doc_id, passage_idx)), and rebuild
+    each document from its surviving passages.
+
+    → Dataset ``(doc_id, n_kept, clean_text)`` — documents whose every
+    passage was seen earlier elsewhere disappear entirely (their text
+    is fully boilerplate), matching the SQL ``rn = 1`` semantics.
+
+    Scale shape: pass 1 reuses the vectorized ``chunk_documents``
+    kernel; the first-occurrence choice is a ``groupby(passage)`` with
+    block-level (passage → min order-key) combiners, so the ONE
+    all-to-all shuffle carries each block's distinct passages once —
+    grouping is by the passage TEXT itself (exact; the hash64+
+    collision-audit trick of ``exact_dedup_summary`` is the drop-in
+    when passages are long). Reassembly buckets survivors by
+    ``doc_id % B`` and merges each bucket vectorized in pandas (the
+    ``_dup_clusters_star`` pattern — never one group per document).
+    Order keys pack (doc_id, passage_idx) into one int64 as
+    ``doc_id * 2^20 + idx`` (valid for doc_id < 2^43 ≈ 8·10^12 and
+    < 2^20 passages/doc — both documented bounds, asserted)."""
+    import pandas as pd
+    import ray
+
+    from jsonschema_ray.pipelines.textops import chunk_documents
+    from ray.data.aggregate import Min
+
+    MAXC = 1 << 20
+    chunks = chunk_documents(source, key_col, text_col,
+                             chunk_tokens=passage_tokens)
+
+    def pack(t: pa.Table) -> pa.Table:
+        doc = t.column(key_col).to_numpy()
+        idx = t.column("chunk_idx").to_numpy()
+        if len(doc) and (doc.max() >= (1 << 43) or idx.max() >= MAXC):
+            raise ValueError("passage_dedup order-key bounds exceeded")
+        okey = doc * MAXC + idx
+        base = pa.table({"passage": t.column("chunk"),
+                         "okey": pa.array(okey.astype(np.int64))})
+        # block-level combiner: one row per distinct passage per block
+        return base.group_by("passage").aggregate([("okey", "min")]) \
+            .rename_columns(["passage", "okey"])
+
+    survivors = chunks.map_batches(pack, batch_format="pyarrow") \
+        .groupby("passage").aggregate(Min("okey", alias_name="okey"))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = num_buckets or max(2, min(64, cpus))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        okey = t.column("okey").to_numpy()
+        doc = okey // MAXC
+        return pa.table({
+            "pb": pa.array((doc % nb).astype(np.int64)),
+            "doc_id": pa.array(doc.astype(np.int64)),
+            "pidx": pa.array((okey % MAXC).astype(np.int64)),
+            "passage": t.column("passage")})
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pidx"], kind="stable")
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_kept=("pidx", "size"), clean_text=("passage", " ".join))
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[["doc_id", "n_kept", "clean_text"]]
+
+    return survivors.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("pb").map_groups(reassemble, batch_format="pandas")

@@ -4506,3 +4506,38 @@ from jsonschema_ray.pipelines.tpch import TPCH_ORACLE, TPCH_QUERIES  # noqa: E40
 
 QUERIES.update(TPCH_QUERIES)
 ORACLE.update(TPCH_ORACLE)
+
+
+def q_passage_dedup(sf_dir: str):
+    """Exact passage-level dedup (3-token passages so the synthetic
+    corpus has real cross-doc duplicates — ~19% of passages at
+    sf0.01): see dedup.passage_dedup for the scale shape."""
+    from jsonschema_ray.pipelines.dedup import passage_dedup
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return passage_dedup(ParquetSource(_pq(sf_dir, "documents")),
+                         passage_tokens=3)
+
+
+QUERIES["passage_dedup"] = q_passage_dedup
+ORACLE["passage_dedup"] = r"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r, tok
+  FROM tp WHERE tok <> ''
+), p AS (
+  SELECT doc_id, (r - 1) // 3 AS pidx,
+         string_agg(tok, ' ' ORDER BY r) AS ptext
+  FROM th GROUP BY doc_id, (r - 1) // 3
+), keep AS (
+  SELECT doc_id, pidx, ptext,
+         row_number() OVER (PARTITION BY ptext
+                            ORDER BY doc_id, pidx) AS rn
+  FROM p)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(ptext, ' ' ORDER BY pidx) AS clean_text
+FROM keep WHERE rn = 1 GROUP BY doc_id
+"""

@@ -1431,3 +1431,38 @@ def test_latest_per_key_hand_computed(ray_session, tmp_path):
         .sort_values("user_id").reset_index(drop=True)
     assert out["event_id"].tolist() == [2, 4, 5]
     assert out["value"].tolist() == [2.0, 4.0, 5.0]
+
+
+def test_passage_dedup_high_duplication(ray_session):
+    # 3 identical docs + 1 half-overlapping: only the first occurrence
+    # of each passage survives; fully-boilerplate docs disappear
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import passage_dedup
+
+    base = "a b c d e f g h"          # passages (W=4): "a b c d", "e f g h"
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], np.int64),
+        "text": [base, base, base, "a b c d x y z w"]})
+    out = passage_dedup(rd.from_pandas(docs), passage_tokens=4,
+                        num_buckets=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1 keeps both passages; docs 2-3 vanish; doc 4 keeps only its
+    # novel second passage
+    assert list(out.doc_id) == [1, 4]
+    assert list(out.n_kept) == [2, 1]
+    assert out.clean_text.tolist() == ["a b c d e f g h", "x y z w"]
+
+
+def test_passage_dedup_order_key_bounds(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import passage_dedup
+
+    docs = pd.DataFrame({"doc_id": np.array([1 << 43], np.int64),
+                         "text": ["a b c"]})
+    with pytest.raises(Exception, match="bounds exceeded"):
+        passage_dedup(rd.from_pandas(docs), passage_tokens=2).to_pandas()
