@@ -4541,3 +4541,39 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        string_agg(ptext, ' ' ORDER BY pidx) AS clean_text
 FROM keep WHERE rn = 1 GROUP BY doc_id
 """
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram conditional-LM surprisal per doc (CCNet-style perplexity
+    signal): see textops.bigram_lm_scores for the two-pass scale
+    shape. Integer micro-nat sums → exact oracle hash."""
+    from jsonschema_ray.pipelines.textops import bigram_lm_scores
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return bigram_lm_scores(ParquetSource(_pq(sf_dir, "documents")))
+
+
+QUERIES["bigram_lm"] = q_bigram_lm
+ORACLE["bigram_lm"] = r"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r, tok
+  FROM tp WHERE tok <> ''
+), bg AS (
+  SELECT t0.doc_id, t0.tok AS w1, t1.tok AS w2
+  FROM th t0 JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.r = t0.r + 1
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+), pfx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS p FROM bc GROUP BY 1
+), q AS (
+  SELECT w1, w2,
+         CAST(FLOOR(1e6 * ln(CAST(p AS DOUBLE) / c) + 0.5) AS BIGINT) AS q
+  FROM bc JOIN pfx USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(q) AS BIGINT) AS lm2_score
+FROM bg JOIN q USING (w1, w2) GROUP BY doc_id
+"""

@@ -1131,3 +1131,144 @@ def inverted_index(source, key_col: str = "doc_id", text_col: str = "text",
     return src.dataset(columns=[key_col, text_col]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("pb").map_groups(merge_bucket, batch_format="pandas")
+
+
+BIGRAM_VOCAB_TOP_K = 10_000_000
+
+
+def bigram_lm_scores(source, key_col: str = "doc_id",
+                     text_col: str = "text",
+                     vocab_top_k: int | None = BIGRAM_VOCAB_TOP_K):
+    """Bigram conditional-LM quality score per document — the stronger
+    sibling of :func:`unigram_lm_scores` (CCNet-style perplexity
+    filtering uses exactly this n-gram conditional form): each
+    adjacent token pair contributes the integer-quantized surprisal
+
+        q(w1,w2) = floor(1e6 · ln(prefix(w1) / c(w1,w2)) + 0.5)
+
+    i.e. −ln P(w2|w1) under the corpus MLE, where prefix(w1) is the
+    total bigram count starting with w1. Only OBSERVED bigrams are
+    scored (the model is built from the same corpus), so every ratio
+    is ≥ 1 and no smoothing constant is needed; integer sums make the
+    result summation-order independent (exact oracle hash).
+
+    Scale shape: pass 1 counts bigrams via per-block collapsed
+    (bigram, n) partials → distributed ``groupby.sum``; prefix counts
+    are a second thin groupby OVER THE BIGRAM TABLE (never the token
+    stream); above ``vocab_top_k`` the bigram table truncates by
+    (count desc, bigram asc) and dropped pairs score the max-surprise
+    bucket ln(total) — at test scale the cap never binds, keeping the
+    SQL oracle bit-exact. The quantized q-table broadcasts once via
+    ``ray.put``; pass 2 is one vectorized searchsorted per block.
+
+    → (key, n_bigrams, lm2_score) for docs with ≥1 bigram (single-
+    token docs have no conditional probability, matching the SQL
+    inner join)."""
+    import math
+
+    import ray
+
+    from jsonschema_ray.pipelines.dedup import _tokenize_flat
+    from jsonschema_ray.sources.readers import as_source
+
+    src = as_source(source)
+
+    def _bigrams(t: pa.Table):
+        """(counts_per_doc, flat_bigram_strings, parent_doc_index)."""
+        counts, flat = _tokenize_flat(t.column(text_col))
+        if not len(flat):
+            return counts, np.array([], dtype=object), \
+                np.array([], dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        valid = doc_of[:-1] == doc_of[1:]
+        big = np.char.add(np.char.add(flat[:-1].astype(str), " "),
+                          flat[1:].astype(str)).astype(object)[valid]
+        return counts, big, doc_of[:-1][valid]
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, big, _ = _bigrams(t)
+        if not len(big):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pa.array(big, type=pa.string()).value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    parts = src.dataset(columns=[text_col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    vocab_ds = parts.groupby("bigram").sum("n").materialize()
+    total = int(parts.sum("n") or 0)
+    truncated = False
+    if vocab_top_k is not None and vocab_ds.count() > vocab_top_k:
+        truncated = True
+        vocab_ds = vocab_ds.sort(["sum(n)", "bigram"],
+                                 descending=[True, False]).limit(vocab_top_k)
+
+    def prefix_partial(t: pa.Table) -> pa.Table:
+        col = t.column("bigram")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w1 = pc.list_element(pc.utf8_split_whitespace(col), 0)
+        base = pa.table({"w1": w1, "n": t.column("sum(n)")})
+        return base.group_by("w1").aggregate([("n", "sum")]) \
+            .rename_columns(["w1", "n"])
+
+    from ray.data.aggregate import Sum
+
+    prefix_ds = vocab_ds.map_batches(prefix_partial, batch_format="pyarrow") \
+        .groupby("w1").aggregate(Sum("n", alias_name="pc"))
+
+    vb = list(vocab_ds.iter_batches(batch_format="pyarrow"))
+    pb = list(prefix_ds.iter_batches(batch_format="pyarrow"))
+    if vb:
+        vt = pa.concat_tables(vb).combine_chunks()
+        pt = pa.concat_tables(pb).combine_chunks()
+        bigs = vt.column("bigram").to_numpy(zero_copy_only=False)
+        cnts = vt.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pref_tok = pt.column("w1").to_numpy(zero_copy_only=False)
+        pref_n = pt.column("pc").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        po = np.argsort(pref_tok)
+        pref_tok, pref_n = pref_tok[po], pref_n[po]
+        w1_of = np.array([b.split(" ", 1)[0] for b in bigs], dtype=object)
+        pref_of = pref_n[np.searchsorted(pref_tok, w1_of)]
+        order = np.argsort(bigs)
+        bigs_sorted = bigs[order]
+        q = np.array([math.floor(1e6 * math.log(int(p) / int(c)) + 0.5)
+                      for p, c in zip(pref_of[order], cnts[order])],
+                     dtype=np.int64)
+    else:
+        bigs_sorted = np.array([], dtype=object)
+        q = np.array([], dtype=np.int64)
+    oov_q = math.floor(1e6 * math.log(total) + 0.5) \
+        if (truncated and total > 0) else 0
+    table_ref = ray.put((bigs_sorted, q, oov_q))
+
+    def score(t: pa.Table) -> pa.Table:
+        bigs_s, qv, oov = ray.get(table_ref)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counts, big, parent = _bigrams(t)
+        nbg = np.zeros(len(counts), np.int64)
+        scores = np.zeros(len(counts), np.int64)
+        if len(big):
+            np.add.at(nbg, parent, 1)
+            idx = np.searchsorted(bigs_s, big) if len(bigs_s) \
+                else np.zeros(len(big), dtype=np.int64)
+            idx = np.clip(idx, 0, max(0, len(bigs_s) - 1))
+            hit = bigs_s[idx] == big if len(bigs_s) \
+                else np.zeros(len(big), dtype=bool)
+            np.add.at(scores, parent[hit], qv[idx[hit]])
+            if oov:
+                np.add.at(scores, parent[~hit],
+                          np.full(int((~hit).sum()), oov, np.int64))
+        keep = nbg > 0
+        return pa.table({
+            key_col: keys.filter(pa.array(keep)),
+            "n_bigrams": pa.array(nbg[keep]),
+            "lm2_score": pa.array(scores[keep])})
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -1466,3 +1466,30 @@ def test_passage_dedup_order_key_bounds(ray_session):
                          "text": ["a b c"]})
     with pytest.raises(Exception, match="bounds exceeded"):
         passage_dedup(rd.from_pandas(docs), passage_tokens=2).to_pandas()
+
+
+def test_bigram_lm_exact_and_truncated(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.textops import bigram_lm_scores
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "text": ["a a b", "a a", "x"]})  # doc 3: no bigram → absent
+    out = bigram_lm_scores(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    q_aa = math.floor(1e6 * math.log(3 / 2) + 0.5)  # c(a a)=2, prefix(a)=3
+    q_ab = math.floor(1e6 * math.log(3 / 1) + 0.5)
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.n_bigrams) == [2, 1]
+    assert list(out.lm2_score) == [q_aa + q_ab, q_aa]
+
+    # truncation: top-1 vocab keeps "a a"; "a b" takes the oov bucket
+    out2 = bigram_lm_scores(rd.from_pandas(docs), vocab_top_k=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    oov = math.floor(1e6 * math.log(3) + 0.5)
+    q_aa_tr = math.floor(1e6 * math.log(2 / 2) + 0.5)  # prefix now only c(a a)
+    assert list(out2.lm2_score) == [q_aa_tr + oov, q_aa_tr]
