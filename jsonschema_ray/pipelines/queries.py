@@ -4577,3 +4577,115 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(q) AS BIGINT) AS lm2_score
 FROM bg JOIN q USING (w1, w2) GROUP BY doc_id
 """
+
+
+def q_events_dense_rank(sf_dir: str):
+    """DENSE_RANK window function per partition (ties share a rank and
+    no rank is skipped — the semantics ROW_NUMBER queries like
+    events_top_per_user can't express): each user's events at dense
+    value-rank ≤ 2. Scale shape: users are BUCKETED by hash (pb =
+    user_id % B) so one group = one partition-sized frame, never one
+    pandas frame per user; the rank itself is one vectorized
+    ``groupby.rank(method='dense')`` per bucket."""
+    import pandas as pd
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(2, min(64, cpus))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        vc = _scale100(t.column("value"))
+        return pa.table({"pb": pa.array((uid % nb).astype(np.int64)),
+                         "user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "value_c": vc})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("user_id")["value_c"] \
+            .rank(method="dense", ascending=False).astype(np.int64)
+        g = g.assign(rnk=r)
+        return g.loc[g["rnk"] <= 2,
+                     ["user_id", "event_id", "value_c", "rnk"]]
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("pb").map_groups(rank, batch_format="pandas")
+
+
+QUERIES["events_dense_rank"] = q_events_dense_rank
+ORACLE["events_dense_rank"] = r"""
+SELECT user_id, event_id,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c,
+       CAST(dense_rank() OVER (PARTITION BY user_id
+                               ORDER BY FLOOR(value*100 + 0.5) DESC)
+            AS BIGINT) AS rnk
+FROM events
+QUALIFY rnk <= 2
+"""
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT operator (long→wide): per calendar day, one count column
+    per event type plus the exact cents sum of purchase values. Scale
+    shape: the pivot happens INSIDE the per-block combiner (one
+    int64 column per type, 5 fixed types), so the groupby shuffle
+    carries |days| wide rows per block, never the long stream."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        vc = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        base = pd.DataFrame({"day": day, "et": df["event_type"], "vc": vc})
+        out = base.groupby("day", as_index=False).agg(n=("et", "size"))
+        for ty in TYPES:
+            m = base.loc[base["et"] == ty] \
+                .groupby("day", as_index=False).agg(**{f"n_{ty}": ("et", "size")})
+            out = out.merge(m, on="day", how="left")
+        pv = base.loc[base["et"] == "purchase"] \
+            .groupby("day", as_index=False).agg(purchase_value_c=("vc", "sum"))
+        out = out.merge(pv, on="day", how="left")
+        cols = [f"n_{t}" for t in TYPES] + ["purchase_value_c"]
+        out[cols] = out[cols].fillna(0).astype(np.int64)
+        return out.drop(columns=["n"])
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("day").aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in TYPES],
+            Sum("purchase_value_c", alias_name="purchase_value_c"))
+
+    pivot_schema = pa.schema(
+        [("day", pa.timestamp("us"))]
+        + [(f"n_{t}", pa.int64()) for t in TYPES]
+        + [("purchase_value_c", pa.int64())])
+
+    def cast_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.schema.names:
+            return pivot_schema.empty_table()
+        i = t.schema.get_field_index("day")
+        return t.set_column(i, "day",
+                            t.column("day").cast(pa.timestamp("us")))
+
+    return out.map_batches(cast_day, batch_format="pyarrow")
+
+
+QUERIES["events_pivot"] = q_events_pivot
+ORACLE["events_pivot"] = r"""
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_value_c
+FROM events GROUP BY 1
+"""
