@@ -4689,3 +4689,94 @@ SELECT date_trunc('day', ts) AS day,
          AS purchase_value_c
 FROM events GROUP BY 1
 """
+
+
+def q_mode_lang_per_source(sf_dir: str):
+    """Grouped MODE aggregate (most frequent value per group, ties →
+    lexicographically smallest): the statistical-mode aggregate the
+    Sum/Min/Max family can't express. Scale shape: (source, lang)
+    counts collapse per block, one thin groupby-sum, then a
+    per-source argmax via a SECOND per-block partial argmax + packed
+    (count, inverted-lang) Max merge — grouping never widens past the
+    (source×lang) cardinality."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"source": t.column("source"),
+                         "lang": t.column("lang"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return base.group_by(["source", "lang"]).aggregate([("one", "sum")]) \
+            .rename_columns(["source", "lang", "n"])
+
+    pairs = _read(sf_dir, "documents", columns=["source", "lang"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "lang"], ascending=[False, True],
+                          kind="stable").head(1)
+        return g[["source", "lang", "n"]].rename(
+            columns={"lang": "mode_lang", "n": "n_docs"})
+
+    return pairs.groupby("source").map_groups(argmax, batch_format="pandas")
+
+
+QUERIES["mode_lang_per_source"] = q_mode_lang_per_source
+ORACLE["mode_lang_per_source"] = r"""
+SELECT source, lang AS mode_lang, CAST(n AS BIGINT) AS n_docs
+FROM (SELECT source, lang, count(*) AS n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang)
+WHERE rn = 1
+"""
+
+
+def q_unpivot_source_stats(sf_dir: str):
+    """UNPIVOT operator (wide→long): the per-source stats profile
+    melted to (source, metric, value) rows — the inverse of
+    events_pivot. Scale shape: the wide input is already
+    group-cardinality small; melting is a zero-shuffle per-block
+    column→row transpose (one value column repeated per metric)."""
+    METRICS = ["n_docs", "null_text", "min_chars", "max_chars", "n_lang"]
+
+    wide = q_stats_profile_by_source(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcs, mets, vals = [], [], []
+        for m in METRICS:
+            srcs.append(src)
+            mets.append(pa.array(np.full(n, m), pa.string()))
+            vals.append(t.column(m).cast(pa.int64()))
+        return pa.table({
+            "source": pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in srcs]),
+            "metric": pa.concat_arrays(mets),
+            "value": pa.concat_arrays([v.combine_chunks()
+                                       if isinstance(v, pa.ChunkedArray)
+                                       else v for v in vals])})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+QUERIES["unpivot_source_stats"] = q_unpivot_source_stats
+ORACLE["unpivot_source_stats"] = r"""
+WITH wide AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS null_text,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+  FROM documents GROUP BY source)
+SELECT source, metric, value
+FROM wide UNPIVOT (value FOR metric IN
+  (n_docs, null_text, min_chars, max_chars, n_lang))
+"""
