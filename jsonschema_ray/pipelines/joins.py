@@ -158,11 +158,13 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     when either side can be sparse or empty.
 
     Column names (other than the keys) must be disjoint between the
-    two sides. ``how='inner'`` preserves integer dtypes; other modes
-    would surface pandas NaN-widening and are not offered.
+    two sides. ``how='inner'`` preserves plain integer dtypes;
+    ``how='left'`` keeps unmatched left rows and emits right integer
+    columns as Arrow int64-with-nulls (pandas nullable ``Int64``
+    during the merge — never a silent float64 widening).
     """
-    if how != "inner":
-        raise ValueError("hash_join supports how='inner' only")
+    if how not in ("inner", "left"):
+        raise ValueError("hash_join supports how='inner'|'left'")
     import pandas as pd
 
     from jsonschema_ray.functions.sketches import hash64
@@ -214,12 +216,18 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, l_cols]
         r = g.loc[g["__side"] == 1, r_cols]
-        out = pd.merge(l, r, left_on=on, right_on=right_key, how="inner",
+        if how == "left":
+            # nullable Int64 BEFORE the merge: unmatched right cells
+            # become pd.NA (→ Arrow null), not NaN-widened float64
+            for c in r_cols:
+                if pa.types.is_integer(r_types[c]):
+                    r = r.assign(**{c: r[c].astype("Int64")})
+        out = pd.merge(l, r, left_on=on, right_on=right_key, how=how,
                        suffixes=(None, None))
         out = out[out_cols]
         for c in out_cols:
             want = all_types[c]
-            if pa.types.is_integer(want):
+            if pa.types.is_integer(want) and (how == "inner" or c in l_cols):
                 out[c] = out[c].astype(want.to_pandas_dtype())
         return out
 

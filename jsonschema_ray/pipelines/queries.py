@@ -4780,3 +4780,72 @@ SELECT source, metric, value
 FROM wide UNPIVOT (value FOR metric IN
   (n_docs, null_text, min_chars, max_chars, n_lang))
 """
+
+
+def q_left_join_orders_catalog(sf_dir: str):
+    """LEFT OUTER hash join (big fact ⋈ restricted dimension, keeping
+    unmatched facts): 1996Q1 orders joined to the customer catalog
+    with every 10th customer dropped — unmatched orders surface with
+    acctbal_c = -1 (coalesced sentinel so the dtype-strict oracle
+    compare sees int64, not a float-widened null). Scale shape: both
+    sides thin-projected at the scan; joins.hash_join 'left' mode
+    (bucketed pandas merge over one hash shuffle, nullable-Int64
+    right columns — never NaN widening)."""
+    import datetime
+
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                   & (pc.field("o_orderdate") < hi)) \
+        .map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(t.column("o_orderdate"), pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    def cust_thin(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy()
+        t = t.filter(pa.array(ck % 10 != 0))
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "acctbal_c": _scale100(t.column("c_acctbal"))})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_thin, batch_format="pyarrow")
+
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       how="left",
+                       left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                              ("o_custkey", pa.int64())]),
+                       right_schema=pa.schema([("c_custkey", pa.int64()),
+                                               ("acctbal_c", pa.int64())]))
+
+    def seal(t: pa.Table) -> pa.Table:
+        ab = t.column("acctbal_c")
+        if isinstance(ab, pa.ChunkedArray):
+            ab = ab.combine_chunks()
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "acctbal_c": ab.fill_null(-1).cast(pa.int64())})
+
+    return joined.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["left_join_orders_catalog"] = q_left_join_orders_catalog
+ORACLE["left_join_orders_catalog"] = r"""
+SELECT o_orderkey, o_custkey,
+       CAST(COALESCE(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT), -1)
+            AS BIGINT) AS acctbal_c
+FROM orders LEFT OUTER JOIN
+     (SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey % 10 <> 0) c
+  ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+"""

@@ -173,3 +173,23 @@ def test_hash_join_one_side_empty(ray_session):
     out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
                     on="k", num_partitions=8).to_pandas()
     assert len(out) == 0
+
+
+def test_hash_join_left_nullable_ints(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                         "v": np.array([10, 20, 30], np.int64)})
+    right = pd.DataFrame({"k": np.array([1], np.int64),
+                          "w": np.array([7], np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", how="left", num_partitions=4)
+    t = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(t) == 3
+    assert t.loc[0, "w"] == 7
+    assert pd.isna(t.loc[1, "w"]) and pd.isna(t.loc[2, "w"])
+    # nullable Int64 / Arrow int64-with-nulls — never float64
+    assert "float" not in str(t["w"].dtype).lower()
