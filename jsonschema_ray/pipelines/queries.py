@@ -4849,3 +4849,101 @@ FROM orders LEFT OUTER JOIN
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1996-04-01'
 """
+
+
+def q_histogram_nchars(sf_dir: str):
+    """Equi-width HISTOGRAM aggregate: documents.n_chars bucketed into
+    width-100 bins per source. Scale shape: the bin id is computed in
+    the scan kernel (integer floor-div — no width_bucket float edges),
+    per-block bincount partials collapse to ≤|source×bins| rows, one
+    thin groupby-sum; the histogram never materializes the column."""
+    from ray.data.aggregate import Sum
+
+    WIDTH = 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy()
+        base = pa.table({
+            "source": t.column("source"),
+            "bin_lo": pa.array((nc // WIDTH * WIDTH).astype(np.int64)),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return base.group_by(["source", "bin_lo"]).aggregate(
+            [("one", "sum")]).rename_columns(["source", "bin_lo", "n"])
+
+    return _read(sf_dir, "documents", columns=["source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "bin_lo"]).aggregate(Sum("n", alias_name="n"))
+
+
+QUERIES["histogram_nchars"] = q_histogram_nchars
+ORACLE["histogram_nchars"] = r"""
+SELECT source, CAST(n_chars // 100 * 100 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_users_setops(sf_dir: str):
+    """Set operations (INTERSECT / EXCEPT) over derived key sets:
+    users with a HIGH-VALUE (≥95) view vs a high-value purchase —
+    both / view-only / purchase-only, counted. Scale shape: one pass;
+    each block emits block-distinct (user, view-bit, purchase-bit)
+    rows; a thin Max-merge groupby resolves global membership; the
+    three set cardinalities are a ≤3-row combiner groupby over the
+    membership table. No join, no driver sets."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.and_(
+            pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase")),
+            pc.greater_equal(t.column("value"), 95.0))
+        t = t.filter(keep)
+        base = pa.table({
+            "user_id": t.column("user_id"),
+            "v": pc.equal(t.column("event_type"), "view").cast(pa.int64()),
+            "p": pc.equal(t.column("event_type"), "purchase")
+            .cast(pa.int64())})
+        return base.group_by("user_id").aggregate(
+            [("v", "max"), ("p", "max")]) \
+            .rename_columns(["user_id", "v", "p"])
+
+    member = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("v", alias_name="v"),
+                                      Max("p", alias_name="p"))
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy()
+        p = t.column("p").to_numpy()
+        names = np.where(v & p, "both",
+                         np.where(v == 1, "view_only", "purchase_only"))
+        base = pa.table({"set_name": pa.array(names.astype(object),
+                                              pa.string()),
+                         "one": pa.array(np.ones(len(v), np.int64))})
+        return base.group_by("set_name").aggregate([("one", "sum")]) \
+            .rename_columns(["set_name", "n_users"])
+
+    return member.map_batches(label, batch_format="pyarrow") \
+        .groupby("set_name").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+QUERIES["users_setops"] = q_users_setops
+ORACLE["users_setops"] = r"""
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view' AND value >= 95),
+p AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 95)
+SELECT 'both' AS set_name,
+       CAST((SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p))
+            AS BIGINT) AS n_users
+UNION ALL
+SELECT 'view_only',
+       CAST((SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p))
+            AS BIGINT)
+UNION ALL
+SELECT 'purchase_only',
+       CAST((SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v))
+            AS BIGINT)
+"""
