@@ -4947,3 +4947,112 @@ SELECT 'purchase_only',
        CAST((SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v))
             AS BIGINT)
 """
+
+
+def q_render_interleaved(sf_dir: str):
+    """Interleaved-document RENDERING: the read-side inverse of span
+    flattening — each document's spans serialized in reading order
+    (text spans contribute their text, '' when null; media spans a
+    '[kind:ref]' placeholder), the export/inspection step of an
+    interleaved-corpus pipeline. Scale shape: spans are derived and
+    reassembled BLOCK-LOCALLY (docs never straddle blocks), so the
+    whole render is a zero-shuffle vectorized map: one np.where piece
+    selection + one ListArray ``pc.binary_join`` per block."""
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
+        d = ids[parent]
+        k = (d * 7 + s * 3) % 5
+        txt = np.where(text == None, "", text)            # noqa: E711
+        rf = np.where(ref == None, "", ref)               # noqa: E711
+        media = np.char.add(np.char.add(np.char.add(np.char.add(
+            "[", kind.astype(str)), ":"), rf.astype(str)), "]")
+        piece = np.where(k == 0, txt, media).astype(object)
+        offs = np.concatenate(([0], np.cumsum(n_spans))).astype(np.int32)
+        pieces = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(piece, type=pa.string()))
+        rendered = pc.binary_join(pieces, " ")
+        return pa.table({
+            "doc_id": pa.array(ids.astype("U20"), pa.string()),
+            "n_spans": pa.array(n_spans),
+            "rendered": rendered})
+
+    return _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(render, batch_format="pyarrow")
+
+
+QUERIES["render_interleaved"] = q_render_interleaved
+ORACLE["render_interleaved"] = r"""
+WITH spans AS (
+  SELECT d.doc_id AS did, s AS si,
+         (d.doc_id*7 + s*3) % 5 AS k,
+         list_extract(['text','image','audio','table','video'],
+                      CAST((d.doc_id*7 + s*3) % 5 AS INTEGER) + 1) AS kind,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0
+                   AND (d.doc_id + s) % 11 = 0 THEN NULL
+              WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN 'tok'
+              ELSE NULL END AS txt,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN NULL
+              WHEN (d.doc_id + s) % 13 = 0 THEN 'http://bad'
+              ELSE 'media://0123456789abcdef' END AS ref
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+)
+SELECT CAST(did AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       string_agg(CASE WHEN k = 0 THEN COALESCE(txt, '')
+                       ELSE '[' || kind || ':' || COALESCE(ref, '') || ']'
+                  END, ' ' ORDER BY si) AS rendered
+FROM spans GROUP BY did
+"""
+
+
+def q_events_moving_sum(sf_dir: str):
+    """Moving-window aggregate over an ordered partition (ROWS BETWEEN
+    3 PRECEDING AND CURRENT ROW): per user, each event's trailing-4
+    value sum in exact cents — the bounded-frame window shape the
+    cumulative running_window query doesn't cover. Scale shape:
+    user-hash buckets (one frame per bucket, never per user), one
+    vectorized ``groupby.rolling(4, min_periods=1).sum`` per bucket."""
+    import pandas as pd
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(2, min(64, cpus))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return pa.table({"pb": pa.array((uid % nb).astype(np.int64)),
+                         "user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value_c": _scale100(t.column("value"))})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ms = g.groupby("user_id")["value_c"] \
+            .rolling(4, min_periods=1).sum() \
+            .reset_index(level=0, drop=True).astype(np.int64)
+        return g.assign(moving_sum_c=ms)[
+            ["user_id", "event_id", "value_c", "moving_sum_c"]]
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("pb").map_groups(roll, batch_format="pandas")
+
+
+QUERIES["events_moving_sum"] = q_events_moving_sum
+ORACLE["events_moving_sum"] = r"""
+SELECT user_id, event_id,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS moving_sum_c
+FROM events
+"""
