@@ -5056,3 +5056,91 @@ SELECT user_id, event_id,
             AS BIGINT) AS moving_sum_c
 FROM events
 """
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot DIFF (the FULL OUTER JOIN shape): compare the documents
+    table against a derived snapshot B (every 37th doc dropped, every
+    41st doc's text mutated, 50 new ids appended) and emit one row per
+    difference — added / removed / changed. Scale shape: the full
+    outer join is a tag-union — each side ships only (doc_id,
+    text-hash-as-int, side-bit); one thin Max-merge groupby resolves
+    presence + equality; no text ever shuffles (md5 lower-64 content
+    hash, the same SQL-reproducible hash the split/bloom family
+    uses)."""
+    from ray.data.aggregate import Max
+
+    from jsonschema_ray.functions.sketches import md5_hash64
+
+    def h63(texts: np.ndarray) -> np.ndarray:
+        # md5 lower-64 >> 1: fits int64, SQL = md5_number_lower >> 1
+        return (md5_hash64(texts.astype(object)) >> np.uint64(1)) \
+            .astype(np.int64)
+
+    def side_a(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids),
+                         "ha": pa.array(h63(txt)),
+                         "hb": pa.array(np.full(len(ids), -1, np.int64))})
+
+    def side_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_numpy(zero_copy_only=False).copy()
+        keep = ids % 37 != 0
+        ids, txt = ids[keep], txt[keep]
+        mut = ids % 41 == 0
+        txt[mut] = np.char.add(txt[mut].astype(str), " [rev2]")
+        mx = 100_000_000
+        new_ids = mx + np.arange(50, dtype=np.int64)
+        new_txt = np.array([f"new doc {i}" for i in range(50)], object)
+        ids = np.concatenate([ids, new_ids])
+        txt = np.concatenate([txt.astype(object), new_txt])
+        return pa.table({"doc_id": pa.array(ids),
+                         "ha": pa.array(np.full(len(ids), -1, np.int64)),
+                         "hb": pa.array(h63(txt))})
+
+    a = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(side_a, batch_format="pyarrow")
+    b = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(side_b, batch_format="pyarrow")
+
+    merged = a.union(b).groupby("doc_id") \
+        .aggregate(Max("ha", alias_name="ha"), Max("hb", alias_name="hb"))
+
+    def label(t: pa.Table) -> pa.Table:
+        ha = t.column("ha").to_numpy()
+        hb = t.column("hb").to_numpy()
+        change = np.where(ha < 0, "added",
+                          np.where(hb < 0, "removed",
+                                   np.where(ha != hb, "changed", "same")))
+        keep = change != "same"
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy()[keep]),
+            "change": pa.array(change[keep].astype(object), pa.string())})
+
+    return merged.map_batches(label, batch_format="pyarrow")
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLE["snapshot_diff"] = r"""
+WITH a AS (
+  SELECT doc_id, md5_number_lower(text) >> 1 AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         md5_number_lower(CASE WHEN doc_id % 41 = 0
+                               THEN text || ' [rev2]' ELSE text END) >> 1
+           AS h
+  FROM documents WHERE doc_id % 37 <> 0
+  UNION ALL
+  SELECT 100000000 + i AS doc_id,
+         md5_number_lower('new doc ' || CAST(i AS VARCHAR)) >> 1 AS h
+  FROM (SELECT unnest(generate_series(0, 49)) AS i)),
+j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.h AS ha, b.h AS hb
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id,
+       CASE WHEN ha IS NULL THEN 'added'
+            WHEN hb IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM j WHERE ha IS NULL OR hb IS NULL OR ha <> hb
+"""
