@@ -6,11 +6,17 @@ import duckdb
 import pandas as pd
 import pytest
 
-from jsonschema_ray.pipelines.tpch import TPCH_ORACLE, TPCH_QUERIES
+from jsonschema_ray.pipelines.queries import ORACLE, QUERIES
+from jsonschema_ray.pipelines.tpch import TPCH_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem"]
+# the full 17-query suite: the 12 in pipelines/tpch.py plus the 5
+# older ones registered directly in pipelines/queries.py
+ALL_TPCH = sorted(TPCH_QUERIES) + [
+    "q1_pricing_summary", "q3_top_orders", "q5_local_supplier_volume",
+    "q10_returned_items", "q18_large_orders"]
 
 
 def _norm(df: pd.DataFrame):
@@ -21,16 +27,16 @@ def _norm(df: pd.DataFrame):
     return dtypes, rows
 
 
-@pytest.mark.parametrize("name", sorted(TPCH_QUERIES))
+@pytest.mark.parametrize("name", ALL_TPCH)
 def test_tpch_query_matches_duckdb(ray_session, name):
-    res = TPCH_QUERIES[name](SF_DIR)
+    res = QUERIES[name](SF_DIR)
     got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    want = con.execute(TPCH_ORACLE[name]).df()
+    want = con.execute(ORACLE[name]).df()
     con.close()
 
     assert len(got) == len(want), (name, len(got), len(want))
