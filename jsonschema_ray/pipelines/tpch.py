@@ -68,6 +68,34 @@ def _nparts() -> int:
     return max(2, min(32, cpus // 2))
 
 
+def _nbuckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(64, cpus * 2))
+
+
+def _driver_finish(parts, key, val, build):
+    """Merge tiny per-bucket (key(s), val(s)) partials on the driver:
+    sum the val column(s) per key(s) and hand the sorted frame to
+    ``build``. Used where the result is DIMENSION-bounded (≤ a few
+    thousand rows) — a distributed aggregate here would add an
+    all-to-all barrier with ~5-10 s of fixed cost (measured on Q21)
+    to merge a handful of rows."""
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+    vals = [val] if isinstance(val, str) else list(val)
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    if not batches:
+        return build(pd.DataFrame({c: [] for c in keys + vals}))
+    allp = pd.concat(batches, ignore_index=True)
+    agg = allp.groupby(keys, as_index=False)[vals].sum() \
+        .sort_values(keys, kind="stable").reset_index(drop=True)
+    return build(agg)
+
+
 def _scalar_row(ds, cols: list[str]) -> pa.Table:
     """Global integer sums of ``cols`` as a 1-row table. The aggregate
     tree-reduces partials; only O(len(cols)) ints reach the driver."""
@@ -218,51 +246,65 @@ def q_q4_order_priority(sf_dir: str):
     """TPC-H-Q4 (adapted: the "late delivery" EXISTS predicate is
     ``l_returnflag='R'`` — no commit/receipt dates in the trimmed
     schema): orders in a quarter with at least one flagged lineitem,
-    counted per priority. Scale shape: the EXISTS side collapses to
-    block-distinct orderkeys → a distinct-key groupby (thin 8-byte
-    keys), one distributed hash join against the date-filtered thin
-    orders projection, then a per-block combiner groupby on the
-    5-value priority column."""
-    from ray.data.aggregate import Count, Sum
+    counted per priority. Scale shape: ONE all-to-all — block-distinct
+    flagged orderkeys and date-filtered (orderkey, priority-id) rows
+    tag-union into okey-hash buckets; the EXISTS semi-join is a
+    vectorized isin per bucket; the 5-value result merges on the
+    driver from ≤5-row bucket partials (a join + two groupby barriers
+    each cost ~5-10 s fixed at this block count — measured on Q21)."""
+    import pandas as pd
 
     lo = datetime.datetime(1996, 7, 1)
     hi = datetime.datetime(1996, 10, 1)
+    nb = _nbuckets()
+    PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pid = {p: i for i, p in enumerate(PRIO)}
 
     def li_distinct(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
         col = t.column("l_orderkey")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return pa.table({"l_orderkey": pc.unique(col)})
-
-    flagged = _read(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_returnflag"]) \
-        .map_batches(li_distinct, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Count(alias_name="_n")) \
-        .select_columns(["l_orderkey"])
+        u = pc.unique(col).to_numpy()
+        return pa.table({"okey": pa.array(u),
+                         "prio": pa.array(np.full(len(u), -1, np.int64)),
+                         "pb": pa.array((u % nb).astype(np.int64))})
 
     def ord_project(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
             pc.less(t.column("o_orderdate"), pa.scalar(hi)))
-        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+        t = t.filter(keep)
+        ok = t.column("o_orderkey").to_numpy()
+        prio = np.array([pid[p] for p in
+                         t.column("o_orderpriority").to_pylist()], np.int64)
+        return pa.table({"okey": pa.array(ok), "prio": pa.array(prio),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
+    flagged = _read(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(li_distinct, batch_format="pyarrow")
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate",
-                            "o_orderpriority"]) \
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
         .map_batches(ord_project, batch_format="pyarrow")
 
-    joined = orders.join(flagged, join_type="inner",
-                         num_partitions=_nparts(),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        fk = g.loc[g["prio"] < 0, "okey"].to_numpy()
+        o = g.loc[g["prio"] >= 0]
+        o = o[o["okey"].isin(fk)]
+        out = o.groupby("prio", as_index=False).agg(n=("okey", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    def combine(t: pa.Table) -> pa.Table:
-        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
-        return g.rename_columns(["o_orderpriority", "n"])
-
-    return joined.map_batches(combine, batch_format="pyarrow") \
-        .groupby("o_orderpriority") \
-        .aggregate(Sum("n", alias_name="order_count"))
+    parts = flagged.union(orders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+    return _driver_finish(
+        parts, "prio", "n",
+        lambda agg: pa.table({
+            "o_orderpriority": pa.array(
+                [PRIO[i] for i in agg["prio"]], pa.string()),
+            "order_count": pa.array(
+                agg["n"].to_numpy().astype(np.int64))}))
 
 
 # ---------------------------------------------------------------------------
@@ -273,55 +315,75 @@ def q_q12_linestatus_priority(sf_dir: str):
     """TPC-H-Q12 (adapted: groups by ``l_linestatus`` — the trimmed
     schema has no shipmode — with the ship-window filter on
     l_shipdate): per-group counts of high- vs low-priority orders.
-    Scale shape: both join inputs project to 2 thin columns (the
-    orders side pre-computes ``is_high`` as int8 so the priority
-    string never shuffles); per-block combiner groupby after the
-    join carries 2 rows per block."""
-    from ray.data.aggregate import Sum
+    Scale shape: ONE all-to-all — both sides project to (okey,
+    payload-int) and tag-union into okey-hash buckets (priority and
+    linestatus pre-lowered to ints so no string ever shuffles); the
+    join + conditional aggregation run vectorized per bucket; the
+    2-row result merges on the driver (each extra join/groupby
+    barrier costs ~5-10 s fixed at this block count — measured on
+    Q21)."""
+    import pandas as pd
 
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1997, 1, 1)
+    nb = _nbuckets()
 
     def ord_project(t: pa.Table) -> pa.Table:
         pr = t.column("o_orderpriority")
         if isinstance(pr, pa.ChunkedArray):
             pr = pr.combine_chunks()
         is_high = pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH"))
-        return pa.table({"o_orderkey": t.column("o_orderkey"),
-                         "is_high": is_high.cast(pa.int64())})
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({"okey": pa.array(ok),
+                         "v": is_high.cast(pa.int64()),
+                         "side": pa.array(np.zeros(len(ok), np.int64)),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(t.column("l_shipdate"), pa.scalar(hi))))
+        ok = t.column("l_orderkey").to_numpy()
+        st = pc.equal(t.column("l_linestatus"), "O").cast(pa.int64())
+        return pa.table({"okey": pa.array(ok), "v": st,
+                         "side": pa.array(np.ones(len(ok), np.int64)),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderpriority"]) \
         .map_batches(ord_project, batch_format="pyarrow")
-
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_linestatus", "l_shipdate"],
                      filter=(pc.field("l_shipdate") >= lo)
                      & (pc.field("l_shipdate") < hi)) \
-        .map_batches(
-            lambda t: t.filter(pc.and_(
-                pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
-                pc.less(t.column("l_shipdate"), pa.scalar(hi))))
-            .select(["l_orderkey", "l_linestatus"]),
-            batch_format="pyarrow")
+        .map_batches(li_project, batch_format="pyarrow")
 
-    joined = lineitem.join(orders, join_type="inner",
-                           num_partitions=_nparts(),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["okey", "v"]] \
+            .rename(columns={"v": "is_high"})
+        li = g.loc[g["side"] == 1, ["okey", "v"]] \
+            .rename(columns={"v": "is_o"})
+        j = li.merge(o, on="okey", how="inner")
+        j["low"] = 1 - j["is_high"]
+        out = j.groupby("is_o", as_index=False).agg(
+            h=("is_high", "sum"), l=("low", "sum"))
+        # pack (high, low) into one int so the driver merge stays a
+        # single (key, val) sum; counts < 2^32 per bucket by block size
+        out["n"] = out["h"] * (1 << 32) + out["l"]
+        return out[["is_o", "n"]].astype(np.int64)
 
-    def combine(t: pa.Table) -> pa.Table:
-        hi_ = t.column("is_high")
-        low = pc.subtract(1, hi_)
-        base = pa.table({"l_linestatus": t.column("l_linestatus"),
-                         "h": hi_, "l": low})
-        g = base.group_by("l_linestatus").aggregate(
-            [("h", "sum"), ("l", "sum")])
-        return g.rename_columns(["l_linestatus", "h", "l"])
+    parts = lineitem.union(orders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
 
-    return joined.map_batches(combine, batch_format="pyarrow") \
-        .groupby("l_linestatus") \
-        .aggregate(Sum("h", alias_name="high_line_count"),
-                   Sum("l", alias_name="low_line_count"))
+    def build(agg):
+        status = np.where(agg["is_o"].to_numpy() == 1, "O", "F")
+        n = agg["n"].to_numpy()
+        return pa.table({
+            "l_linestatus": pa.array(status.astype(object), pa.string()),
+            "high_line_count": pa.array((n >> 32).astype(np.int64)),
+            "low_line_count": pa.array((n & 0xFFFFFFFF).astype(np.int64))})
+
+    return _driver_finish(parts, "is_o", "n", build)
 
 
 # ---------------------------------------------------------------------------
@@ -331,21 +393,22 @@ def q_q12_linestatus_priority(sf_dir: str):
 def q_q13_customer_distribution(sf_dir: str):
     """TPC-H-Q13 (adapted: excluded orders are ``o_orderstatus='P'`` —
     no o_comment in the trimmed schema): histogram of per-customer
-    order counts INCLUDING zero-order customers. Scale shape: the
-    left-outer join is a tag-union, not a join — customers emit
-    (custkey, 0), order blocks emit pre-counted (custkey, n) partials,
-    one thin groupby-sum yields c_count, and a second per-block-
-    combinered groupby yields the distribution. Nothing wider than
-    8-byte key + count ever shuffles, and the skew-prone join (every
-    order row) is avoided entirely."""
-    from ray.data.aggregate import Sum
+    order counts INCLUDING zero-order customers. Scale shape: ONE
+    all-to-all — customers emit (custkey, 0) and order blocks
+    pre-counted (custkey, n) partials into custkey-hash buckets; each
+    bucket sums per customer AND value-counts the c_count histogram,
+    so the driver merges ≤|distinct counts| rows per bucket. The
+    skew-prone per-order join never happens and no second groupby
+    barrier is paid."""
+    import pandas as pd
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey"]) \
-        .map_batches(
-            lambda t: pa.table({
-                "c_custkey": t.column("c_custkey").cast(pa.int64()),
-                "n": pa.array(np.zeros(t.num_rows, np.int64))}),
-            batch_format="pyarrow")
+    nb = _nbuckets()
+
+    def cust_thin(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({"ckey": pa.array(ck),
+                         "n": pa.array(np.zeros(len(ck), np.int64)),
+                         "pb": pa.array((ck % nb).astype(np.int64))})
 
     def ord_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(t.column("o_orderstatus"), "P")))
@@ -353,25 +416,28 @@ def q_q13_customer_distribution(sf_dir: str):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         vc = col.value_counts()
-        return pa.table({"c_custkey": vc.field("values").cast(pa.int64()),
-                         "n": vc.field("counts").cast(pa.int64())})
+        ck = vc.field("values").to_numpy().astype(np.int64)
+        return pa.table({"ckey": pa.array(ck),
+                         "n": vc.field("counts").cast(pa.int64()),
+                         "pb": pa.array((ck % nb).astype(np.int64))})
 
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_thin, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
         .map_batches(ord_partial, batch_format="pyarrow")
 
-    per_cust = cust.union(orders).groupby("c_custkey") \
-        .aggregate(Sum("n", alias_name="c_count"))
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("ckey", as_index=False)["n"].sum()
+        hist = per_cust.groupby("n", as_index=False).agg(d=("ckey", "size"))
+        return hist.rename(columns={"n": "c_count"}).astype(np.int64)
 
-    def dist_partial(t: pa.Table) -> pa.Table:
-        col = t.column("c_count")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.value_counts()
-        return pa.table({"c_count": vc.field("values").cast(pa.int64()),
-                         "n": vc.field("counts").cast(pa.int64())})
-
-    return per_cust.map_batches(dist_partial, batch_format="pyarrow") \
-        .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+    parts = cust.union(orders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+    return _driver_finish(
+        parts, "c_count", "d",
+        lambda agg: pa.table({
+            "c_count": pa.array(agg["c_count"].to_numpy().astype(np.int64)),
+            "custdist": pa.array(agg["d"].to_numpy().astype(np.int64))}))
 
 
 # ---------------------------------------------------------------------------
@@ -437,31 +503,61 @@ def q_q7_volume_shipping(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
         .map_batches(ord_map, batch_format="pyarrow")
 
-    joined = lineitem.join(orders, join_type="inner",
-                           num_partitions=_nparts(),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
+    # ONE all-to-all: both thin sides tag-union into okey-hash buckets;
+    # the join + pair filter + (nation-pair, year) aggregation run
+    # vectorized per bucket; the ≤8-row result merges on the driver
+    def bucketize(side):
+        def fn(t: pa.Table) -> pa.Table:
+            ok = t.column(t.column_names[0]).to_numpy()
+            nb = _nbuckets()
+            t = t.append_column("pb", pa.array((ok % nb).astype(np.int64)))
+            return t.append_column(
+                "side", pa.array(np.full(len(ok), side, np.int64)))
+        return fn
 
-    def combine(t: pa.Table) -> pa.Table:
-        s = t.column("s_nat").to_numpy()
-        c = t.column("c_nat").to_numpy()
-        t = t.filter(pa.array(s != c))
-        names = pc.binary_join_element_wise(
-            pa.array(np.full(t.num_rows, "NATION_"), pa.string()),
-            t.column("s_nat").cast(pa.string()), "")
-        cnames = pc.binary_join_element_wise(
-            pa.array(np.full(t.num_rows, "NATION_"), pa.string()),
-            t.column("c_nat").cast(pa.string()), "")
-        base = pa.table({"supp_nation": names, "cust_nation": cnames,
-                         "l_year": t.column("l_year"),
-                         "volume_c": t.column("volume_c")})
-        g = base.group_by(["supp_nation", "cust_nation", "l_year"]) \
-            .aggregate([("volume_c", "sum")])
-        return g.rename_columns(
-            ["supp_nation", "cust_nation", "l_year", "volume_c"])
+    li_b = lineitem.map_batches(bucketize(0), batch_format="pyarrow")
+    or_b = orders.map_batches(bucketize(1), batch_format="pyarrow") \
+        .map_batches(
+            lambda t: pa.table({
+                "l_orderkey": t.column("o_orderkey"),
+                "s_nat": t.column("c_nat").cast(pa.int64()),
+                "l_year": pa.nulls(t.num_rows, pa.int64()),
+                "volume_c": pa.nulls(t.num_rows, pa.int64()),
+                "pb": t.column("pb"), "side": t.column("side")}),
+            batch_format="pyarrow")
 
-    return joined.map_batches(combine, batch_format="pyarrow") \
-        .groupby(["supp_nation", "cust_nation", "l_year"]) \
-        .aggregate(Sum("volume_c", alias_name="volume_c"))
+    import pandas as pd
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        li = g.loc[g["side"] == 0, ["l_orderkey", "s_nat", "l_year",
+                                    "volume_c"]]
+        o = g.loc[g["side"] == 1, ["l_orderkey", "s_nat"]] \
+            .rename(columns={"s_nat": "c_nat"})
+        j = li.merge(o, on="l_orderkey", how="inner")
+        j = j[j["s_nat"] != j["c_nat"]]
+        # pack (s_nat, c_nat, year) into one int key for the driver sum
+        j["k"] = (j["s_nat"].astype(np.int64) * 1_000_000
+                  + j["c_nat"].astype(np.int64) * 10_000
+                  + j["l_year"].astype(np.int64))
+        out = j.groupby("k", as_index=False)["volume_c"].sum()
+        return out.astype(np.int64)
+
+    parts = li_b.union(or_b).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+
+    def build(agg):
+        k = agg["k"].to_numpy()
+        return pa.table({
+            "supp_nation": pa.array(
+                [f"NATION_{v}" for v in k // 1_000_000], pa.string()),
+            "cust_nation": pa.array(
+                [f"NATION_{v}" for v in k % 1_000_000 // 10_000],
+                pa.string()),
+            "l_year": pa.array((k % 10_000).astype(np.int64)),
+            "volume_c": pa.array(
+                agg["volume_c"].to_numpy().astype(np.int64))})
+
+    return _driver_finish(parts, "k", "volume_c", build)
 
 
 # ---------------------------------------------------------------------------
@@ -544,19 +640,52 @@ def q_q8_market_share(sf_dir: str):
                    & (pc.field("o_orderdate") < hi)) \
         .map_batches(ord_map, batch_format="pyarrow")
 
-    joined = lineitem.join(orders, join_type="inner",
-                           num_partitions=_nparts(),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
+    # ONE all-to-all: both thin sides tag-union into okey-hash buckets;
+    # join + per-year share sums run vectorized per bucket; the 2-row
+    # result merges on the driver
+    import pandas as pd
 
-    def combine(t: pa.Table) -> pa.Table:
-        g = t.select(["o_year", "nation_c", "total_c"]) \
-            .group_by("o_year") \
-            .aggregate([("nation_c", "sum"), ("total_c", "sum")])
-        return g.rename_columns(["o_year", "nation_c", "total_c"])
+    nb = _nbuckets()
 
-    return joined.map_batches(combine, batch_format="pyarrow") \
-        .groupby("o_year").aggregate(Sum("nation_c", alias_name="nation_c"),
-                                     Sum("total_c", alias_name="total_c"))
+    def tag_li(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        return t.append_column("pb", pa.array((ok % nb).astype(np.int64))) \
+            .append_column("o_year",
+                           pa.nulls(t.num_rows, pa.int64())) \
+            .append_column("side", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def tag_or(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        n = t.num_rows
+        return pa.table({
+            "l_orderkey": t.column("o_orderkey"),
+            "nation_c": pa.nulls(n, pa.int64()),
+            "total_c": pa.nulls(n, pa.int64()),
+            "pb": pa.array((ok % nb).astype(np.int64)),
+            "o_year": t.column("o_year"),
+            "side": pa.array(np.ones(n, np.int64))})
+
+    li_b = lineitem.map_batches(tag_li, batch_format="pyarrow")
+    or_b = orders.map_batches(tag_or, batch_format="pyarrow")
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        li = g.loc[g["side"] == 0, ["l_orderkey", "nation_c", "total_c"]]
+        o = g.loc[g["side"] == 1, ["l_orderkey", "o_year"]]
+        j = li.merge(o, on="l_orderkey", how="inner")
+        out = j.groupby("o_year", as_index=False)[
+            ["nation_c", "total_c"]].sum()
+        return out.astype(np.int64)
+
+    parts = li_b.union(or_b).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+    return _driver_finish(
+        parts, "o_year", ["nation_c", "total_c"],
+        lambda agg: pa.table({
+            "o_year": pa.array(agg["o_year"].to_numpy().astype(np.int64)),
+            "nation_c": pa.array(agg["nation_c"].to_numpy()
+                                 .astype(np.int64)),
+            "total_c": pa.array(agg["total_c"].to_numpy()
+                                .astype(np.int64))}))
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +731,11 @@ def q_q15_top_supplier(sf_dir: str):
         .groupby("l_suppkey") \
         .aggregate(Sum("cents", alias_name="total_revenue_c"))
 
+    # materialize the |suppliers|-row aggregate ONCE: .max() would
+    # otherwise execute the pipeline and the winners filter would
+    # re-execute it from scratch (two full passes for one barrier's
+    # worth of work)
+    rev = rev.materialize()
     best = int(rev.max("total_revenue_c"))
 
     def winners(t: pa.Table) -> pa.Table:
@@ -708,9 +842,11 @@ def q_q21_waiting_supplier(sf_dir: str):
     block-level pair dedupe before each shuffle; the orders join runs
     on the already-tiny per-order survivor stream; supplier names via
     broadcast LUT."""
+    import pandas as pd
     import pyarrow.parquet as pq
+    import ray
 
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     supp = pq.read_table(_pq(sf_dir, "supplier"),
                          columns=["s_suppkey", "s_name"])
@@ -718,66 +854,79 @@ def q_q21_waiting_supplier(sf_dir: str):
     sname = np.empty(int(sk.max()) + 1, dtype=object)
     sname[sk] = supp.column("s_name").to_numpy(zero_copy_only=False)
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(2, min(64, cpus * 2))
+
+    # ONE all-to-all: lineitem pairs AND F-order keys tag-union into
+    # the same okey-hash buckets; both groupby levels + the status
+    # semi-join run vectorized inside each bucket (a 3-shuffle chain
+    # — pair groupby, per-order groupby, orders join — measured 20 s
+    # vs DuckDB 0.64 s at sf0.1; this shape runs ~4 s)
     def pair_partial(t: pa.Table) -> pa.Table:
         flag = pc.equal(t.column("l_returnflag"), "R").cast(pa.int64())
-        base = pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "l_suppkey": t.column("l_suppkey"),
+        base = pa.table({"okey": t.column("l_orderkey"),
+                         "supp": t.column("l_suppkey").cast(pa.int64()),
                          "flag": flag})
-        return base.group_by(["l_orderkey", "l_suppkey"]) \
-            .aggregate([("flag", "max")]) \
-            .rename_columns(["l_orderkey", "l_suppkey", "flag"])
+        g = base.group_by(["okey", "supp"]).aggregate([("flag", "max")]) \
+            .rename_columns(["okey", "supp", "flag"])
+        ok = g.column("okey").to_numpy()
+        return g.append_column("pb", pa.array((ok % nb).astype(np.int64)))
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({"okey": pa.array(ok),
+                         "supp": pa.array(np.full(len(ok), -1, np.int64)),
+                         "flag": pa.array(np.full(len(ok), -1, np.int64)),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     pairs = _read(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_suppkey", "l_returnflag"]) \
-        .map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby(["l_orderkey", "l_suppkey"]) \
-        .aggregate(Max("flag", alias_name="flag"))
+        .map_batches(pair_partial, batch_format="pyarrow")
+    forders = _read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderstatus"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
 
-    def order_partial(t: pa.Table) -> pa.Table:
-        f = t.column("flag")
-        fsupp = pc.multiply(t.column("l_suppkey").cast(pa.int64()), f)
-        base = pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "one": pa.array(np.ones(t.num_rows, np.int64)),
-                         "flag": f, "fsupp": fsupp})
-        return base.group_by("l_orderkey").aggregate(
-            [("one", "sum"), ("flag", "sum"), ("fsupp", "max")]) \
-            .rename_columns(["l_orderkey", "one", "flag", "fsupp"])
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        is_ord = g["flag"].to_numpy() < 0
+        fkeys = g.loc[is_ord, "okey"].to_numpy()
+        p = g.loc[~is_ord]
+        pairs_ = p.groupby(["okey", "supp"], as_index=False)["flag"].max()
+        fl = pairs_["flag"].to_numpy()
+        per_o = pd.DataFrame({
+            "okey": pairs_["okey"], "one": 1, "flag": fl,
+            "fs": pairs_["supp"].to_numpy() * fl}) \
+            .groupby("okey", as_index=False) \
+            .agg(n_supp=("one", "sum"), n_flagged=("flag", "sum"),
+                 fsupp=("fs", "max"))
+        sel = per_o[(per_o["n_supp"] >= 2) & (per_o["n_flagged"] == 1)
+                    & per_o["okey"].isin(fkeys)]
+        out = sel.groupby("fsupp", as_index=False).agg(n=("okey", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    per_order = pairs.map_batches(order_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey") \
-        .aggregate(Sum("one", alias_name="n_supp"),
-                   Sum("flag", alias_name="n_flagged"),
-                   Max("fsupp", alias_name="fsupp")) \
-        .filter(expr="n_supp >= 2 and n_flagged == 1")
+    parts = pairs.union(forders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
 
-    f_orders = _read(sf_dir, "orders",
-                     columns=["o_orderkey", "o_orderstatus"]) \
-        .map_batches(
-            lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F"))
-            .select(["o_orderkey"]), batch_format="pyarrow")
-
-    waits = per_order.join(f_orders, join_type="inner",
-                           num_partitions=_nparts(),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        col = t.column("fsupp")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.value_counts()
-        return pa.table({"fsupp": vc.field("values"),
-                         "n": vc.field("counts").cast(pa.int64())})
-
-    agg = waits.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("fsupp").aggregate(Sum("n", alias_name="numwait"))
-
-    def name(t: pa.Table) -> pa.Table:
-        keys = t.column("fsupp").to_numpy()
-        return pa.table({"s_name": pa.array(sname[keys], pa.string()),
-                         "numwait": t.column("numwait")})
-
-    return agg.map_batches(name, batch_format="pyarrow") \
-        .sort(["numwait", "s_name"], descending=[True, False]).limit(100)
+    # finish on the driver: the per-bucket partials are bounded by
+    # |suppliers| per bucket and the result by |suppliers| total
+    # (SF×10k — dimension-table small); a distributed aggregate +
+    # sort here would add two more all-to-all barriers (each ~5-10 s
+    # of fixed cost at this block count) to merge ≤128 tiny blocks
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    if not batches:
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
+    allp = pd.concat(batches, ignore_index=True)
+    agg = allp.groupby("fsupp", as_index=False)["n"].sum() \
+        .rename(columns={"n": "numwait"})
+    agg["s_name"] = sname[agg["fsupp"].to_numpy()]
+    agg = agg.sort_values(["numwait", "s_name"],
+                          ascending=[False, True], kind="stable").head(100)
+    return pa.table({
+        "s_name": pa.array(agg["s_name"].to_numpy(), pa.string()),
+        "numwait": pa.array(agg["numwait"].to_numpy().astype(np.int64))})
 
 
 # ---------------------------------------------------------------------------
@@ -848,36 +997,44 @@ def q_q22_dormant_customers(sf_dir: str):
                          "acctbal_c": none,
                          "tag": pa.array(np.ones(len(u), np.int64))})
 
-    cust = read_cust().map_batches(rich, batch_format="pyarrow")
+    nb = _nbuckets()
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy()
+        return t.append_column("pb", pa.array((ck % nb).astype(np.int64)))
+
+    cust = read_cust().map_batches(rich, batch_format="pyarrow") \
+        .map_batches(add_pb, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
                    filter=(pc.field("o_orderdate") >= _Q22_CUTOFF)) \
-        .map_batches(recent, batch_format="pyarrow")
+        .map_batches(recent, batch_format="pyarrow") \
+        .map_batches(add_pb, batch_format="pyarrow")
 
-    merged = cust.union(orders).groupby("c_custkey") \
-        .aggregate(Max("tag", alias_name="has_order"),
-                   Max("cntrycode", alias_name="cntrycode"),
-                   Max("acctbal_c", alias_name="acctbal_c")) \
-        .map_batches(
-            lambda t: t.filter(pc.and_(
-                pc.equal(t.column("has_order"), 0),
-                pc.is_valid(t.column("cntrycode").combine_chunks()
-                            if isinstance(t.column("cntrycode"),
-                                          pa.ChunkedArray)
-                            else t.column("cntrycode")))),
-            batch_format="pyarrow")
+    # ONE all-to-all: rich customers + block-deduped recent-order keys
+    # tag-union into custkey-hash buckets; the anti-join and per-nation
+    # aggregation run vectorized per bucket; the ≤7-row result merges
+    # on the driver
+    import pandas as pd
 
-    def final_partial(t: pa.Table) -> pa.Table:
-        base = pa.table({"cntrycode": t.column("cntrycode"),
-                         "one": pa.array(np.ones(t.num_rows, np.int64)),
-                         "ac": t.column("acctbal_c")})
-        return base.group_by("cntrycode").aggregate(
-            [("one", "sum"), ("ac", "sum")]) \
-            .rename_columns(["cntrycode", "one", "ac"])
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        okeys = g.loc[g["tag"] == 1, "c_custkey"].to_numpy()
+        c = g.loc[g["tag"] == 0]
+        c = c[~c["c_custkey"].isin(okeys)]
+        out = c.groupby("cntrycode", as_index=False).agg(
+            numcust=("c_custkey", "size"), tot=("acctbal_c", "sum"))
+        return out.astype(np.int64)
 
-    return merged.map_batches(final_partial, batch_format="pyarrow") \
-        .groupby("cntrycode") \
-        .aggregate(Sum("one", alias_name="numcust"),
-                   Sum("ac", alias_name="totacctbal_c"))
+    parts = cust.union(orders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+    return _driver_finish(
+        parts, "cntrycode", ["numcust", "tot"],
+        lambda agg: pa.table({
+            "cntrycode": pa.array(agg["cntrycode"].to_numpy()
+                                  .astype(np.int64)),
+            "numcust": pa.array(agg["numcust"].to_numpy()
+                                .astype(np.int64)),
+            "totacctbal_c": pa.array(agg["tot"].to_numpy()
+                                     .astype(np.int64))}))
 
 
 TPCH_ORACLE: dict[str, str] = {
