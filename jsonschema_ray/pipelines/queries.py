@@ -522,14 +522,18 @@ def q_events_hopping(sf_dir: str):
 
 def q_q3_top_orders(sf_dir: str):
     """TPC-H-Q3-style: dimension filter broadcast (customer segment),
-    distributed hash join lineitem⋈orders (``Dataset.join``), grouped
-    revenue, global top-10. Revenue in exact scaled cents."""
+    then ONE all-to-all — per-block per-order revenue partials and the
+    filtered order keys tag-union into okey-hash buckets; each bucket
+    completes the per-order sums, applies the semi-join, and emits its
+    LOCAL top-10; the driver merges ≤10 rows per bucket (each extra
+    join/groupby/sort barrier costs ~5-10 s fixed at this block count
+    — measured on Q21). Revenue in exact scaled cents."""
     import datetime
 
+    import pandas as pd
     import pyarrow.parquet as pq
-    import ray
 
-    from ray.data.aggregate import Count, Sum
+    from jsonschema_ray.pipelines.tpch import _driver_finish, _nbuckets
 
     seg_keys = pq.read_table(_pq(sf_dir, "customer"),
                              columns=["c_custkey", "c_mktsegment"])
@@ -538,6 +542,7 @@ def q_q3_top_orders(sf_dir: str):
     ).column("c_custkey").combine_chunks()
 
     cutoff = datetime.datetime(1998, 1, 1)
+    nb = _nbuckets()
 
     def orders_filter(t: pa.Table) -> pa.Table:
         col = t.column("o_custkey")
@@ -545,35 +550,314 @@ def q_q3_top_orders(sf_dir: str):
             col = col.combine_chunks()
         keep = pc.and_(pc.is_in(col, value_set=ck),
                        pc.less(t.column("o_orderdate"), pa.scalar(cutoff)))
-        return t.filter(keep).select(["o_orderkey"])
+        t = t.filter(keep)
+        ok = t.column("o_orderkey").to_numpy()
+        null = pa.nulls(len(ok), pa.int64())
+        return pa.table({"okey": pa.array(ok), "rev": null, "n": null,
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_filter, batch_format="pyarrow")
 
-    def li_project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": t.column("l_orderkey"),
-            "revenue_c": _scale100(pc.multiply(
+    def li_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "okey": t.column("l_orderkey"),
+            "rev": _scale100(pc.multiply(
                 t.column("l_extendedprice"),
                 pc.subtract(1.0, t.column("l_discount")))),
-        })
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+        g = base.group_by("okey").aggregate([("rev", "sum"), ("n", "sum")]) \
+            .rename_columns(["okey", "rev", "n"])
+        ok = g.column("okey").to_numpy()
+        return g.append_column("pb", pa.array((ok % nb).astype(np.int64)))
 
     lineitem = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(li_project, batch_format="pyarrow")
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    joined = lineitem.join(orders, join_type="inner",
-                           num_partitions=max(2, min(32, cpus // 2)),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = joined.groupby("l_orderkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"),
-        Count(alias_name="n_items"))
-    top = agg.sort(["revenue_c", "l_orderkey"],
-                   descending=[True, False]).limit(10)
-    return top
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["rev"].isna(), "okey"].to_numpy()
+        li = g.loc[g["rev"].notna()]
+        per_o = li.groupby("okey", as_index=False)[["rev", "n"]].sum()
+        per_o = per_o[per_o["okey"].isin(keys)]
+        per_o = per_o.sort_values(["rev", "okey"],
+                                  ascending=[False, True]).head(10)
+        return per_o.astype(np.int64)
+
+    parts = lineitem.union(orders).groupby("pb") \
+        .map_groups(bucket_top, batch_format="pandas")
+
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    allp = pd.concat(batches, ignore_index=True) if batches \
+        else pd.DataFrame({"okey": [], "rev": [], "n": []})
+    top = allp.sort_values(["rev", "okey"],
+                           ascending=[False, True]).head(10)
+    return pa.table({
+        "l_orderkey": pa.array(top["okey"].to_numpy().astype(np.int64)),
+        "revenue_c": pa.array(top["rev"].to_numpy().astype(np.int64)),
+        "n_items": pa.array(top["n"].to_numpy().astype(np.int64))})
+
+
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-style: revenue per nation where the customer and the
+    supplier share a nation in one region. Scale shape: the dimension
+    tables become broadcast numpy LUTs applied AT THE SCAN; the one
+    big join (lineitem ⋈ orders) plus the equality filter and the
+    per-nation aggregation all run in ONE all-to-all — both thin
+    sides tag-union into okey-hash buckets, each bucket merges
+    vectorized and emits ≤|nations| partial rows, and the driver
+    sums the ≤5-row result."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.tpch import _driver_finish, _nbuckets
+
+    nation = pq.read_table(_pq(sf_dir, "nation"))
+    region = pq.read_table(_pq(sf_dir, "region"))
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey").combine_chunks()
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=asia))
+    nat_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+
+    def lut(table: pa.Table, key: str, val: str) -> np.ndarray:
+        k = table.column(key).to_numpy()
+        v = table.column(val).to_numpy()
+        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
+        out[k] = v
+        return out
+
+    supp_nat = lut(pq.read_table(_pq(sf_dir, "supplier"),
+                                 columns=["s_suppkey", "s_nationkey"]),
+                   "s_suppkey", "s_nationkey")
+    cust_nat = lut(pq.read_table(_pq(sf_dir, "customer"),
+                                 columns=["c_custkey", "c_nationkey"]),
+                   "c_custkey", "c_nationkey")
+    asia_set = set(nat_name)
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    nb = _nbuckets()
+
+    def orders_map(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                       pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        t = t.filter(keep)
+        ok = t.column("o_orderkey").to_numpy()
+        cn = cust_nat[t.column("o_custkey").to_numpy()]
+        # only ASIA customers can satisfy the equality filter — prune
+        # the shuffle to ~1/5 of orders here
+        m = np.isin(cn, list(asia_set))
+        ok, cn = ok[m], cn[m]
+        return pa.table({"okey": pa.array(ok), "nat": pa.array(cn),
+                         "rev": pa.nulls(len(ok), pa.int64()),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_map, batch_format="pyarrow")
+
+    def li_map(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        sn = supp_nat[t.column("l_suppkey").to_numpy()]
+        m = np.isin(sn, list(asia_set))
+        t = t.filter(pa.array(m))
+        ok, sn = ok[m], sn[m]
+        rev = _scale100(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({"okey": pa.array(ok), "nat": pa.array(sn),
+                         "rev": rev,
+                         "pb": pa.array((ok % nb).astype(np.int64))})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                              "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        li = g.loc[g["rev"].notna(), ["okey", "nat", "rev"]]
+        o = g.loc[g["rev"].isna(), ["okey", "nat"]] \
+            .rename(columns={"nat": "c_nat"})
+        j = li.merge(o, on="okey", how="inner")
+        j = j[j["nat"] == j["c_nat"]]
+        out = j.groupby("nat", as_index=False)["rev"].sum()
+        return out.astype(np.int64)
+
+    parts = lineitem.union(orders).groupby("pb") \
+        .map_groups(bucket_merge, batch_format="pandas")
+    return _driver_finish(
+        parts, "nat", "rev",
+        lambda agg: pa.table({
+            "n_name": pa.array([nat_name[int(n)] for n in agg["nat"]],
+                               pa.string()),
+            "revenue_c": pa.array(agg["rev"].to_numpy().astype(np.int64))}))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming analog, SURVEY.md §2.9):
+    per-batch combiner pre-aggregation, then a small groupby of
+    partials — the shuffle carries one row per (batch, key, hour)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"),
+                       value_c=np.floor(df["value"].to_numpy() * 100.0 + 0.5)
+                       .astype(np.int64))
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_c", "size"), sv=("value_c", "sum"))
+        return g
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
+
+    hourly_schema = pa.schema([
+        ("event_type", pa.string()), ("hour", pa.timestamp("us")),
+        ("n", pa.int64()), ("sum_value_c", pa.int64())])
+
+    def cast_hour_us(t: pa.Table) -> pa.Table:
+        # Ray's pandas block path promotes timestamps to ns; the oracle
+        # (DuckDB TIMESTAMP) is us — emit us so dtype-strict compares match.
+        if t.num_rows == 0 or "hour" not in t.schema.names:
+            return hourly_schema.empty_table()
+        i = t.schema.get_field_index("hour")
+        return t.set_column(i, "hour", t.column("hour").cast(pa.timestamp("us")))
+
+    return out.map_batches(cast_hour_us, batch_format="pyarrow")
+
+
+def q_events_hopping(sf_dir: str):
+    """HOPPING-window aggregate (size 1 h, hop 15 min — each event lands
+    in exactly 4 overlapping windows): the sliding-window streaming
+    analog SURVEY.md §2.9 doesn't get from tumbling windows. Replication
+    is vectorized (np.tile over 4 hop offsets) and pre-aggregated per
+    batch, so the shuffle carries (batch, event_type, window) partials,
+    never the 4× event stream. Sums in exact scaled cents."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    HOPS = 4  # 1h window / 15min hop
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        vc = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        starts = np.concatenate(
+            [(base - pd.Timedelta(minutes=15 * i)).to_numpy()
+             for i in range(HOPS)])
+        rep = pd.DataFrame({
+            "event_type": np.tile(df["event_type"].to_numpy(), HOPS),
+            "wstart": starts,
+            "vc": np.tile(vc, HOPS)})
+        return rep.groupby(["event_type", "wstart"], as_index=False).agg(
+            n=("vc", "size"), sv=("vc", "sum"))
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "wstart"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
+
+    schema = pa.schema([
+        ("event_type", pa.string()), ("wstart", pa.timestamp("us")),
+        ("n", pa.int64()), ("sum_value_c", pa.int64())])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wstart" not in t.schema.names:
+            return schema.empty_table()
+        i = t.schema.get_field_index("wstart")
+        return t.set_column(i, "wstart",
+                            t.column("wstart").cast(pa.timestamp("us")))
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
+def q_q3_top_orders(sf_dir: str):
+    """TPC-H-Q3-style: dimension filter broadcast (customer segment),
+    then ONE all-to-all — per-block per-order revenue partials and the
+    filtered order keys tag-union into okey-hash buckets; each bucket
+    completes the per-order sums, applies the semi-join, and emits its
+    LOCAL top-10; the driver merges ≤10 rows per bucket (each extra
+    join/groupby/sort barrier costs ~5-10 s fixed at this block count
+    — measured on Q21). Revenue in exact scaled cents."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.tpch import _driver_finish, _nbuckets
+
+    seg_keys = pq.read_table(_pq(sf_dir, "customer"),
+                             columns=["c_custkey", "c_mktsegment"])
+    ck = seg_keys.filter(
+        pc.equal(seg_keys.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey").combine_chunks()
+
+    cutoff = datetime.datetime(1998, 1, 1)
+    nb = _nbuckets()
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        col = t.column("o_custkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = pc.and_(pc.is_in(col, value_set=ck),
+                       pc.less(t.column("o_orderdate"), pa.scalar(cutoff)))
+        t = t.filter(keep)
+        ok = t.column("o_orderkey").to_numpy()
+        null = pa.nulls(len(ok), pa.int64())
+        return pa.table({"okey": pa.array(ok), "rev": null, "n": null,
+                         "pb": pa.array((ok % nb).astype(np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_filter, batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "okey": t.column("l_orderkey"),
+            "rev": _scale100(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")))),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+        g = base.group_by("okey").aggregate([("rev", "sum"), ("n", "sum")]) \
+            .rename_columns(["okey", "rev", "n"])
+        ok = g.column("okey").to_numpy()
+        return g.append_column("pb", pa.array((ok % nb).astype(np.int64)))
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["rev"].isna(), "okey"].to_numpy()
+        li = g.loc[g["rev"].notna()]
+        per_o = li.groupby("okey", as_index=False)[["rev", "n"]].sum()
+        per_o = per_o[per_o["okey"].isin(keys)]
+        per_o = per_o.sort_values(["rev", "okey"],
+                                  ascending=[False, True]).head(10)
+        return per_o.astype(np.int64)
+
+    parts = lineitem.union(orders).groupby("pb") \
+        .map_groups(bucket_top, batch_format="pandas")
+
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    allp = pd.concat(batches, ignore_index=True) if batches \
+        else pd.DataFrame({"okey": [], "rev": [], "n": []})
+    top = allp.sort_values(["rev", "okey"],
+                           ascending=[False, True]).head(10)
+    return pa.table({
+        "l_orderkey": pa.array(top["okey"].to_numpy().astype(np.int64)),
+        "revenue_c": pa.array(top["rev"].to_numpy().astype(np.int64)),
+        "n_items": pa.array(top["n"].to_numpy().astype(np.int64))})
 
 
 def q_q5_local_supplier_volume(sf_dir: str):
@@ -3026,53 +3310,82 @@ def q_weighted_sample(sf_dir: str):
 def q_q18_large_orders(sf_dir: str):
     """TPC-H-Q18-style large-volume-order report: orders whose total
     quantity exceeds 300 units, with customer attribution, top-100 by
-    order value. Scale shape: the only big-data work is a thin
-    (l_orderkey, qty_c) per-block Arrow combiner → distributed
-    groupby-sum; the HAVING filter cuts it to a tiny fraction (~0.3%
-    of orders at any SF), and the two attribution joins
-    (⋈orders, ⋈customer) run as distributed hash joins on that small
-    survivor stream — no driver materialization anywhere. Quantities
-    and prices in exact scaled cents."""
-    import ray
+    order value. Scale shape: ONE all-to-all — per-block (orderkey,
+    qty_c) combiner partials and the thin orders projection tag-union
+    into okey-hash buckets; each bucket completes the per-order sums,
+    applies the HAVING cut (~0.3% survive), joins the order
+    attributes in-frame, and emits its LOCAL top-100; the driver
+    merges ≤100 rows per bucket and attributes the ≤100 winners from
+    a filtered customer read. Quantities and prices in exact scaled
+    cents."""
+    import pandas as pd
+    import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Sum
+    from jsonschema_ray.pipelines.tpch import _nbuckets
+
+    nb = _nbuckets()
 
     def li_partial(t: pa.Table) -> pa.Table:
-        q = pa.table({"l_orderkey": t.column("l_orderkey"),
+        q = pa.table({"okey": t.column("l_orderkey"),
                       "qty_c": _scale100(t.column("l_quantity"))})
-        return q.group_by("l_orderkey").aggregate([("qty_c", "sum")]) \
-            .rename_columns(["l_orderkey", "qty_c"])
-
-    big = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("qty_c", alias_name="sum_qty_c")) \
-        .filter(expr="sum_qty_c > 30000")
+        g = q.group_by("okey").aggregate([("qty_c", "sum")]) \
+            .rename_columns(["okey", "qty_c"])
+        ok = g.column("okey").to_numpy()
+        n = g.num_rows
+        return pa.table({"okey": g.column("okey"),
+                         "qty_c": g.column("qty_c"),
+                         "ckey": pa.nulls(n, pa.int64()),
+                         "odate": pa.nulls(n, pa.timestamp("us")),
+                         "price_c": pa.nulls(n, pa.int64()),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     def ord_project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": t.column("o_orderkey"),
-            "o_custkey": t.column("o_custkey"),
-            "o_orderdate": t.column("o_orderdate"),
-            "totalprice_c": _scale100(t.column("o_totalprice")),
-        })
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({"okey": t.column("o_orderkey"),
+                         "qty_c": pa.nulls(t.num_rows, pa.int64()),
+                         "ckey": t.column("o_custkey").cast(pa.int64()),
+                         "odate": t.column("o_orderdate"),
+                         "price_c": _scale100(t.column("o_totalprice")),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=[
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
         .map_batches(ord_project, batch_format="pyarrow")
-    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nparts = max(2, min(32, cpus // 2))
-    joined = big.join(orders, join_type="inner", num_partitions=nparts,
-                      on=("l_orderkey",), right_on=("o_orderkey",)) \
-        .join(customer, join_type="inner", num_partitions=nparts,
-              on=("o_custkey",), right_on=("c_custkey",))
-    return joined.select_columns([
-        "c_name", "o_custkey", "l_orderkey", "o_orderdate",
-        "totalprice_c", "sum_qty_c"]) \
-        .sort(["totalprice_c", "l_orderkey"], descending=[True, False]) \
-        .limit(100)
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        isli = g["ckey"].isna()
+        per_o = g.loc[isli].groupby("okey", as_index=False)["qty_c"].sum()
+        per_o = per_o[per_o["qty_c"] > 30000]
+        o = g.loc[~isli, ["okey", "ckey", "odate", "price_c"]]
+        j = per_o.merge(o, on="okey", how="inner")
+        return j.sort_values(["price_c", "okey"],
+                             ascending=[False, True]).head(100)
+
+    parts = li.union(orders).groupby("pb") \
+        .map_groups(bucket_top, batch_format="pandas")
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    cols = ["okey", "qty_c", "ckey", "odate", "price_c"]
+    allp = pd.concat(batches, ignore_index=True) if batches \
+        else pd.DataFrame({c: [] for c in cols})
+    top = allp.sort_values(["price_c", "okey"],
+                           ascending=[False, True]).head(100)
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    ckn = cust.column("c_custkey").to_numpy()
+    cname = np.empty(int(ckn.max()) + 1, dtype=object)
+    cname[ckn] = cust.column("c_name").to_numpy(zero_copy_only=False)
+    ck = top["ckey"].to_numpy().astype(np.int64)
+    return pa.table({
+        "c_name": pa.array(cname[ck], pa.string()),
+        "o_custkey": pa.array(ck),
+        "l_orderkey": pa.array(top["okey"].to_numpy().astype(np.int64)),
+        "o_orderdate": pa.array(top["odate"].to_numpy()),
+        "totalprice_c": pa.array(top["price_c"].to_numpy()
+                                 .astype(np.int64)),
+        "sum_qty_c": pa.array(top["qty_c"].to_numpy().astype(np.int64))})
 
 
 def q_val_childless_orders(sf_dir: str):
@@ -3112,38 +3425,37 @@ def q_val_childless_orders(sf_dir: str):
 
 def q_q10_returned_items(sf_dir: str):
     """TPC-H-Q10-style returned-item revenue report: top-20 customers
-    by revenue lost to returns in 1996Q1. Scale shape: both join
-    inputs are filtered+projected thin at the read (returnflag, date
-    range); one distributed hash join on orderkey; the per-customer
-    groupby rides a per-block combiner; customer attribution is a
-    second distributed join on the (small) survivor aggregate; the
-    25-row nation table is a broadcast numpy lookup, never a
-    shuffle."""
+    by revenue lost to returns in 1996Q1. Scale shape: TWO all-to-alls
+    (the minimum: the join key and the aggregation key differ) — (1)
+    filtered thin sides tag-union into okey-hash buckets, each bucket
+    joins vectorized and emits per-customer partial sums; (2) a
+    distributed custkey groupby completes the sums and every output
+    block emits its LOCAL top-20, so the driver merges ≤20 rows per
+    block and attributes the winners from a filtered customer read.
+    The 25-row nation table stays a broadcast lookup."""
     import datetime
 
+    import pandas as pd
     import pyarrow.parquet as pq
-    import ray
 
     from ray.data.aggregate import Sum
 
-    nation = pq.read_table(_pq(sf_dir, "nation"),
-                           columns=["n_nationkey", "n_name"])
-    nk = nation.column("n_nationkey").to_numpy()
-    nname = nation.column("n_name").to_numpy(zero_copy_only=False)
-    nmap = np.empty(int(nk.max()) + 1, dtype=object)
-    nmap[nk] = nname
+    from jsonschema_ray.pipelines.tpch import _nbuckets
 
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 4, 1)
+    nb = _nbuckets()
 
     def li_project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        ok = t.column("l_orderkey").to_numpy()
         return pa.table({
-            "l_orderkey": t.column("l_orderkey"),
-            "revenue_c": _scale100(pc.multiply(
+            "okey": pa.array(ok),
+            "v": _scale100(pc.multiply(
                 t.column("l_extendedprice"),
                 pc.subtract(1.0, t.column("l_discount")))),
-        })
+            "side": pa.array(np.zeros(len(ok), np.int64)),
+            "pb": pa.array((ok % nb).astype(np.int64))})
 
     lineitem = _read(sf_dir, "lineitem", columns=[
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
@@ -3153,38 +3465,69 @@ def q_q10_returned_items(sf_dir: str):
         keep = pc.and_(
             pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
             pc.less(t.column("o_orderdate"), pa.scalar(hi)))
-        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+        t = t.filter(keep)
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({"okey": pa.array(ok),
+                         "v": t.column("o_custkey").cast(pa.int64()),
+                         "side": pa.array(np.ones(len(ok), np.int64)),
+                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                   & (pc.field("o_orderdate") < hi)) \
         .map_batches(ord_project, batch_format="pyarrow")
 
-    def cust_project(t: pa.Table) -> pa.Table:
-        nkey = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "c_custkey": t.column("c_custkey"),
-            "c_name": t.column("c_name"),
-            "n_name": pa.array(nmap[nkey], pa.string()),
-            "acctbal_c": _scale100(t.column("c_acctbal")),
-        })
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        li = g.loc[g["side"] == 0, ["okey", "v"]] \
+            .rename(columns={"v": "rev"})
+        o = g.loc[g["side"] == 1, ["okey", "v"]] \
+            .rename(columns={"v": "ckey"})
+        j = li.merge(o, on="okey", how="inner")
+        out = j.groupby("ckey", as_index=False)["rev"].sum()
+        return out.astype(np.int64)
 
-    customer = _read(sf_dir, "customer", columns=[
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal"]) \
-        .map_batches(cust_project, batch_format="pyarrow")
+    per_cust = lineitem.union(orders).groupby("pb") \
+        .map_groups(bucket_join, batch_format="pandas") \
+        .groupby("ckey").aggregate(Sum("rev", alias_name="revenue_c"))
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nparts = max(2, min(32, cpus // 2))
-    rev = lineitem.join(orders, join_type="inner", num_partitions=nparts,
-                        on=("l_orderkey",), right_on=("o_orderkey",)) \
-        .groupby("o_custkey").aggregate(Sum("revenue_c",
-                                            alias_name="revenue_c"))
-    return rev.join(customer, join_type="inner", num_partitions=nparts,
-                    on=("o_custkey",), right_on=("c_custkey",)) \
-        .select_columns(["o_custkey", "c_name", "n_name",
-                         "revenue_c", "acctbal_c"]) \
-        .sort(["revenue_c", "o_custkey"], descending=[True, False]) \
-        .limit(20)
+    def block_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue_c", "ckey"],
+                           ascending=[False, True]).head(20),
+            preserve_index=False)
+
+    parts = per_cust.map_batches(block_top, batch_format="pyarrow")
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    allp = pd.concat(batches, ignore_index=True) if batches \
+        else pd.DataFrame({"ckey": [], "revenue_c": []})
+    top = allp.sort_values(["revenue_c", "ckey"],
+                           ascending=[False, True]).head(20)
+
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    nmap = np.empty(int(nk.max()) + 1, dtype=object)
+    nmap[nk] = nation.column("n_name").to_numpy(zero_copy_only=False)
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=[
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    ckn = cust.column("c_custkey").to_numpy()
+    cname = np.empty(int(ckn.max()) + 1, dtype=object)
+    cname[ckn] = cust.column("c_name").to_numpy(zero_copy_only=False)
+    cnat = np.zeros(int(ckn.max()) + 1, np.int64)
+    cnat[ckn] = cust.column("c_nationkey").to_numpy()
+    cbal = np.zeros(int(ckn.max()) + 1, np.int64)
+    cbal[ckn] = _scale100(cust.column("c_acctbal")).to_numpy()
+
+    ck = top["ckey"].to_numpy().astype(np.int64)
+    return pa.table({
+        "o_custkey": pa.array(ck),
+        "c_name": pa.array(cname[ck], pa.string()),
+        "n_name": pa.array(nmap[cnat[ck]], pa.string()),
+        "revenue_c": pa.array(top["revenue_c"].to_numpy()
+                              .astype(np.int64)),
+        "acctbal_c": pa.array(cbal[ck])})
 
 
 def q_stats_profile_by_source(sf_dir: str):
