@@ -265,23 +265,53 @@ def minhash_candidate_pairs(source: Any, key_col: str, text_col: str = "text",
     band_rows = minhash_band_rows(source, key_col, text_col, num_perm,
                                   bands, seed, token_hash=token_hash)
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(g[key_col].to_numpy())
-        dropped = 0
-        if len(ks) > max_bucket:
-            dropped = len(ks) - max_bucket
-            ks = ks[:max_bucket]
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": ks[:0], "key_b": ks[:0],
-                                 "n_dropped": np.array([], dtype=np.int64)})
-        i, j = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
-                             "n_dropped": np.full(len(i), 0, dtype=np.int64)
-                             if not dropped else
-                             np.r_[dropped, np.zeros(len(i) - 1, np.int64)]})
+    # (band, band_hash) groups are MANY and tiny (bands × |buckets| —
+    # ~80k at sf0.1); routing them each through map_groups is the
+    # known catastrophic one-pandas-frame-per-group pattern (measured
+    # 13.6 s at sf0.1). Hash the group id into ~2×cpu partition
+    # buckets instead and expand every group of a bucket inside ONE
+    # frame — the per-group loop stays (each iteration is a vectorized
+    # triu), but frame/scheduling overhead is paid per BUCKET.
+    import ray as _ray
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas")
+    _cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(2, min(128, _cpus * 2))
+
+    def add_pb(t: "pa.Table") -> "pa.Table":
+        band = t.column("band").to_numpy().astype(np.uint64)
+        bh = t.column("band_hash").to_numpy().view(np.uint64)
+        pb = ((band * np.uint64(1_000_003) + bh) % np.uint64(nb)) \
+            .astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ks = np.sort(grp[key_col].to_numpy())
+            dropped = 0
+            if len(ks) > max_bucket:
+                dropped = len(ks) - max_bucket
+                ks = ks[:max_bucket]
+            if len(ks) < 2:
+                continue
+            i, j = np.triu_indices(len(ks), k=1)
+            out_a.append(ks[i])
+            out_b.append(ks[j])
+            out_d.append(np.full(len(i), 0, dtype=np.int64) if not dropped
+                         else np.r_[dropped, np.zeros(len(i) - 1, np.int64)])
+        if not out_a:
+            empty = np.array([], dtype=g[key_col].to_numpy().dtype)
+            return pd.DataFrame({"key_a": empty, "key_b": empty,
+                                 "n_dropped": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"key_a": np.concatenate(out_a),
+                             "key_b": np.concatenate(out_b),
+                             "n_dropped": np.concatenate(out_d)})
+
+    pairs = band_rows.map_batches(add_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(pairs_of_bucket, batch_format="pandas")
     # dedupe pairs found in multiple bands; n_dropped survives as a sum
     # (attributed to the truncated bucket's first surviving pair)
     from ray.data.aggregate import Count, Sum
