@@ -543,8 +543,12 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
     else:
         toks_sorted = np.array([], dtype=object)
         cnt_sorted = np.array([], dtype=np.int64)
-    q = np.array([math.floor(1e6 * math.log(total / int(c)) + 0.5)
-                  for c in cnt_sorted], dtype=np.int64)
+    # vectorized identically to the scalar form (same libm log /
+    # IEEE divide / floor per element) — a Python listcomp here is
+    # O(vocab) driver time at a 10^6-row vocabulary cap
+    q = np.floor(1e6 * np.log(total / cnt_sorted.astype(np.float64))
+                 + 0.5).astype(np.int64) if len(cnt_sorted) \
+        else np.array([], dtype=np.int64)
     # out-of-vocabulary tokens (dropped by truncation) take the
     # max-surprise count=1 bucket; without truncation every corpus
     # token is in vocab, and the guard keeps legacy score-0 semantics
@@ -1235,9 +1239,11 @@ def bigram_lm_scores(source, key_col: str = "doc_id",
         pref_of = pref_n[np.searchsorted(pref_tok, w1_of)]
         order = np.argsort(bigs)
         bigs_sorted = bigs[order]
-        q = np.array([math.floor(1e6 * math.log(int(p) / int(c)) + 0.5)
-                      for p, c in zip(pref_of[order], cnts[order])],
-                     dtype=np.int64)
+        # vectorized identically to the scalar form (same libm log /
+        # IEEE divide / floor per element)
+        q = np.floor(1e6 * np.log(pref_of[order].astype(np.float64)
+                                  / cnts[order].astype(np.float64))
+                     + 0.5).astype(np.int64)
     else:
         bigs_sorted = np.array([], dtype=object)
         q = np.array([], dtype=np.int64)
