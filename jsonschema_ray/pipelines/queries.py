@@ -5487,3 +5487,91 @@ SELECT doc_id,
             ELSE 'changed' END AS change
 FROM j WHERE ha IS NULL OR hb IS NULL OR ha <> hb
 """
+
+
+def q_events_window_suite(sf_dir: str):
+    """Window-function completeness in one pass: per event — RANK by
+    value (deterministic event_id tie-break), NTILE(4) quartile over
+    the time order, FIRST_VALUE / LAST_VALUE of the partition, and
+    the LEAD gap to the next event in whole seconds (second-boundary
+    crossings, -1 sentinel on the partition's last row). Scale shape:
+    user-hash buckets (one vectorized frame per bucket, never per
+    user); every window is a sort + groupby-transform — no Python
+    loop over rows or groups."""
+    import pandas as pd
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(2, min(64, cpus))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return pa.table({"pb": pa.array((uid % nb).astype(np.int64)),
+                         "user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value_c": _scale100(t.column("value"))})
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        # time order: ts, event_id
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        n = grp["event_id"].transform("size").to_numpy()
+        i = grp.cumcount().to_numpy()
+        # SQL NTILE(4): the first n%4 buckets get ceil(n/4) rows
+        base, rem = n // 4, n % 4
+        big = rem * (base + 1)
+        quartile = np.where(i < big, i // np.maximum(base + 1, 1),
+                            rem + (i - big) // np.maximum(base, 1)) + 1
+        first_vc = grp["value_c"].transform("first").to_numpy()
+        last_vc = grp["value_c"].transform("last").to_numpy()
+        # LEAD gap in second-boundary crossings (DuckDB date_diff)
+        sec = g["ts"].dt.floor("s")
+        nxt = sec.shift(-1)
+        same = g["user_id"].to_numpy()
+        gap = (nxt - sec).dt.total_seconds()
+        gap = gap.to_numpy()
+        last_row = np.r_[same[:-1] != same[1:], True]
+        gap_s = np.where(last_row, -1, gap).astype(np.int64)
+        # RANK by (value_c desc, event_id) — unique tie-break, so rank
+        # equals the row position in that order
+        order = g.sort_values(["user_id", "value_c", "event_id"],
+                              ascending=[True, False, True],
+                              kind="stable").index.to_numpy()
+        rnk = np.empty(len(g), np.int64)
+        pos = g.loc[order].groupby("user_id", sort=False) \
+            .cumcount().to_numpy() + 1
+        rnk[order] = pos
+        return pd.DataFrame({
+            "user_id": g["user_id"], "event_id": g["event_id"],
+            "value_c": g["value_c"],
+            "rnk": rnk, "quartile": quartile.astype(np.int64),
+            "first_vc": first_vc, "last_vc": last_vc, "gap_s": gap_s})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("pb").map_groups(windows, batch_format="pandas")
+
+
+QUERIES["events_window_suite"] = q_events_window_suite
+ORACLE["events_window_suite"] = r"""
+SELECT user_id, event_id,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c,
+       CAST(rank() OVER (PARTITION BY user_id
+                         ORDER BY FLOOR(value*100 + 0.5) DESC, event_id)
+            AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(first_value(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS first_vc,
+       CAST(last_value(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_vc,
+       CAST(COALESCE(date_diff('second', ts, lead(ts) OVER w), -1)
+            AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
