@@ -579,7 +579,10 @@ def q_q3_top_orders(sf_dir: str):
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         keys = g.loc[g["rev"].isna(), "okey"].to_numpy()
-        li = g.loc[g["rev"].notna()]
+        li = g.loc[g["rev"].notna()].copy()
+        # re-narrow null-padded cents to int64 before summing (float64
+        # accumulation goes inexact past 2^53)
+        li[["rev", "n"]] = li[["rev", "n"]].astype(np.int64)
         per_o = li.groupby("okey", as_index=False)[["rev", "n"]].sum()
         per_o = per_o[per_o["okey"].isin(keys)]
         per_o = per_o.sort_values(["rev", "okey"],
@@ -697,270 +700,6 @@ def q_q5_local_supplier_volume(sf_dir: str):
             "n_name": pa.array([nat_name[int(n)] for n in agg["nat"]],
                                pa.string()),
             "revenue_c": pa.array(agg["rev"].to_numpy().astype(np.int64))}))
-
-
-def q_events_hourly(sf_dir: str):
-    """Tumbling-window aggregate (streaming analog, SURVEY.md §2.9):
-    per-batch combiner pre-aggregation, then a small groupby of
-    partials — the shuffle carries one row per (batch, key, hour)."""
-    import pandas as pd
-
-    from ray.data.aggregate import Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"),
-                       value_c=np.floor(df["value"].to_numpy() * 100.0 + 0.5)
-                       .astype(np.int64))
-        g = df.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value_c", "size"), sv=("value_c", "sum"))
-        return g
-
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-    partials = ds.map_batches(partial, batch_format="pandas")
-    out = partials.groupby(["event_type", "hour"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
-
-    hourly_schema = pa.schema([
-        ("event_type", pa.string()), ("hour", pa.timestamp("us")),
-        ("n", pa.int64()), ("sum_value_c", pa.int64())])
-
-    def cast_hour_us(t: pa.Table) -> pa.Table:
-        # Ray's pandas block path promotes timestamps to ns; the oracle
-        # (DuckDB TIMESTAMP) is us — emit us so dtype-strict compares match.
-        if t.num_rows == 0 or "hour" not in t.schema.names:
-            return hourly_schema.empty_table()
-        i = t.schema.get_field_index("hour")
-        return t.set_column(i, "hour", t.column("hour").cast(pa.timestamp("us")))
-
-    return out.map_batches(cast_hour_us, batch_format="pyarrow")
-
-
-def q_events_hopping(sf_dir: str):
-    """HOPPING-window aggregate (size 1 h, hop 15 min — each event lands
-    in exactly 4 overlapping windows): the sliding-window streaming
-    analog SURVEY.md §2.9 doesn't get from tumbling windows. Replication
-    is vectorized (np.tile over 4 hop offsets) and pre-aggregated per
-    batch, so the shuffle carries (batch, event_type, window) partials,
-    never the 4× event stream. Sums in exact scaled cents."""
-    import pandas as pd
-
-    from ray.data.aggregate import Sum
-
-    HOPS = 4  # 1h window / 15min hop
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor("15min")
-        vc = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        starts = np.concatenate(
-            [(base - pd.Timedelta(minutes=15 * i)).to_numpy()
-             for i in range(HOPS)])
-        rep = pd.DataFrame({
-            "event_type": np.tile(df["event_type"].to_numpy(), HOPS),
-            "wstart": starts,
-            "vc": np.tile(vc, HOPS)})
-        return rep.groupby(["event_type", "wstart"], as_index=False).agg(
-            n=("vc", "size"), sv=("vc", "sum"))
-
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["event_type", "wstart"]).aggregate(
-            Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value_c"))
-
-    schema = pa.schema([
-        ("event_type", pa.string()), ("wstart", pa.timestamp("us")),
-        ("n", pa.int64()), ("sum_value_c", pa.int64())])
-
-    def cast_us(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "wstart" not in t.schema.names:
-            return schema.empty_table()
-        i = t.schema.get_field_index("wstart")
-        return t.set_column(i, "wstart",
-                            t.column("wstart").cast(pa.timestamp("us")))
-
-    return out.map_batches(cast_us, batch_format="pyarrow")
-
-
-def q_q3_top_orders(sf_dir: str):
-    """TPC-H-Q3-style: dimension filter broadcast (customer segment),
-    then ONE all-to-all — per-block per-order revenue partials and the
-    filtered order keys tag-union into okey-hash buckets; each bucket
-    completes the per-order sums, applies the semi-join, and emits its
-    LOCAL top-10; the driver merges ≤10 rows per bucket (each extra
-    join/groupby/sort barrier costs ~5-10 s fixed at this block count
-    — measured on Q21). Revenue in exact scaled cents."""
-    import datetime
-
-    import pandas as pd
-    import pyarrow.parquet as pq
-
-    from jsonschema_ray.pipelines.tpch import _driver_finish, _nbuckets
-
-    seg_keys = pq.read_table(_pq(sf_dir, "customer"),
-                             columns=["c_custkey", "c_mktsegment"])
-    ck = seg_keys.filter(
-        pc.equal(seg_keys.column("c_mktsegment"), "BUILDING")
-    ).column("c_custkey").combine_chunks()
-
-    cutoff = datetime.datetime(1998, 1, 1)
-    nb = _nbuckets()
-
-    def orders_filter(t: pa.Table) -> pa.Table:
-        col = t.column("o_custkey")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        keep = pc.and_(pc.is_in(col, value_set=ck),
-                       pc.less(t.column("o_orderdate"), pa.scalar(cutoff)))
-        t = t.filter(keep)
-        ok = t.column("o_orderkey").to_numpy()
-        null = pa.nulls(len(ok), pa.int64())
-        return pa.table({"okey": pa.array(ok), "rev": null, "n": null,
-                         "pb": pa.array((ok % nb).astype(np.int64))})
-
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(orders_filter, batch_format="pyarrow")
-
-    def li_partial(t: pa.Table) -> pa.Table:
-        base = pa.table({
-            "okey": t.column("l_orderkey"),
-            "rev": _scale100(pc.multiply(
-                t.column("l_extendedprice"),
-                pc.subtract(1.0, t.column("l_discount")))),
-            "n": pa.array(np.ones(t.num_rows, np.int64))})
-        g = base.group_by("okey").aggregate([("rev", "sum"), ("n", "sum")]) \
-            .rename_columns(["okey", "rev", "n"])
-        ok = g.column("okey").to_numpy()
-        return g.append_column("pb", pa.array((ok % nb).astype(np.int64)))
-
-    lineitem = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_extendedprice",
-                              "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
-
-    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g.loc[g["rev"].isna(), "okey"].to_numpy()
-        li = g.loc[g["rev"].notna()]
-        per_o = li.groupby("okey", as_index=False)[["rev", "n"]].sum()
-        per_o = per_o[per_o["okey"].isin(keys)]
-        per_o = per_o.sort_values(["rev", "okey"],
-                                  ascending=[False, True]).head(10)
-        return per_o.astype(np.int64)
-
-    parts = lineitem.union(orders).groupby("pb") \
-        .map_groups(bucket_top, batch_format="pandas")
-
-    batches = list(parts.iter_batches(batch_format="pandas"))
-    allp = pd.concat(batches, ignore_index=True) if batches \
-        else pd.DataFrame({"okey": [], "rev": [], "n": []})
-    top = allp.sort_values(["rev", "okey"],
-                           ascending=[False, True]).head(10)
-    return pa.table({
-        "l_orderkey": pa.array(top["okey"].to_numpy().astype(np.int64)),
-        "revenue_c": pa.array(top["rev"].to_numpy().astype(np.int64)),
-        "n_items": pa.array(top["n"].to_numpy().astype(np.int64))})
-
-
-def q_q5_local_supplier_volume(sf_dir: str):
-    """TPC-H-Q5-style: revenue per nation where the customer and the
-    supplier share a nation in one region. Scale shape: the three
-    dimension tables (region/nation/supplier — KBs) and the
-    customer→nation map become driver-built numpy lookup tables closed
-    over by the batch kernels (broadcast, no shuffle); the ONE genuinely
-    big join (lineitem ⋈ orders) is a distributed hash join on thin
-    projections; the equality filter + per-block combiner shrink the
-    final groupby to ≤|nations| rows per block."""
-    import datetime
-
-    import pyarrow.parquet as pq
-    import ray
-
-    from ray.data.aggregate import Sum
-
-    nation = pq.read_table(_pq(sf_dir, "nation"))
-    region = pq.read_table(_pq(sf_dir, "region"))
-    asia = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
-        .column("r_regionkey").combine_chunks()
-    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
-                                 value_set=asia))
-    nat_name = dict(zip(nat.column("n_nationkey").to_pylist(),
-                        nat.column("n_name").to_pylist()))
-
-    def lut(table: pa.Table, key: str, val: str) -> np.ndarray:
-        k = table.column(key).to_numpy()
-        v = table.column(val).to_numpy()
-        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
-        out[k] = v
-        return out
-
-    supp_nat = lut(pq.read_table(_pq(sf_dir, "supplier"),
-                                 columns=["s_suppkey", "s_nationkey"]),
-                   "s_suppkey", "s_nationkey")
-    cust_nat = lut(pq.read_table(_pq(sf_dir, "customer"),
-                                 columns=["c_custkey", "c_nationkey"]),
-                   "c_custkey", "c_nationkey")
-    asia_nats = np.zeros(len(supp_nat.clip(min=0)) + 25, dtype=bool)
-    for k in nat_name:
-        asia_nats[k] = True
-
-    lo = datetime.datetime(1995, 1, 1)
-    hi = datetime.datetime(1997, 1, 1)
-
-    def orders_map(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
-                       pc.less(t.column("o_orderdate"), pa.scalar(hi)))
-        t = t.filter(keep)
-        ck = t.column("o_custkey").to_numpy()
-        return pa.table({"o_orderkey": t.column("o_orderkey"),
-                         "c_nat": pa.array(cust_nat[ck])})
-
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(orders_map, batch_format="pyarrow")
-
-    def li_map(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": t.column("l_orderkey"),
-            "s_nat": pa.array(supp_nat[t.column("l_suppkey").to_numpy()]),
-            "revenue_c": _scale100(pc.multiply(
-                t.column("l_extendedprice"),
-                pc.subtract(1.0, t.column("l_discount")))),
-        })
-
-    lineitem = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                              "l_discount"]) \
-        .map_batches(li_map, batch_format="pyarrow")
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    joined = lineitem.join(orders, join_type="inner",
-                           num_partitions=max(2, min(32, cpus // 2)),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def combine(t: pa.Table) -> pa.Table:
-        s = t.column("s_nat").to_numpy()
-        c = t.column("c_nat").to_numpy()
-        keep = (s == c) & (s >= 0) & asia_nats[np.clip(s, 0, len(asia_nats) - 1)]
-        nats = s[keep]
-        rev = t.column("revenue_c").to_numpy()[keep]
-        agg: dict[int, int] = {}
-        for n in np.unique(nats):
-            agg[int(n)] = int(rev[nats == n].sum())
-        return pa.table({
-            "n_name": pa.array([nat_name[n] for n in agg], type=pa.string()),
-            "revenue_c": pa.array(list(agg.values()), type=pa.int64()),
-        })
-
-    out = joined.map_batches(combine, batch_format="pyarrow") \
-        .groupby("n_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
-
-    def fix_schema(t: pa.Table) -> pa.Table:
-        want = pa.schema([("n_name", pa.string()), ("revenue_c", pa.int64())])
-        if t.num_rows == 0 or "n_name" not in t.schema.names:
-            return want.empty_table()
-        return t.select(["n_name", "revenue_c"]).cast(want)
-
-    return out.map_batches(fix_schema, batch_format="pyarrow")
 
 
 def q_events_running_window(sf_dir: str):
@@ -3356,7 +3095,10 @@ def q_q18_large_orders(sf_dir: str):
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         isli = g["ckey"].isna()
-        per_o = g.loc[isli].groupby("okey", as_index=False)["qty_c"].sum()
+        li = g.loc[isli, ["okey", "qty_c"]].copy()
+        # re-narrow null-padded cents to int64 before summing
+        li["qty_c"] = li["qty_c"].astype(np.int64)
+        per_o = li.groupby("okey", as_index=False)["qty_c"].sum()
         per_o = per_o[per_o["qty_c"] > 30000]
         o = g.loc[~isli, ["okey", "ckey", "odate", "price_c"]]
         j = per_o.merge(o, on="okey", how="inner")

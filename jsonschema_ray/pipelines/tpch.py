@@ -258,7 +258,6 @@ def q_q4_order_priority(sf_dir: str):
     hi = datetime.datetime(1996, 10, 1)
     nb = _nbuckets()
     PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    pid = {p: i for i, p in enumerate(PRIO)}
 
     def li_distinct(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
@@ -276,8 +275,11 @@ def q_q4_order_priority(sf_dir: str):
             pc.less(t.column("o_orderdate"), pa.scalar(hi)))
         t = t.filter(keep)
         ok = t.column("o_orderkey").to_numpy()
-        prio = np.array([pid[p] for p in
-                         t.column("o_orderpriority").to_pylist()], np.int64)
+        pr = t.column("o_orderpriority")
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        prio = pc.index_in(pr, value_set=pa.array(PRIO)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({"okey": pa.array(ok), "prio": pa.array(prio),
                          "pb": pa.array((ok % nb).astype(np.int64))})
 
@@ -367,23 +369,21 @@ def q_q12_linestatus_priority(sf_dir: str):
         j["low"] = 1 - j["is_high"]
         out = j.groupby("is_o", as_index=False).agg(
             h=("is_high", "sum"), l=("low", "sum"))
-        # pack (high, low) into one int so the driver merge stays a
-        # single (key, val) sum; counts < 2^32 per bucket by block size
-        out["n"] = out["h"] * (1 << 32) + out["l"]
-        return out[["is_o", "n"]].astype(np.int64)
+        return out.astype(np.int64)
 
     parts = lineitem.union(orders).groupby("pb") \
         .map_groups(bucket_merge, batch_format="pandas")
 
     def build(agg):
         status = np.where(agg["is_o"].to_numpy() == 1, "O", "F")
-        n = agg["n"].to_numpy()
         return pa.table({
             "l_linestatus": pa.array(status.astype(object), pa.string()),
-            "high_line_count": pa.array((n >> 32).astype(np.int64)),
-            "low_line_count": pa.array((n & 0xFFFFFFFF).astype(np.int64))})
+            "high_line_count": pa.array(agg["h"].to_numpy()
+                                        .astype(np.int64)),
+            "low_line_count": pa.array(agg["l"].to_numpy()
+                                       .astype(np.int64))})
 
-    return _driver_finish(parts, "is_o", "n", build)
+    return _driver_finish(parts, "is_o", ["h", "l"], build)
 
 
 # ---------------------------------------------------------------------------
@@ -456,8 +456,6 @@ def q_q7_volume_shipping(sf_dir: str):
     the 4-group combiner groupby is free."""
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Sum
-
     def lut(table: str, key: str, val: str) -> np.ndarray:
         t = pq.read_table(_pq(sf_dir, table), columns=[key, val])
         k = t.column(key).to_numpy()
@@ -505,11 +503,16 @@ def q_q7_volume_shipping(sf_dir: str):
 
     # ONE all-to-all: both thin sides tag-union into okey-hash buckets;
     # the join + pair filter + (nation-pair, year) aggregation run
-    # vectorized per bucket; the ≤8-row result merges on the driver
+    # vectorized per bucket; the ≤8-row result merges on the driver.
+    # nb is resolved ONCE here on the driver — a per-batch
+    # cluster_resources() call inside the UDF could see different CPU
+    # counts mid-query and bucket the two sides with different moduli,
+    # silently dropping join matches.
+    nb = _nbuckets()
+
     def bucketize(side):
         def fn(t: pa.Table) -> pa.Table:
             ok = t.column(t.column_names[0]).to_numpy()
-            nb = _nbuckets()
             t = t.append_column("pb", pa.array((ok % nb).astype(np.int64)))
             return t.append_column(
                 "side", pa.array(np.full(len(ok), side, np.int64)))
@@ -530,15 +533,21 @@ def q_q7_volume_shipping(sf_dir: str):
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         li = g.loc[g["side"] == 0, ["l_orderkey", "s_nat", "l_year",
-                                    "volume_c"]]
+                                    "volume_c"]].copy()
+        # re-narrow the null-padded columns to int64 BEFORE summing:
+        # Arrow int64-with-nulls arrives in pandas as float64, and a
+        # float64 cents sum goes inexact past 2^53 (values are exact,
+        # the accumulation is not) — the exact-integer protocol
+        # requires the groupby sums to run in int64
+        for c in ("s_nat", "l_year", "volume_c"):
+            li[c] = li[c].astype(np.int64)
         o = g.loc[g["side"] == 1, ["l_orderkey", "s_nat"]] \
             .rename(columns={"s_nat": "c_nat"})
         j = li.merge(o, on="l_orderkey", how="inner")
         j = j[j["s_nat"] != j["c_nat"]]
         # pack (s_nat, c_nat, year) into one int key for the driver sum
-        j["k"] = (j["s_nat"].astype(np.int64) * 1_000_000
-                  + j["c_nat"].astype(np.int64) * 10_000
-                  + j["l_year"].astype(np.int64))
+        j["k"] = (j["s_nat"] * 1_000_000 + j["c_nat"].astype(np.int64)
+                  * 10_000 + j["l_year"])
         out = j.groupby("k", as_index=False)["volume_c"].sum()
         return out.astype(np.int64)
 
@@ -574,8 +583,6 @@ def q_q8_market_share(sf_dir: str):
     distributed hash join with orders pre-filtered to region+window;
     per-block combiner groupby on the 2-value year."""
     import pyarrow.parquet as pq
-
-    from ray.data.aggregate import Sum
 
     part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
     pk = part.column("p_partkey").to_numpy()
@@ -669,8 +676,15 @@ def q_q8_market_share(sf_dir: str):
     or_b = orders.map_batches(tag_or, batch_format="pyarrow")
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
-        li = g.loc[g["side"] == 0, ["l_orderkey", "nation_c", "total_c"]]
-        o = g.loc[g["side"] == 1, ["l_orderkey", "o_year"]]
+        li = g.loc[g["side"] == 0,
+                   ["l_orderkey", "nation_c", "total_c"]].copy()
+        o = g.loc[g["side"] == 1, ["l_orderkey", "o_year"]].copy()
+        # re-narrow null-padded columns to int64 BEFORE summing (the
+        # union's nulls widened them to float64 in pandas; a float64
+        # cents accumulation goes inexact past 2^53)
+        li[["nation_c", "total_c"]] = \
+            li[["nation_c", "total_c"]].astype(np.int64)
+        o["o_year"] = o["o_year"].astype(np.int64)
         j = li.merge(o, on="l_orderkey", how="inner")
         out = j.groupby("o_year", as_index=False)[
             ["nation_c", "total_c"]].sum()
@@ -736,7 +750,12 @@ def q_q15_top_supplier(sf_dir: str):
     # re-execute it from scratch (two full passes for one barrier's
     # worth of work)
     rev = rev.materialize()
-    best = int(rev.max("total_revenue_c"))
+    best_raw = rev.max("total_revenue_c") if rev.count() else None
+    if best_raw is None:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_c": pa.array([], pa.int64())})
+    best = int(best_raw)
 
     def winners(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("total_revenue_c"), best))
@@ -844,9 +863,6 @@ def q_q21_waiting_supplier(sf_dir: str):
     broadcast LUT."""
     import pandas as pd
     import pyarrow.parquet as pq
-    import ray
-
-    from ray.data.aggregate import Sum
 
     supp = pq.read_table(_pq(sf_dir, "supplier"),
                          columns=["s_suppkey", "s_name"])
@@ -854,9 +870,7 @@ def q_q21_waiting_supplier(sf_dir: str):
     sname = np.empty(int(sk.max()) + 1, dtype=object)
     sname[sk] = supp.column("s_name").to_numpy(zero_copy_only=False)
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nb = max(2, min(64, cpus * 2))
+    nb = _nbuckets()
 
     # ONE all-to-all: lineitem pairs AND F-order keys tag-union into
     # the same okey-hash buckets; both groupby levels + the status
@@ -948,7 +962,7 @@ def q_q22_dormant_customers(sf_dir: str):
     EXISTS anti-join is a tag-union groupby (customers tag 0 with
     their attributes, recent-order custkeys block-deduped tag 1;
     Max-merge per custkey) so only 8-byte keys + small ints shuffle."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     nat_set = pa.array(np.array(_Q22_NATIONS, np.int64))
 
@@ -1018,8 +1032,11 @@ def q_q22_dormant_customers(sf_dir: str):
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         okeys = g.loc[g["tag"] == 1, "c_custkey"].to_numpy()
-        c = g.loc[g["tag"] == 0]
+        c = g.loc[g["tag"] == 0].copy()
         c = c[~c["c_custkey"].isin(okeys)]
+        # re-narrow the null-padded balance to int64 before the sum
+        c["acctbal_c"] = c["acctbal_c"].astype(np.int64)
+        c["cntrycode"] = c["cntrycode"].astype(np.int64)
         out = c.groupby("cntrycode", as_index=False).agg(
             numcust=("c_custkey", "size"), tot=("acctbal_c", "sum"))
         return out.astype(np.int64)
