@@ -193,3 +193,32 @@ def test_hash_join_left_nullable_ints(ray_session):
     assert pd.isna(t.loc[1, "w"]) and pd.isna(t.loc[2, "w"])
     # nullable Int64 / Arrow int64-with-nulls — never float64
     assert "float" not in str(t["w"].dtype).lower()
+
+
+def test_hash_join_matches_pyarrow_join_random(ray_session):
+    # property check: hash_join == single-node Arrow join on random
+    # key multisets (duplicates on both sides → cross products)
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        left = pd.DataFrame({
+            "k": rng.integers(0, 30, 200).astype(np.int64),
+            "v": np.arange(200, dtype=np.int64)})
+        right = pd.DataFrame({
+            "rk": rng.integers(0, 30, 50).astype(np.int64),
+            "w": np.arange(50, dtype=np.int64) * 10})
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", right_on="rk",
+                        num_partitions=7).to_pandas()
+        want = pa.Table.from_pandas(left).join(
+            pa.Table.from_pandas(right), keys=["k"], right_keys=["rk"],
+            join_type="inner").to_pandas()
+        key = ["k", "v", "w"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        w = want[key].sort_values(key).reset_index(drop=True)
+        assert g.equals(w), trial
