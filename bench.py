@@ -109,6 +109,29 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
               lambda: q_q1_pricing_summary(sf_dir).to_pandas())
         timed("similarity_topk", lambda: q_similarity_topk(sf_dir))
 
+        # the 17-query TPC-H suite (warm, one pass, summed): tracks
+        # the relational-breadth family's total cost per round
+        from jsonschema_ray.pipelines.queries import QUERIES as _Q
+
+        tpch_names = sorted(n for n in _Q
+                            if n[0] == "q" and n[1].isdigit())
+
+        import pandas as _pd
+        import pyarrow as _pa
+
+        def run_suite():
+            for n in tpch_names:
+                r = _Q[n](sf_dir)
+                if isinstance(r, _pa.Table):
+                    _ = r.num_rows
+                elif isinstance(r, _pd.DataFrame):
+                    _ = len(r)
+                else:  # ray Dataset
+                    _ = r.count()
+
+        run_suite()  # warm
+        timed("tpch_suite_17", run_suite)
+
     headline = queries["validate_exhaustive"]
     out = {
         "metric": "validate_exhaustive_sec",
