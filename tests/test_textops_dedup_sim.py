@@ -1493,3 +1493,45 @@ def test_bigram_lm_exact_and_truncated(ray_session):
     oov = math.floor(1e6 * math.log(3) + 0.5)
     q_aa_tr = math.floor(1e6 * math.log(2 / 2) + 0.5)  # prefix now only c(a a)
     assert list(out2.lm2_score) == [q_aa_tr + oov, q_aa_tr]
+
+
+def test_passage_dedup_matches_bruteforce_random(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import passage_dedup
+
+    def brute(docs: pd.DataFrame, w: int) -> pd.DataFrame:
+        seen: set = set()
+        rows = []
+        for did, text in sorted(zip(docs.doc_id, docs.text)):
+            toks = (text or "").split()
+            kept = []
+            for p in range(0, len(toks), w):
+                pas = " ".join(toks[p:p + w])
+                if pas not in seen:
+                    seen.add(pas)
+                    kept.append(pas)
+            if kept:
+                rows.append((did, len(kept), " ".join(kept)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_kept",
+                                           "clean_text"])
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(list("abcde"))
+    for trial, w in [(0, 2), (1, 3), (2, 2)]:
+        n = 40
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 13)))
+                 for _ in range(n)]
+        # plant exact duplicates to force cross-doc collisions
+        for i in range(0, n, 7):
+            texts[i] = texts[(i + 3) % n]
+        docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                             "text": texts})
+        got = passage_dedup(rd.from_pandas(docs), passage_tokens=w,
+                            num_buckets=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = brute(docs, w)
+        assert got.doc_id.tolist() == want.doc_id.tolist(), trial
+        assert got.n_kept.tolist() == want.n_kept.tolist(), trial
+        assert got.clean_text.tolist() == want.clean_text.tolist(), trial
