@@ -436,7 +436,17 @@ def q_q1_pricing_summary(sf_dir: str):
         avg_qty_c = np.floor(sq / n + 0.5).astype(np.int64)
         return t.append_column("avg_qty_c", pa.array(avg_qty_c))
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    # return the ≤|returnflag×linestatus| aggregate as a TYPED Arrow
+    # table: a fully-filtered-out input yields a ZERO-block dataset
+    # whose to_pandas drops the schema entirely (Ray ignores empty
+    # blocks), so the empty result would lose the oracle dtypes
+    finished = out.map_batches(finish, batch_format="pyarrow")
+    blocks = [b for b in finished.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    if not blocks:
+        return q1_schema.empty_table()
+    return pa.concat_tables(
+        [b.select(q1_schema.names) for b in blocks]).cast(q1_schema)
 
 
 def q_events_hourly(sf_dir: str):
@@ -3124,7 +3134,12 @@ def q_q18_large_orders(sf_dir: str):
         "c_name": pa.array(cname[ck], pa.string()),
         "o_custkey": pa.array(ck),
         "l_orderkey": pa.array(top["okey"].to_numpy().astype(np.int64)),
-        "o_orderdate": pa.array(top["odate"].to_numpy()),
+        # explicit us: an EMPTY frame's odate degrades to float64 and
+        # a non-empty pandas one carries ns — both must emit the
+        # oracle's timestamp[us]
+        "o_orderdate": pa.array(top["odate"].to_numpy()
+                                .astype("datetime64[us]"),
+                                pa.timestamp("us")),
         "totalprice_c": pa.array(top["price_c"].to_numpy()
                                  .astype(np.int64)),
         "sum_qty_c": pa.array(top["qty_c"].to_numpy().astype(np.int64))})
