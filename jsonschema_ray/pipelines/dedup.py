@@ -48,6 +48,9 @@ def exact_dup_groups(source: Any, key_col: str, text_col: str = "text"):
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        col = col.fill_null("")  # null text dedups as empty
         h = hash64(col.to_numpy(zero_copy_only=False).astype(object))
         # int64 view (not uint64): Ray shuffles uint64 keys as pickled
         # python-object extension arrays — int64 stays a native column

@@ -45,12 +45,8 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
 
 _ALLOWED_LANGS = ["en", "fr", "es"]
 
-# null-group-key sentinel: Ray's sort-based shuffle cannot order None
-# against str (TypeError in the sort), so nullable group keys are
-# filled with this high-codepoint sentinel before any groupby and
-# restored (or COALESCEd, matching the SQL) on the way out. \uffff
-# sorts AFTER every real string = SQL's NULLS LAST.
-_NULL_KEY = "\uffff__null__"
+# null-group-key sentinel — see raycompat.NULL_GROUP_KEY
+from jsonschema_ray.raycompat import NULL_GROUP_KEY as _NULL_KEY  # noqa: E402
 
 
 def q_val_lang_enum(sf_dir: str):
@@ -2038,6 +2034,7 @@ def q_dedup_prefix_groups(sf_dir: str):
         col = t.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        col = col.fill_null("")  # null text dedups as empty
         return pa.table({"prefix": pc.utf8_slice_codeunits(col, 0, 20),
                          "doc_id": t.column("doc_id")})
 
@@ -3715,7 +3712,7 @@ ORACLE: dict[str, str] = {
         "SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper, "
         "replace(lang, 'en', 'EN') AS lang_up, "
         "CAST(length(source) AS BIGINT) AS src_len, "
-        "concat(lang, '-', source) AS tag FROM documents",
+        "lang || '-' || source AS tag FROM documents",
     "sort_topk_orders":
         "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) "
         "AS totalprice_c FROM orders "
@@ -3821,7 +3818,8 @@ WITH tok AS (
   FROM gc WHERE n >= 2 GROUP BY doc_id
 ), ntok AS (
   SELECT d.doc_id,
-         CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(COALESCE(d.text, ''), '\S+'))
+              AS BIGINT) AS n_tokens
   FROM documents d
 )
 SELECT ntok.doc_id, ntok.n_tokens, top.g AS top_2gram,
@@ -3852,21 +3850,24 @@ WITH tok AS (
   FROM tok JOIN vocab USING (t) CROSS JOIN tot
 )
 SELECT d.doc_id,
-       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(COALESCE(d.text, ''), '\S+'))
+            AS BIGINT) AS n_tokens,
        CAST(COALESCE(s.lm, 0) AS BIGINT) AS lm_score
 FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(q) AS lm FROM scored GROUP BY doc_id) s
   ON s.doc_id = d.doc_id
 """,
     "dedup_exact_summary":
-        "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique, "
-        "(SELECT count(*) FROM (SELECT text FROM documents "
-        " GROUP BY text HAVING count(*) > 1)) AS n_dup_groups "
+        "SELECT count(*) AS n_rows, "
+        "count(DISTINCT COALESCE(text, '')) AS n_unique, "
+        "(SELECT count(*) FROM (SELECT COALESCE(text, '') FROM documents "
+        " GROUP BY 1 HAVING count(*) > 1)) AS n_dup_groups "
         "FROM documents",
     "dedup_prefix_groups":
-        "SELECT substr(text, 1, 20) AS prefix, count(*) AS n_copies, "
+        "SELECT substr(COALESCE(text, ''), 1, 20) AS prefix, "
+        "count(*) AS n_copies, "
         "min(doc_id) AS keep_id FROM documents "
-        "GROUP BY substr(text, 1, 20) HAVING count(*) > 1",
+        "GROUP BY 1 HAVING count(*) > 1",
     "hll_registers": _hll_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "token_topk": r"""
@@ -4216,7 +4217,7 @@ rate AS (
          AS ppm
   FROM cnt CROSS JOIN mn)
 SELECT d.doc_id, d.lang, r.ppm AS rate_ppm
-FROM documents d JOIN rate r ON r.lang = d.lang
+FROM documents d JOIN rate r ON r.lang IS NOT DISTINCT FROM d.lang
 WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
            AS BIGINT) < r.ppm
 """,
@@ -4315,7 +4316,8 @@ WITH tok AS (
   FROM tok LEFT JOIN keep k ON k.t = tok.t CROSS JOIN tot
 )
 SELECT d.doc_id,
-       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(COALESCE(d.text, ''), '\S+'))
+            AS BIGINT) AS n_tokens,
        CAST(COALESCE(s.lm, 0) AS BIGINT) AS lm_score
 FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(q) AS lm FROM scored GROUP BY doc_id) s

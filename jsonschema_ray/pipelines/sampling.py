@@ -21,7 +21,10 @@ import numpy as np
 import pyarrow as pa
 
 from jsonschema_ray.functions.sketches import hash64, md5_hash64
+from jsonschema_ray.raycompat import NULL_GROUP_KEY
 from jsonschema_ray.sources.readers import as_source
+
+from pandas import isnull as _isnull
 
 
 def _bucket_of(keys: pa.Array, n_buckets: int, hash_fn: str) -> np.ndarray:
@@ -106,10 +109,12 @@ def stratified_hash_sample(source: Any, key_col: str, strata_col: str,
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         b = _bucket_of(keys, n_buckets, hash_fn)
-        strata = t.column(strata_col).to_numpy(zero_copy_only=False)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False) \
+            .astype(object)
+        strata[_isnull(strata)] = NULL_GROUP_KEY  # null stratum → default
         # rate lookup bounded by DISTINCT strata (languages/sources),
         # scattered back vectorized — never a per-row dict probe
-        uniq, inv = np.unique(strata.astype(object), return_inverse=True)
+        uniq, inv = np.unique(strata, return_inverse=True)
         cut = np.array([cuts.get(u, dflt) for u in uniq],
                        dtype=np.int64)[inv]
         return t.filter(pa.array(b < cut))
@@ -186,7 +191,18 @@ def rebalance_sources(source: Any, key_col: str, strata_col: str,
     ``rate_ppm`` column appended.
     """
     src = as_source(source)
+
+    def fill_strata(t: pa.Table) -> pa.Table:
+        col = t.column(strata_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # see raycompat.NULL_GROUP_KEY: a null group key crashes Ray's
+        # sort shuffle; nulls form their own stratum under the sentinel
+        return t.set_column(t.schema.get_field_index(strata_col),
+                            strata_col, col.fill_null(NULL_GROUP_KEY))
+
     cnt_rows = src.dataset(columns=[strata_col]) \
+        .map_batches(fill_strata, batch_format="pyarrow") \
         .groupby(strata_col).count().take_all()
     counts = {r[strata_col]: int(r["count()"]) for r in cnt_rows}
     if not counts:
@@ -200,8 +216,10 @@ def rebalance_sources(source: Any, key_col: str, strata_col: str,
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         b = _bucket_of(keys, n_buckets, hash_fn)
-        strata = t.column(strata_col).to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(strata.astype(object), return_inverse=True)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False) \
+            .astype(object)
+        strata[_isnull(strata)] = NULL_GROUP_KEY  # matches the count pass
+        uniq, inv = np.unique(strata, return_inverse=True)
         cut = np.array([cuts.get(u, 0) for u in uniq], dtype=np.int64)[inv]
         keep = b < cut
         return t.filter(pa.array(keep)).append_column(

@@ -40,6 +40,14 @@ class _EmptySchemaDivergenceFilter(logging.Filter):
         return not harmless
 
 
+# Null group keys break Ray's sort-based shuffle (block sort raises
+# "'<' not supported between instances of 'NoneType' and 'str'"), so
+# nullable grouping columns are filled with this high-codepoint
+# sentinel before any groupby and restored/COALESCEd on the way out.
+# \uffff sorts after every real string == SQL's NULLS LAST.
+NULL_GROUP_KEY = "\uffff__null__"
+
+
 def read_parquet_clean(paths, columns=None, **kw):
     """``ray.data.read_parquet`` with the ``b'pandas'`` schema metadata
     stripped at the source.
