@@ -22,7 +22,8 @@ import pyarrow.compute as pc
 from jsonschema_ray.functions.sketches import hash64
 
 
-def _hash_pair(arr: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
+def _hash_pair(arr: pa.Array, backend: str | None = None,
+               ) -> "tuple[np.ndarray, np.ndarray, str]":
     """Two independent 64-bit hashes of an Arrow array.
 
     The index only needs SELF-consistency (build and probe use the
@@ -30,16 +31,27 @@ def _hash_pair(arr: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
     the Arrow buffer directly through polars (vectorized Rust — no
     88M-element ``astype(object)`` Python-string materialization;
     measured 321 s → a few seconds on an 88M-key catalog build).
-    Fallback: the repo-wide pandas ``hash64``."""
-    try:
-        import polars as pl
+    Fallback: the repo-wide pandas ``hash64``.
 
-        s = pl.from_arrow(arr)
-        return (s.hash(seed=0).to_numpy().astype(np.uint64),
-                s.hash(seed=1).to_numpy().astype(np.uint64))
-    except Exception:
-        obj = arr.to_numpy(zero_copy_only=False).astype(object)
-        return hash64(obj, seed=0), hash64(obj, seed=1)
+    ``backend`` pins the implementation: build and probe MUST hash
+    with the same backend or every membership probe silently misses.
+    ``None`` auto-selects (polars if importable, else pandas) and the
+    chosen name is returned so the caller can pin subsequent calls;
+    an explicit backend that fails raises instead of falling back.
+    """
+    if backend in (None, "polars"):
+        try:
+            import polars as pl
+
+            s = pl.from_arrow(arr)
+            return (s.hash(seed=0).to_numpy().astype(np.uint64),
+                    s.hash(seed=1).to_numpy().astype(np.uint64),
+                    "polars")
+        except Exception:
+            if backend == "polars":
+                raise
+    obj = arr.to_numpy(zero_copy_only=False).astype(object)
+    return hash64(obj, seed=0), hash64(obj, seed=1), "pandas"
 
 
 class CatalogIndex:
@@ -48,7 +60,7 @@ class CatalogIndex:
             keys = keys.combine_chunks()
         if not isinstance(keys, pa.Array):
             keys = pa.array(list(keys))
-        h1, h2 = _hash_pair(keys.drop_null())
+        h1, h2, self.backend = _hash_pair(keys.drop_null())
         order = np.argsort(h1, kind="stable")
         self.h1 = h1[order]
         self.h2 = h2[order]
@@ -65,10 +77,12 @@ class CatalogIndex:
             fill = pa.scalar("", type=arr.type) \
                 if pa.types.is_string(arr.type) else pa.scalar(0, arr.type)
             arr = arr.fill_null(fill)
-        r1, r2 = _hash_pair(arr)
         n = len(self.h1)
         if n == 0:
-            return np.zeros(len(obj), dtype=bool)
+            return np.zeros(len(arr), dtype=bool)
+        # Pinned backend: a build/probe hash mismatch (e.g. polars on
+        # the driver, pandas in a worker) would silently miss every key.
+        r1, r2, _ = _hash_pair(arr, backend=self.backend)
         left = np.searchsorted(self.h1, r1, side="left")
         safe = np.minimum(left, n - 1)
         hit = (left < n) & (self.h1[safe] == r1)

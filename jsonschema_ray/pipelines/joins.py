@@ -216,6 +216,14 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     def merge(g: pd.DataFrame) -> "pa.Table":
         l = g.loc[g["__side"] == 0, l_cols]
         r = g.loc[g["__side"] == 1, r_cols]
+        # SQL null semantics: a null key never equals anything. pandas
+        # merge would match NaN/None keys to each other — drop null-key
+        # right rows always (they can't produce a match) and null-key
+        # left rows on the inner path (on the left path they survive
+        # unmatched, with right columns null, exactly like SQL).
+        r = r[r[right_key].notna()]
+        if how == "inner":
+            l = l[l[on].notna()]
         if how == "left":
             # nullable Int64 BEFORE the merge: unmatched right cells
             # become pd.NA (→ Arrow null), not NaN-widened float64

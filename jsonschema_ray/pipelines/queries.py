@@ -5382,3 +5382,46 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample ordering.
+#
+# The correctness driver samples 50 queries per round and is
+# insertion-order-sensitive; after three rounds, 60 of the 124 queries
+# (the whole TPC-H / window / curation wave) have never had a green
+# driver CORRECTNESS row. Surface exactly those first — the 50
+# oracled-never-recorded entries lead (one full driver sample), then
+# the 10 rows-only never-recorded, then everything already recorded
+# green in r01–r03, preserving relative order within each tier.
+_DRIVER_PRIORITY = [
+    # tier 1: oracled, never green in any driver round (50 = one sample)
+    "flagship_validate",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q12_linestatus_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_waiting_supplier", "q22_dormant_customers",
+    "events_window_suite", "events_moving_sum", "events_dense_rank",
+    "events_funnel", "events_retention", "latest_per_key", "events_pivot",
+    "snapshot_diff",
+    "rollup_source_lang", "mode_lang_per_source", "unpivot_source_stats",
+    "left_join_orders_catalog", "histogram_nchars", "users_setops",
+    "inverted_index", "hll_by_group", "stats_profile_by_source",
+    "span_kind_stats", "val_childless_orders", "zscore_outliers",
+    "render_interleaved",
+    "passage_dedup", "bigram_lm", "unigram_lm_topk", "tfidf_top_terms",
+    "quality_filter", "cms_registers", "cms_topk", "rebalance_sources",
+    "pack_sequences", "psi_drift", "ks_drift", "minhash_verified_joined",
+    "dup_clusters_scale", "embedding_decontaminate",
+    # tier 2: rows-only, never recorded
+    "kmeans_embeddings", "semdedup", "profile_interleaved",
+    "media_features_real", "phash_near_dup", "audio_near_dup",
+    "video_near_dup", "interleaved_media_decode", "lint_schemas_scale",
+    "metaschema_scale",
+]
+
+_ordered = [k for k in _DRIVER_PRIORITY if k in QUERIES] + \
+    [k for k in QUERIES if k not in _DRIVER_PRIORITY]
+QUERIES = {k: QUERIES[k] for k in _ordered}
+ORACLE = {k: ORACLE[k] for k in _ordered if k in ORACLE}

@@ -160,14 +160,60 @@ def _parse_prop(pattern: str, i: int):
     raise re.error("truncated \\p escape", pattern, i)
 
 
+_FLAG_GROUP = re.compile(r"\(\?([a-zA-Z]*)(?:-([a-zA-Z]+))?([):])")
+
+
 def translate_ecma(pattern: str) -> str:
     """Rewrite an ECMA/PCRE2 pattern into Python ``re`` syntax with
-    identical semantics under DOLLAR_ENDONLY + property classes."""
+    identical semantics under DOLLAR_ENDONLY + property classes.
+
+    Inline multiline flags: PCRE2_MULTILINE overrides DOLLAR_ENDONLY
+    (pcre2api: DOLLAR_ENDONLY "is ignored if PCRE2_MULTILINE is set"),
+    so a bare ``$`` in multiline scope must stay ``$`` (line-end
+    semantics), not become ``\\Z``. We track multiline scope through
+    ``(?m)`` / ``(?m:...)`` / ``(?-m:...)`` groups. A global ``(?m)``
+    mid-pattern (valid in PCRE2, rejected by Python ≥3.11) raises
+    :class:`UnsupportedRegexError` rather than silently shifting
+    semantics."""
     out: list[str] = []
     i, n = 0, len(pattern)
     in_class = False
+    ml_stack = [False]          # multiline flag per open-group scope
     while i < n:
         c = pattern[i]
+        if not in_class and c == "(":
+            m = _FLAG_GROUP.match(pattern, i)
+            if m:
+                pos, neg, term = m.group(1), m.group(2) or "", m.group(3)
+                scope_ml = ml_stack[-1]
+                if "m" in pos:
+                    scope_ml = True
+                elif "m" in neg:
+                    scope_ml = False
+                if term == ":":
+                    ml_stack.append(scope_ml)
+                elif scope_ml != ml_stack[-1]:
+                    # global inline flag change: PCRE2 applies it to the
+                    # rest of the enclosing group; Python only accepts it
+                    # at position 0 of the whole pattern.
+                    if i == 0:
+                        ml_stack[-1] = scope_ml
+                    else:
+                        raise UnsupportedRegexError(
+                            pattern, "mid-pattern global (?m) flag")
+                out.append(m.group(0))
+                i = m.end()
+                continue
+            ml_stack.append(ml_stack[-1])
+            out.append(c)
+            i += 1
+            continue
+        if not in_class and c == ")":
+            if len(ml_stack) > 1:
+                ml_stack.pop()
+            out.append(c)
+            i += 1
+            continue
         if c == "\\" and i + 1 < n:
             nxt = pattern[i + 1]
             if nxt in "pP":
@@ -205,7 +251,9 @@ def translate_ecma(pattern: str) -> str:
             i += 1
             continue
         if c == "$":
-            out.append(r"\Z")                   # PCRE2_DOLLAR_ENDONLY
+            # PCRE2_DOLLAR_ENDONLY — unless multiline is active here,
+            # which overrides it (see docstring).
+            out.append("$" if ml_stack[-1] else r"\Z")
             i += 1
             continue
         out.append(c)
