@@ -5384,6 +5384,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# TPC-H Q2/Q9/Q11/Q16/Q20 over the arithmetically-synthesized partsupp
+# (see tpch_partsupp.py — the oracle reproduces the generator in a CTE)
+from jsonschema_ray.pipelines.tpch_partsupp import (  # noqa: E402
+    PARTSUPP_ORACLE, PARTSUPP_QUERIES)
+
+QUERIES.update(PARTSUPP_QUERIES)
+ORACLE.update(PARTSUPP_ORACLE)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -5419,6 +5428,10 @@ _DRIVER_PRIORITY = [
     "media_features_real", "phash_near_dup", "audio_near_dup",
     "video_near_dup", "interleaved_media_decode", "lint_schemas_scale",
     "metaschema_scale",
+    # tier 3: new in round 4 (synthesized-partsupp TPC-H completions)
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
 ]
 
 _ordered = [k for k in _DRIVER_PRIORITY if k in QUERIES] + \
