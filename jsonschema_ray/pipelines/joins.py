@@ -10,11 +10,13 @@ distributed-join shapes:
 - **as-of join** (big ⋈ big on key + time): ONE hash shuffle of both
   sides on the equality key, then a per-partition sorted merge
   (``pandas.merge_asof``) inside ``groupby(part).map_groups``.
-  Partitioning assumption: all rows of one equality key fit in one
-  group (the same assumption sessionization makes — holds for
-  per-user/per-entity event streams; a pathological hot key cannot be
-  salted without breaking time continuity, it must be time-sliced with
-  boundary overlap instead, which ``asof_join`` does not do).
+  Default partitioning assumption: all rows of one equality key fit
+  in one group (the same assumption sessionization makes — holds for
+  per-user/per-entity event streams). A pathological hot key cannot
+  be salted without breaking time continuity — pass
+  ``time_slices=S`` to engage the time-sliced path instead, which
+  shuffles on (key-hash, time-slice) and carries per-key boundary
+  rows across slice edges so each merge task sees ~rows/S.
 - **interval join** (big ⋈ tiny ranges): the window table is broadcast
   once via ``ray.put`` and every batch scans it vectorized — zero
   shuffle, the idiomatic shape when one side fits in the object store.
@@ -44,7 +46,8 @@ def _num_partitions(requested: int | None) -> int:
 def asof_join(left: Any, right: Any, *, by: str, on: str,
               left_columns: list[str], right_columns: list[str],
               right_suffix: str = "_r", direction: str = "backward",
-              how: str = "left", num_partitions: int | None = None):
+              how: str = "left", num_partitions: int | None = None,
+              time_slices: int | None = None):
     """As-of join: for each left row, the single right row with the
     same ``by`` key and the nearest ``on`` value (``direction``:
     backward = latest right.on <= left.on, forward, nearest — pandas
@@ -57,11 +60,32 @@ def asof_join(left: Any, right: Any, *, by: str, on: str,
 
     Shape: both sides are shuffled ONCE on ``hash(by) % P`` and merged
     per partition — no global sort, no driver materialization.
+
+    ``time_slices=S`` (S > 1) engages the hot-key mitigation: both
+    sides shuffle on ``(hash(by) % P, time_slice)`` so a pathological
+    entity (one bot user owning 10^8 events) lands in S merge tasks of
+    ~rows/S each instead of one OOM-ing pandas frame. Correctness
+    across slice boundaries is restored by a small summaries pass that
+    carries, per (key, target-slice), the latest right row from
+    earlier slices (backward; the earliest later row for forward, both
+    for nearest) into the target group before ``merge_asof`` — ≤ one
+    boundary row per key per slice, so the carried set is
+    |keys| x S, independent of event volume. Costs one extra (small)
+    shuffle + two scalar min/max passes; leave unset for well-behaved
+    keys. Limitation: rows carrying the SAME timestamp cannot be
+    split — time-slicing cannot help a key whose skew is a single
+    instant.
     """
     if by not in left_columns or on not in left_columns:
         raise ValueError("left_columns must include `by` and `on`")
     if by not in right_columns or on not in right_columns:
         raise ValueError("right_columns must include `by` and `on`")
+    if time_slices is not None and time_slices > 1:
+        return _asof_join_sliced(
+            left, right, by=by, on=on, left_columns=left_columns,
+            right_columns=right_columns, right_suffix=right_suffix,
+            direction=direction, how=how, num_partitions=num_partitions,
+            time_slices=int(time_slices))
     import pandas as pd
 
     from jsonschema_ray.functions.sketches import hash64
@@ -107,11 +131,34 @@ def asof_join(left: Any, right: Any, *, by: str, on: str,
     unioned = lds.map_batches(tag(0), batch_format="pyarrow").union(
         rds.map_batches(tag(1), batch_format="pyarrow"))
 
+    merge = _asof_merge_fn(left_columns, r_named, by, on, right_suffix,
+                           direction, how, l_types, r_types)
+    return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def _asof_merge_fn(left_columns, r_named, by, on, right_suffix,
+                   direction, how, l_types, r_types):
+    """Per-group ``merge_asof`` kernel shared by the plain and the
+    time-sliced as-of paths (the group is one hash partition, or one
+    (partition, time-slice) cell)."""
+    import pandas as pd
+
     by_r, on_r = by + right_suffix, on + right_suffix
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, left_columns]
-        r = g.loc[g["__side"] == 1, r_named]
+        l = g.loc[g["__side"] == 0, left_columns].copy()
+        r = g.loc[g["__side"] == 1, r_named].copy()
+        # key dtypes must MATCH across sides: the union's null padding
+        # widens int keys to float64 per-group asymmetrically (a group
+        # holding only one side keeps that side's ints intact while the
+        # other side widened) — cast keys back to their declared dtypes
+        # (side-own rows are never null in their own key columns)
+        for frame, kcols, types in ((l, (by, on), l_types),
+                                    (r, (by_r, on_r), r_types)):
+            for c in kcols:
+                want = types[c]
+                if pa.types.is_integer(want):
+                    frame[c] = frame[c].astype(want.to_pandas_dtype())
         l = l.sort_values(on, kind="stable")
         r = r.sort_values(on_r, kind="stable")
         out = pd.merge_asof(l, r, left_on=on, right_on=on_r,
@@ -134,7 +181,190 @@ def asof_join(left: Any, right: Any, *, by: str, on: str,
                 out[named] = out[named].astype(want.to_pandas_dtype())
         return out
 
-    return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
+    return merge
+
+
+def _on_f8(vals: np.ndarray) -> np.ndarray:
+    """Time axis as float64 for slice binning (monotone; only
+    consistency of the binning matters, not exactness)."""
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return vals.astype("datetime64[ns]").astype(np.int64) \
+            .astype(np.float64)
+    return vals.astype(np.float64)
+
+
+def _on_scalar_f8(v) -> "float | None":
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, (np.datetime64,)) or hasattr(v, "to_datetime64"):
+        return float(pd.Timestamp(v).value)
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return float(pd.Timestamp(v).value)
+
+
+def _asof_join_sliced(left: Any, right: Any, *, by: str, on: str,
+                      left_columns: list[str], right_columns: list[str],
+                      right_suffix: str, direction: str, how: str,
+                      num_partitions: int | None, time_slices: int):
+    """Hot-key-safe as-of join: shuffle on (hash(by) % P, time-slice),
+    carry per-key boundary rows across slices, merge_asof per cell.
+    See ``asof_join(time_slices=...)`` for the contract."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    from jsonschema_ray.functions.sketches import hash64
+
+    S = time_slices
+    parts = _num_partitions(num_partitions)
+    lsrc, rsrc = as_source(left), as_source(right)
+    lds = lsrc.dataset(columns=left_columns)
+    rds = rsrc.dataset(columns=right_columns)
+    l_schema, r_schema = lds.schema(), rds.schema()
+    l_all = dict(zip(l_schema.names, l_schema.types))
+    r_all = dict(zip(r_schema.names, r_schema.types))
+    r_named = [c + right_suffix for c in right_columns]
+    l_types = {c: l_all[c] for c in left_columns}
+    r_types = {n: r_all[c] for c, n in zip(right_columns, r_named)}
+
+    # global time range over BOTH sides (two scalar aggregate passes)
+    lagg = lds.aggregate(Min(on, alias_name="lo"), Max(on, alias_name="hi"))
+    ragg = rds.aggregate(Min(on, alias_name="lo"), Max(on, alias_name="hi"))
+    los = [x for x in (_on_scalar_f8(lagg.get("lo")),
+                       _on_scalar_f8(ragg.get("lo"))) if x is not None]
+    his = [x for x in (_on_scalar_f8(lagg.get("hi")),
+                       _on_scalar_f8(ragg.get("hi"))) if x is not None]
+    if not los or not his:
+        # one side empty — degenerate; the plain path handles it
+        return asof_join(lds, rds, by=by, on=on, left_columns=left_columns,
+                         right_columns=right_columns,
+                         right_suffix=right_suffix, direction=direction,
+                         how=how, num_partitions=num_partitions)
+    lo_f, hi_f = min(los), max(his)
+
+    def slice_of(vals: np.ndarray) -> np.ndarray:
+        v = _on_f8(vals)
+        if hi_f <= lo_f:
+            return np.zeros(len(v), dtype=np.int64)
+        s = ((v - lo_f) * S / (hi_f - lo_f)).astype(np.int64)
+        return np.clip(s, 0, S - 1)
+
+    union_cols = ["__g", "__side"] + left_columns + r_named
+
+    def tag(side: int):
+        own = left_columns if side == 0 else right_columns
+        own_named = left_columns if side == 0 else r_named
+        other_named = r_named if side == 0 else left_columns
+        other_types = r_types if side == 0 else l_types
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t.column(by).to_numpy(zero_copy_only=False)
+            part = (hash64(keys.astype(object)) % np.uint64(parts)) \
+                .astype(np.int64)
+            sl = slice_of(t.column(on).to_numpy(zero_copy_only=False))
+            cols: dict[str, Any] = {
+                "__g": pa.array(part * S + sl, pa.int64()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c, named in zip(own, own_named):
+                cols[named] = t.column(c)
+            for named in other_named:
+                cols[named] = pa.nulls(n, type=other_types[named])
+            return pa.table({c: cols[c] for c in union_cols})
+        return fn
+
+    # --- boundary summaries: one right row per (key, slice) extremum,
+    # expanded to every target slice that needs it ---------------------
+    keep_last = direction in ("backward", "nearest")
+    keep_first = direction in ("forward", "nearest")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if df.empty:
+            out = df.copy()
+            out["__part"] = np.array([], dtype=np.int64)
+            out["__slice"] = np.array([], dtype=np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        keys = df[by].to_numpy()
+        df = df.assign(
+            __part=(hash64(keys.astype(object)) % np.uint64(parts))
+            .astype(np.int64),
+            __slice=slice_of(df[on].to_numpy()))
+        picks = []
+        g = df.groupby(["__part", "__slice", by], sort=False)[on]
+        if keep_last:
+            picks.append(g.idxmax())
+        if keep_first:
+            picks.append(g.idxmin())
+        idx = pd.concat(picks).unique()
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        # re-reduce (batch partials may repeat a (key, slice) cell),
+        # then emit each extremum row into its carry-target slices
+        def targets_table(df: pd.DataFrame, backward: bool) -> pd.DataFrame:
+            df = df.sort_values([by, "__slice"], kind="stable")
+            sl = df["__slice"].to_numpy()
+            same_next = (df[by].to_numpy()[1:] == df[by].to_numpy()[:-1])
+            if backward:
+                # row at s carries into (s, next_present] (cap S-1)
+                nxt = np.full(len(df), S - 1, dtype=np.int64)
+                nxt[:-1][same_next] = sl[1:][same_next]
+                starts, ends = sl + 1, nxt
+            else:
+                prv = np.zeros(len(df), dtype=np.int64)
+                prv[1:][same_next] = sl[:-1][same_next]
+                starts, ends = prv, sl - 1
+            lens = np.maximum(ends - starts + 1, 0)
+            tot = int(lens.sum())
+            if tot == 0:
+                return df.iloc[:0].assign(__target=np.array([], np.int64))
+            rep = np.repeat(np.arange(len(df)), lens)
+            within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+            out = df.iloc[rep].copy()
+            out["__target"] = starts[rep] + within
+            return out
+
+        parts_out = []
+        if keep_last:
+            last = g.loc[g.groupby([by, "__slice"], sort=False)[on].idxmax()]
+            parts_out.append(targets_table(last, backward=True))
+        if keep_first:
+            first = g.loc[g.groupby([by, "__slice"], sort=False)[on].idxmin()]
+            parts_out.append(targets_table(first, backward=False))
+        b = pd.concat(parts_out, ignore_index=True) if parts_out else \
+            g.iloc[:0].assign(__target=np.array([], np.int64))
+        if keep_last and keep_first and len(b):
+            b = b.drop_duplicates(subset=[by, on, "__target"])
+        n = len(b)
+        gcol = (b["__part"].to_numpy(dtype=np.int64) * S
+                + b["__target"].to_numpy(dtype=np.int64)) if n else \
+            np.array([], dtype=np.int64)
+        cols: dict[str, Any] = {
+            "__g": pa.array(gcol, pa.int64()),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in left_columns:
+            cols[c] = pa.nulls(n, type=l_types[c])
+        for c, named in zip(right_columns, r_named):
+            cols[named] = pa.array(b[c], type=r_types[named],
+                                   from_pandas=True)
+        return pa.table({c: cols[c] for c in union_cols})
+
+    boundaries = rds.map_batches(summarize, batch_format="pyarrow") \
+        .groupby("__part").map_groups(expand, batch_format="pandas")
+
+    unioned = lds.map_batches(tag(0), batch_format="pyarrow") \
+        .union(rds.map_batches(tag(1), batch_format="pyarrow")) \
+        .union(boundaries)
+
+    merge = _asof_merge_fn(left_columns, r_named, by, on, right_suffix,
+                           direction, how, l_types, r_types)
+    return unioned.groupby("__g").map_groups(merge, batch_format="pandas")
 
 
 def hash_join(left, right, *, on: str, right_on: str | None = None,
