@@ -9,12 +9,16 @@ zlib + scanline unfiltering — ``decode_png``), baseline AND
 progressive JPEG (full T.81 Huffman + IDCT decode incl. Annex G
 successive approximation, ``functions/jpeg.py``), and mp4 container
 metadata with real stts/stsz/stss sample tables (``parse_mp4``).
-Only H.264 frame-data decode is STUBBED: with
-``allow_fake=True`` (default) a deterministic fake decoder parses the
-synthetic payload header; with ``allow_fake=False`` the stage raises
-``NotImplementedError`` at construction, making the dependency
-explicit. Everything Ray-side — schemas, batch shapes, actor
-signatures, output layout — is real and tested.
+H.264 STRUCTURE is also real (``functions/h264.py``): NAL framing
+(Annex-B + avcC), SPS geometry via Exp-Golomb parse, IDR
+identification, and re-mux-invariant sample fingerprints — consumed
+by ``video_near_dup`` without any fake. Only H.264/H.265 frame PIXEL
+reconstruction is STUBBED: with ``allow_fake=True`` (default) a
+deterministic fake decoder parses the synthetic payload header; with
+``allow_fake=False`` the stage raises ``NotImplementedError`` at
+construction, making the dependency explicit. Everything Ray-side —
+schemas, batch shapes, actor signatures, output layout — is real and
+tested.
 
 Synthetic payload format (``synth_media_batch``):
   bytes 0..3   magic  b"JMR0"
@@ -1123,6 +1127,126 @@ def synth_mjpeg_mp4_bytes(seed: int, n_frames: int = 9,
     return ftyp + build(off) + mdat
 
 
+def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
+                         height: int = 80, remux_variant: int = 0) -> bytes:
+    """Deterministic avc1 mp4 with REAL H.264 structure: a spec-valid
+    SPS/PPS (built bit-by-bit per ITU-T H.264 §7.3.2.1) in the avcC
+    record, and 4-byte-length-prefixed NAL samples in mdat — IDR
+    (type 5) every 3rd sample, non-IDR slices (type 1) between, each
+    carrying a seed-deterministic coded payload. ``remux_variant``
+    changes only CONTAINER attributes (timescale, brand) so variants
+    of the same seed are re-muxes: byte-different files, identical
+    coded samples — the H.264 near-dup fixture. (Payloads are not
+    decodable pictures; pixel decode is codec territory. Everything a
+    structural stage consumes — NAL framing, types, SPS geometry,
+    sample fingerprints — is real.)"""
+    from jsonschema_ray.functions.h264 import build_pps, build_sps
+
+    rng = np.random.default_rng(seed)
+    sps, pps = build_sps(width, height), build_pps()
+    samples = []
+    for f in range(n_frames):
+        body = rng.integers(0, 256, 96 + int(rng.integers(0, 64)),
+                            dtype=np.int64).astype(np.uint8).tobytes()
+        if f % 3 == 0:
+            nals = [sps, pps, b"\x65" + body]      # IDR access unit
+        else:
+            nals = [b"\x41" + body]
+        samples.append(b"".join(
+            len(n).to_bytes(4, "big") + n for n in nals))
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    timescale = 1000 if remux_variant == 0 else 90000
+    delta = timescale // 24
+    duration = delta * n_frames
+    brand = b"isom" if remux_variant == 0 else b"mp42"
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 512) + b"isomiso2avc1")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x5I", 7, 0, 0, 1, 0, duration)
+               + b"\x00" * 52 + struct.pack(">II", width << 16,
+                                            height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, timescale,
+                                    duration, 0x55C4, 0))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"V\x00")
+    from jsonschema_ray.functions.h264 import build_avcc
+
+    avcc = box(b"avcC", build_avcc(sps, pps))
+    entry = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", width, height) + b"\x00" * 50 + avcc)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">II", n_frames, delta))
+    sizes = np.array([len(s) for s in samples], dtype=">u4")
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_frames)
+               + sizes.tobytes())
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">III", 1, n_frames, 1))
+    keyframes = np.arange(1, n_frames + 1, 3, dtype=">u4")
+    stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
+               + keyframes.tobytes())
+
+    def build(off: int) -> bytes:
+        stco = box(b"stco", struct.pack(">B3xI", 0, 1)
+                   + struct.pack(">I", off))
+        stbl = box(b"stbl", stsd + stts + stsz + stsc + stco + stss)
+        return box(b"moov", mvhd + box(b"trak", tkhd + box(
+            b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+
+    moov_len = len(build(0))
+    off = len(ftyp) + moov_len + 8
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + build(off) + mdat
+
+
+def mp4_codec_info(payload: bytes):
+    """Walk the box tree to the stsd sample entry → (fourcc: str,
+    avcc: dict|None) — the avcC record parsed (nal_length_size, SPS
+    geometry) when the track is avc1. None when no stsd is found."""
+    from jsonschema_ray.functions.h264 import parse_avcc
+
+    if payload is None or len(payload) < 16:
+        return None
+    stack = [(0, len(payload))]
+    guard = 0
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            guard += 1
+            if guard > 10_000:
+                return None
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4: pos + 8]
+            body = pos + 8
+            if size < 8 or pos + size > end:
+                return None
+            if typ in _MP4_CONTAINERS:
+                stack.append((body, pos + size))
+            elif typ == b"stsd" and body + 16 <= end:
+                (esize,) = struct.unpack_from(">I", payload, body + 8)
+                fourcc = payload[body + 12: body + 16].decode(
+                    "ascii", "replace")
+                avcc = None
+                if fourcc == "avc1" and esize >= 86:
+                    # VisualSampleEntry is 78 bytes past the header;
+                    # child boxes (avcC, ...) follow
+                    p = body + 8 + 8 + 78
+                    entry_end = min(body + 8 + esize, end)
+                    while p + 8 <= entry_end:
+                        (bsz,) = struct.unpack_from(">I", payload, p)
+                        if bsz < 8 or p + bsz > entry_end:
+                            break
+                        if payload[p + 4: p + 8] == b"avcC":
+                            avcc = parse_avcc(payload[p + 8: p + bsz])
+                            break
+                        p += bsz
+                return fourcc, avcc
+            pos += size
+    return None
+
+
 def mp4_sample_table(payload: bytes):
     """Extract the single-chunk sample layout from an ISO-BMFF stream:
     → (offsets, sizes, keyframe_indices) as numpy arrays (absolute
@@ -1175,17 +1299,26 @@ def mp4_sample_table(payload: bytes):
 
 
 class VideoKeyframePhash:
-    """Actor stage: mp4 → sample table → KEYFRAME JPEG samples →
-    real decode → pHash — one row per (key, kf_index, phash,
-    chunk0..7). Motion-JPEG samples decode through the same T.81
-    decoder as still images; non-JPEG codecs yield no rows (their
-    frame decode stays codec territory)."""
+    """Actor stage: mp4 → sample table → KEYFRAME samples → 64-bit
+    frame hash — one row per (key, kf_index, phash, chunk0..7).
+
+    Two REAL per-codec paths:
+    - Motion-JPEG samples decode through the same T.81 decoder as
+      still images → perceptual pHash (robust to re-encoding);
+    - avc1 (H.264) samples get a STRUCTURAL fingerprint: NAL units
+      split per the avcC length framing, IDR confirmed by type, hash
+      = blake2b of the VCL RBSP payloads (functions/h264.py) —
+      invariant under re-muxing (container/timescale/box-order
+      changes), NOT under re-encoding, which needs pixel decode
+      (codec territory, out of scope).
+    Other codecs yield no rows."""
 
     def __init__(self, key_col: str = "media_ref", max_keyframes: int = 16):
         self.key_col = key_col
         self.max_keyframes = max_keyframes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions.h264 import sample_fingerprint
         from jsonschema_ray.functions.jpeg import decode_jpeg
 
         payloads = batch.column("payload").to_pylist()
@@ -1197,19 +1330,30 @@ class VideoKeyframePhash:
             st = mp4_sample_table(p)
             if st is None:
                 continue
+            info = mp4_codec_info(p)
+            nls = 4
+            if info is not None and info[1]:
+                nls = info[1].get("nal_length_size", 4)
             offs, szs, kf = st
             for j in kf[: self.max_keyframes]:
                 if j >= len(offs):
                     continue
                 raw = p[offs[j]: offs[j] + szs[j]]
-                if raw[:2] != b"\xFF\xD8":
+                if raw[:2] == b"\xFF\xD8":
+                    img = decode_jpeg(raw)
+                    if img is None:
+                        continue
+                    sel.append(i)
+                    kf_idx.append(int(j))
+                    hashes.append(phash64(img))
                     continue
-                img = decode_jpeg(raw)
-                if img is None:
-                    continue
-                sel.append(i)
-                kf_idx.append(int(j))
-                hashes.append(phash64(img))
+                if info is not None and info[0] == "avc1":
+                    fp = sample_fingerprint(raw, nls)
+                    if fp is None or not fp[1]:   # no VCL / not IDR
+                        continue
+                    sel.append(i)
+                    kf_idx.append(int(j))
+                    hashes.append(fp[0])
         ph = np.array(hashes, np.uint64) if hashes else np.empty(0, np.uint64)
         cols = {self.key_col: keys.take(pa.array(sel, pa.int64())),
                 "kf_index": pa.array(kf_idx, pa.int32()),
@@ -1225,11 +1369,13 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
                    max_hamming: int = 7, min_frames: int = 2,
                    max_bucket: int = 1024, *,
                    concurrency=(1, 8), batch_size: int = 64):
-    """Video near-duplicate pairs via KEYFRAME pHash consensus: real
-    MJPEG keyframe decode → per-frame 64-bit pHash → the image LSH
-    (8-bit chunks, exhaustive ≤7 per frame) → frame pairs → videos
-    sharing ≥ ``min_frames`` near-identical keyframes. Payload bytes
-    never shuffle; frame rows do.
+    """Video near-duplicate pairs via KEYFRAME hash consensus: real
+    MJPEG keyframe decode → per-frame 64-bit pHash (re-encode-robust),
+    and real H.264 IDR structural fingerprints (re-mux-robust; see
+    VideoKeyframePhash) → the image LSH (8-bit chunks, exhaustive ≤7
+    per frame) → frame pairs → videos sharing ≥ ``min_frames``
+    near-identical keyframes. Payload bytes never shuffle; frame rows
+    do.
 
     → Dataset (key_a, key_b, n_frames, n_dropped)."""
     import pandas as pd
