@@ -48,8 +48,19 @@ def _base_tokens(idx: np.ndarray) -> pa.ListArray:
     doc_of = np.repeat(np.arange(len(idx)), lens)
     tpos = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
     g = idx[doc_of]
-    mixed = (g * np.int64(2654435761) + tpos * np.int64(40503)
-             + (g >> np.int64(7))) % np.int64(len(VOCAB))
+    # full splitmix-style hash of (doc, position): affine/arithmetic
+    # token sequences are NOT usable here — sequences sharing a step
+    # are cyclic shifts of each other and fabricate mass accidental
+    # near-duplicates (observed: 198k pairs where 60k were planted)
+    x = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + tpos.astype(np.uint64) + np.uint64(1))
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    mixed = (x % np.uint64(len(VOCAB))).astype(np.int64)
     flat = pa.array(VOCAB[mixed], pa.string())
     offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
     return pa.ListArray.from_arrays(pa.array(offsets), flat)
