@@ -1201,11 +1201,88 @@ def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
     return ftyp + build(off) + mdat
 
 
+def synth_hevc_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
+                         height: int = 80, remux_variant: int = 0) -> bytes:
+    """Deterministic hvc1 mp4 with REAL HEVC structure: spec-valid
+    VPS/SPS/PPS (built bit-by-bit per ITU-T H.265 §7.3.2) in the hvcC
+    record, 4-byte-length-prefixed two-byte-header NAL samples in
+    mdat — IDR_W_RADL (type 19) every 3rd sample, TRAIL_R (type 1)
+    between, each carrying a seed-deterministic coded payload.
+    ``remux_variant`` changes only CONTAINER attributes so variants of
+    the same seed are re-muxes: byte-different files, identical coded
+    samples — the HEVC near-dup fixture. (Payloads are not decodable
+    pictures; everything a structural stage consumes — NAL framing,
+    types, SPS geometry, sample fingerprints — is real.)"""
+    from jsonschema_ray.functions.hevc import (NAL_IDR_W_RADL,
+                                               NAL_TRAIL_R, build_hvcc,
+                                               build_pps, build_sps,
+                                               build_vps)
+
+    rng = np.random.default_rng(seed + 7_654_321)
+    vps, sps, pps = build_vps(), build_sps(width, height), build_pps()
+    samples = []
+    for f in range(n_frames):
+        body = rng.integers(0, 256, 96 + int(rng.integers(0, 64)),
+                            dtype=np.int64).astype(np.uint8).tobytes()
+        if f % 3 == 0:
+            idr = bytes([NAL_IDR_W_RADL << 1, 1]) + body
+            nals = [vps, sps, pps, idr]            # IRAP access unit
+        else:
+            nals = [bytes([NAL_TRAIL_R << 1, 1]) + body]
+        samples.append(b"".join(
+            len(n).to_bytes(4, "big") + n for n in nals))
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    timescale = 1000 if remux_variant == 0 else 90000
+    delta = timescale // 24
+    duration = delta * n_frames
+    brand = b"isom" if remux_variant == 0 else b"mp42"
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 512) + b"isomiso2hvc1")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x5I", 7, 0, 0, 1, 0, duration)
+               + b"\x00" * 52 + struct.pack(">II", width << 16,
+                                            height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, timescale,
+                                    duration, 0x55C4, 0))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"V\x00")
+    hvcc = box(b"hvcC", build_hvcc(vps, sps, pps))
+    entry = box(b"hvc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", width, height) + b"\x00" * 50 + hvcc)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">II", n_frames, delta))
+    sizes = np.array([len(s) for s in samples], dtype=">u4")
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_frames)
+               + sizes.tobytes())
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">III", 1, n_frames, 1))
+    keyframes = np.arange(1, n_frames + 1, 3, dtype=">u4")
+    stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
+               + keyframes.tobytes())
+
+    def build(off: int) -> bytes:
+        stco = box(b"stco", struct.pack(">B3xI", 0, 1)
+                   + struct.pack(">I", off))
+        stbl = box(b"stbl", stsd + stts + stsz + stsc + stco + stss)
+        return box(b"moov", mvhd + box(b"trak", tkhd + box(
+            b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+
+    moov_len = len(build(0))
+    off = len(ftyp) + moov_len + 8
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + build(off) + mdat
+
+
 def mp4_codec_info(payload: bytes):
     """Walk the box tree to the stsd sample entry → (fourcc: str,
-    avcc: dict|None) — the avcC record parsed (nal_length_size, SPS
-    geometry) when the track is avc1. None when no stsd is found."""
+    cfg: dict|None) — the avcC record parsed (nal_length_size, SPS
+    geometry) when the track is avc1, the hvcC record when the track
+    is hvc1/hev1. None when no stsd is found."""
     from jsonschema_ray.functions.h264 import parse_avcc
+    from jsonschema_ray.functions.hevc import parse_hvcc
 
     if payload is None or len(payload) < 16:
         return None
@@ -1228,21 +1305,25 @@ def mp4_codec_info(payload: bytes):
                 (esize,) = struct.unpack_from(">I", payload, body + 8)
                 fourcc = payload[body + 12: body + 16].decode(
                     "ascii", "replace")
-                avcc = None
-                if fourcc == "avc1" and esize >= 86:
+                cfg = None
+                if fourcc in ("avc1", "hvc1", "hev1") and esize >= 86:
                     # VisualSampleEntry is 78 bytes past the header;
-                    # child boxes (avcC, ...) follow
+                    # child boxes (avcC / hvcC, ...) follow
                     p = body + 8 + 8 + 78
                     entry_end = min(body + 8 + esize, end)
                     while p + 8 <= entry_end:
                         (bsz,) = struct.unpack_from(">I", payload, p)
                         if bsz < 8 or p + bsz > entry_end:
                             break
-                        if payload[p + 4: p + 8] == b"avcC":
-                            avcc = parse_avcc(payload[p + 8: p + bsz])
+                        btyp = payload[p + 4: p + 8]
+                        if btyp == b"avcC":
+                            cfg = parse_avcc(payload[p + 8: p + bsz])
+                            break
+                        if btyp == b"hvcC":
+                            cfg = parse_hvcc(payload[p + 8: p + bsz])
                             break
                         p += bsz
-                return fourcc, avcc
+                return fourcc, cfg
             pos += size
     return None
 
@@ -1302,7 +1383,7 @@ class VideoKeyframePhash:
     """Actor stage: mp4 → sample table → KEYFRAME samples → 64-bit
     frame hash — one row per (key, kf_index, phash, chunk0..7).
 
-    Two REAL per-codec paths:
+    Three REAL per-codec paths:
     - Motion-JPEG samples decode through the same T.81 decoder as
       still images → perceptual pHash (robust to re-encoding);
     - avc1 (H.264) samples get a STRUCTURAL fingerprint: NAL units
@@ -1310,7 +1391,10 @@ class VideoKeyframePhash:
       = blake2b of the VCL RBSP payloads (functions/h264.py) —
       invariant under re-muxing (container/timescale/box-order
       changes), NOT under re-encoding, which needs pixel decode
-      (codec territory, out of scope).
+      (codec territory, out of scope);
+    - hvc1/hev1 (H.265/HEVC) samples get the same structural
+      fingerprint via the two-byte-NAL-header parser
+      (functions/hevc.py), IRAP confirmed by type 16..23.
     Other codecs yield no rows."""
 
     def __init__(self, key_col: str = "media_ref", max_keyframes: int = 16):
@@ -1318,6 +1402,7 @@ class VideoKeyframePhash:
         self.max_keyframes = max_keyframes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions import hevc
         from jsonschema_ray.functions.h264 import sample_fingerprint
         from jsonschema_ray.functions.jpeg import decode_jpeg
 
@@ -1350,6 +1435,14 @@ class VideoKeyframePhash:
                 if info is not None and info[0] == "avc1":
                     fp = sample_fingerprint(raw, nls)
                     if fp is None or not fp[1]:   # no VCL / not IDR
+                        continue
+                    sel.append(i)
+                    kf_idx.append(int(j))
+                    hashes.append(fp[0])
+                    continue
+                if info is not None and info[0] in ("hvc1", "hev1"):
+                    fp = hevc.sample_fingerprint(raw, nls)
+                    if fp is None or not fp[1]:   # no VCL / not IRAP
                         continue
                     sel.append(i)
                     kf_idx.append(int(j))
@@ -1392,7 +1485,15 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
         # frame identity = (video key, kf index) packed into one string
         vk = t.column(key_col).to_pylist()
         ki = t.column("kf_index").to_pylist()
-        fk = pa.array([f"{v}\x00{k}" for v, k in zip(vk, ki)])
+        # \x01 separator, NOT \x00: pandas' MULTI-column sort_values
+        # goes through factorize(sort=True), whose khash string table
+        # reads keys as nul-TERMINATED C strings — every embedded-nul
+        # key collapses into one unique, so the frame rows never sort
+        # and Ray's pandas-block multi-key sort-aggregate silently
+        # fails to combine equal groups (duplicated n_frames rows).
+        # Single-column sorts and Arrow blocks are unaffected. Pinned
+        # by tests/test_hevc.py::test_near_dup_frame_counts_exact.
+        fk = pa.array([f"{v}\x01{k}" for v, k in zip(vk, ki)])
         parts = []
         for c in range(DecodeImagePhash.N_CHUNKS):
             parts.append(pa.table({
@@ -1417,8 +1518,8 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
         ham = _popcount64(hs[i] ^ hs[j])
         keep = ham <= max_hamming
         i, j = i[keep], j[keep]
-        va = np.array([ks[x].split("\x00")[0] for x in i], dtype=object)
-        vb = np.array([ks[x].split("\x00")[0] for x in j], dtype=object)
+        va = np.array([ks[x].split("\x01")[0] for x in i], dtype=object)
+        vb = np.array([ks[x].split("\x01")[0] for x in j], dtype=object)
         cross = va != vb
         i, j, va, vb = i[cross], j[cross], va[cross], vb[cross]
         swap = va > vb

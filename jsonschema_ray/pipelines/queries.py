@@ -2712,16 +2712,22 @@ def q_audio_near_dup(sf_dir: str):
 
 def q_video_near_dup(sf_dir: str):
     """* rows-only: video near-duplicate pairs over a deterministic
-    Motion-JPEG mp4 corpus (REAL frame decode: sample tables slice
-    real JPEG samples out of mdat, the T.81 decoder renders keyframes)
-    with planted quality-re-encoded duplicates. Keyframe pHash → image
-    LSH → ≥2-frame consensus. Frame-level exactness pinned in
-    ``tests/test_multimodal.py``."""
+    MIXED-CODEC mp4 corpus — Motion-JPEG (REAL frame decode: sample
+    tables slice real JPEG samples out of mdat, the T.81 decoder
+    renders keyframes) with planted quality-re-encoded duplicates,
+    plus H.264 (avc1) and H.265 (hvc1) tracks with planted RE-MUXED
+    duplicates (identical coded samples, byte-different containers;
+    structural NAL/IRAP fingerprints, functions/h264.py + hevc.py).
+    Keyframe hash → image LSH → ≥2-frame consensus. Frame-level
+    exactness pinned in ``tests/test_multimodal.py`` /
+    ``tests/test_h264.py`` / ``tests/test_hevc.py``."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from jsonschema_ray.pipelines.multimodal import (synth_mjpeg_mp4_bytes,
+    from jsonschema_ray.pipelines.multimodal import (synth_h264_mp4_bytes,
+                                                     synth_hevc_mp4_bytes,
+                                                     synth_mjpeg_mp4_bytes,
                                                      video_near_dup)
     from jsonschema_ray.sources.readers import DatasetSource
 
@@ -2734,6 +2740,16 @@ def q_video_near_dup(sf_dir: str):
         if i % 5 == 0:
             refs.append(f"dup{i:06d}")
             payloads.append(synth_mjpeg_mp4_bytes(seed=i, quality=60))
+        if i % 7 == 0:
+            refs.append(f"avc{i:06d}a")
+            payloads.append(synth_h264_mp4_bytes(seed=i, remux_variant=0))
+            refs.append(f"avc{i:06d}b")
+            payloads.append(synth_h264_mp4_bytes(seed=i, remux_variant=1))
+        if i % 7 == 3:
+            refs.append(f"hvc{i:06d}a")
+            payloads.append(synth_hevc_mp4_bytes(seed=i, remux_variant=0))
+            refs.append(f"hvc{i:06d}b")
+            payloads.append(synth_hevc_mp4_bytes(seed=i, remux_variant=1))
     t = pa.table({"media_ref": pa.array(refs),
                   "payload": pa.array(payloads, pa.binary())})
     out = video_near_dup(DatasetSource(rd.from_arrow(t).repartition(8)),
