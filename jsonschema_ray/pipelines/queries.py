@@ -3456,6 +3456,47 @@ def q_hll_by_group(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_bpe_word_histogram(sf_dir: str):
+    """Full word-frequency histogram over documents — the data-scale
+    pass of BPE training (one thin (word, n) row per distinct word per
+    block; the text never shuffles). Deterministic n-desc/word-asc
+    order; same whitespace/null contract as ``token_topk``."""
+    from jsonschema_ray.pipelines.tokenizer import word_histogram
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    hist = word_histogram(ParquetSource(_pq(sf_dir, "documents")))
+    return hist.sort(["n", "word"], descending=[True, False])
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """* rows-only (iterative argmax loop — not SQL-expressible): BPE
+    merge table (rank, left, right, pair_count) trained on documents.
+    Distributed corpus→histogram pass + deterministic driver merge
+    loop on the capped histogram (the HF-tokenizers shape); pinned
+    against an independent quadratic reference implementation in
+    ``tests/test_tokenizer.py``."""
+    from jsonschema_ray.pipelines.tokenizer import bpe_train_table
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return bpe_train_table(ParquetSource(_pq(sf_dir, "documents")),
+                           num_merges=200, max_words=100_000)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """* rows-only: per-document BPE token counts under a tokenizer
+    trained on the same corpus (train → broadcast merges once via
+    ``ray.put`` → actor-pool encode with per-batch distinct-word
+    dedup). Encoder exactness and the token-conservation invariant
+    are pinned in ``tests/test_tokenizer.py``."""
+    from jsonschema_ray.pipelines.tokenizer import (bpe_encode,
+                                                    bpe_train_table)
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    src = ParquetSource(_pq(sf_dir, "documents"))
+    merges = bpe_train_table(src, num_merges=200, max_words=100_000)
+    return bpe_encode(src, merges).sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -3531,6 +3572,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
+    "bpe_word_histogram": q_bpe_word_histogram,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "cms_registers": q_cms_registers,
     "cms_topk": q_cms_topk,
     "chunk_documents": q_chunk_documents,
@@ -3891,6 +3935,12 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+    "bpe_word_histogram": r"""
+SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
+        AS tok FROM documents)
+WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok
 """,
     # count-min registers: same md5 token hash, same multiply-SHIFT row
     # hash (high 10 bits of the mod-2^64 product; splitmix64/xxhash64
