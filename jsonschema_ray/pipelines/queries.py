@@ -3456,6 +3456,20 @@ def q_hll_by_group(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_nb_quality_scores(sf_dir: str):
+    """Model-based quality classification: multinomial Naive Bayes
+    trained by one counting shuffle (thin (token, c0, c1) partials —
+    the text never shuffles), weak labels n_chars >= 200, scored by a
+    broadcast integer micro-nat LLR table in a second streaming pass.
+    Bit-exact vs the SQL oracle (one floor(1e6·Δln + 0.5) per token,
+    identical libm expression both sides)."""
+    from jsonschema_ray.pipelines.classify import nb_quality_scores
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return nb_quality_scores(
+        ParquetSource(_pq(sf_dir, "documents"))).sort("doc_id")
+
+
 def q_bpe_word_histogram(sf_dir: str):
     """Full word-frequency histogram over documents — the data-scale
     pass of BPE training (one thin (word, n) row per distinct word per
@@ -3572,6 +3586,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
+    "nb_quality_scores": q_nb_quality_scores,
     "bpe_word_histogram": q_bpe_word_histogram,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -3935,6 +3950,42 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+    "nb_quality_scores": r"""
+WITH lab AS (
+  SELECT doc_id, COALESCE(text,'') AS text,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+  FROM documents
+), tok AS (
+  SELECT doc_id, y, t FROM (
+    SELECT doc_id, y, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM lab) WHERE t <> ''
+), counts AS (
+  SELECT t, SUM(1 - y) AS c0, SUM(y) AS c1 FROM tok GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1,
+         CAST(COUNT(*) AS BIGINT) AS v FROM counts
+), pri AS (
+  SELECT CAST(floor(1e6 * (ln(CAST(SUM(y) + 1 AS DOUBLE))
+                           - ln(CAST(COUNT(*) - SUM(y) + 1 AS DOUBLE)))
+              + 0.5) AS BIGINT) AS pq FROM lab
+), q AS (
+  SELECT t, CAST(floor(1e6 * (
+      ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+    - ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE))) + 0.5)
+    AS BIGINT) AS qv
+  FROM counts, tot
+), per_doc AS (
+  SELECT tok.doc_id, SUM(q.qv) AS s
+  FROM tok JOIN q ON tok.t = q.t GROUP BY tok.doc_id
+)
+SELECT lab.doc_id,
+       CAST(len(regexp_extract_all(lab.text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(pri.pq + COALESCE(per_doc.s, 0) AS BIGINT) AS nb_llr,
+       CAST(CASE WHEN pri.pq + COALESCE(per_doc.s, 0) > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS predicted
+FROM lab CROSS JOIN pri LEFT JOIN per_doc ON lab.doc_id = per_doc.doc_id
+ORDER BY lab.doc_id
 """,
     "bpe_word_histogram": r"""
 SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
