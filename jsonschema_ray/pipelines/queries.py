@@ -3456,6 +3456,30 @@ def q_hll_by_group(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_shard_manifest(sf_dir: str):
+    """Deterministic shuffle-shard training-output writer: documents
+    hash into 8 shards (md5-mod, no global sort), each shard written
+    atomically as one (h, doc_id)-ordered parquet with a _SUCCESS
+    fingerprint marker; the returned manifest (shard, n_docs,
+    n_tokens, fp_xor) is the writer's own output dataset and is
+    SQL-exact (bit_xor over md5_number_lower content hashes). Resume
+    semantics (committed shards not rewritten) pinned in
+    ``tests/test_shardwriter.py``."""
+    import shutil
+    import tempfile
+
+    from jsonschema_ray.pipelines.shardwriter import shuffle_shard_write
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    out = tempfile.mkdtemp(prefix="shard_manifest_")
+    try:
+        m = shuffle_shard_write(ParquetSource(_pq(sf_dir, "documents")),
+                                out, n_shards=8, seed=7)
+        return m.sort("shard").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_nb_quality_scores(sf_dir: str):
     """Model-based quality classification: multinomial Naive Bayes
     trained by one counting shuffle (thin (token, c0, c1) partials —
@@ -3586,6 +3610,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "split_assign": q_split_assign,
     "token_topk": q_token_topk,
+    "shard_manifest": q_shard_manifest,
     "nb_quality_scores": q_nb_quality_scores,
     "bpe_word_histogram": q_bpe_word_histogram,
     "bpe_train_merges": q_bpe_train_merges,
@@ -3950,6 +3975,19 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+'))
         AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+    "shard_manifest": r"""
+WITH h AS (
+  SELECT CAST((md5_number_lower('s7|' || CAST(doc_id AS VARCHAR)) >> 1)
+              % 8 AS BIGINT) AS shard,
+         CAST(md5_number_lower(COALESCE(text,'')) >> 1 AS BIGINT) AS ch,
+         CAST(len(regexp_extract_all(COALESCE(text,''), '\S+'))
+              AS BIGINT) AS nt
+  FROM documents)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(ch) AS BIGINT) AS fp_xor
+FROM h GROUP BY shard ORDER BY shard
 """,
     "nb_quality_scores": r"""
 WITH lab AS (
