@@ -5307,6 +5307,85 @@ FROM spans GROUP BY did
 """
 
 
+def q_scrub_interleaved(sf_dir: str):
+    """Violation-driven SPAN REMOVAL + re-render — the content-repair
+    composition: spans failing their conformance rules (text span with
+    null text; media span whose ref fails the media:// format) are
+    DROPPED and the cleaned document re-rendered from the survivors,
+    with per-doc drop accounting. Scale shape: identical to
+    render_interleaved — spans derive and reassemble BLOCK-LOCALLY
+    (zero shuffle), one vectorized keep-mask + offset rebuild +
+    ``pc.binary_join`` per block."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_spans, parent, s, kind, text, ref, offset = _derive_spans(ids)
+        d = ids[parent]
+        k = (d * 7 + s * 3) % 5
+        is_text = k == 0
+        txt_null = text == None                           # noqa: E711
+        ref_ok = np.char.startswith(
+            np.where(ref == None, "", ref).astype(str),   # noqa: E711
+            "media://")
+        keep = np.where(is_text, ~txt_null, ref_ok)
+        # rebuild per-doc list offsets over the kept spans only
+        ends = np.cumsum(n_spans)
+        starts = ends - n_spans
+        csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        n_kept = csum[ends] - csum[starts]
+        txt = np.where(txt_null, "", text)
+        rf = np.where(ref == None, "", ref)               # noqa: E711
+        media = np.char.add(np.char.add(np.char.add(np.char.add(
+            "[", kind.astype(str)), ":"), rf.astype(str)), "]")
+        piece = np.where(is_text, txt, media).astype(object)[keep]
+        offs = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+        pieces = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(piece, type=pa.string()))
+        return pa.table({
+            "doc_id": pa.array(ids.astype("U20"), pa.string()),
+            "n_spans": pa.array(n_spans),
+            "n_dropped": pa.array((n_spans - n_kept).astype(np.int64)),
+            "rendered": pc.binary_join(pieces, " ")})
+
+    return _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(scrub, batch_format="pyarrow")
+
+
+QUERIES["scrub_interleaved"] = q_scrub_interleaved
+ORACLE["scrub_interleaved"] = r"""
+WITH spans AS (
+  SELECT d.doc_id AS did, s AS si,
+         (d.doc_id*7 + s*3) % 5 AS k,
+         list_extract(['text','image','audio','table','video'],
+                      CAST((d.doc_id*7 + s*3) % 5 AS INTEGER) + 1) AS kind,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0
+                   AND (d.doc_id + s) % 11 = 0 THEN NULL
+              WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN 'tok'
+              ELSE NULL END AS txt,
+         CASE WHEN (d.doc_id*7 + s*3) % 5 = 0 THEN NULL
+              WHEN (d.doc_id + s) % 13 = 0 THEN 'http://bad'
+              ELSE 'media://0123456789abcdef' END AS ref
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+), flagged AS (
+  SELECT *, CASE WHEN k = 0 THEN txt IS NOT NULL
+                 ELSE COALESCE(ref, '') LIKE 'media://%' END AS keep
+  FROM spans
+)
+SELECT CAST(did AS VARCHAR) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+           AS n_dropped,
+       COALESCE(string_agg(
+           CASE WHEN k = 0 THEN COALESCE(txt, '')
+                ELSE '[' || kind || ':' || COALESCE(ref, '') || ']' END,
+           ' ' ORDER BY si) FILTER (WHERE keep), '') AS rendered
+FROM flagged GROUP BY did
+"""
+
+
 def q_events_moving_sum(sf_dir: str):
     """Moving-window aggregate over an ordered partition (ROWS BETWEEN
     3 PRECEDING AND CURRENT ROW): per user, each event's trailing-4
