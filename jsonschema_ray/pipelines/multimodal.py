@@ -906,13 +906,19 @@ def audio_fingerprint(samples: np.ndarray, frame: int = 256,
 
 
 class AudioFingerprintStage:
-    """Actor stage: WAV decode → H-K sub-fingerprints → one row per
-    (key, frame, fp). Undecodable payloads emit nothing."""
+    """Actor stage: per payload, WAV decode → H-K sub-fingerprints
+    (spectral, re-encode-robust), or — when the payload is a framed
+    MP3 stream — structural per-frame content fingerprints
+    (``functions/mp3.py``, re-tag/re-pad invariant; bit 62 keeps the
+    two value families disjoint in the shared ``fp`` column). One row
+    per (key, frame, fp); undecodable payloads emit nothing."""
 
     def __init__(self, key_col: str = "media_ref"):
         self.key_col = key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from jsonschema_ray.functions.mp3 import mp3_frame_fingerprints
+
         payloads = batch.column("payload").to_pylist()
         keys = batch.column(self.key_col)
         if isinstance(keys, pa.ChunkedArray):
@@ -920,16 +926,19 @@ class AudioFingerprintStage:
         out_i, out_f, out_fp = [], [], []
         for i, p in enumerate(payloads):
             dec = decode_wav(p)
-            if dec is None:
-                continue
-            fps = audio_fingerprint(dec[2])
+            if dec is not None:
+                fps = audio_fingerprint(dec[2]).astype(np.int64)
+            else:
+                fps = mp3_frame_fingerprints(p)
+                if not len(fps):
+                    continue
             out_i.append(np.full(len(fps), i, np.int64))
             out_f.append(np.arange(len(fps), dtype=np.int32))
             out_fp.append(fps)
         if not out_i:
             return pa.table({self.key_col: keys.slice(0, 0),
                              "frame": pa.array([], pa.int32()),
-                             "fp": pa.array([], pa.int32())})
+                             "fp": pa.array([], pa.int64())})
         sel = np.concatenate(out_i)
         return pa.table({
             self.key_col: keys.take(pa.array(sel)),

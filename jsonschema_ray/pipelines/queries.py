@@ -2680,16 +2680,20 @@ def q_phash_near_dup(sf_dir: str):
 
 
 def q_audio_near_dup(sf_dir: str):
-    """* rows-only: Haitsma–Kalker audio-fingerprint near-dup pairs
-    over a deterministic multi-sine WAV corpus with planted
-    amplitude-rescaled re-encodes. Actor-pool decode → 16-bit
-    sub-fingerprints → fingerprint-value buckets → pairs sharing ≥ 8
-    distinct sub-fingerprints; payloads never shuffle. Scale-invariance
-    pinned in ``tests/test_multimodal.py``."""
+    """* rows-only: audio near-dup pairs over a deterministic
+    MIXED-CODEC corpus — multi-sine WAV (Haitsma–Kalker spectral
+    sub-fingerprints) with planted amplitude-rescaled re-encodes,
+    plus framed MP3 streams (structural per-frame content
+    fingerprints, ``functions/mp3.py``) with planted RE-TAGGED and
+    padding-shifted re-muxes of identical coded audio. Actor-pool
+    decode → fingerprint-value buckets → pairs sharing ≥ 8 distinct
+    fingerprints; payloads never shuffle. Scale/re-mux invariance
+    pinned in ``tests/test_multimodal.py`` / ``tests/test_mp3.py``."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
+    from jsonschema_ray.functions.mp3 import build_mp3
     from jsonschema_ray.pipelines.multimodal import (audio_near_dup,
                                                      synth_rich_wav_bytes)
     from jsonschema_ray.sources.readers import DatasetSource
@@ -2703,6 +2707,13 @@ def q_audio_near_dup(sf_dir: str):
         if i % 7 == 0:
             refs.append(f"dup{i:06d}")
             payloads.append(synth_rich_wav_bytes(seed=i, scale=0.7))
+    for i in range(max(8, n // 4)):
+        refs.append(f"mp3{i:06d}")
+        payloads.append(build_mp3(seed=900_000 + i, n_frames=12))
+        if i % 5 == 0:          # retag + shift padding: same audio
+            refs.append(f"mp3dup{i:06d}")
+            payloads.append(build_mp3(seed=900_000 + i, n_frames=12,
+                                      id3_seed=i, pad_phase=1))
     t = pa.table({"media_ref": pa.array(refs),
                   "payload": pa.array(payloads, pa.binary())})
     out = audio_near_dup(DatasetSource(rd.from_arrow(t).repartition(8)),
