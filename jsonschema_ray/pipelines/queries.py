@@ -5644,10 +5644,54 @@ ORACLE.update(PARTSUPP_ORACLE)
 # The correctness driver samples 50 queries per round and is
 # insertion-order-sensitive; after three rounds, 60 of the 124 queries
 # (the whole TPC-H / window / curation wave) have never had a green
-# driver CORRECTNESS row. Surface exactly those first — the 50
-# oracled-never-recorded entries lead (one full driver sample), then
-# the 10 rows-only never-recorded, then everything already recorded
-# green in r01–r03, preserving relative order within each tier.
+# driver CORRECTNESS row. Surface exactly those first — the
+# oracled-never-recorded entries lead, then the rows-only
+# never-recorded, then everything already recorded green,
+# preserving relative order within each tier.
+#
+# The "already recorded" set is computed DYNAMICALLY from the
+# CORRECTNESS_r*.json files at the repo root (written by the driver
+# after each round), so each round's 50-slot sample automatically
+# front-loads whatever still lacks a green row — no per-round
+# hand-editing. _DRIVER_PRIORITY below only fixes the relative order
+# within the never-recorded tier (flagship first, then the round-3
+# wave, then later additions in registration order).
+
+
+def _driver_green_queries() -> set:
+    """Queries that already have the best driver record they can get:
+    oracled queries with a triple-green row, or rows-only queries with
+    a clean spark_rows count (the driver records those as
+    err='no_oracle' + spark_rows)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))))
+    green: set = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                recs = _json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(recs, dict):
+            continue
+        for name, rec in recs.items():
+            if not isinstance(rec, dict):
+                continue
+            if name in ORACLE:
+                if (rec.get("err") is None and rec.get("rows_match")
+                        and rec.get("schema_match") and rec.get("hash_match")):
+                    green.add(name)
+            else:
+                if (rec.get("err") in (None, "no_oracle")
+                        and rec.get("spark_rows") is not None):
+                    green.add(name)
+    return green
+
+
 _DRIVER_PRIORITY = [
     # tier 1: oracled, never green in any driver round (50 = one sample)
     "flagship_validate",
@@ -5679,7 +5723,15 @@ _DRIVER_PRIORITY = [
     "q20_potential_promotion",
 ]
 
-_ordered = [k for k in _DRIVER_PRIORITY if k in QUERIES] + \
+_base = [k for k in _DRIVER_PRIORITY if k in QUERIES] + \
     [k for k in QUERIES if k not in _DRIVER_PRIORITY]
+_green = _driver_green_queries()
+# Stable three-tier sort: never-green oracled < never-green rows-only
+# < already-green; _base order preserved inside each tier.
+_ordered = (
+    [k for k in _base if k not in _green and k in ORACLE]
+    + [k for k in _base if k not in _green and k not in ORACLE]
+    + [k for k in _base if k in _green]
+)
 QUERIES = {k: QUERIES[k] for k in _ordered}
 ORACLE = {k: ORACLE[k] for k in _ordered if k in ORACLE}
