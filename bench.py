@@ -141,6 +141,30 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
         timed("tpch_suite_17", run_names(tpch_names))
         timed("tpch_partsupp_5", run_names(ps_names))
 
+        # the same 17 queries with their per-query barrier latencies
+        # OVERLAPPED (4 driver threads, each Dataset runs its own
+        # streaming executor; the cluster is shared): at sf0.1 each
+        # query is dominated by the 1-2s fixed plan/shuffle cost, and
+        # a real cluster serves concurrent queries — wall-clock for
+        # the whole suite is the honest system-level number
+        from concurrent.futures import ThreadPoolExecutor
+
+        from jsonschema_ray.raycompat import guard_fsspec_http_import
+
+        # concurrent driver threads race Ray's per-read fsspec-http
+        # import (path_util.py:153) when aiohttp is absent — seed the
+        # stub once so the import is deterministic
+        guard_fsspec_http_import()
+
+        def run_concurrent():
+            one = run_names  # each name list of 1 → one query per task
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [pool.submit(one([n])) for n in tpch_names]
+                for f in futs:
+                    f.result()
+
+        timed("tpch_suite_17_concurrent", run_concurrent)
+
     headline = queries["validate_exhaustive"]
     out = {
         "metric": "validate_exhaustive_sec",

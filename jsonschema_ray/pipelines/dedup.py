@@ -163,13 +163,25 @@ def _shingle_hashes(texts: np.ndarray, k: int,
     counts, flat_tokens = _tokenize_flat(texts)
     th = token_hash(flat_tokens) if len(flat_tokens) else np.empty(0, np.uint64)
     doc_of_tok = np.repeat(np.arange(len(texts)), counts)
-    # rolling k-gram combine: h[i] ^ rot(h[i+1]) ^ ... within same doc
-    n = len(th)
-    if n == 0:
+    acc, valid = _rolling_shingles(doc_of_tok, th, k)
+    if acc is None:
         if return_pos:
             return (np.empty(0, np.int64), np.empty(0, np.uint64),
                     np.empty(0, np.int64))
         return np.empty(0, np.int64), np.empty(0, np.uint64)
+    if return_pos:
+        return doc_of_tok[valid], acc[valid], np.flatnonzero(valid)
+    return doc_of_tok[valid], acc[valid]
+
+
+def _rolling_shingles(doc_of_tok: np.ndarray, th: np.ndarray, k: int):
+    """Rolling k-gram FNV combine over the flat token-hash stream:
+    returns full-length (acc, valid) — acc[i] is the k-gram hash
+    starting at flat position i, valid[i] iff all k tokens fall in the
+    same doc. (None, None) on an empty stream."""
+    n = len(th)
+    if n == 0:
+        return None, None
     with np.errstate(over="ignore"):
         acc = th.copy()
         valid = np.ones(n, dtype=bool)
@@ -182,9 +194,7 @@ def _shingle_hashes(texts: np.ndarray, k: int,
             same[n - j:] = False
             acc = acc * np.uint64(1099511628211) + shifted  # FNV-ish combine
             valid &= same
-    if return_pos:
-        return doc_of_tok[valid], acc[valid], np.flatnonzero(valid)
-    return doc_of_tok[valid], acc[valid]
+    return acc, valid
 
 
 def minhash_signatures(texts: np.ndarray, num_perm: int = 64,
@@ -1373,35 +1383,8 @@ def repeated_substrings(source: Any, key_col: str = "doc_id",
     import ray
 
     src = as_source(source)
-
-    def partial(t: pa.Table) -> pa.Table:
-        col = t.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
-                               shingle_k, token_hash=token_hash)
-        if not len(h):
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        z = np.empty(len(d), dtype=[("h", np.uint64), ("d", np.int64)])
-        z["h"], z["d"] = h, d
-        uz = np.unique(z)
-        hh, nn = np.unique(uz["h"], return_counts=True)
-        return pa.table({"h": pa.array(hh.view(np.int64)),
-                         "n": pa.array(nn.astype(np.int64))})
-
-    counts = src.dataset(columns=[text_col]).map_batches(
-        partial, batch_format="pyarrow").groupby("h").sum("n")
-    rep_ds = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("sum(n)"), min_docs)),
-        batch_format="pyarrow").materialize()
-    if rep_ds.count() > max_ngrams:
-        rep_ds = rep_ds.sort(["sum(n)", "h"],
-                             descending=[True, False]).limit(max_ngrams)
-    hs = [b.column("h").to_numpy(zero_copy_only=False)
-          for b in rep_ds.iter_batches(batch_format="pyarrow")]
-    rep = np.sort(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-    rep_ref = ray.put(rep)
+    rep_ref = ray.put(_repeated_shingle_set(
+        src, text_col, shingle_k, min_docs, max_ngrams, token_hash))
 
     def spans(t: pa.Table) -> pa.Table:
         bs = ray.get(rep_ref)
@@ -1447,6 +1430,131 @@ def repeated_substrings(source: Any, key_col: str = "doc_id",
 
     return src.dataset(columns=[key_col, text_col]).map_batches(
         spans, batch_format="pyarrow")
+
+
+def _repeated_shingle_set(src, text_col: str, shingle_k: int,
+                          min_docs: int, max_ngrams: int,
+                          token_hash) -> np.ndarray:
+    """Pass 1 shared by :func:`repeated_substrings` and
+    :func:`repeated_substring_scrub`: distinct (shingle, doc) partials
+    per batch → distributed ``groupby.sum`` of doc counts → threshold
+    at ``min_docs`` distinct docs → capped broadcast set. Returns the
+    SORTED int64 bit-cast hash array (the driver never holds more than
+    ``max_ngrams`` hashes)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, h = _shingle_hashes(col.to_numpy(zero_copy_only=False),
+                               shingle_k, token_hash=token_hash)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        z = np.empty(len(d), dtype=[("h", np.uint64), ("d", np.int64)])
+        z["h"], z["d"] = h, d
+        uz = np.unique(z)
+        hh, nn = np.unique(uz["h"], return_counts=True)
+        # int64 bit-cast: Ray's shuffle cannot round-trip uint64 > 2^63
+        return pa.table({"h": pa.array(hh.view(np.int64)),
+                         "n": pa.array(nn.astype(np.int64))})
+
+    counts = src.dataset(columns=[text_col]).map_batches(
+        partial, batch_format="pyarrow").groupby("h").sum("n")
+    rep_ds = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("sum(n)"), min_docs)),
+        batch_format="pyarrow").materialize()
+    if rep_ds.count() > max_ngrams:
+        rep_ds = rep_ds.sort(["sum(n)", "h"],
+                             descending=[True, False]).limit(max_ngrams)
+    hs = [b.column("h").to_numpy(zero_copy_only=False)
+          for b in rep_ds.iter_batches(batch_format="pyarrow")]
+    return np.sort(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+
+
+def repeated_substring_scrub(source: Any, key_col: str = "doc_id",
+                             text_col: str = "text", shingle_k: int = 3,
+                             min_docs: int = 2,
+                             max_ngrams: int = 1_000_000,
+                             token_hash=hash64):
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    bounded to word ``shingle_k``-gram resolution): every token
+    covered by a k-gram that occurs in ≥ ``min_docs`` distinct
+    documents is cut, and the document re-renders from the surviving
+    tokens — :func:`repeated_substrings` reports the spans, this
+    operator applies them.
+
+    Scale shape: pass 1 = :func:`_repeated_shingle_set` (thin
+    (hash, count) partials, one small groupby, capped broadcast set —
+    the text never shuffles); pass 2 streams the corpus once,
+    coverage is a delta-array cumsum over the flat token stream
+    (hit at flat position p covers p..p+k-1; all within one doc by
+    shingle validity), and the scrubbed text rebuilds with one
+    ``ListArray`` + ``binary_join`` per block. Zero shuffle, block
+    local, per-batch vectorized.
+
+    → one row per input document:
+    (key, n_tokens, n_removed, text_scrubbed) where ``text_scrubbed``
+    is the single-space join of surviving tokens ('' when everything
+    was cut or the doc had no tokens — note the output is whitespace-
+    NORMALIZED even for untouched docs, matching the SQL oracle's
+    ``string_agg`` semantics). With ``token_hash=md5_hash64``
+    bit-exact in DuckDB."""
+    import ray
+
+    src = as_source(source)
+    rep_ref = ray.put(_repeated_shingle_set(
+        src, text_col, shingle_k, min_docs, max_ngrams, token_hash))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        bs = ray.get(rep_ref)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts, flat = _tokenize_flat(col)
+        n_docs, n_tok = len(counts), len(flat)
+        doc_of_tok = np.repeat(np.arange(n_docs), counts)
+        th = token_hash(flat) if n_tok else np.empty(0, np.uint64)
+        covered = np.zeros(n_tok, dtype=bool)
+        if n_tok and len(bs):
+            acc, valid = _rolling_shingles(doc_of_tok, th, shingle_k)
+            h64 = acc[valid].view(np.int64)
+            fpos = np.flatnonzero(valid)
+            pos = np.searchsorted(bs, h64)
+            hit = (pos < len(bs)) & (bs[np.minimum(pos, len(bs) - 1)] == h64)
+            if hit.any():
+                # delta/cumsum coverage: +1 at each hit start, -1 past
+                # its end; >0 after cumsum = token is inside some hit
+                delta = np.zeros(n_tok + 1, dtype=np.int64)
+                starts = fpos[hit]
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + shingle_k, n_tok), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+        kept = ~covered
+        kept_counts = (np.bincount(doc_of_tok[kept], minlength=n_docs)
+                       if n_tok else np.zeros(n_docs, np.int64))
+        offsets = np.concatenate(
+            [[0], np.cumsum(kept_counts)]).astype(np.int64)
+        flat_pa = flat if isinstance(flat, pa.Array) \
+            else pa.array(flat, pa.string())
+        kept_flat = flat_pa.filter(pa.array(kept)) if n_tok \
+            else pa.array([], pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat)
+        rendered = pc.binary_join(lists, " ")
+        return pa.table({
+            key_col: keys,
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array(
+                (counts - kept_counts).astype(np.int64)),
+            "text_scrubbed": rendered})
+
+    return src.dataset(columns=[key_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow")
 
 
 def passage_dedup(source, key_col: str = "doc_id", text_col: str = "text",

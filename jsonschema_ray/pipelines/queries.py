@@ -1625,6 +1625,71 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def _substring_scrub_sql(k: int = 3, min_docs: int = 2) -> str:
+    """Oracle for q_substring_scrub: the repeated-substring FNV chain
+    + position-coverage expansion + per-doc string_agg re-render."""
+    F, TWO64 = 1099511628211, 1 << 64
+    joins = "\n  ".join(
+        f"JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.r = t0.r + {j}"
+        for j in range(1, k))
+    fold = "CAST(t0.h AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold} * {F}) % {TWO64} + t{j}.h) % {TWO64}"
+    return rf"""
+WITH tp AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r,
+         tok, md5_number_lower(tok) AS h
+  FROM tp WHERE tok <> ''
+), sh AS (
+  SELECT t0.doc_id, t0.r AS r0, {fold} AS s
+  FROM th t0
+  {joins}
+), rep AS (
+  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c FROM sh GROUP BY s)
+  WHERE c >= {min_docs}
+), cov AS (
+  SELECT DISTINCT sh.doc_id, sh.r0 + g.generate_series AS r
+  FROM sh JOIN rep USING (s)
+  CROSS JOIN generate_series(0, {k - 1}) g
+), agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE c.r IS NOT NULL) AS BIGINT)
+           AS n_removed,
+         COALESCE(string_agg(tok, ' ' ORDER BY t.r)
+                    FILTER (WHERE c.r IS NULL), '') AS text_scrubbed
+  FROM th t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.r = t.r
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_scrubbed, '') AS text_scrubbed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def q_substring_scrub(sf_dir: str):
+    """ExactSubstr-style REMOVAL (the apply half of
+    q_repeated_substrings): tokens covered by any word-3-gram that
+    recurs in ≥2 distinct documents are cut and the text re-renders
+    from the survivors — two boilerplate-shaped passes (thin hash
+    partials → one small groupby → capped broadcast set) plus a
+    block-local delta-cumsum coverage mask; the text never shuffles.
+    Bit-exactly SQL-oracled via the md5/FNV chain."""
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import repeated_substring_scrub
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return repeated_substring_scrub(
+        ParquetSource(_pq(sf_dir, "documents")), key_col="doc_id",
+        shingle_k=3, min_docs=2, token_hash=md5_hash64)
+
+
 def q_repeated_substrings(sf_dir: str):
     """ExactSubstr-lite (Lee et al. 2022 dedup signal): maximal token
     spans whose every word-3-gram recurs in ≥2 distinct documents —
@@ -3595,6 +3660,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repeated_substrings": q_repeated_substrings,
+    "substring_scrub": q_substring_scrub,
     "embedding_quantize": q_embedding_quantize,
     "dedup_survivors_e2e": q_dedup_survivors_e2e,
     "domain_cap": q_domain_cap,
@@ -4221,6 +4287,7 @@ FROM documents
 """,
     "boilerplate_ngrams": _boilerplate_sql(),
     "repeated_substrings": _repeated_substr_sql(),
+    "substring_scrub": _substring_scrub_sql(),
     "domain_cap": r"""
 SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,

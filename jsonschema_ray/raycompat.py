@@ -79,6 +79,50 @@ def read_parquet_clean(paths, columns=None, **kw):
                            **kw)
 
 
+def guard_fsspec_http_import() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    succeed deterministically when aiohttp is absent.
+
+    Ray re-attempts that import on EVERY read
+    (``ray/data/datasource/path_util.py:153`` —
+    ``_is_http_filesystem`` runs inside ``_resolve_paths_and_
+    filesystem``).  Single-threaded, the inner ``import aiohttp``
+    fails with ``ModuleNotFoundError``, which Ray catches.  But when
+    several DRIVER THREADS resolve datasets concurrently (a
+    multi-query workload), the racing failed imports can observe the
+    partially-initialized ``fsspec.implementations.http`` module and
+    raise a plain ``ImportError`` ("cannot import name
+    'HTTPFileSystem'") that ESCAPES Ray's handler and kills the read.
+
+    Fix: seed ``sys.modules`` once with a stub module whose
+    ``HTTPFileSystem`` is a fresh class no real filesystem object is
+    an instance of — the import then always succeeds instantly and
+    every ``isinstance`` check correctly returns False.  No-op when
+    the real module imports (aiohttp available).  Idempotent."""
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa
+        return
+    except ImportError:
+        pass
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 — mirrors the fsspec name
+        """Stub: nothing is ever an instance of this class."""
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations
+
+        fsspec.implementations.http = mod
+    except ImportError:
+        pass
+
+
 def quiet_empty_schema_warnings() -> None:
     """Install the empty-schema warning filter (idempotent; safe to
     call before ``ray.init`` — it only touches the Python logger)."""

@@ -233,3 +233,58 @@ def test_connected_components_paths_agree(ray_session, seed):
     got_star = dict(zip(star["key"], star["root"]))
     assert got_drv == {int(k): int(v) for k, v in want.items()}
     assert got_star == got_drv
+
+
+def _brute_scrub(texts, k=K, min_docs=2):
+    """Independent quadratic reference for repeated_substring_scrub:
+    per-doc token lists, k-gram STRING tuples (no hashing), distinct-doc
+    counts, coverage, survivor join."""
+    toks = [(t or "").split() for t in texts]
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    for d, ts in enumerate(toks):
+        for i in range(len(ts) - k + 1):
+            docs_of[tuple(ts[i:i + k])].add(d)
+    rep = {g for g, ds in docs_of.items() if len(ds) >= min_docs}
+    out = []
+    for d, ts in enumerate(toks):
+        covered = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if tuple(ts[i:i + k]) in rep:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        out.append((len(ts), sum(covered), " ".join(kept)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_substring_scrub_matches_brute_force(ray_session, seed):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.dedup import repeated_substring_scrub
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["a", "bb", "ccc", "Δδ", "𝕏", "z-z"])
+    n = 80
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(n)]
+    # plant a shared passage in several docs, plus null/empty/short
+    passage = "ONE TWO THREE FOUR FIVE"
+    for i in (3, 17, 40):
+        texts[i] = texts[i] + " " + passage
+    texts[50] = passage                      # passage-only doc → ''
+    texts[0], texts[1], texts[2] = None, "", "  \t "
+    texts[4] = "xy zz"                       # sub-shingle, untouched
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+
+    got = repeated_substring_scrub(
+        rd.from_arrow(tbl).repartition(5), shingle_k=K,
+        min_docs=2).to_pandas().sort_values("doc_id")
+    want = _brute_scrub(texts)
+    assert got["n_tokens"].tolist() == [w[0] for w in want]
+    assert got["n_removed"].tolist() == [w[1] for w in want]
+    assert got["text_scrubbed"].tolist() == [w[2] for w in want]
+    # the planted passage-only doc must scrub to empty
+    assert got.loc[got.doc_id == 50, "text_scrubbed"].item() == ""

@@ -37,7 +37,8 @@ FUZZ_QUERIES = [
     "bpe_token_count", "string_funcs_documents", "weighted_sample",
     "stratified_sample", "exact_quantiles", "grouped_quantiles",
     "zscore_outliers", "quality_filter", "domain_cap",
-    "rebalance_sources", "boilerplate_ngrams",
+    "rebalance_sources", "boilerplate_ngrams", "substring_scrub",
+    "repeated_substrings",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
