@@ -122,8 +122,13 @@ def nb_train(source, text_col: str = "text", label_col: str = "n_chars",
     parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
     n0 = int(parts.sum("n0") or 0)
     n1 = int(parts.sum("n1") or 0)
-    agg = parts.groupby("token").aggregate(
-        Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
+    # vocab-cardinality groupby: hashed-bucket shuffle + vectorized
+    # in-bucket pandas agg (Ray's aggregate pays ~ms of Python per
+    # group — see stages/hashagg.py)
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    agg = hash_group_agg(parts, "token",
+                         {"c0": ("c0", "sum"), "c1": ("c1", "sum")})
     batches = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
                else b for b in agg.iter_batches(batch_format="pyarrow")]
     model = pa.concat_tables([b.select(["token", "c0", "c1"])

@@ -61,8 +61,11 @@ def exact_dup_groups(source: Any, key_col: str, text_col: str = "text"):
 
     pairs = src.dataset(columns=[key_col, text_col]).map_batches(
         add_hash, batch_format="pyarrow")
-    groups = pairs.groupby("text_hash").aggregate(
-        Count(alias_name="n_copies"), Min(key_col, alias_name="keep_id"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    groups = hash_group_agg(pairs, "text_hash",
+                            {"n_copies": (key_col, "size"),
+                             "keep_id": (key_col, "min")})
     return groups.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_copies"), 1)),
         batch_format="pyarrow")
@@ -1209,7 +1212,9 @@ def boilerplate_ngram_stats(source: Any, key_col: str = "doc_id",
 
     parts = src.dataset(columns=[text_col]).map_batches(
         partial, batch_format="pyarrow")
-    counts = parts.groupby("h").sum("n")
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    counts = hash_group_agg(parts, "h", {"sum(n)": ("n", "sum")})
 
     def threshold(t: pa.Table) -> pa.Table:
         keep = pc.greater_equal(t.column("sum(n)"), min_docs)
@@ -1499,8 +1504,11 @@ def _repeated_shingle_set(src, text_col: str, shingle_k: int,
         return pa.table({"h": pa.array(hh.view(np.int64)),
                          "n": pa.array(nn.astype(np.int64))})
 
-    counts = src.dataset(columns=[text_col]).map_batches(
-        partial, batch_format="pyarrow").groupby("h").sum("n")
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    counts = hash_group_agg(
+        src.dataset(columns=[text_col]).map_batches(
+            partial, batch_format="pyarrow"), "h", {"sum(n)": ("n", "sum")})
     rep_ds = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("sum(n)"), min_docs)),
         batch_format="pyarrow").materialize()
@@ -1643,8 +1651,11 @@ def passage_dedup(source, key_col: str = "doc_id", text_col: str = "text",
         return base.group_by("passage").aggregate([("okey", "min")]) \
             .rename_columns(["passage", "okey"])
 
-    survivors = chunks.map_batches(pack, batch_format="pyarrow") \
-        .groupby("passage").aggregate(Min("okey", alias_name="okey"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    survivors = hash_group_agg(
+        chunks.map_batches(pack, batch_format="pyarrow"),
+        "passage", {"okey": ("okey", "min")})
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8

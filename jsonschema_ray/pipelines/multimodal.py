@@ -865,9 +865,11 @@ def phash_near_dup(source: Any, key_col: str = "media_ref",
     pairs = hashed.map_batches(chunk_rows, batch_format="pyarrow") \
         .groupby(["c", "cv"]).map_groups(pairs_of_group,
                                          batch_format="pandas")
-    return pairs.groupby(["key_a", "key_b"]).aggregate(
-        Min("hamming", alias_name="hamming"),
-        Sum("n_dropped", alias_name="n_dropped"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    return hash_group_agg(pairs, ["key_a", "key_b"],
+                          {"hamming": ("hamming", "min"),
+                           "n_dropped": ("n_dropped", "sum")})
 
 
 def _hk_band_edges(frame: int, n_bands: int) -> np.ndarray:
@@ -987,9 +989,11 @@ def audio_near_dup(source: Any, key_col: str = "media_ref",
 
     pairs = rows.groupby("fp").map_groups(pairs_of_group,
                                           batch_format="pandas")
-    agg = pairs.groupby(["key_a", "key_b"]).aggregate(
-        Count(alias_name="n_shared"),
-        Sum("n_dropped", alias_name="n_dropped"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    agg = hash_group_agg(pairs, ["key_a", "key_b"],
+                         {"n_shared": ("n_dropped", "size"),
+                          "n_dropped": ("n_dropped", "sum")})
 
     def thresh(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1550,11 +1554,13 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
         .groupby(["c", "cv"]).map_groups(pairs_of_group,
                                          batch_format="pandas")
     # dedupe frame pairs found in several chunks, then count per video
-    fp = pairs.groupby(["key_a", "key_b", "fa", "fb"]).aggregate(
-        Sum("n_dropped", alias_name="n_dropped"))
-    agg = fp.groupby(["key_a", "key_b"]).aggregate(
-        Count(alias_name="n_frames"),
-        Sum("n_dropped", alias_name="n_dropped"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    fp = hash_group_agg(pairs, ["key_a", "key_b", "fa", "fb"],
+                        {"n_dropped": ("n_dropped", "sum")})
+    agg = hash_group_agg(fp, ["key_a", "key_b"],
+                         {"n_frames": ("n_dropped", "size"),
+                          "n_dropped": ("n_dropped", "sum")})
 
     def thresh(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

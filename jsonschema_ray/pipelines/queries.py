@@ -47,6 +47,7 @@ _ALLOWED_LANGS = ["en", "fr", "es"]
 
 # null-group-key sentinel — see raycompat.NULL_GROUP_KEY
 from jsonschema_ray.raycompat import NULL_GROUP_KEY as _NULL_KEY  # noqa: E402
+from jsonschema_ray.stages.hashagg import hash_group_agg  # noqa: E402
 
 
 def q_val_lang_enum(sf_dir: str):
@@ -88,7 +89,7 @@ def q_val_unique_user(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
         partials, batch_format="pyarrow")
-    totals = ds.groupby("user_id").aggregate(Sum("partial", alias_name="total"))
+    totals = hash_group_agg(ds, "user_id", {"total": ("partial", "sum")})
     return totals.map_batches(
         lambda t: t.filter(pc.greater(t.column("total"), 1)),
         batch_format="pyarrow")
@@ -1266,10 +1267,10 @@ def q_interval_windows(sf_dir: str):
     pairs = broadcast_interval_join(
         _read(sf_dir, "events", columns=["ts", "value"]), windows,
         time_col="ts", columns=["ts", "value"])
-    return pairs.map_batches(cents, batch_format="pyarrow") \
-        .groupby("window_id").aggregate(
-            Count(alias_name="n_events"),
-            Sum("cents", alias_name="value_cents"))
+    return hash_group_agg(
+        pairs.map_batches(cents, batch_format="pyarrow"), "window_id",
+        {"n_events": ("cents", "size"),
+         "value_cents": ("cents", "sum")})
 
 
 # ---------------------------------------------------------------------------
@@ -2105,8 +2106,8 @@ def q_dedup_prefix_groups(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         prefix, batch_format="pyarrow")
-    g = ds.groupby("prefix").aggregate(Count(alias_name="n_copies"),
-                                       Min("doc_id", alias_name="keep_id"))
+    g = hash_group_agg(ds, "prefix", {"n_copies": ("doc_id", "size"),
+                                      "keep_id": ("doc_id", "min")})
     return g.map_batches(lambda t: t.filter(pc.greater(t.column("n_copies"), 1)),
                          batch_format="pyarrow")
 
@@ -2889,9 +2890,10 @@ def q_interleaved_media_decode(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    refs = src.dataset(columns=["spans"]) \
-        .map_batches(refs_partial, batch_format="pyarrow") \
-        .groupby("media_ref").sum("n_spans")
+    refs = hash_group_agg(
+        src.dataset(columns=["spans"])
+           .map_batches(refs_partial, batch_format="pyarrow"),
+        "media_ref", {"sum(n_spans)": ("n_spans", "sum")})
     stats = refs.map_batches(decode_stats, batch_format="pyarrow",
                              batch_size=256) \
         .groupby("mime").aggregate(Sum("n_refs", alias_name="n_refs"),
@@ -3282,8 +3284,8 @@ def q_val_childless_orders(sf_dir: str):
         .map_batches(tag_orders, batch_format="pyarrow")
     b = _read(sf_dir, "lineitem", columns=["l_orderkey"]) \
         .map_batches(tag_lineitem, batch_format="pyarrow")
-    return a.union(b).groupby("o_orderkey") \
-        .aggregate(Max("has_child", alias_name="flag")) \
+    return hash_group_agg(a.union(b), "o_orderkey",
+                          {"flag": ("has_child", "max")}) \
         .filter(expr="flag == 0").select_columns(["o_orderkey"])
 
 
@@ -3351,9 +3353,10 @@ def q_q10_returned_items(sf_dir: str):
         out = j.groupby("ckey", as_index=False)["rev"].sum()
         return out.astype(np.int64)
 
-    per_cust = lineitem.union(orders).groupby("pb") \
-        .map_groups(bucket_join, batch_format="pandas") \
-        .groupby("ckey").aggregate(Sum("rev", alias_name="revenue_c"))
+    per_cust = hash_group_agg(
+        lineitem.union(orders).groupby("pb")
+        .map_groups(bucket_join, batch_format="pandas"),
+        "ckey", {"revenue_c": ("rev", "sum")})
 
     def block_top(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -5275,11 +5278,10 @@ def q_users_setops(sf_dir: str):
             [("v", "max"), ("p", "max")]) \
             .rename_columns(["user_id", "v", "p"])
 
-    member = _read(sf_dir, "events",
-                   columns=["user_id", "event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Max("v", alias_name="v"),
-                                      Max("p", alias_name="p"))
+    member = hash_group_agg(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "user_id", {"v": ("v", "max"), "p": ("p", "max")})
 
     def label(t: pa.Table) -> pa.Table:
         v = t.column("v").to_numpy()
@@ -5566,8 +5568,8 @@ def q_snapshot_diff(sf_dir: str):
     b = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(side_b, batch_format="pyarrow")
 
-    merged = a.union(b).groupby("doc_id") \
-        .aggregate(Max("ha", alias_name="ha"), Max("hb", alias_name="hb"))
+    merged = hash_group_agg(a.union(b), "doc_id",
+                            {"ha": ("ha", "max"), "hb": ("hb", "max")})
 
     def label(t: pa.Table) -> pa.Table:
         ha = t.column("ha").to_numpy()

@@ -713,8 +713,11 @@ def ks_drift(source: Any, value_col: str, key_col: str,
                          "nb": pa.array(df["nb"].to_numpy(np.int64)),
                          "nc": pa.array(df["nc"].to_numpy(np.int64))})
 
-    grouped = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("value").sum(["nb", "nc"]).materialize()
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    grouped = hash_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), "value",
+        {"sum(nb)": ("nb", "sum"), "sum(nc)": ("nc", "sum")}).materialize()
     tot = grouped.aggregate(Sum("sum(nb)"), Sum("sum(nc)"))
     NB = int(tot["sum(sum(nb))"] or 0)
     NC = int(tot["sum(sum(nc))"] or 0)

@@ -285,9 +285,12 @@ def token_topk(source, text_col: str = "text", k: int = 20,
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(max(2, cpus)) \
-        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    agg = hash_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .repartition(max(2, cpus)),
+        "token", {"n": ("n", "sum")})
     out = agg.sort(["n", "token"], descending=[True, False]).limit(k)
     batches = list(out.iter_batches(batch_format="pyarrow"))
     empty = pa.table({"token": pa.array([], pa.string()),
@@ -528,7 +531,10 @@ def unigram_lm_scores(source, key_col: str = "doc_id",
     parts = src.dataset(columns=[text_col]).map_batches(
         partial, batch_format="pyarrow").materialize()
     # distributed merge: the full vocabulary never visits the driver
-    vocab_ds = parts.groupby("token").sum("n").materialize()
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    vocab_ds = hash_group_agg(
+        parts, "token", {"sum(n)": ("n", "sum")}).materialize()
     total = int(parts.sum("n") or 0)
     truncated = False
     if vocab_top_k is not None and vocab_ds.count() > vocab_top_k:
@@ -638,8 +644,11 @@ def tfidf_top_terms(source, key_col: str = "doc_id",
 
     ds_text = src.dataset(columns=[text_col])
     n_docs = int(ds_text.count())
-    df_ds = ds_text.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("token").sum("df").materialize()
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    df_ds = hash_group_agg(
+        ds_text.map_batches(df_partial, batch_format="pyarrow"),
+        "token", {"sum(df)": ("df", "sum")}).materialize()
     if vocab_top_k is not None and df_ds.count() > vocab_top_k:
         df_ds = df_ds.sort(["sum(df)", "token"],
                            descending=[True, False]).limit(vocab_top_k)
@@ -1204,7 +1213,10 @@ def bigram_lm_scores(source, key_col: str = "doc_id",
 
     parts = src.dataset(columns=[text_col]).map_batches(
         partial, batch_format="pyarrow").materialize()
-    vocab_ds = parts.groupby("bigram").sum("n").materialize()
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    vocab_ds = hash_group_agg(
+        parts, "bigram", {"sum(n)": ("n", "sum")}).materialize()
     total = int(parts.sum("n") or 0)
     truncated = False
     if vocab_top_k is not None and vocab_ds.count() > vocab_top_k:
@@ -1223,8 +1235,9 @@ def bigram_lm_scores(source, key_col: str = "doc_id",
 
     from ray.data.aggregate import Sum
 
-    prefix_ds = vocab_ds.map_batches(prefix_partial, batch_format="pyarrow") \
-        .groupby("w1").aggregate(Sum("n", alias_name="pc"))
+    prefix_ds = hash_group_agg(
+        vocab_ds.map_batches(prefix_partial, batch_format="pyarrow"),
+        "w1", {"pc": ("n", "sum")})
 
     vb = list(vocab_ds.iter_batches(batch_format="pyarrow"))
     pb = list(prefix_ds.iter_batches(batch_format="pyarrow"))

@@ -87,7 +87,9 @@ def word_histogram(source, text_col: str = "text",
         if ray.is_initialized() else 8
     parts = ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(max(2, cpus))
-    agg = parts.groupby("word").aggregate(Sum("n", alias_name="n"))
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    agg = hash_group_agg(parts, "word", {"n": ("n", "sum")})
     if max_words is None:
         return agg
     # Top-K truncation (count desc, word asc — deterministic), with
@@ -99,8 +101,7 @@ def word_histogram(source, text_col: str = "text",
     import ray.data as rd
 
     parts = parts.materialize()
-    agg = parts.groupby("word").aggregate(
-        Sum("n", alias_name="n")).materialize()
+    agg = hash_group_agg(parts, "word", {"n": ("n", "sum")}).materialize()
     if agg.count() <= max_words:
         return agg
     head = _collect(agg.sort(["n", "word"], descending=[True, False])
