@@ -113,13 +113,21 @@ def exact_dedup_summary(source: Any, key_col: str, text_col: str = "text"
                              text_col: col.filter(pa.array(hit))})
 
         def distinct_texts(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"extra": [int(g[text_col].nunique()) - 1]})
+            # one vectorized nunique over ALL hash groups of the bucket
+            extra = (g.groupby("text_hash", sort=False)[text_col]
+                      .nunique() - 1).sum()
+            return pd.DataFrame({"extra": [int(extra)]})
+
+        from jsonschema_ray.stages.hashagg import _bucket_of
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(__hb=_bucket_of(df, ["text_hash"], 64))
 
         audit = src.dataset(columns=[key_col, text_col]) \
             .map_batches(pick, batch_format="pyarrow") \
-            .groupby("text_hash").map_groups(distinct_texts,
-                                             batch_format="pandas")
+            .map_batches(tag, batch_format="pandas") \
+            .groupby("__hb").map_groups(distinct_texts,
+                                        batch_format="pandas")
         extra_unique = int(audit.sum("extra") or 0)
 
     n_unique = n_rows - n_dup_rows + n_groups + extra_unique

@@ -862,11 +862,12 @@ def phash_near_dup(source: Any, key_col: str = "media_ref",
         return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
                              "hamming": ham, "n_dropped": nd})
 
-    pairs = hashed.map_batches(chunk_rows, batch_format="pyarrow") \
-        .groupby(["c", "cv"]).map_groups(pairs_of_group,
-                                         batch_format="pandas")
-    from jsonschema_ray.stages.hashagg import hash_group_agg
+    from jsonschema_ray.stages.hashagg import (bucketed_map_groups,
+                                               hash_group_agg)
 
+    pairs = bucketed_map_groups(
+        hashed.map_batches(chunk_rows, batch_format="pyarrow"),
+        ["c", "cv"], pairs_of_group)
     return hash_group_agg(pairs, ["key_a", "key_b"],
                           {"hamming": ("hamming", "min"),
                            "n_dropped": ("n_dropped", "sum")})
@@ -987,9 +988,10 @@ def audio_near_dup(source: Any, key_col: str = "media_ref",
         return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
                              "n_dropped": nd})
 
-    pairs = rows.groupby("fp").map_groups(pairs_of_group,
-                                          batch_format="pandas")
-    from jsonschema_ray.stages.hashagg import hash_group_agg
+    from jsonschema_ray.stages.hashagg import (bucketed_map_groups,
+                                               hash_group_agg)
+
+    pairs = bucketed_map_groups(rows, "fp", pairs_of_group)
 
     agg = hash_group_agg(pairs, ["key_a", "key_b"],
                          {"n_shared": ("n_dropped", "size"),
@@ -1550,11 +1552,13 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
                              "fb": np.where(swap, fa, fb),
                              "n_dropped": nd})
 
-    pairs = frames.map_batches(chunk_rows, batch_format="pyarrow") \
-        .groupby(["c", "cv"]).map_groups(pairs_of_group,
-                                         batch_format="pandas")
+    from jsonschema_ray.stages.hashagg import (bucketed_map_groups,
+                                               hash_group_agg)
+
+    pairs = bucketed_map_groups(
+        frames.map_batches(chunk_rows, batch_format="pyarrow"),
+        ["c", "cv"], pairs_of_group)
     # dedupe frame pairs found in several chunks, then count per video
-    from jsonschema_ray.stages.hashagg import hash_group_agg
 
     fp = hash_group_agg(pairs, ["key_a", "key_b", "fa", "fb"],
                         {"n_dropped": ("n_dropped", "sum")})
