@@ -414,6 +414,81 @@ def verify_jaccard(texts_by_key: dict[Any, str], pairs: list[tuple],
     return out
 
 
+def _doc_shingle_blobs(texts: np.ndarray, shingle_k: int,
+                       token_hash=hash64) -> pa.Array:
+    """Per-doc sorted-UNIQUE shingle-hash arrays for a batch, encoded as
+    one Arrow ``binary`` column (little-endian int64 payload, 8 bytes
+    per distinct shingle). This is what the verify tier ships through
+    its joins instead of raw text: the Jaccard a consumer computes from
+    two blobs equals the exact distinct-shingle Jaccard (same
+    convention as ``ngram_jaccard_pairs`` — 64-bit shingle hashing,
+    collision probability ~(u²/2)/2⁶⁴ per pair union u, negligible and
+    shared with the driver-green exact n-gram path)."""
+    d, h = _shingle_hashes(texts, shingle_k, token_hash=token_hash)
+    n = len(texts)
+    if len(h) == 0:
+        offs = np.zeros(n + 1, dtype=np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"")])
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    first = np.empty(len(h), dtype=bool)
+    first[0] = True
+    first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[first], h[first]
+    sizes = np.bincount(d, minlength=n).astype(np.int64)
+    # int32 offsets: a batch's flat payload is bounded by the block size
+    # (~128 MB target) — far under the 2 GiB binary-offset ceiling
+    offs = (np.concatenate([[0], np.cumsum(sizes)]) * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(h, dtype="<u8").tobytes())])
+
+
+def _decode_blobs(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 stream, per-row element counts) from a binary
+    column of int64-LE blobs — pure buffer arithmetic, no per-row
+    Python. Handles both ``binary`` (int32 offsets) and
+    ``large_binary`` (int64): Ray's join may narrow the type."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    owidth = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], owidth)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    if offs[-1] == offs[0]:
+        return np.empty(0, np.uint64), np.diff(offs) // 8
+    data = np.frombuffer(bufs[2], np.uint8)
+    flat = data[offs[0]:offs[-1]].copy().view(np.dtype("<u8"))
+    return flat, np.diff(offs) // 8
+
+
+def _blob_jaccard(flat_a: np.ndarray, sz_a: np.ndarray,
+                  flat_b: np.ndarray, sz_b: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact Jaccard over n pairs of sorted-unique hash
+    arrays: one lexsort of the tagged concatenated stream, adjacent
+    (pair, value) duplicates = intersection hits (each side is unique,
+    so a value can appear at most twice per pair). Returns
+    (n_common int64, jaccard float64); both-empty pairs get j=1.0
+    (same contract as the per-pair kernel it replaces)."""
+    n = len(sz_a)
+    pair_of = np.concatenate([np.repeat(np.arange(n), sz_a),
+                              np.repeat(np.arange(n), sz_b)])
+    vals = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((vals, pair_of))
+    p, v = pair_of[order], vals[order]
+    eq = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][eq], minlength=n).astype(np.int64)
+    union = sz_a + sz_b - inter
+    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return inter, j
+
+
 def minhash_verified_pairs(source: Any, key_col: str, text_col: str = "text",
                            threshold: float = 0.7, num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 3,
@@ -453,15 +528,21 @@ def _verify_candidate_pairs(source: Any, key_col: str, text_col: str,
 
     Two execution shapes, chosen by candidate volume:
 
+    Both shapes ship per-doc sorted int64 shingle-hash arrays (computed
+    once per doc, vectorized) instead of raw text, and verify with one
+    vectorized sorted-stream intersection per batch — no per-pair
+    Python set kernel (that kernel was the measured dedup bottleneck:
+    ~33 s of 57 s at 4M docs).
+
     - **small** (≤ ``broadcast_max_pairs`` pairs): candidate ids are
-      pulled thin, the matching texts fetched via a vectorized
-      semi-join and broadcast once with ``ray.put``; verification runs
-      distributed over pair partitions against the shared dict.
-    - **large**: two distributed ``Dataset.join``s attach ``text_a``
-      and ``text_b`` to each pair (pairs ⋈ texts on ``key_a``, then on
-      ``key_b``); the identical Jaccard kernel then runs per joined
-      batch. The driver never holds candidate ids or texts — only the
-      final verified pairs.
+      pulled thin, the matching docs' hash arrays computed in a
+      vectorized semi-join pass and broadcast once with ``ray.put``;
+      verification runs distributed over pair partitions against the
+      shared dict.
+    - **large**: two distributed ``Dataset.join``s attach the hash-blob
+      columns to each pair (pairs ⋈ blobs on ``key_a``, then on
+      ``key_b``). The driver never holds candidate ids or texts — only
+      the final verified pairs.
     """
     import ray
 
@@ -488,28 +569,44 @@ def _verify_candidate_pairs(source: Any, key_col: str, text_col: str,
             cand_ids.update(b.column("key_b").to_pylist())
         id_set = pa.array(sorted(cand_ids))
 
-        def pick(t: pa.Table) -> pa.Table:
+        def pick_blobs(t: pa.Table) -> pa.Table:
             col = t.column(key_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return t.filter(pc.is_in(col, value_set=id_set))
+            t = t.filter(pc.is_in(col, value_set=id_set))
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                key_col: t.column(key_col),
+                "__sh": _doc_shingle_blobs(texts, shingle_k)})
 
         cand_rows = src.dataset(columns=[key_col, text_col]).map_batches(
-            pick, batch_format="pyarrow").to_pandas()
-        texts_ref = ray.put(dict(zip(cand_rows[key_col],
-                                     cand_rows[text_col])))
+            pick_blobs, batch_format="pyarrow").to_pandas()
+        le_u8 = np.dtype("<u8")
+        arrays_ref = ray.put({
+            k: np.frombuffer(b, dtype=le_u8)
+            for k, b in zip(cand_rows[key_col], cand_rows["__sh"])})
 
         def verify_batch(t: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)  # zero-copy from local store
-            rows = verify_jaccard(
-                texts,
-                list(zip(t.column("key_a").to_pylist(),
-                         t.column("key_b").to_pylist())),
-                shingle_k=shingle_k, threshold=threshold)
-            if not rows:
+            arrays = ray.get(arrays_ref)  # zero-copy from local store
+            ka, kb = t.column("key_a"), t.column("key_b")
+            arrs_a = [arrays[k] for k in ka.to_pylist()]
+            arrs_b = [arrays[k] for k in kb.to_pylist()]
+            sz_a = np.fromiter(map(len, arrs_a), np.int64, len(arrs_a))
+            sz_b = np.fromiter(map(len, arrs_b), np.int64, len(arrs_b))
+            flat_a = np.concatenate(arrs_a) if arrs_a \
+                else np.empty(0, np.uint64)
+            flat_b = np.concatenate(arrs_b) if arrs_b \
+                else np.empty(0, np.uint64)
+            inter, j = _blob_jaccard(flat_a, sz_a, flat_b, sz_b)
+            keep = j >= threshold
+            if not keep.any():
                 return empty
-            return pa.Table.from_pylist(rows).select(
-                cols + ["jaccard"]).cast(empty.schema)
+            km = pa.array(keep)
+            return pa.table({
+                "key_a": ka.filter(km), "key_b": kb.filter(km),
+                "n_common": pa.array(inter[keep]),
+                "jaccard": pa.array(np.round(j[keep], 4)),
+            }).select(cols + ["jaccard"]).cast(empty.schema)
 
         out = pairs.map_batches(verify_batch, batch_format="pyarrow")
     # verified pairs are the final (small) result — stream to driver
@@ -522,11 +619,19 @@ def _verify_candidate_pairs(source: Any, key_col: str, text_col: str,
 def _verify_pairs_joined(src, key_col: str, text_col: str, pairs,
                          n_pairs: int, shingle_k: int, threshold: float,
                          cols: list, empty: pa.Table):
-    """Distributed text fetch for candidate verification: pairs ⋈ texts
-    on key_a, then on key_b, then the exact-Jaccard kernel per joined
-    batch. Used above ``VERIFY_BROADCAST_MAX_PAIRS`` so the driver
-    never materializes O(corpus) candidate ids/texts."""
-    texts = src.dataset(columns=[key_col, text_col])
+    """Distributed hash-array fetch for candidate verification: each
+    doc's sorted-unique int64 shingle hashes are computed ONCE in a
+    vectorized pass and encoded as a binary blob; pairs ⋈ blobs on
+    key_a, then on key_b, then one vectorized sorted-stream
+    intersection per joined batch (``_blob_jaccard``). Used above
+    ``VERIFY_BROADCAST_MAX_PAIRS`` so the driver never materializes
+    O(corpus) candidate ids/texts.
+
+    Raw text never crosses the verify joins (round-4 measured the
+    per-pair Python set kernel + double text-ship as the dedup
+    bottleneck, ~33 s of 57 s at 4M docs; the round-4 bucketed rewrite
+    proved the exchange mechanism was not the lever — wire content +
+    kernel are)."""
     # Partition count: each hash-join partition carries a fixed
     # scheduling/build cost that dominated the old pair-count formula
     # (measured at 4M docs / 1.2M pairs: 8 parts 32.9 s, 16 → 36.7 s,
@@ -537,65 +642,68 @@ def _verify_pairs_joined(src, key_col: str, text_col: str, pairs,
     # partition; this bounds worker memory at cluster scale).
     import ray as _ray
 
+    from jsonschema_ray.sources.readers import ParquetSource
+
     cpus = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
-    n_texts = texts.count()  # parquet metadata, no scan
+    # corpus-size bound: metadata-only for parquet sources; for
+    # in-memory/other sources count() would trigger a full extra
+    # execution, so fall back to the pair/cpu bounds alone (ADVICE r4)
+    n_texts = src.dataset(columns=[key_col]).count() \
+        if isinstance(src, ParquetSource) else 0
     n_part = max(2, min(512, max(cpus // 4, n_pairs // 500_000,
                                  n_texts // 1_000_000)))
     thin = pairs.select_columns(["key_a", "key_b"])
 
+    def to_blobs(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: t.column(key_col),
+            "__sh": _doc_shingle_blobs(texts, shingle_k)})
+
+    # materialized ONCE: both joins consume it, and without this each
+    # join re-executes the read+shingle lineage (measured +9 s of the
+    # verify wall at 1M docs). Peak footprint is unchanged — the hash
+    # join shuffles/holds the full blob table per partition anyway, and
+    # blob bytes ≈ text bytes (8 B per distinct shingle), spillable.
+    blobs = src.dataset(columns=[key_col, text_col]).map_batches(
+        to_blobs, batch_format="pyarrow").materialize()
+
     def tidy(alias: str):
         # Ray's hash join coalesces the right key into the left key
         # column; drop it defensively if it survived, and alias the
-        # fetched text column out of the way of the second join.
+        # fetched blob column out of the way of the second join.
         def f(t: pa.Table) -> pa.Table:
             if key_col in t.column_names and key_col not in (
                     "key_a", "key_b"):
                 t = t.drop_columns([key_col])
             return t.rename_columns(
-                [alias if c == text_col else c for c in t.column_names])
+                [alias if c == "__sh" else c for c in t.column_names])
         return f
 
-    j1 = thin.join(texts, join_type="inner", num_partitions=n_part,
+    j1 = thin.join(blobs, join_type="inner", num_partitions=n_part,
                    on=("key_a",), right_on=(key_col,),
                    left_suffix="", right_suffix="_r1") \
-        .map_batches(tidy("__text_a"), batch_format="pyarrow")
-    j2 = j1.join(texts, join_type="inner", num_partitions=n_part,
+        .map_batches(tidy("__sh_a"), batch_format="pyarrow")
+    j2 = j1.join(blobs, join_type="inner", num_partitions=n_part,
                  on=("key_b",), right_on=(key_col,),
                  left_suffix="", right_suffix="_r2") \
-        .map_batches(tidy("__text_b"), batch_format="pyarrow")
+        .map_batches(tidy("__sh_b"), batch_format="pyarrow")
 
     def verify_joined(t: pa.Table) -> pa.Table:
-        ka = t.column("key_a").to_pylist()
-        kb = t.column("key_b").to_pylist()
-        ta = t.column("__text_a").to_pylist()
-        tb = t.column("__text_b").to_pylist()
-        cache: dict = {}
-
-        def sh(key, text) -> set:
-            s = cache.get(key)
-            if s is None:
-                toks = text.split()
-                s = cache[key] = {tuple(toks[i:i + shingle_k])
-                                  for i in range(
-                                      max(0, len(toks) - shingle_k + 1))}
-            return s
-
-        rows = []
-        for a, b, xa, xb in zip(ka, kb, ta, tb):
-            sa, sb = sh(a, xa), sh(b, xb)
-            if not sa and not sb:
-                j, i = 1.0, 0
-            else:
-                i = len(sa & sb)
-                j = i / max(1, len(sa | sb))
-            if j >= threshold:
-                rows.append({"key_a": a, "key_b": b, "n_common": i,
-                             "jaccard": round(j, 4)})
-        if not rows:
+        flat_a, sz_a = _decode_blobs(t.column("__sh_a"))
+        flat_b, sz_b = _decode_blobs(t.column("__sh_b"))
+        inter, j = _blob_jaccard(flat_a, sz_a, flat_b, sz_b)
+        keep = j >= threshold
+        if not keep.any():
             return empty
-        return pa.Table.from_pylist(rows).select(
-            cols + ["jaccard"]).cast(empty.schema)
+        km = pa.array(keep)
+        return pa.table({
+            "key_a": t.column("key_a").filter(km),
+            "key_b": t.column("key_b").filter(km),
+            "n_common": pa.array(inter[keep]),
+            "jaccard": pa.array(np.round(j[keep], 4)),
+        }).select(cols + ["jaccard"]).cast(empty.schema)
 
     return j2.map_batches(verify_joined, batch_format="pyarrow")
 

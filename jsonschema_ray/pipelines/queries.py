@@ -2959,34 +2959,62 @@ def q_media_features_real(sf_dir: str):
 
 
 def q_profile_interleaved(sf_dir: str):
-    """* rows-only: mergeable-sketch column profile (count / nulls /
-    HLL distinct / t-digest quantiles) over the synthetic interleaved
-    table — deterministic for fixed input, but approximate, so no SQL
-    oracle; exactness of the exact fields is covered in pytest."""
+    """North-star sketch-profile over the INTERLEAVED table (same
+    doc_id-derived spans as ``flagship_validate``): the full mergeable
+    per-block-partial → tree-merge pipeline (``pipelines.stats.profile``)
+    with the md5 HLL hash, per column emitting exact count / nulls, the
+    register-exact HLL distinct estimate (bit-reproducible in SQL — the
+    ``hll_registers`` certificate construction), and the EXACT p50 of
+    ``spans.offset`` via distributed histogram selection
+    (``exact_quantiles`` — no global sort). Sentinels (-1 / -1.0) mark
+    fields a column doesn't track so the driver compare stays
+    dtype-strict. Rows-only through r04 (t-digest p50 + fast-hash HLL
+    were approximate); round 5 split the profile into its exact parts
+    and certified the sketch state, making the whole row SQL-oracled.
+    Sketch-profile THROUGHPUT at synthetic scale stays measured by
+    bench.py's profile_stats."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
-    from jsonschema_ray.pipelines.stats import ProfileSpec, profile
-    from jsonschema_ray.functions.sketches import TDigest
-    from jsonschema_ray.sources.readers import SynthSource
-    from jsonschema_ray.sources.synth import GenConfig
+    from jsonschema_ray.functions.sketches import HyperLogLog
+    from jsonschema_ray.pipelines.stats import (ProfileSpec,
+                                                exact_quantiles, profile)
 
-    n_docs = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows * 20
-    out = profile(SynthSource(GenConfig(n_docs=n_docs)), [
-        ProfileSpec(column="doc_id", hll=True),
-        ProfileSpec(column="spans.kind", hll=True),
-        ProfileSpec(column="spans.offset", hll=False, tdigest=True),
+    src = _DerivedInterleavedSource(_pq(sf_dir, "documents"))
+    out = profile(src, [
+        ProfileSpec(column="doc_id", hll=True, hash_fn="md5"),
+        ProfileSpec(column="spans.kind", hll=True, hash_fn="md5"),
+        ProfileSpec(column="spans.offset", hll=False),
     ])
+    p50_tbl = exact_quantiles(
+        _DerivedSpanOffsetsSource(_pq(sf_dir, "documents")), "off", [0.5])
+    p50 = float(p50_tbl.column("value")[0].as_py())
     rows = []
     for col, p in sorted(out.items()):
-        row = {"column": col, "count": p["count"], "nulls": p["nulls"],
-               "distinct_est": round(p["distinct_est"]) if p["distinct_est"]
-               else None, "p50": None}
-        if p.get("tdigest"):
-            td = TDigest.deserialize(bytes.fromhex(p["tdigest"]))
-            row["p50"] = round(float(td.quantile(0.5)[0]), 1)
-        rows.append(row)
+        est = int(round(HyperLogLog.deserialize(
+            bytes.fromhex(p["hll"])).estimate())) if p.get("hll") else -1
+        rows.append({"column": col, "count": int(p["count"]),
+                     "nulls": int(p["nulls"]), "distinct_est": est,
+                     "p50": p50 if col == "spans.offset" else -1.0})
     return pd.DataFrame(rows)
+
+
+class _DerivedSpanOffsetsSource(DocSource):
+    """Flattened ``spans.offset`` (one row per span) of the derived
+    interleaved table — the flat numeric stream ``exact_quantiles``
+    consumes for the profile's exact p50."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def dataset(self, columns=None):
+        from jsonschema_ray.functions.listops import flatten_spans
+
+        def flat(t: pa.Table) -> pa.Table:
+            fs, _parent, _si = flatten_spans(t, "spans")
+            return pa.table({"off": fs.column("offset")})
+
+        return _DerivedInterleavedSource(self.path).dataset() \
+            .map_batches(flat, batch_format="pyarrow")
 
 
 _GOOD_REF = "media://0123456789abcdef"
@@ -4857,11 +4885,76 @@ SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS level,
 FROM documents
 GROUP BY GROUPING SETS ((source, lang), (source), ())
 """,
-    # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings
-    # / profile_interleaved: approximate by construction (LSH banding /
-    # multiprobe recall / sketch estimates) → rows-only driver check;
-    # exactness of the underlying kernels is covered by pytest.
+    # minhash_pairs / minhash_verified / ann_topk / near_dup_embeddings:
+    # approximate by construction (LSH banding / multiprobe recall) →
+    # rows-only driver check; exactness of the underlying kernels is
+    # covered by pytest.  (profile_interleaved graduated to a full
+    # oracle in round 5 — see ORACLE["profile_interleaved"] below.)
 }
+
+
+def _hll_est_sub(values_sql: str) -> str:
+    """Scalar subquery: the register-exact md5-HLL distinct estimate
+    (identical estimator to ``functions.sketches.HyperLogLog`` and
+    ``_hll_sql``) over a one-VARCHAR-column (``v``) SELECT."""
+    return f"""(
+WITH hv0 AS (SELECT md5_number_lower(v) AS h FROM ({values_sql})
+             WHERE v IS NOT NULL),
+r0 AS (SELECT CAST(h >> 52 AS INTEGER) AS idx,
+              53 - length(ltrim(bin(h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                                '0')) AS rho
+       FROM hv0),
+regs0 AS (SELECT idx, MAX(rho) AS rho FROM r0 GROUP BY idx),
+hist0 AS (SELECT rho, count(*) AS n FROM regs0 GROUP BY rho
+          UNION ALL
+          SELECT 0 AS rho, 4096 - (SELECT count(*) FROM regs0) AS n),
+est0 AS (SELECT CASE WHEN e <= 2.5 * 4096.0 AND z > 0
+                     THEN 4096.0 * ln(4096.0 / z) ELSE e END AS v
+         FROM (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                      / SUM(n * power(2.0, -rho)) AS e,
+                      COALESCE(SUM(CASE WHEN rho = 0 THEN n END), 0) AS z
+               FROM hist0))
+SELECT CAST(ROUND(v, 0) AS BIGINT) FROM est0)"""
+
+
+# The derived-interleaved profile, exact part by exact part: counts and
+# nulls are plain aggregates over the span-derivation CTE (shared with
+# span_kind_stats / flagship_validate), distinct_est re-derives the
+# md5-HLL register state + estimator in SQL (hll_registers
+# construction), p50 is quantile_disc over the derived offsets.
+ORACLE["profile_interleaved"] = f"""
+WITH spans AS (
+  SELECT (d.doc_id*7 + s*3) % 5 AS k,
+         CASE WHEN (d.doc_id % 23)=0 AND s=0 THEN -1
+              WHEN (d.doc_id % 17)=0 AND s=1 THEN 0
+              ELSE s*5 END AS off
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+    ON g.s <= (d.doc_id % 3)
+)
+SELECT 'doc_id' AS "column",
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS "count",
+       CAST(0 AS BIGINT) AS nulls,
+       {_hll_est_sub('''SELECT CASE WHEN doc_id % 101 = 0
+              THEN 'dup-' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE CAST(doc_id AS VARCHAR) END AS v FROM documents''')}
+         AS distinct_est,
+       CAST(-1.0 AS DOUBLE) AS p50
+UNION ALL
+SELECT 'spans.kind', (SELECT CAST(count(*) AS BIGINT) FROM spans),
+       CAST(0 AS BIGINT),
+       {_hll_est_sub('''SELECT list_extract(
+             ['text','image','audio','table','video'],
+             CAST((d.doc_id*7 + s*3) % 5 AS INTEGER) + 1) AS v
+         FROM documents d
+         JOIN (SELECT unnest(generate_series(0, 2)) AS s) g
+           ON g.s <= (d.doc_id % 3)''')},
+       CAST(-1.0 AS DOUBLE)
+UNION ALL
+SELECT 'spans.offset', (SELECT CAST(count(*) AS BIGINT) FROM spans),
+       CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT CAST(quantile_disc(off, 0.5) AS DOUBLE) FROM spans)
+"""
 
 # TPC-H breadth module (the 12 remaining official-query shapes the
 # trimmed tables can express — see pipelines/tpch.py for the
@@ -5739,6 +5832,12 @@ def _driver_green_queries() -> set:
     root = _os.path.dirname(_os.path.dirname(
         _os.path.dirname(_os.path.abspath(__file__))))
     green: set = set()
+    # repo-root marker guard (ADVICE r4): only trust CORRECTNESS_r*.json
+    # files that sit next to the driver entrypoint — an installed
+    # site-packages layout would otherwise glob an unrelated directory
+    # and make registry ordering vary by environment.
+    if not _os.path.exists(_os.path.join(root, "__ray_entry__.py")):
+        return green
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -5781,8 +5880,10 @@ _DRIVER_PRIORITY = [
     "quality_filter", "cms_registers", "cms_topk", "rebalance_sources",
     "pack_sequences", "psi_drift", "ks_drift", "minhash_verified_joined",
     "dup_clusters_scale", "embedding_decontaminate",
+    # round-5 oracle graduation: exact-part profile + HLL certificate
+    "profile_interleaved",
     # tier 2: rows-only, never recorded
-    "kmeans_embeddings", "semdedup", "profile_interleaved",
+    "kmeans_embeddings", "semdedup",
     "media_features_real", "phash_near_dup", "audio_near_dup",
     "video_near_dup", "interleaved_media_decode", "lint_schemas_scale",
     "metaschema_scale",

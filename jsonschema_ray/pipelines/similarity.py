@@ -616,11 +616,17 @@ def kmeans_embeddings(source: Any, k: int = 8, iters: int = 5, *,
 
     Iterative (non-SQL-expressible) ⇒ rows-only driver check;
     distributed ≡ local numpy is pinned in tests.
+
+    The fit STREAMS: each Lloyd's iteration re-executes the pruned
+    (id, embedding) read instead of pinning the whole table in the
+    object store — re-reading a column-pruned parquet per iteration is
+    what survives 100 TB; holding the full embedding table would not
+    (round-5 verdict #6; the former ``materialize()`` is gone).
     """
     import ray
 
     src = as_source(source)
-    ds = src.dataset(columns=[id_col, emb_col]).materialize()
+    ds = src.dataset(columns=[id_col, emb_col])
     scale = float(1 << scale_bits)
     cent, cnt = _kmeans_fit(ds, k, iters, id_col=id_col, emb_col=emb_col,
                             scale=scale)
@@ -684,12 +690,16 @@ def semdedup(source: Any, k: int = 8, iters: int = 5,
     → Dataset (vec_id, cluster, centroid_sim_q, keep, n_dropped) —
     ``centroid_sim_q``: cosine to centroid quantized to int64 1e-6
     grid (hash-stable), ``n_dropped``: truncated tail size of the
-    point's cluster (0 = exact)."""
+    point's cluster (0 = exact).
+
+    Streams like :func:`kmeans_embeddings`: the fit re-reads the
+    pruned (id, embedding) columns per iteration rather than pinning
+    the table in the object store (round-5 verdict #6)."""
     import pandas as pd
     import ray
 
     src = as_source(source)
-    ds = src.dataset(columns=[id_col, emb_col]).materialize()
+    ds = src.dataset(columns=[id_col, emb_col])
     scale = float(1 << scale_bits)
     cent, cnt = _kmeans_fit(ds, k, iters, id_col=id_col, emb_col=emb_col,
                             scale=scale)

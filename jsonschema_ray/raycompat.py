@@ -98,7 +98,15 @@ def guard_fsspec_http_import() -> None:
     ``HTTPFileSystem`` is a fresh class no real filesystem object is
     an instance of — the import then always succeeds instantly and
     every ``isinstance`` check correctly returns False.  No-op when
-    the real module imports (aiohttp available).  Idempotent."""
+    the real module imports (aiohttp available) AND when fsspec itself
+    is absent (the plain ``ModuleNotFoundError`` is already
+    race-free; stubbing would fabricate a package).  Idempotent.
+
+    Contract (ADVICE r4): the stub is permanent for the process — if
+    aiohttp were installed later in the same interpreter, ``http://``
+    filesystem reads would still resolve to the stub. Nothing in this
+    engine reads HTTP filesystems through fsspec; a process that needs
+    them must not call this guard."""
     import sys
 
     try:
@@ -106,6 +114,10 @@ def guard_fsspec_http_import() -> None:
         return
     except ImportError:
         pass
+    try:
+        import fsspec  # noqa: F401 — stub only patches an EXISTING fsspec
+    except ImportError:
+        return
     import types
 
     mod = types.ModuleType("fsspec.implementations.http")

@@ -36,9 +36,13 @@ __all__ = ["hash_group_agg", "bucketed_map_groups"]
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 #: out_col -> (src_col, how). ``how`` ∈ {"sum", "min", "max", "mean",
-#: "size", "first", "last"}; "size" counts group rows and ignores
-#: ``src_col`` (pass any existing column).
+#: "size"}; "size" counts group rows and ignores ``src_col`` (pass any
+#: existing column). Order-dependent hows ("first"/"last") are NOT
+#: supported: row order inside a bucket frame is shuffle arrival order,
+#: so they would be nondeterministic across runs (ADVICE r4).
 AggSpec = dict
+
+_ORDER_DEPENDENT_HOWS = {"first", "last"}
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], nb: int) -> np.ndarray:
@@ -68,10 +72,25 @@ def hash_group_agg(ds: Any, keys: str | list[str], aggs: AggSpec,
         num_buckets = max(2, min(128, cpus * 2))
     nb = int(num_buckets)
 
+    bad = {how for _, how in aggs.values()} & _ORDER_DEPENDENT_HOWS
+    if bad:
+        raise ValueError(
+            f"hash_group_agg: {sorted(bad)} are order-dependent and "
+            "nondeterministic after a hashed shuffle — sort inside an "
+            "explicit order column instead")
     named = {out: pd.NamedAgg(column=src, aggfunc=how)
              for out, (src, how) in aggs.items()}
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
+        # loud null-key contract (ADVICE r4): the in-bucket pandas
+        # groupby would silently DROP null-key rows (dropna default) —
+        # callers sentinel nulls first, and misuse must fail, not lose
+        # data.
+        for k in key_list:
+            if df[k].isna().any():
+                raise ValueError(
+                    f"hash_group_agg: null values in group key {k!r} — "
+                    "sentinel or drop them before aggregating")
         return df.assign(__hb=_bucket_of(df, key_list, nb))
 
     def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:

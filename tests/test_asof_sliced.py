@@ -139,3 +139,64 @@ def test_timestamp_axis_and_empty_right(ray_session):
                      direction="backward", how="left",
                      time_slices=4).to_pandas()
     assert len(got2) == 3 and got2["rv_r"].isna().all()
+
+
+def test_auto_probe_engages_slicing(ray_session, monkeypatch):
+    """Round-5 verdict #5: the pathological entity is handled on the
+    DEFAULT call path — no time_slices argument. A 600k-event single
+    key (> AUTO_SLICE_ROWS) must (a) trip the probe into the sliced
+    path and (b) stay oracle-exact."""
+    import jsonschema_ray.pipelines.joins as J
+
+    engaged = {}
+    orig = J._asof_join_sliced
+
+    def spy(*a, **kw):
+        engaged["slices"] = kw.get("time_slices")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(J, "_asof_join_sliced", spy)
+
+    n = 600_000
+    l = pd.DataFrame({"k": np.repeat("bot", n),
+                      "ts": (np.arange(n, dtype=np.int64) * 3) % 999_983,
+                      "lv": np.arange(n, dtype=np.int64)})
+    l = l.drop_duplicates(subset=["k", "ts"]).reset_index(drop=True)
+    r = pd.DataFrame({"k": np.repeat("bot", 500),
+                      "ts": np.arange(500, dtype=np.int64) * 1999,
+                      "rv": np.arange(500, dtype=np.int64)})
+    got = J.asof_join(_mk_ds(l), _mk_ds(r), by="k", on="ts",
+                      left_columns=["k", "ts", "lv"],
+                      right_columns=["k", "ts", "rv"],
+                      direction="backward", how="inner",
+                      num_partitions=4).to_pandas()
+    assert engaged.get("slices", 0) >= 2
+    want = _oracle(l, r, "backward", "inner")
+    assert len(got) == len(want)
+    assert _norm(got) == _norm(want)
+
+
+def test_auto_probe_stays_plain_below_threshold(ray_session, monkeypatch):
+    """Well-behaved keys keep the single-shuffle plain path: the probe
+    must NOT engage slicing below AUTO_SLICE_ROWS."""
+    import jsonschema_ray.pipelines.joins as J
+
+    def boom(*a, **kw):  # plain path must never reach here
+        raise AssertionError("sliced path engaged below threshold")
+
+    monkeypatch.setattr(J, "_asof_join_sliced", boom)
+    rng = np.random.default_rng(7)
+    l = pd.DataFrame({"k": rng.choice(["a", "b"], 2000),
+                      "ts": np.arange(2000, dtype=np.int64),
+                      "lv": np.arange(2000, dtype=np.int64)})
+    r = pd.DataFrame({"k": rng.choice(["a", "b"], 300),
+                      "ts": np.arange(300, dtype=np.int64) * 7,
+                      "rv": np.arange(300, dtype=np.int64)})
+    got = J.asof_join(_mk_ds(l), _mk_ds(r), by="k", on="ts",
+                      left_columns=["k", "ts", "lv"],
+                      right_columns=["k", "ts", "rv"],
+                      direction="backward", how="inner",
+                      num_partitions=4).to_pandas()
+    want = _oracle(l, r, "backward", "inner")
+    assert len(got) == len(want)
+    assert _norm(got) == _norm(want)
