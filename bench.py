@@ -137,8 +137,20 @@ def _run_benchmarks(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
                         _ = r.count()
             return fn
 
+        # min-of-2 timed passes (same convention as validate_fast): a
+        # single serial-suite pass samples a 29-51 s host-contention
+        # band — four cold-process round-5 probes measured 32.8 / 30.1
+        # / 29.4 / 50.8 s on identical code, and the 50.8 s run's OWN
+        # warm pass took 32.5 s, so the outliers are environmental
+        # (BASELINE.md round-5 note), not engine changes. min-of-2
+        # cuts the outlier probability quadratically.
         run_names(tpch_names)()  # warm
-        timed("tpch_suite_17", run_names(tpch_names))
+        t17 = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_names(tpch_names)()
+            t17.append(round(time.perf_counter() - t0, 3))
+        queries["tpch_suite_17"] = min(t17)
         timed("tpch_partsupp_5", run_names(ps_names))
 
         # the same 17 queries with their per-query barrier latencies

@@ -1143,7 +1143,8 @@ def synth_mjpeg_mp4_bytes(seed: int, n_frames: int = 9,
 
 
 def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
-                         height: int = 80, remux_variant: int = 0) -> bytes:
+                         height: int = 80, remux_variant: int = 0,
+                         kf_positions: tuple | None = None) -> bytes:
     """Deterministic avc1 mp4 with REAL H.264 structure: a spec-valid
     SPS/PPS (built bit-by-bit per ITU-T H.264 §7.3.2.1) in the avcC
     record, and 4-byte-length-prefixed NAL samples in mdat — IDR
@@ -1159,11 +1160,12 @@ def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
 
     rng = np.random.default_rng(seed)
     sps, pps = build_sps(width, height), build_pps()
+    kf_set = set(kf_positions) if kf_positions is not None else None
     samples = []
     for f in range(n_frames):
         body = rng.integers(0, 256, 96 + int(rng.integers(0, 64)),
                             dtype=np.int64).astype(np.uint8).tobytes()
-        if f % 3 == 0:
+        if (f + 1) in kf_set if kf_set is not None else f % 3 == 0:
             nals = [sps, pps, b"\x65" + body]      # IDR access unit
         else:
             nals = [b"\x41" + body]
@@ -1199,7 +1201,9 @@ def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
                + sizes.tobytes())
     stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
                + struct.pack(">III", 1, n_frames, 1))
-    keyframes = np.arange(1, n_frames + 1, 3, dtype=">u4")
+    keyframes = (np.array(sorted(kf_positions), dtype=">u4")
+                 if kf_positions is not None
+                 else np.arange(1, n_frames + 1, 3, dtype=">u4"))
     stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
                + keyframes.tobytes())
 
@@ -1217,7 +1221,8 @@ def synth_h264_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
 
 
 def synth_hevc_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
-                         height: int = 80, remux_variant: int = 0) -> bytes:
+                         height: int = 80, remux_variant: int = 0,
+                         kf_positions: tuple | None = None) -> bytes:
     """Deterministic hvc1 mp4 with REAL HEVC structure: spec-valid
     VPS/SPS/PPS (built bit-by-bit per ITU-T H.265 §7.3.2) in the hvcC
     record, 4-byte-length-prefixed two-byte-header NAL samples in
@@ -1234,12 +1239,13 @@ def synth_hevc_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
                                                build_vps)
 
     rng = np.random.default_rng(seed + 7_654_321)
+    kf_set = set(kf_positions) if kf_positions is not None else None
     vps, sps, pps = build_vps(), build_sps(width, height), build_pps()
     samples = []
     for f in range(n_frames):
         body = rng.integers(0, 256, 96 + int(rng.integers(0, 64)),
                             dtype=np.int64).astype(np.uint8).tobytes()
-        if f % 3 == 0:
+        if (f + 1) in kf_set if kf_set is not None else f % 3 == 0:
             idr = bytes([NAL_IDR_W_RADL << 1, 1]) + body
             nals = [vps, sps, pps, idr]            # IRAP access unit
         else:
@@ -1274,7 +1280,9 @@ def synth_hevc_mp4_bytes(seed: int, n_frames: int = 9, width: int = 96,
                + sizes.tobytes())
     stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
                + struct.pack(">III", 1, n_frames, 1))
-    keyframes = np.arange(1, n_frames + 1, 3, dtype=">u4")
+    keyframes = (np.array(sorted(kf_positions), dtype=">u4")
+                 if kf_positions is not None
+                 else np.arange(1, n_frames + 1, 3, dtype=">u4"))
     stss = box(b"stss", struct.pack(">B3xI", 0, len(keyframes))
                + keyframes.tobytes())
 
@@ -1575,6 +1583,108 @@ def video_near_dup(source: Any, key_col: str = "media_ref",
     return agg.map_batches(thresh, batch_format="pyarrow")
 
 
+class VideoContainerSignature:
+    """Actor stage: payload → one container-consensus signature row
+    (key, sig) per parseable video. The signature folds width, height,
+    sample count, keyframe count, the keyframe-POSITION pattern
+    (content-driven scene-cut cadence survives re-encoding), duration
+    rounded to ms and fps rounded to 1e-3 — everything the container
+    asserts about the CONTENT, nothing the codec asserts about the
+    bytes. Timescale-normalized, so re-muxes collapse as well."""
+
+    def __init__(self, key_col: str = "media_ref"):
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        keys = batch.column(self.key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        sel, sigs = [], []
+        for i, p in enumerate(payloads):
+            m = parse_mp4(p)
+            if m is None or not m["n_samples"]:
+                continue
+            h = np.uint64(0xCBF29CE484222325)
+            with np.errstate(over="ignore"):
+                for v in (m["width"], m["height"], m["n_samples"],
+                          m["n_keyframes"], m.get("kf_pattern", 0),
+                          int(round(m["duration_s"] * 1000)),
+                          int(round(m["fps"] * 1000))):
+                    h = (h ^ np.uint64(v & 0xFFFFFFFFFFFFFFFF)) \
+                        * np.uint64(1099511628211)
+            sel.append(i)
+            sigs.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
+        if not sel:
+            return pa.table({self.key_col: keys.slice(0, 0),
+                             "sig": pa.array([], pa.int64())})
+        return pa.table({
+            self.key_col: keys.take(pa.array(sel, pa.int64())),
+            "sig": pa.array(np.array(sigs, np.int64)),
+        })
+
+
+def video_reencode_candidates(source: Any, key_col: str = "media_ref",
+                              max_bucket: int = 256, *,
+                              concurrency=(1, 8), batch_size: int = 64):
+    """RE-ENCODE candidate pairs by container-consensus (round-5
+    verdict #7): videos sharing the full container timing/geometry
+    signature — dimensions, sample count, keyframe count AND keyframe
+    position pattern, ms-rounded duration, fps — are candidates for
+    being the same content re-encoded (new codec, new coded bytes).
+
+    This is the honest tier boundary of the video family:
+
+    - ``video_near_dup``'s structural fingerprints catch RE-MUXES
+      (same coded samples in a rewritten container) and, for MJPEG,
+      true pixel re-encodes via pHash;
+    - codec-frame pixel decode for H.264/HEVC is explicitly out of
+      scope (``DecodeMedia``), so a cross-codec re-encode is
+      invisible to fingerprints — THIS tier catches it at the
+      container level instead, with documented false positives:
+      unrelated clips that share the complete signature (fixed-cadence
+      keyframes + identical geometry + identical duration) pair up,
+      and content verification below the container requires a real
+      codec. Candidates, not verdicts.
+
+    Scale shape: one actor-pool signature pass (payloads never
+    shuffle; one thin (key, sig) row per video), then pair expansion
+    inside hashed signature buckets (``bucketed_map_groups``) with the
+    standard deterministic ``max_bucket`` cap + ``n_dropped``
+    accounting. → Dataset (key_a, key_b, sig, n_dropped)."""
+    import pandas as pd
+
+    src = as_source(source)
+    rows = src.dataset().map_batches(
+        VideoContainerSignature, fn_constructor_kwargs={"key_col": key_col},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(g[key_col].to_numpy())
+        sig = int(g["sig"].iloc[0])
+        dropped = 0
+        if len(ks) > max_bucket:
+            dropped = len(ks) - max_bucket
+            ks = ks[:max_bucket]
+        if len(ks) < 2:
+            return pd.DataFrame({
+                "key_a": ks[:0], "key_b": ks[:0],
+                "sig": np.array([], np.int64),
+                "n_dropped": np.array([], np.int64)})
+        i, j = np.triu_indices(len(ks), k=1)
+        nd = np.zeros(len(i), np.int64)
+        if dropped:
+            nd[0] = dropped
+        return pd.DataFrame({"key_a": ks[i], "key_b": ks[j],
+                             "sig": np.full(len(i), sig, np.int64),
+                             "n_dropped": nd})
+
+    from jsonschema_ray.stages.hashagg import bucketed_map_groups
+
+    return bucketed_map_groups(rows, "sig", pairs_of_group)
+
+
 def parse_mp4(payload: bytes):
     """REAL ISO-BMFF metadata parse → dict(duration_s, timescale,
     n_tracks, video_codec, width, height, has_mdat) or None if the
@@ -1665,6 +1775,24 @@ def parse_mp4(payload: bytes):
             elif typ == b"stss" and body + 8 <= end:
                 (ecount,) = struct.unpack_from(">I", payload, body + 4)
                 out["n_keyframes"] += ecount
+                # keyframe-POSITION pattern fold (FNV over the stss
+                # sample numbers): scene-cut-driven keyframe cadence is
+                # a content signature that survives re-encoding — the
+                # container-consensus tier keys on it
+                q = body + 8
+                avail = min(ecount, (pos + size - q) // 4)
+                if avail > 0:
+                    entries = np.frombuffer(payload, ">u4", avail, q) \
+                        .astype(np.uint64)
+                    # vectorized order-sensitive fold: Σ entry_i · R^(i+1)
+                    # (mod 2^64) — uint64 wrap-around is the modulus
+                    with np.errstate(over="ignore"):
+                        powers = np.cumprod(
+                            np.full(avail, 1099511628211, np.uint64))
+                        h = np.uint64(out.get("kf_pattern",
+                                              0xCBF29CE484222325)) \
+                            + (entries * powers).sum(dtype=np.uint64)
+                    out["kf_pattern"] = int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
             pos += size
     if out["n_samples"] and sample_ticks and media_ts:
         out["fps"] = round(out["n_samples"]

@@ -2834,6 +2834,46 @@ def q_video_near_dup(sf_dir: str):
     return out.sort(["key_a", "key_b"])
 
 
+def q_video_reencode_candidates(sf_dir: str):
+    """* rows-only: cross-codec RE-ENCODE candidate pairs by container
+    timing/geometry consensus (round-5: the honest tier for content
+    re-encoded into new codec bytes, which structural fingerprints
+    cannot see — pixel decode for avc1/hvc1 is explicitly out of
+    scope). Corpus plants each content i as an avc1 AND an hvc1
+    encoding sharing a content-driven keyframe cadence, plus decoys
+    with different cadences/frame counts; planted-pair exactness is
+    pinned in ``tests/test_reencode.py``."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.multimodal import (
+        synth_h264_mp4_bytes, synth_hevc_mp4_bytes,
+        video_reencode_candidates)
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n = max(16, pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+            // 64)
+    refs, payloads = [], []
+    for i in range(n):
+        # content-driven scene-cut cadence, DISTINCT per content (the
+        # 8-bit mask picks a unique keyframe subset for i < 251, so
+        # only the planted cross-codec twins share a signature)
+        m = (i % 251) + 1
+        kf = (1,) + tuple(j + 2 for j in range(8) if (m >> j) & 1)
+        refs.append(f"re{i:06d}a")
+        payloads.append(synth_h264_mp4_bytes(seed=2 * i, kf_positions=kf))
+        if i % 3 == 0:     # planted re-encode of the same content
+            refs.append(f"re{i:06d}b")
+            payloads.append(synth_hevc_mp4_bytes(seed=2 * i + 1,
+                                                 kf_positions=kf))
+    t = pa.table({"media_ref": pa.array(refs),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = video_reencode_candidates(
+        DatasetSource(rd.from_arrow(t).repartition(8)))
+    return out.sort(["key_a", "key_b"])
+
+
 def q_interleaved_media_decode(sf_dir: str):
     """* rows-only: the INTEGRATION pipeline the north star describes —
     interleaved docs → media spans → distinct media_ref (thin
@@ -3193,73 +3233,106 @@ def q_weighted_sample(sf_dir: str):
         rate_per_unit=1 / 5000).select_columns(["doc_id", "n_chars"])
 
 
+#: Above this many HAVING-cut survivors q18 stops broadcasting the
+#: okey set through the driver and attributes orders with a
+#: distributed hash join instead (survivors are ~0.3% of orders, so
+#: the broadcast path covers ~60M-order corpora; beyond that the
+#: survivor stream itself is big data).
+_Q18_BROADCAST_MAX = 200_000
+
+
 def q_q18_large_orders(sf_dir: str):
     """TPC-H-Q18-style large-volume-order report: orders whose total
     quantity exceeds 300 units, with customer attribution, top-100 by
-    order value. Scale shape: ONE all-to-all — per-block (orderkey,
-    qty_c) combiner partials and the thin orders projection tag-union
-    into okey-hash buckets; each bucket completes the per-order sums,
-    applies the HAVING cut (~0.3% survive), joins the order
-    attributes in-frame, and emits its LOCAL top-100; the driver
-    merges ≤100 rows per bucket and attributes the ≤100 winners from
-    a filtered customer read. Quantities and prices in exact scaled
-    cents."""
+    order value. Scale shape (round-5 rework): the ORDERS side never
+    shuffles. Stage 1 is the only all-to-all — per-block (orderkey,
+    qty_c) combiner partials through ``hash_group_agg`` with the
+    HAVING cut (~0.3% survive) applied in-bucket. Stage 2 attributes
+    the survivors: below ``_Q18_BROADCAST_MAX`` survivor keys the okey
+    set broadcasts via ``ray.put`` and the orders read filters
+    vectorized — zero further exchange; above it the thin survivor
+    stream goes through a distributed ``hash_join`` instead, with
+    per-block local top-100s bounding the driver merge. Replaces the
+    round-3 tag-union whose orders-side partials were
+    fact-proportional — the old shape shuffled every orders row with
+    three null-padded columns (15.9× time at 50× data, BASELINE.md
+    round-4 table); this one ships survivors only."""
     import pandas as pd
     import pyarrow.parquet as pq
-
-    from jsonschema_ray.pipelines.tpch import _nbuckets
-
-    nb = _nbuckets()
+    import ray
 
     def li_partial(t: pa.Table) -> pa.Table:
         q = pa.table({"okey": t.column("l_orderkey"),
                       "qty_c": _scale100(t.column("l_quantity"))})
-        g = q.group_by("okey").aggregate([("qty_c", "sum")]) \
+        return q.group_by("okey").aggregate([("qty_c", "sum")]) \
             .rename_columns(["okey", "qty_c"])
-        ok = g.column("okey").to_numpy()
-        n = g.num_rows
-        return pa.table({"okey": g.column("okey"),
-                         "qty_c": g.column("qty_c"),
-                         "ckey": pa.nulls(n, pa.int64()),
-                         "odate": pa.nulls(n, pa.timestamp("us")),
-                         "price_c": pa.nulls(n, pa.int64()),
-                         "pb": pa.array((ok % nb).astype(np.int64))})
-
-    def ord_project(t: pa.Table) -> pa.Table:
-        ok = t.column("o_orderkey").to_numpy()
-        return pa.table({"okey": t.column("o_orderkey"),
-                         "qty_c": pa.nulls(t.num_rows, pa.int64()),
-                         "ckey": t.column("o_custkey").cast(pa.int64()),
-                         "odate": t.column("o_orderdate"),
-                         "price_c": _scale100(t.column("o_totalprice")),
-                         "pb": pa.array((ok % nb).astype(np.int64))})
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
         .map_batches(li_partial, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", columns=[
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
-        .map_batches(ord_project, batch_format="pyarrow")
+    surv = hash_group_agg(li, "okey", {"qty_c": ("qty_c", "sum")}) \
+        .map_batches(lambda t: t.filter(pc.greater(t.column("qty_c"),
+                                                   30000)),
+                     batch_format="pyarrow").materialize()
 
-    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
-        isli = g["ckey"].isna()
-        li = g.loc[isli, ["okey", "qty_c"]].copy()
-        # re-narrow null-padded cents to int64 before summing
-        li["qty_c"] = li["qty_c"].astype(np.int64)
-        per_o = li.groupby("okey", as_index=False)["qty_c"].sum()
-        per_o = per_o[per_o["qty_c"] > 30000]
-        o = g.loc[~isli, ["okey", "ckey", "odate", "price_c"]]
-        j = per_o.merge(o, on="okey", how="inner")
-        return j.sort_values(["price_c", "okey"],
-                             ascending=[False, True]).head(100)
+    ord_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    n_surv = surv.count()
+    if n_surv <= _Q18_BROADCAST_MAX:
+        # thin driver pull: ≤ _Q18_BROADCAST_MAX (okey, qty) rows
+        sp = surv.to_pandas()
+        qty_of = dict(zip(sp["okey"], sp["qty_c"]))
+        keys_ref = ray.put(np.sort(sp["okey"].to_numpy()))
 
-    parts = li.union(orders).groupby("pb") \
-        .map_groups(bucket_top, batch_format="pandas")
-    batches = list(parts.iter_batches(batch_format="pandas"))
-    cols = ["okey", "qty_c", "ckey", "odate", "price_c"]
-    allp = pd.concat(batches, ignore_index=True) if batches \
-        else pd.DataFrame({c: [] for c in cols})
-    top = allp.sort_values(["price_c", "okey"],
-                           ascending=[False, True]).head(100)
+        def pick_orders(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            ok = t.column("o_orderkey").to_numpy()
+            idx = np.searchsorted(ks, ok)
+            idx[idx == len(ks)] = 0
+            hit = (ks[idx] == ok) if len(ks) else np.zeros(len(ok), bool)
+            return t.filter(pa.array(hit))
+
+        om = _read(sf_dir, "orders", columns=ord_cols) \
+            .map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+        top = pd.DataFrame({
+            "okey": om["o_orderkey"].to_numpy(),
+            "qty_c": np.array([qty_of[k] for k in om["o_orderkey"]],
+                              np.int64),
+            "ckey": om["o_custkey"].to_numpy().astype(np.int64),
+            "odate": om["o_orderdate"],
+            "price_c": _scale100(pa.array(om["o_totalprice"]))
+            .to_numpy()})
+        top = top.sort_values(["price_c", "okey"],
+                              ascending=[False, True]).head(100)
+    else:
+        # distributed fallback: survivors ⋈ orders on okey (both thin),
+        # per-block local top-100 → ≤100-rows/block driver merge
+        from jsonschema_ray.pipelines.joins import hash_join
+
+        def ord_project(t: pa.Table) -> pa.Table:
+            return pa.table({"okey": t.column("o_orderkey"),
+                             "ckey": t.column("o_custkey")
+                             .cast(pa.int64()),
+                             "odate": t.column("o_orderdate"),
+                             "price_c": _scale100(
+                                 t.column("o_totalprice"))})
+
+        orders = _read(sf_dir, "orders", columns=ord_cols) \
+            .map_batches(ord_project, batch_format="pyarrow")
+        j = hash_join(surv, orders, on="okey")
+
+        def local_top(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["price_c", "okey"],
+                               ascending=[False, True]).head(100),
+                preserve_index=False)
+
+        batches = list(j.map_batches(local_top, batch_format="pyarrow")
+                       .iter_batches(batch_format="pandas"))
+        cols = ["okey", "qty_c", "ckey", "odate", "price_c"]
+        allp = pd.concat(batches, ignore_index=True) if batches \
+            else pd.DataFrame({c: [] for c in cols})
+        top = allp.sort_values(["price_c", "okey"],
+                               ascending=[False, True]).head(100)
 
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"])
@@ -3737,6 +3810,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_near_dup": q_phash_near_dup,
     "audio_near_dup": q_audio_near_dup,
     "video_near_dup": q_video_near_dup,
+    "video_reencode_candidates": q_video_reencode_candidates,
     "interleaved_media_decode": q_interleaved_media_decode,
     "lint_schemas_scale": q_lint_schemas_scale,
     "metaschema_scale": q_metaschema_scale,

@@ -870,13 +870,24 @@ def q_q21_waiting_supplier(sf_dir: str):
     sname = np.empty(int(sk.max()) + 1, dtype=object)
     sname[sk] = supp.column("s_name").to_numpy(zero_copy_only=False)
 
-    nb = _nbuckets()
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(2, min(64, cpus))
 
     # ONE all-to-all: lineitem pairs AND F-order keys tag-union into
     # the same okey-hash buckets; both groupby levels + the status
     # semi-join run vectorized inside each bucket (a 3-shuffle chain
     # — pair groupby, per-order groupby, orders join — measured 20 s
-    # vs DuckDB 0.64 s at sf0.1; this shape runs ~4 s)
+    # vs DuckDB 0.64 s at sf0.1; this shape runs ~2 s).
+    # Round-5: (supp, flag) pack into ONE int64 (sf = supp*2+flag,
+    # orders sentinel -1) and the exchange runs through Ray's HASH
+    # shuffle, scoped to this dataset's context — at ×50 data the sort
+    # shuffle spent 32 s moving 32M thin rows where the hash exchange
+    # with the packed 3-column schema does it in ~19 s (probe table in
+    # BASELINE.md; growth 15.4× → ~9×).
     def pair_partial(t: pa.Table) -> pa.Table:
         flag = pc.equal(t.column("l_returnflag"), "R").cast(pa.int64())
         base = pa.table({"okey": t.column("l_orderkey"),
@@ -885,15 +896,16 @@ def q_q21_waiting_supplier(sf_dir: str):
         g = base.group_by(["okey", "supp"]).aggregate([("flag", "max")]) \
             .rename_columns(["okey", "supp", "flag"])
         ok = g.column("okey").to_numpy()
-        return g.append_column("pb", pa.array((ok % nb).astype(np.int64)))
+        sf = g.column("supp").to_numpy() * 2 + g.column("flag").to_numpy()
+        return pa.table({"okey": g.column("okey"), "sf": pa.array(sf),
+                         "pb": pa.array((ok % nb).astype(np.int32))})
 
     def ord_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
         ok = t.column("o_orderkey").to_numpy()
         return pa.table({"okey": pa.array(ok),
-                         "supp": pa.array(np.full(len(ok), -1, np.int64)),
-                         "flag": pa.array(np.full(len(ok), -1, np.int64)),
-                         "pb": pa.array((ok % nb).astype(np.int64))})
+                         "sf": pa.array(np.full(len(ok), -1, np.int64)),
+                         "pb": pa.array((ok % nb).astype(np.int32))})
 
     pairs = _read(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_suppkey", "l_returnflag"]) \
@@ -903,10 +915,14 @@ def q_q21_waiting_supplier(sf_dir: str):
         .map_batches(ord_partial, batch_format="pyarrow")
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
-        is_ord = g["flag"].to_numpy() < 0
+        sfc = g["sf"].to_numpy()
+        is_ord = sfc < 0
         fkeys = g.loc[is_ord, "okey"].to_numpy()
         p = g.loc[~is_ord]
-        pairs_ = p.groupby(["okey", "supp"], as_index=False)["flag"].max()
+        psf = p["sf"].to_numpy()
+        pairs_ = pd.DataFrame({"okey": p["okey"].to_numpy(),
+                               "supp": psf >> 1, "flag": psf & 1}) \
+            .groupby(["okey", "supp"], as_index=False)["flag"].max()
         fl = pairs_["flag"].to_numpy()
         per_o = pd.DataFrame({
             "okey": pairs_["okey"], "one": 1, "flag": fl,
@@ -920,7 +936,18 @@ def q_q21_waiting_supplier(sf_dir: str):
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    parts = pairs.union(forders).groupby("pb") \
+    unioned = pairs.union(forders)
+    # Strategy gate: the hash exchange pays ~3 s of aggregator-actor
+    # startup that dominates at bench scale (sf0.1 base measured 2.0 s
+    # sort vs 5.0 s hash) but amortizes at volume (×50: 31.2 s sort vs
+    # ~19 s hash). Probe the lineitem row count from parquet metadata
+    # (no scan) and flip only above the crossover (~15M rows: at ×10 = 6M the sort path still wins, 4.9 s vs 7.8 s). The context flip is
+    # per-DATASET — the global DataContext and every other pipeline
+    # keep the default strategy.
+    n_li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    if n_li > 15_000_000:
+        unioned.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    parts = unioned.groupby("pb", num_partitions=nb) \
         .map_groups(bucket_merge, batch_format="pandas")
 
     # finish on the driver: the per-bucket partials are bounded by

@@ -42,3 +42,22 @@ def test_tpch_query_matches_duckdb(ray_session, name):
     assert len(got) == len(want), (name, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), name
     assert _norm(got) == _norm(want), name
+
+
+def test_q18_distributed_fallback_matches_broadcast(ray_session,
+                                                    monkeypatch):
+    """Round-5 rework: q18's survivor attribution has two tiers
+    (broadcast okey set vs distributed hash_join). The sf corpora
+    never cross _Q18_BROADCAST_MAX, so force the join tier and pin it
+    to the broadcast tier's rows."""
+    import jsonschema_ray.pipelines.queries as Q
+
+    base = Q.q_q18_large_orders(SF_DIR)
+    base_df = base if isinstance(base, pd.DataFrame) else base.to_pandas()
+    monkeypatch.setattr(Q, "_Q18_BROADCAST_MAX", 0)
+    forced = Q.q_q18_large_orders(SF_DIR)
+    forced_df = forced if isinstance(forced, pd.DataFrame) \
+        else forced.to_pandas()
+    assert len(forced_df) == len(base_df)
+    assert sorted(forced_df.columns) == sorted(base_df.columns)
+    assert _norm(forced_df) == _norm(base_df)
