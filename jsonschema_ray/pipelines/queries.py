@@ -3276,7 +3276,16 @@ def q_q18_large_orders(sf_dir: str):
 
     ord_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     n_surv = surv.count()
-    if n_surv <= _Q18_BROADCAST_MAX:
+    if n_surv == 0:
+        # typed empty: Ray's to_pandas drops empty blocks' schemas
+        # (round-3 fuzz lesson), so build the frame explicitly
+        top = pd.DataFrame({
+            "okey": pd.Series([], dtype=np.int64),
+            "qty_c": pd.Series([], dtype=np.int64),
+            "ckey": pd.Series([], dtype=np.int64),
+            "odate": pd.Series([], dtype="datetime64[us]"),
+            "price_c": pd.Series([], dtype=np.int64)})
+    elif n_surv <= _Q18_BROADCAST_MAX:
         # thin driver pull: ≤ _Q18_BROADCAST_MAX (okey, qty) rows
         sp = surv.to_pandas()
         qty_of = dict(zip(sp["okey"], sp["qty_c"]))
@@ -3292,6 +3301,12 @@ def q_q18_large_orders(sf_dir: str):
 
         om = _read(sf_dir, "orders", columns=ord_cols) \
             .map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+        if "o_orderkey" not in om.columns:  # all blocks filtered empty
+            om = pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_totalprice": pd.Series([], dtype=np.float64)})
         top = pd.DataFrame({
             "okey": om["o_orderkey"].to_numpy(),
             "qty_c": np.array([qty_of[k] for k in om["o_orderkey"]],

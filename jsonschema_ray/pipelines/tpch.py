@@ -850,6 +850,14 @@ def q_q17_small_quantity(sf_dir: str):
 # Q21 — suppliers who kept orders waiting: nested EXISTS / NOT EXISTS
 # ---------------------------------------------------------------------------
 
+#: q21's exact F-orderkey broadcast bound: below this many ORDERS rows
+#: the sorted F-key array (≤ ~8 B/row) broadcasts once and the orders
+#: side never enters the shuffle; above it the tag-union fallback keeps
+#: the semi-join fully distributed (a 50M-order broadcast is ~400 MB —
+#: past what a worker heap should hold per query).
+_Q21_FKEY_BROADCAST_MAX = 50_000_000
+
+
 def q_q21_waiting_supplier(sf_dir: str):
     """TPC-H-Q21 (adapted: "late" is ``l_returnflag='R'`` — no
     commit/receipt dates): suppliers who were the ONLY flagged
@@ -888,6 +896,36 @@ def q_q21_waiting_supplier(sf_dir: str):
     # shuffle spent 32 s moving 32M thin rows where the hash exchange
     # with the packed 3-column schema does it in ~19 s (probe table in
     # BASELINE.md; growth 15.4× → ~9×).
+    # Volume gates (both probes are parquet-metadata counts, no scan):
+    # above ~15M lineitem rows the exchange flips to Ray's hash shuffle
+    # (aggregator-actor startup ~3 s dominates at sf0.1 — 2.0 s sort vs
+    # 5.0 s hash — but amortizes at volume: ×50 31.2 s sort → ~19 s
+    # hash), and — when the F-orderkey set still fits a broadcast
+    # (≤ _Q21_FKEY_BROADCAST_MAX) — the orders side leaves the shuffle
+    # ENTIRELY: the sorted F-key array ships once via ray.put, the
+    # lineitem partials drop non-F pairs at the map (EXACT semi-join,
+    # ~half the pair rows on TPC-H status mix), and the in-bucket
+    # membership check disappears. Beyond the broadcast bound the
+    # tag-union fallback keeps the path fully distributed.
+    n_li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    big = n_li > 15_000_000
+    fkeys_ref = None
+    if big:
+        n_ord = _read(sf_dir, "orders", columns=["o_orderkey"]).count()
+        if n_ord <= _Q21_FKEY_BROADCAST_MAX:
+            def fpart(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+                return t.select(["o_orderkey"])
+
+            chunks = [b.column("o_orderkey").to_numpy()
+                      for b in _read(sf_dir, "orders",
+                                     columns=["o_orderkey",
+                                              "o_orderstatus"])
+                      .map_batches(fpart, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")]
+            fkeys_ref = ray.put(np.sort(np.concatenate(chunks))
+                                if chunks else np.empty(0, np.int64))
+
     def pair_partial(t: pa.Table) -> pa.Table:
         flag = pc.equal(t.column("l_returnflag"), "R").cast(pa.int64())
         base = pa.table({"okey": t.column("l_orderkey"),
@@ -897,6 +935,15 @@ def q_q21_waiting_supplier(sf_dir: str):
             .rename_columns(["okey", "supp", "flag"])
         ok = g.column("okey").to_numpy()
         sf = g.column("supp").to_numpy() * 2 + g.column("flag").to_numpy()
+        if fkeys_ref is not None:   # exact F-order prefilter at the map
+            ks = ray.get(fkeys_ref)
+            idx = np.searchsorted(ks, ok)
+            idx[idx == len(ks)] = 0
+            hit = (ks[idx] == ok) if len(ks) \
+                else np.zeros(len(ok), bool)
+            ok, sf = ok[hit], sf[hit]
+            return pa.table({"okey": pa.array(ok), "sf": pa.array(sf),
+                             "pb": pa.array((ok % nb).astype(np.int32))})
         return pa.table({"okey": g.column("okey"), "sf": pa.array(sf),
                          "pb": pa.array((ok % nb).astype(np.int32))})
 
@@ -910,9 +957,6 @@ def q_q21_waiting_supplier(sf_dir: str):
     pairs = _read(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_suppkey", "l_returnflag"]) \
         .map_batches(pair_partial, batch_format="pyarrow")
-    forders = _read(sf_dir, "orders",
-                    columns=["o_orderkey", "o_orderstatus"]) \
-        .map_batches(ord_partial, batch_format="pyarrow")
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         sfc = g["sf"].to_numpy()
@@ -930,22 +974,24 @@ def q_q21_waiting_supplier(sf_dir: str):
             .groupby("okey", as_index=False) \
             .agg(n_supp=("one", "sum"), n_flagged=("flag", "sum"),
                  fsupp=("fs", "max"))
-        sel = per_o[(per_o["n_supp"] >= 2) & (per_o["n_flagged"] == 1)
-                    & per_o["okey"].isin(fkeys)]
+        keep = (per_o["n_supp"] >= 2) & (per_o["n_flagged"] == 1)
+        if fkeys_ref is None:       # membership not pre-applied
+            keep &= per_o["okey"].isin(fkeys)
+        sel = per_o[keep]
         out = sel.groupby("fsupp", as_index=False).agg(n=("okey", "size"))
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    unioned = pairs.union(forders)
-    # Strategy gate: the hash exchange pays ~3 s of aggregator-actor
-    # startup that dominates at bench scale (sf0.1 base measured 2.0 s
-    # sort vs 5.0 s hash) but amortizes at volume (×50: 31.2 s sort vs
-    # ~19 s hash). Probe the lineitem row count from parquet metadata
-    # (no scan) and flip only above the crossover (~15M rows: at ×10 = 6M the sort path still wins, 4.9 s vs 7.8 s). The context flip is
-    # per-DATASET — the global DataContext and every other pipeline
-    # keep the default strategy.
-    n_li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
-    if n_li > 15_000_000:
+    if fkeys_ref is not None:
+        unioned = pairs               # orders side never shuffles
+    else:
+        forders = _read(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"]) \
+            .map_batches(ord_partial, batch_format="pyarrow")
+        unioned = pairs.union(forders)
+    if big:
+        # per-DATASET context: the global DataContext and every other
+        # pipeline keep the default strategy
         unioned.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     parts = unioned.groupby("pb", num_partitions=nb) \
         .map_groups(bucket_merge, batch_format="pandas")

@@ -137,11 +137,19 @@ def bench(sf_dirs: list[str], names: list[str],
         # warm the worker pool once so the first query doesn't carry
         # process-spawn cost
         consume(QUERIES["q6_forecast_revenue"](sf_dir))
+        # min-of-2 per query (round-5, same convention as bench.py):
+        # a single pass folds one-shot costs (hash-shuffle aggregator
+        # actor startup, ~3-10 s) and the host's 30%+ contention band
+        # into the growth ratio; the steady-state number is what the
+        # crossover measures
         ray_t = {}
         for name in names:
-            t0 = time.perf_counter()
-            consume(QUERIES[name](sf_dir))
-            ray_t[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                consume(QUERIES[name](sf_dir))
+                samples.append(round(time.perf_counter() - t0, 3))
+            ray_t[name] = min(samples)
         entry = {"lineitem_rows": rows, "ray": ray_t,
                  "ray_total": round(sum(ray_t.values()), 2)}
         if not skip_duckdb:
