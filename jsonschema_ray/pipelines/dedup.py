@@ -708,6 +708,171 @@ def _verify_pairs_joined(src, key_col: str, text_col: str, pairs,
     return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) near-dup: persisted MinHash-LSH index
+# ---------------------------------------------------------------------------
+
+def minhash_index_write(source: Any, key_col: str, index_dir: str, *,
+                        text_col: str = "text", num_perm: int = 64,
+                        bands: int = 16, seed: int = 1,
+                        shingle_k: int = 3, n_buckets: int = 64,
+                        token_hash=hash64) -> dict:
+    """Persist the LSH state of a corpus for INCREMENTAL near-dup —
+    the continuous-ingestion shape: each NEW shard is later checked
+    against the accumulated index (:func:`minhash_query_index`)
+    without re-reading, re-shingling or re-signing the old corpus.
+
+    Layout (hash-bucket-partitioned parquet, append-friendly — a later
+    ingest of more corpus just writes additional files into the same
+    bucket dirs):
+
+    - ``index_dir/bands``  — (band, band_hash, key) rows, partitioned
+      by ``bucket = band_hash mod n_buckets``;
+    - ``index_dir/blobs``  — (key, __sh) per-doc sorted int64
+      shingle-hash blobs (the verify tier's wire format, computed once
+      here), partitioned by ``bucket = hash(key) mod n_buckets``;
+    - ``index_dir/manifest.json`` pins (num_perm, bands, seed,
+      shingle_k, n_buckets) so a query can only run with matching
+      parameters.
+
+    Streaming end to end: both tables go straight from ``map_batches``
+    to ``write_parquet`` — nothing materializes on the driver."""
+    import json
+    import os
+
+    src = as_source(source)
+    band_rows = minhash_band_rows(src, key_col, text_col, num_perm,
+                                  bands, seed, token_hash=token_hash)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy().view(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((bh % np.uint64(n_buckets))
+                               .astype(np.int32)))
+
+    band_rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "bands"),
+                       partition_cols=["bucket"])
+
+    def to_blobs(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kv = keys.to_numpy(zero_copy_only=False)
+        kb = (hash64(kv.astype(object) if kv.dtype == object else kv)
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            key_col: keys,
+            "__sh": _doc_shingle_blobs(texts, shingle_k,
+                                       token_hash=token_hash),
+            "bucket": pa.array(kb)})
+
+    src.dataset(columns=[key_col, text_col]) \
+        .map_batches(to_blobs, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "blobs"),
+                       partition_cols=["bucket"])
+
+    manifest = {"key_col": key_col, "num_perm": num_perm,
+                "bands": bands, "seed": seed, "shingle_k": shingle_k,
+                "n_buckets": n_buckets}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def minhash_query_index(new_source: Any, key_col: str, index_dir: str, *,
+                        text_col: str = "text", threshold: float = 0.7,
+                        token_hash=hash64):
+    """Check a NEW shard against a persisted MinHash index
+    (:func:`minhash_index_write`): → Dataset
+    ``(key_new, key_idx, jaccard)`` of verified cross-corpus near-dup
+    pairs with ``jaccard ≥ threshold``.
+
+    Shape: the new shard's band rows join the index's band table on
+    (band, band_hash) — the index side streams from its parquet
+    buckets; the OLD CORPUS TEXT IS NEVER TOUCHED, because
+    verification runs on the index's stored shingle blobs joined to
+    blobs computed in-stream for the new side, through the same
+    vectorized ``_blob_jaccard`` kernel as the in-corpus verify tier.
+    Candidate dedupe is one hashed single-key shuffle
+    (``hash_group_agg``)."""
+    import json
+    import os
+
+    from jsonschema_ray.raycompat import read_parquet_clean
+    from jsonschema_ray.stages.hashagg import hash_group_agg
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    src = as_source(new_source)
+    new_bands = minhash_band_rows(src, key_col, text_col,
+                                  m["num_perm"], m["bands"], m["seed"],
+                                  token_hash=token_hash) \
+        .map_batches(lambda t: t.rename_columns(
+            ["band", "band_hash", "__key_new"]), batch_format="pyarrow")
+
+    idx_bands = read_parquet_clean(
+        os.path.join(index_dir, "bands"),
+        columns=["band", "band_hash", m["key_col"]])
+
+    cand = new_bands.join(idx_bands, join_type="inner",
+                          num_partitions=max(2, m["n_buckets"] // 8),
+                          on=("band", "band_hash"),
+                          left_suffix="", right_suffix="_r")
+
+    def thin(t: pa.Table) -> pa.Table:
+        return pa.table({"key_new": t.column("__key_new"),
+                         "key_idx": t.column(m["key_col"])})
+
+    pairs = hash_group_agg(
+        cand.map_batches(thin, batch_format="pyarrow"),
+        ["key_new", "key_idx"], {"n_bands": ("key_new", "size")})
+
+    empty = pa.table({"key_new": pa.array([], pa.int64()),
+                      "key_idx": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    idx_blobs = read_parquet_clean(
+        os.path.join(index_dir, "blobs"),
+        columns=[m["key_col"], "__sh"])
+
+    def new_blobs_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__bkey": t.column(key_col),
+            "__sh_n": _doc_shingle_blobs(texts, m["shingle_k"],
+                                         token_hash=token_hash)})
+
+    new_blobs = src.dataset(columns=[key_col, text_col]) \
+        .map_batches(new_blobs_batch, batch_format="pyarrow")
+
+    # repo hash_join, NOT Dataset.join: the candidate stream is sparse
+    # relative to any partition count at small corpora, and Ray's
+    # native join crashes on zero-block partitions (joins.py:419 note)
+    from jsonschema_ray.pipelines.joins import hash_join
+
+    j1 = hash_join(pairs, idx_blobs, on="key_idx",
+                   right_on=m["key_col"])
+    j2 = hash_join(j1, new_blobs, on="key_new", right_on="__bkey")
+
+    def verify(t: pa.Table) -> pa.Table:
+        flat_i, sz_i = _decode_blobs(t.column("__sh"))
+        flat_n, sz_n = _decode_blobs(t.column("__sh_n"))
+        inter, j = _blob_jaccard(flat_n, sz_n, flat_i, sz_i)
+        keep = j >= threshold
+        if not keep.any():
+            return empty
+        km = pa.array(keep)
+        return pa.table({
+            "key_new": t.column("key_new").filter(km),
+            "key_idx": t.column("key_idx").filter(km),
+            "jaccard": pa.array(np.round(j[keep], 4)),
+        }).cast(empty.schema)
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def dup_clusters(pairs, keys=None) -> dict:
     """Connected components over verified duplicate pairs → {key: root}
     with root = min key of the component (the canonical survivor).

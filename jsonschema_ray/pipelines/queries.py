@@ -1417,6 +1417,43 @@ FROM pr GROUP BY 1, 2
 """
 
 
+def _incremental_dedup_sql(threshold: float = 0.5) -> str:
+    """Oracle for ``incremental_dedup``: the SAME LSH chain as
+    ``_minhash_sql`` but candidate pairs cross the even(index)/odd(new)
+    doc_id halves, verified by exact Jaccard over DISTINCT rolling
+    shingle hashes — precisely the arithmetic the engine's stored
+    blobs carry (md5 token hash end to end)."""
+    base = _minhash_sql()
+    head, _tail = base.split("), pr AS (", 1)
+    return head + rf"""), pr AS (
+  SELECT y.doc_id AS key_new, x.doc_id AS key_idx
+  FROM bh x JOIN bh y
+    ON x.band = y.band AND x.bhash = y.bhash
+   AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+  GROUP BY 1, 2
+), sets AS (
+  SELECT DISTINCT doc_id, s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT p.key_new, p.key_idx, count(*) AS i
+  FROM pr p
+  JOIN sets a ON a.doc_id = p.key_idx
+  JOIN sets b ON b.doc_id = p.key_new AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT p.key_new, p.key_idx,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sn.n + si.n - COALESCE(i.i, 0)), 4) AS jaccard
+FROM pr p
+JOIN sizes sn ON sn.doc_id = p.key_new
+JOIN sizes si ON si.doc_id = p.key_idx
+LEFT JOIN inter i ON i.key_new = p.key_new AND i.key_idx = p.key_idx
+WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+      / (sn.n + si.n - COALESCE(i.i, 0)) >= {threshold}
+"""
+
+
 def _langid_sql() -> str:
     """Oracle for q_langid, generated from the SAME LANG_PROFILES so the
     two stay in sync; argmax ties resolve to profile order (np.argmax
@@ -2268,6 +2305,63 @@ def q_rebalance_sources(sf_dir: str):
     return rebalance_sources(ParquetSource(_pq(sf_dir, "documents")),
                              key_col="doc_id", strata_col="lang",
                              columns=["doc_id", "lang"])
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental cross-corpus near-dup (continuous ingestion): the
+    even-doc_id half of ``documents`` is persisted as a MinHash-LSH
+    index (bucket-partitioned band rows + shingle blobs under /tmp,
+    rebuilt per run) and the odd half is queried against it — the
+    indexed half's TEXT is never read on the query path; verification
+    runs on the stored blobs. md5 token hash end to end, so the full
+    chain (banding, candidate join, distinct-shingle Jaccard) is
+    bit-exact in SQL (``_incremental_dedup_sql``)."""
+    import os
+    import shutil
+
+    from jsonschema_ray.functions.sketches import md5_hash64
+    from jsonschema_ray.pipelines.dedup import (minhash_index_write,
+                                                minhash_query_index)
+    from jsonschema_ray.raycompat import read_parquet_clean
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/jsr_mh_index_{tag}"
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            keep = pc.equal(pc.bit_wise_and(ids, 1), parity)
+            return t.filter(keep)
+        return read_parquet_clean(_pq(sf_dir, "documents"),
+                                  columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    minhash_index_write(DatasetSource(half(0)), "doc_id", index_dir,
+                        token_hash=md5_hash64)
+    out = minhash_query_index(DatasetSource(half(1)), "doc_id",
+                              index_dir, threshold=0.5,
+                              token_hash=md5_hash64)
+    return out.sort(["key_new", "key_idx"])
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-flattened source mixing (T5/LLaMA α-sampling,
+    unnormalized per-stratum form, α=0.5): keep-rate per source is
+    min(1, 2/√n_s) via the bit-exact md5 rule — sqrt is correctly
+    rounded on both engines, so no cross-engine float hazard; see
+    sampling.temperature_mix."""
+    from jsonschema_ray.pipelines.sampling import temperature_mix
+    from jsonschema_ray.sources.readers import ParquetSource
+
+    return temperature_mix(ParquetSource(_pq(sf_dir, "documents")),
+                           key_col="doc_id", strata_col="source",
+                           alpha=0.5, scale=2.0,
+                           columns=["doc_id", "source"])
 
 
 def q_psi_drift(sf_dir: str):
@@ -3795,6 +3889,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "psi_drift": q_psi_drift,
     "ks_drift": q_ks_drift,
     "rebalance_sources": q_rebalance_sources,
+    "temperature_mix": q_temperature_mix,
+    "incremental_dedup": q_incremental_dedup,
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
@@ -4573,6 +4669,24 @@ SELECT d.doc_id, d.lang, r.ppm AS rate_ppm
 FROM documents d JOIN rate r ON r.lang IS NOT DISTINCT FROM d.lang
 WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
            AS BIGINT) < r.ppm
+""",
+    "incremental_dedup": _incremental_dedup_sql(),
+    # α=0.5 temperature mix: sqrt is IEEE-correctly-rounded on both
+    # engines, LEAST/min agree, and the keep rule is a pure integer
+    # compare on the top 32 hash bits — bit-exact end to end.
+    "temperature_mix": r"""
+WITH cnt AS (
+  SELECT COALESCE(source, '￿__null__') AS s, COUNT(*) AS c
+  FROM documents GROUP BY 1
+), rate AS (
+  SELECT s, CAST(FLOOR(LEAST(1.0, 2.0 / sqrt(CAST(c AS DOUBLE)))
+                       * 4294967296.0) AS BIGINT) AS cut
+  FROM cnt)
+SELECT d.doc_id, d.source, r.cut AS rate_q32
+FROM documents d
+JOIN rate r ON COALESCE(d.source, '￿__null__') = r.s
+WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) >> 32 AS BIGINT)
+      < r.cut
 """,
     "psi_drift": r"""
 WITH src AS (

@@ -228,3 +228,74 @@ def rebalance_sources(source: Any, key_col: str, strata_col: str,
     cols = sorted({key_col, strata_col} | set(columns or []))
     return src.dataset(columns=cols).map_batches(
         pick, batch_format="pyarrow")
+
+
+def temperature_mix(source: Any, key_col: str, strata_col: str, *,
+                    alpha: float = 0.5, scale: float = 8.0,
+                    hash_fn: str = "md5",
+                    columns: Sequence[str] | None = None):
+    """Temperature-flattened source mixing — the T5/LLaMA α-sampling
+    curriculum in its UNNORMALIZED per-stratum form: keep-rate
+    ``r_s = min(1, scale · n_s^(α−1))`` per stratum (source, language,
+    domain …). α < 1 flattens the mix — big sources downsample
+    ∝ n^(α−1) while small ones are kept whole — and because every
+    rate is a pure per-stratum expression there is NO normalizing sum
+    whose cross-engine float association order could flip a row. With
+    the default ``α = 0.5`` the only transcendental is ``sqrt``, which
+    IEEE-754 requires correctly rounded, so numpy and DuckDB compute
+    the IDENTICAL double and the keep rule
+    ``(md5(key) >> 32) < floor(r_s · 2^32)`` is bit-exact cross-engine
+    (general α uses ``pow`` — documented last-ulp caveat).
+
+    Scale shape: pass 1 is a thin per-stratum count (strata are
+    low-cardinality by definition; the driver holds one row per
+    stratum), pass 2 a zero-shuffle deterministic per-batch filter —
+    reproducible across re-runs, block layouts and cluster sizes.
+    Null strata form their own stratum under the sentinel. → kept rows
+    with the stratum's ``rate_q32`` cut appended."""
+    import math
+
+    src = as_source(source)
+
+    def fill_strata(t: pa.Table) -> pa.Table:
+        col = t.column(strata_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.set_column(t.schema.get_field_index(strata_col),
+                            strata_col, col.fill_null(NULL_GROUP_KEY))
+
+    cnt_rows = src.dataset(columns=[strata_col]) \
+        .map_batches(fill_strata, batch_format="pyarrow") \
+        .groupby(strata_col).count().take_all()
+    counts = {r[strata_col]: int(r["count()"]) for r in cnt_rows}
+    if not counts:
+        raise ValueError("empty input: no strata to mix")
+
+    def rate(c: int) -> float:
+        if alpha == 0.5:            # sqrt path: correctly rounded IEEE
+            return min(1.0, scale / math.sqrt(float(c)))
+        return min(1.0, scale * float(c) ** (alpha - 1.0))
+
+    cuts = {s: int(np.floor(rate(c) * 4294967296.0))
+            for s, c in counts.items()}
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = keys.to_numpy(zero_copy_only=False)
+        hf = md5_hash64 if hash_fn == "md5" else hash64
+        hi = (hf(vals.astype(object) if vals.dtype == object else vals)
+              >> np.uint64(32)).astype(np.int64)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False) \
+            .astype(object)
+        strata[_isnull(strata)] = NULL_GROUP_KEY  # matches the count pass
+        uniq, inv = np.unique(strata, return_inverse=True)
+        cut = np.array([cuts.get(u, 0) for u in uniq], dtype=np.int64)[inv]
+        keep = hi < cut
+        return t.filter(pa.array(keep)).append_column(
+            "rate_q32", pa.array(cut[keep], pa.int64()))
+
+    cols = sorted({key_col, strata_col} | set(columns or []))
+    return src.dataset(columns=cols).map_batches(
+        pick, batch_format="pyarrow")

@@ -146,3 +146,39 @@ def test_rebalance_sources(ray_session):
         DatasetSource(rd.from_arrow(t).repartition(13)),
         "doc_id", "src").to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_mix_rates_and_determinism(ray_session):
+    """α=0.5 flattening: keep-rate per stratum = min(1, scale/√n);
+    small strata are kept whole at a high enough scale, big ones
+    downsample; the rule is a pure function of the key (re-run
+    identical), and null strata form their own sentinel stratum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from jsonschema_ray.pipelines.sampling import temperature_mix
+    from jsonschema_ray.sources.readers import DatasetSource
+
+    n_big, n_small = 4000, 9
+    t = pa.table({
+        "k": pa.array(np.arange(n_big + n_small + 5, dtype=np.int64)),
+        "s": pa.array(["big"] * n_big + ["small"] * n_small + [None] * 5),
+    })
+
+    def run():
+        return temperature_mix(
+            DatasetSource(ray.data.from_arrow(t).repartition(4)),
+            key_col="k", strata_col="s", alpha=0.5, scale=4.0) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+
+    a, b = run(), run()
+    assert a.equals(b)                       # re-run identical
+    small = a[a["s"] == "small"]
+    assert len(small) == n_small             # scale/√9 > 1 → kept whole
+    assert (small["rate_q32"] == 1 << 32).all()
+    big = a[a["s"] == "big"]
+    exp_rate = 4.0 / np.sqrt(n_big)
+    assert abs(len(big) / n_big - exp_rate) < 0.02
+    nulls = a[a["s"].isnull()]
+    assert len(nulls) == 5                   # 4/√5 > 1 → kept whole
